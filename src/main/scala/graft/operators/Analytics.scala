@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch analytics surface over the star schema (SURVEY.md §2B).
+  *
+  * Numeric discipline: every aggregate the DuckDB oracle re-computes
+  * is carried in DECIMAL (exact, order-independent) and only cast to
+  * double at the very end — double summation order differs between
+  * engines, decimal summation doesn't.
+  *
+  * Scale notes: all transforms are single-pass declarative plans —
+  * filters/projections reach the parquet scan, dimension joins are
+  * broadcast, fact-side aggregates are partial (map-side) before the
+  * one unavoidable shuffle on the group/join key.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary. One scan + one shuffle on a
+    * 6-row group key; partial aggregation does nearly all the work
+    * map-side, so this scales linearly with input splits.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val qty   = dec(col("l_quantity"))
+    val price = dec(col("l_extendedprice"))
+    val disc  = dec(col("l_discount"))
+    val tax   = dec(col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: filter both fact sides before
+    * the join (pushdown), join on keys, top-N with a total order so
+    * LIMIT is deterministic across engines.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation through a 6-table join. All
+    * dimension sides (region/nation/customer/supplier) broadcast; the
+    * lineitem⋈orders fact join shuffles once on orderkey.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust   = Tables.load(spark, dir, "customer")
+    val supp   = Tables.load(spark, dir, "supplier")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Conditional-aggregate market share: fraction of revenue from one
+    * supplier nation per order-year. Numerator/denominator both exact
+    * decimal; the ratio is one double division at the end.
+    */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.load(spark, dir, "orders")
+    val li  = Tables.load(spark, dir, "lineitem")
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double") /
+         sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Top-k parts per brand by retail price — window rank with a
+    * unique tiebreak so results are stable across engines.
+    */
+  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("rk"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Semi/anti join surface: customers with orders above a threshold
+    * (EXISTS) that never placed a low-priority order (NOT EXISTS).
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord  = Tables.load(spark, dir, "orders")
+    val big  = ord.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    val low  = ord.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    cust.join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+      .join(low, col("c_custkey") === low("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rollup: order counts and totals by (status, priority) hierarchy.
+    * Spark ROLLUP == DuckDB ROLLUP; grouping columns surface as NULL
+    * at the coarser levels in both.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Sessionization over the event stream: a session break is a gap
+    * > 30 minutes per user; session ids via cumulative sum of breaks.
+    * Single shuffle on user_id, then two windows over the same
+    * partitioning (Spark reuses the sort).
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapped = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, lit(1L))
+          .otherwise(lit(0L)))
+    gapped.withColumn("session_id",
+        sum(col("is_break")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("session_value"),
+        min(col("ts")).as("session_start"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q1 groups are the 6 (returnflag, linestatus) combos with positive sums") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length >= 4 && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q3 returns at most 10 rows ordered by revenue desc") {
+    val rows = SparkEntry.queries("q3_shipping_priority")(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5 covers only ASIA nations") {
+    val rows = SparkEntry.queries("q5_region_revenue")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+  }
+
+  test("market share is a fraction per year") {
+    val rows = SparkEntry.queries("q_market_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("top parts per brand gives <=3 per brand, rank contiguous") {
+    val rows = SparkEntry.queries("q_top_parts_per_brand")(spark, sf).collect()
+    val perBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    perBrand.values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Long]("rk")).sorted.sameElements(1L to g.length))
+    }
+  }
+
+  test("semi/anti join: every kept customer has a big order, none low-priority") {
+    val got = SparkEntry.queries("q_semi_anti")(spark, sf)
+    assert(got.count() > 0)
+    val ord = Tables.load(spark, sf, "orders")
+    val lowCust = ord.filter(ord("o_orderpriority") === "5-LOW")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    got.collect().foreach(r => assert(!lowCust.contains(r.getAs[Long]("c_custkey"))))
+  }
+
+  test("rollup has grand-total row equal to orders count") {
+    val rows = SparkEntry.queries("q_rollup")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == total)
+  }
+
+  test("sessionize: session event counts sum to total events") {
+    val rows = SparkEntry.queries("events_sessionize")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+}

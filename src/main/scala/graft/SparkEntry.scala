@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.cdc.{ChangeFeed, Envelope, FullLoad, TableMapping, TableStatistics}
 import graft.operators.Analytics
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
@@ -29,9 +32,167 @@ object SparkEntry {
     "q_semi_anti"          -> ((s, dir) => Analytics.qSemiAnti(s, dir)),
     "q_rollup"             -> ((s, dir) => Analytics.qRollup(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
+
+    "cdc_apply_changes" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      ChangeFeed.applyChanges(c, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("value").as("last_value"), col("table_name"))
+        .orderBy(col("user_id"))
+    }),
+
+    "cdc_table_statistics" -> ((s, dir) =>
+      TableStatistics.compute(ChangeFeed.fromEvents(s, dir))),
+
+    "cdc_selection_rules" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+        .withColumn("schema_name", lit("graft"))
+        .withColumn("table_name", col("source"))
+      val m = TableMapping.Mapping(selectionDemoRules)
+      docs.filter(m.predicate(col("schema_name"), col("table_name")))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("table_name"))
+    }),
+
+    "cdc_before_image" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      ChangeFeed.beforeImage(c, Seq("user_id"), Seq(col("ts"), col("event_id")),
+          Seq("value", "event_id"))
+        .filter(col("op") === "update")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("before_value"), col("before_event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "cdc_partition_key" -> ((s, dir) =>
+      ChangeFeed.withShard(ChangeFeed.fromEvents(s, dir), 8)
+        .groupBy(col("partition_key"), col("shard"))
+        .agg(count(lit(1)).as("n_messages"))
+        .orderBy(col("partition_key"))),
+
+    "cdc_full_load" -> ((s, dir) =>
+      FullLoad.summary(s, dir, TableMapping.Mapping(fullLoadDemoRules))),
+
+    "cdc_windowed_stats" -> ((s, dir) =>
+      ChangeFeed.windowedStats(ChangeFeed.fromEvents(s, dir))),
+
+    "cdc_transactions" -> ((s, dir) =>
+      ChangeFeed.commitSeq(ChangeFeed.fromEvents(s, dir))
+        .select(col("table_name"), col("event_id"), col("commit_seq"))
+        .orderBy(col("table_name"), col("commit_seq"))),
+
+    "cdc_envelope" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
+        col("table_name"), col("ts"), col("event_id"),
+        Seq("event_id", "user_id", "value", "props"))
+      val dataSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      Envelope.parse(wrapped.select("message", "partition_key"), "message", dataSchema)
+        .groupBy(
+          col("metadata.`record-type`").as("record_type"),
+          col("metadata.operation").as("operation"),
+          col("metadata.`table-name`").as("table_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("data.user_id")).as("sum_user_id"),
+          sum(col("data.value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("operation"), col("table_name"))
+    }),
   )
 
+  /** Selection rules for the demo task: include src1%, exclude src15
+    * (the reference's a% / exact-name pattern, stack.py:103-117).
+    */
+  private val selectionDemoRules = Seq(
+    TableMapping.SelectionRule("graft", "src1%"),
+    TableMapping.SelectionRule("graft", "src15", TableMapping.Exclude))
+
+  private val fullLoadDemoRules = Seq(
+    TableMapping.SelectionRule("graft", "p%"),
+    TableMapping.SelectionRule("graft", "r%"),
+    TableMapping.SelectionRule("graft", "nation"))
+
+  /** Change-feed CTE shared by the CDC oracles. */
+  private val C = s"WITH c AS (${ChangeFeed.duckFromEvents})"
+
   def oracleSql: Map[String, String] = Map(
+    "cdc_apply_changes" ->
+      s"""$C, r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+         |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  value AS last_value, table_name
+         |FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "cdc_table_statistics" ->
+      s"""$C
+         |SELECT schema_name, table_name,
+         |  CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+         |  CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+         |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+         |  CAST(sum(CASE WHEN op IN ('create-table','drop-table','alter-table')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS ddls,
+         |  CAST(sum(CASE WHEN op = 'load' THEN 1 ELSE 0 END) AS BIGINT) AS full_load_rows,
+         |  count(*) AS total
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_selection_rules" ->
+      s"""SELECT source AS table_name, count(*) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ${TableMapping.duckPredicate(selectionDemoRules, "'graft'", "source")}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_before_image" ->
+      s"""$C, b AS (
+         |  SELECT *,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_value,
+         |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_event_id
+         |  FROM c)
+         |SELECT user_id, event_id, value, before_value, before_event_id
+         |FROM b WHERE op = 'update' ORDER BY user_id, event_id""".stripMargin,
+
+    "cdc_partition_key" ->
+      s"""$C
+         |SELECT partition_key,
+         |  ${graft.functions.Portable.duckHash("partition_key")} % 8 AS shard,
+         |  count(*) AS n_messages
+         |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "cdc_full_load" -> {
+      val parts = Seq("nation", "part", "region").flatMap { t =>
+        Seq(
+          s"SELECT '$t' AS table_name, 'drop-table' AS op, CAST(1 AS BIGINT) AS n_records",
+          s"SELECT '$t', 'create-table', CAST(1 AS BIGINT)",
+          s"SELECT '$t', 'load', (SELECT count(*) FROM $t)")
+      }
+      s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
+    },
+
+    "cdc_windowed_stats" ->
+      s"""$C
+         |SELECT date_trunc('hour', ts) AS window_start, op,
+         |  count(*) AS n_ops,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_transactions" ->
+      s"""$C
+         |SELECT table_name, event_id,
+         |  CAST(row_number() OVER (PARTITION BY table_name
+         |    ORDER BY ts, event_id) AS BIGINT) AS commit_seq
+         |FROM c ORDER BY table_name, commit_seq""".stripMargin,
+
+    "cdc_envelope" ->
+      s"""$C
+         |SELECT 'data' AS record_type, op AS operation, table_name,
+         |  count(*) AS n,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM c GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,

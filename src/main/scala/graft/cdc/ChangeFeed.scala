@@ -1,0 +1,114 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Change-data-capture operators over a change stream (reference
+  * behavior: run.py:255-318 CDC flow — insert/update/delete events
+  * with before-image, partition keys, transaction details).
+  *
+  * The driver testdata's `events` table stands in for the binlog:
+  * event_type maps onto CDC operations (signup→insert,
+  * click/view/purchase→update, error→delete) and user_id buckets onto
+  * replicated tables, giving a deterministic multi-table change
+  * stream the DuckDB oracle can recompute.
+  *
+  * Scale notes: every operator here is one shuffle on its key
+  * (user/table) followed by per-partition window work — the minimum
+  * possible for the semantics. Nothing collects to the driver; output
+  * partitioning is reusable downstream (same key).
+  */
+object ChangeFeed {
+
+  val SchemaName = "graft"
+
+  /** The canonical change-stream view: op, schema/table, key, payload. */
+  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.withColumn("op",
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update"))
+      .withColumn("schema_name", lit(SchemaName))
+      .withColumn("table_name",
+        concat(lit("users_"), (col("user_id") % 4).cast("string")))
+      .withColumn("partition_key",
+        concat(col("schema_name"), lit("."), col("table_name")))
+  }
+
+  /** Oracle twin of fromEvents as a DuckDB CTE body. */
+  def duckFromEvents: String =
+    """SELECT *,
+      |  CASE event_type WHEN 'signup' THEN 'insert'
+      |    WHEN 'error' THEN 'delete' ELSE 'update' END AS op,
+      |  'graft' AS schema_name,
+      |  'users_' || CAST(user_id % 4 AS VARCHAR) AS table_name,
+      |  'graft.users_' || CAST(user_id % 4 AS VARCHAR) AS partition_key
+      |FROM events""".stripMargin
+
+  /** Materialize current table state from the change stream:
+    * latest-wins per key, deleted keys dropped. This is the batch
+    * twin of CDC "apply" — the streaming twin lives in
+    * graft.streaming.CdcPipeline (flatMapGroupsWithState).
+    *
+    * One shuffle on the key; the row_number window runs per
+    * partition. At 100 TB this is the unavoidable exchange, and AQE
+    * handles hot keys.
+    */
+  def applyChanges(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "delete")
+      .drop("_rn")
+  }
+
+  /** Before-image per change (reference: BeforeImageSettings with
+    * ColumnFilter=all, stack.py:341-346): previous values of the
+    * tracked columns for every non-insert change.
+    */
+  def beforeImage(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    valueCols.foldLeft(changes) { (df, c) =>
+      df.withColumn(s"before_$c", lag(col(c), 1).over(w))
+    }
+  }
+
+  /** Kinesis shard assignment: hash the partition key to a shard, as
+    * the Kinesis target does with partition_include_schema_table.
+    * Uses the portable hash so the oracle recomputes shards exactly.
+    */
+  def withShard(changes: DataFrame, nShards: Int): DataFrame =
+    changes.withColumn("shard", Portable.pHash(col("partition_key")) % nShards)
+
+  /** Commit sequencing per table: the per-shard total order DMS
+    * assigns when include_transaction_details is on. Window is
+    * per-table (never a global sort).
+    */
+  def commitSeq(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("table_name"))
+      .orderBy(col("ts"), col("event_id"))
+    changes.withColumn("commit_seq", row_number().over(w).cast("long"))
+  }
+
+  /** Monitoring view: tumbling-window op counts (the batch twin of
+    * the streaming watermarked aggregation).
+    */
+  def windowedStats(changes: DataFrame): DataFrame =
+    changes.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("op"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("window_start"), col("op"))
+}

@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** DMS-style table-mapping selection rules (reference:
+  * dms_sample/stack.py:103-180 — selection rules with SQL-LIKE
+  * wildcards over (schema-name, table-name), rule-action
+  * include/exclude; the reference tasks use "a%" and exact "novels").
+  *
+  * Rules compile to a single Catalyst `Column` predicate, so when the
+  * change stream (or a partitioned source) carries schema/table
+  * columns the selection is pushed into the scan — an `a%` task never
+  * reads bytes of non-matching tables.
+  */
+object TableMapping {
+  sealed trait Action
+  case object Include extends Action
+  case object Exclude extends Action
+
+  /** One selection rule; patterns use SQL LIKE wildcards (% and _). */
+  case class SelectionRule(
+      schemaPattern: String,
+      tablePattern: String,
+      action: Action = Include)
+
+  case class Mapping(rules: Seq[SelectionRule]) {
+
+    /** DMS semantics: a table is replicated iff it matches at least
+      * one include rule and no exclude rule.
+      */
+    def predicate(schemaCol: Column, tableCol: Column): Column = {
+      def matches(r: SelectionRule): Column =
+        schemaCol.like(r.schemaPattern) && tableCol.like(r.tablePattern)
+      val included = rules.filter(_.action == Include)
+        .map(matches).reduceOption(_ || _).getOrElse(lit(false))
+      val excluded = rules.filter(_.action == Exclude)
+        .map(matches).reduceOption(_ || _).getOrElse(lit(false))
+      included && !excluded
+    }
+
+    /** Driver-side selection over a (tiny) static catalog — used by
+      * full-load task planning, mirroring how DMS enumerates tables
+      * from information_schema before a full load.
+      */
+    def selectTables(catalog: Seq[(String, String)]): Seq[(String, String)] =
+      catalog.filter { case (s, t) => matchesPlain(s, t) }
+
+    private def matchesPlain(schema: String, table: String): Boolean = {
+      def likeMatch(pat: String, v: String): Boolean = {
+        val rx = java.util.regex.Pattern.quote(pat)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+        v.matches(rx)
+      }
+      val inc = rules.exists(r => r.action == Include &&
+        likeMatch(r.schemaPattern, schema) && likeMatch(r.tablePattern, table))
+      val exc = rules.exists(r => r.action == Exclude &&
+        likeMatch(r.schemaPattern, schema) && likeMatch(r.tablePattern, table))
+      inc && !exc
+    }
+  }
+
+  /** SQL LIKE → predicate for the same pattern in the DuckDB oracle. */
+  def duckPredicate(rules: Seq[SelectionRule], schemaExpr: String, tableExpr: String): String = {
+    def m(r: SelectionRule) =
+      s"($schemaExpr LIKE '${r.schemaPattern}' AND $tableExpr LIKE '${r.tablePattern}')"
+    val inc = rules.filter(_.action == Include).map(m) match {
+      case Nil => "FALSE"; case xs => xs.mkString("(", " OR ", ")")
+    }
+    val exc = rules.filter(_.action == Exclude).map(m) match {
+      case Nil => "FALSE"; case xs => xs.mkString("(", " OR ", ")")
+    }
+    s"$inc AND NOT $exc"
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+
+class CdcSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("table mapping: include wildcard + exclude exact (DMS a% pattern)") {
+    val m = TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("db", "a%"),
+      TableMapping.SelectionRule("db", "accounts", TableMapping.Exclude)))
+    val cat = Seq(("db", "authors"), ("db", "accounts"), ("db", "novels"), ("other", "authors"))
+    assert(m.selectTables(cat) == Seq(("db", "authors")))
+  }
+
+  test("table mapping: _ wildcard matches a single char") {
+    val m = TableMapping.Mapping(Seq(TableMapping.SelectionRule("%", "users__")))
+    assert(m.selectTables(Seq(("s", "users_1"), ("s", "users_12"))) == Seq(("s", "users_1")))
+  }
+
+  test("mapping predicate agrees with driver-side selection") {
+    val m = TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("graft", "src1%"),
+      TableMapping.SelectionRule("graft", "src15", TableMapping.Exclude)))
+    val docs = Tables.load(spark, sf, "documents")
+    val viaCol = docs.filter(m.predicate(lit("graft"), col("source")))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val catalog = docs.select("source").distinct().collect()
+      .map(r => ("graft", r.getString(0))).toSeq
+    assert(viaCol == m.selectTables(catalog).map(_._2).toSet)
+  }
+
+  test("applyChanges keeps exactly the latest non-deleted row per key") {
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val applied = ChangeFeed.applyChanges(c, Seq("user_id"), Seq(col("ts"), col("event_id")))
+    assert(applied.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // a user whose last event is an error (delete) must be absent
+    val lastOps = c.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val deleted = lastOps.filter(col("op") === "delete")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val kept = applied.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.intersect(kept).isEmpty)
+  }
+
+  test("envelope roundtrip preserves data and metadata") {
+    val c = ChangeFeed.fromEvents(spark, sf).limit(50)
+    val wrapped = Envelope.wrap(c, col("op"), col("schema_name"), col("table_name"),
+      col("ts"), col("event_id"), Seq("event_id", "user_id", "value", "props"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val parsed = Envelope.parse(wrapped, "message", schema)
+    val bad = parsed.filter(
+      col("data.event_id") =!= col("event_id") ||
+      col("data.value") =!= col("value") ||
+      col("metadata.operation") =!= col("op") ||
+      col("metadata.`record-type`") =!= "data" ||
+      col("partition_key") =!= concat(col("schema_name"), lit("."), col("table_name")))
+    assert(bad.count() == 0)
+  }
+
+  test("full load emits 2 controls + row-count loads per selected table") {
+    val m = TableMapping.Mapping(Seq(TableMapping.SelectionRule("graft", "nation")))
+    val sum = FullLoad.summary(spark, sf, m).collect()
+    val byOp = sum.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byOp("drop-table") == 1 && byOp("create-table") == 1)
+    assert(byOp("load") == Tables.load(spark, sf, "nation").count())
+  }
+
+  test("table statistics totals equal stream size") {
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val stats = TableStatistics.compute(c).collect()
+    assert(stats.map(_.getAs[Long]("total")).sum == c.count())
+    stats.foreach { r =>
+      assert(r.getAs[Long]("inserts") + r.getAs[Long]("updates") +
+        r.getAs[Long]("deletes") == r.getAs[Long]("total"))
+    }
+  }
+}

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cdc.{ChangeFeed, Envelope, FullLoad, TableMapping, TableStatistics}
+import graft.functions.Portable
+import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
+import graft.multimodal.Binary
 import graft.operators.Analytics
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
@@ -100,6 +103,73 @@ object SparkEntry {
           sum(col("data.value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("operation"), col("table_name"))
     }),
+
+    // --- §2C LLM-data-pipeline operators --------------------------
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("n_distinct_tokens"), col("avg_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("fp"), col("fp60"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("avg_token_len"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id") +: col("lang") +: col("pred_lang") +:
+          TextAnalysis.markers.map { case (l, _) => col(s"score_$l") }: _*)
+        .orderBy(col("doc_id"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"))
+        .orderBy(col("fp"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id_a"), col("vec_id_b"))),
+
+    "sim_topk_bruteforce" -> ((s, dir) =>
+      Similarity.topKBruteForce(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.topKAnnLsh(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("digest")).as("n_digests"))
+        .orderBy(col("kind"))),
+
+    // Rows-only (no SQL twin): exercises the stubbed decoder's
+    // mapPartitions plumbing end-to-end.
+    "multimodal_decode" -> ((s, dir) =>
+      Binary.decodeStub(Binary.withPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -116,6 +186,70 @@ object SparkEntry {
 
   /** Change-feed CTE shared by the CDC oracles. */
   private val C = s"WITH c AS (${ChangeFeed.duckFromEvents})"
+
+  // --- DuckDB fragments shared by the §2C oracles -----------------
+
+  private val normT = Portable.duckNormText("text")
+  private val toksT = TextAnalysis.duckTokens("text")
+
+  private def markerCountSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($toksT, x -> x IN ($set))) AS BIGINT)"
+  }
+
+  /** Nested-CASE argmax over the language scores — same
+    * strictly-greater / first-alphabetical semantics as
+    * TextAnalysis.langId's fold.
+    */
+  private val langPredSql: String = {
+    val l0 = TextAnalysis.markers.head._1
+    TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
+      case ((bl, bs), (l, _)) =>
+        (s"CASE WHEN score_$l > ($bs) THEN '$l' ELSE ($bl) END",
+          s"CASE WHEN score_$l > ($bs) THEN score_$l ELSE ($bs) END")
+    }._1
+  }
+
+  /** Shingle → minhash → band → candidate CTE chain (the oracle twin
+    * of Dedup.{shingles,minhashSignatures,bandBuckets,candidatePairs}).
+    */
+  private val minhashCtes: String = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(i => s"min(${Portable.duckHash("shingle", i)}) AS mh$i").mkString(", ")
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val cat = (0 until Dedup.RowsPerBand)
+        .map(j => s"CAST(mh${b * Dedup.RowsPerBand + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${Portable.duckHash(s"($cat)")} AS bh FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""shf AS (${Dedup.duckShingles}),
+       |sigs AS (SELECT doc_id, $mins FROM shf GROUP BY 1),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Quantized-embedding CTEs: flat (vec_id, i, v) + exact norms. */
+  private val embCtes: String =
+    s"""qv AS (SELECT vec_id, ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+       |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS v FROM qv),
+       |norms AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM flat GROUP BY 1)""".stripMargin
+
+  /** SRP plane/bit/bucket CTEs (twin of Vectors.srpBuckets). */
+  private val srpCtes: String = {
+    val r = Dedup.EmbRowsPerBand
+    s"""planes AS (${Vectors.duckPlanes(Dedup.EmbBands * r, Dedup.EmbDim)}),
+       |bits AS (SELECT f.vec_id, p.p AS p,
+       |    CASE WHEN sum(f.v * p.w) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM flat f JOIN planes p ON f.i = p.i GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id, p // $r AS band,
+       |    CAST(sum(bit * (1 << (p % $r))) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val cosSql =
+    Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
 
   def oracleSql: Map[String, String] = Map(
     "cdc_apply_changes" ->
@@ -281,5 +415,173 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS $D)) AS DOUBLE) AS session_value,
          |  min(ts) AS session_start
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // --- §2C LLM-data-pipeline oracles ----------------------------
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toksT)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS DOUBLE)
+         |    / CAST(len($toksT) AS DOUBLE) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normT) AS fp,
+         |  ${Portable.duckHash(normT)} AS fp60
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(stop_cnt AS DOUBLE) / $nTok AS stop_ratio,
+         |  CAST(sum_len AS DOUBLE) / $nTok AS avg_token_len,
+         |  CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      val outCols = TextAnalysis.markers.map { case (l, _) => s"score_$l" }
+        .mkString(", ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, lang, $langPredSql AS pred_lang, $outCols
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_exact" ->
+      s"""SELECT md5($normT) AS fp, count(*) AS n_docs,
+         |  min(doc_id) AS canonical_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash" -> {
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes
+         |SELECT c.d1 AS doc_id_a, c.d2 AS doc_id_b,
+         |  CAST($nMatch AS BIGINT) AS n_match,
+         |  CAST($nMatch AS DOUBLE) / CAST(${Dedup.NumHashes} AS DOUBLE) AS est_jaccard
+         |FROM cand c
+         |JOIN sigs sa ON sa.doc_id = c.d1
+         |JOIN sigs sb ON sb.doc_id = c.d2
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.d1
+         |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.d1 AS doc_id_a, c.d2 AS doc_id_b,
+         |  COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         |  sa.set_size AS size_a, sb.set_size AS size_b,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(sa.set_size + sb.set_size - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+         |JOIN sizes sa ON sa.doc_id = c.d1
+         |JOIN sizes sb ON sb.doc_id = c.d2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" -> {
+      val sums = (0 until Dedup.SimHashBits)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n  ")
+      val sig = (0 until Dedup.SimHashBits)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${Portable.duckHash("tok", 201)} AS h FROM toks),
+         |bs AS (SELECT doc_id,
+         |  $sums
+         |FROM h GROUP BY 1),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs)
+         |SELECT doc_id, simhash,
+         |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.v1
+         |  JOIN flat fb ON fb.vec_id = c.v2 AND fb.i = fa.i
+         |  GROUP BY 1, 2)
+         |SELECT d.v1 AS vec_id_a, d.v2 AS vec_id_b, $cosSql AS cos_sim
+         |FROM d
+         |JOIN norms na ON na.vec_id = d.v1
+         |JOIN norms nb ON nb.vec_id = d.v2
+         |WHERE $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH $embCtes,
+         |d AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT pb.vec_id AS probe_id, b.vec_id AS neighbor_id
+         |  FROM buckets pb JOIN buckets b
+         |  ON b.band = pb.band AND b.bucket = pb.bucket AND b.vec_id <> pb.vec_id
+         |  WHERE pb.vec_id < ${Similarity.NumProbes}),
+         |d AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.probe_id
+         |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "multimodal_meta" ->
+      s"""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  count(*) AS n_items,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         |  count(DISTINCT md5(text)) AS n_digests
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

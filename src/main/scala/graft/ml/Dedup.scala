@@ -1,0 +1,216 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication family for a training-data pipeline (SURVEY.md §2C):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard verification, and
+  * embedding-cosine near-dup — all LSH-bucketed, never all-pairs.
+  *
+  * Scale design (the 100 TB gate):
+  *  - Candidate generation is ALWAYS a bucket equi-join (LSH band
+  *    hash or SimHash/SRP bucket) — cost O(Σ bucket²), never O(n²).
+  *  - Signatures are one explode + one groupBy per doc (a single
+  *    shuffle on doc_id); band hashes are per-row math after that.
+  *  - Exact verification (Jaccard / cosine) runs only on candidate
+  *    pairs, which the band join has already made tiny.
+  *  - Hot buckets (boilerplate docs) are the classic skew source:
+  *    AQE skew-join handles them; band hashes are 60-bit so benign
+  *    buckets don't alias.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val Bands = 4
+  val RowsPerBand = NumHashes / Bands // 2
+  val ShingleN = 3
+
+  // --- exact ------------------------------------------------------
+
+  /** Exact-dup groups: md5 fingerprint of normalized text. Emits one
+    * row per fingerprint group (singletons included — the canonical
+    * selection is what downstream keeps), with group size and the
+    * kept (minimum) doc id.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(Portable.normText(col("text"))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  // --- shingling + MinHash ----------------------------------------
+
+  /** Word `ShingleN`-gram shingles of normalized text, one row per
+    * (doc_id, shingle). Shingles (not unigrams) are what make MinHash
+    * discriminative: random docs share words but not word-triples.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), t.as("toks"))
+      .withColumn("shingle", explode(
+        when(size(col("toks")) >= ShingleN,
+          transform(sequence(lit(1), size(col("toks")) - (ShingleN - 1)),
+            i => concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array())))
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** DuckDB twin of `shingles` as a CTE body over `documents`. */
+  def duckShingles: String =
+    s"""SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+       |  FROM (
+       |    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+       |    FROM (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS l FROM documents))
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+       |WHERE shingle IS NOT NULL""".stripMargin
+
+  /** MinHash signatures: per doc, min of `NumHashes` seeded portable
+    * hashes over its shingles. One shuffle on doc_id; the mins are
+    * map-side partial aggregates.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(Portable.pHash(col("shingle"), 0)).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(Portable.pHash(col("shingle"), i)).as(s"mh$i")): _*)
+
+  /** LSH banding: hash each band's minhash slice to a bucket id.
+    * Output: (doc_id, band, bh) — the join key for candidates.
+    */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bands = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand)
+        .map(j => col(s"mh${b * RowsPerBand + j}").cast("string"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        Portable.pHash(concat_ws(",", slice: _*)).as("bh"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs: docs sharing any band bucket. The self-join is
+    * an equi-join on (band, bh) — the only pairs ever materialized.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_id_a"))
+    val b = buckets.select(col("band").as("band_b"), col("bh").as("bh_b"),
+      col("doc_id").as("doc_id_b"))
+    a.join(b, col("band") === col("band_b") && col("bh") === col("bh_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs with estimated Jaccard = fraction of
+    * agreeing minhashes (computed on candidates only).
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(shingles(docs))
+    val cands = candidatePairs(bandBuckets(sigs))
+    val sa = sigs.toDF("doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i"): _*)
+    val sb = sigs.toDF("doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .withColumn("n_match", matches)
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(NumHashes.toDouble))
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_match"), col("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification on the LSH candidates: the
+    * verify step of the dedup pipeline. Set sizes and intersections
+    * are computed with joins over the (distinct) shingle relation —
+    * only for candidate docs.
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val sigs = minhashSignatures(shingles(docs))
+    val cands = candidatePairs(bandBuckets(sigs))
+    val inter = cands
+      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
+      .join(sh.toDF("id_b2", "shingle_b"),
+        col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cands.join(inter, Seq("doc_id_a", "doc_id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")
+      .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
+  // --- SimHash ----------------------------------------------------
+
+  val SimHashBits = 16
+
+  /** 16-bit SimHash over token occurrences: per bit, sum ±1 weighted
+    * by whether the token hash has that bit set; the sign becomes the
+    * fingerprint bit. One explode + one groupBy (single shuffle);
+    * bucket size via a window over the fingerprint.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", Portable.pHash(col("tok"), 201))
+    val bitSums = toks.groupBy(col("doc_id"))
+      .agg(
+        sum(bitSign(0)).as("s0"),
+        (1 until SimHashBits).map(b => sum(bitSign(b)).as(s"s$b")): _*)
+    val sig = (0 until SimHashBits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withSig = bitSums.select(col("doc_id"), sig.as("simhash"))
+    withSig.withColumn("n_bucket",
+      count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  private def bitSign(b: Int): Column =
+    when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      .otherwise(lit(-1L))
+
+  // --- embedding near-dup -----------------------------------------
+
+  val EmbBands = 4
+  val EmbRowsPerBand = 6
+  val EmbDim = 64
+  val CosineTau = 0.4
+
+  /** Embedding near-dup pairs: SRP band buckets generate candidates
+    * (equi-join, never all-pairs), exact integer-quantized cosine
+    * verifies. Pairs with cosine ≥ τ survive.
+    */
+  def embeddingPairs(embs: DataFrame): DataFrame = {
+    val qv = embs.select(col("vec_id"), Vectors.quantize(col("embedding")).as("q"))
+      .withColumn("n2", Vectors.norm2(col("q")))
+      .withColumn("buckets",
+        Vectors.srpBuckets(col("q"), EmbBands, EmbRowsPerBand, EmbDim))
+    val flat = qv.select(col("vec_id"), col("q"), col("n2"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val a = flat.select(col("band"), col("bucket"), col("vec_id").as("vec_id_a"))
+    val b = flat.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("vec_id_b"))
+    val cands = a.join(b,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b")).distinct()
+    val va = qv.select(col("vec_id").as("vec_id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
+    val vb = qv.select(col("vec_id").as("vec_id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
+    cands.join(va, "vec_id_a").join(vb, "vec_id_b")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos_sim") >= CosineTau)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+  }
+}

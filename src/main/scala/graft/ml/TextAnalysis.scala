@@ -1,0 +1,103 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §2C): token/char counting, document fingerprinting, quality
+  * scoring, and a marker-based language-ID heuristic.
+  *
+  * Everything is a pure column expression over `functions._` — no
+  * UDFs, so every operator stays inside whole-stage codegen and the
+  * DuckDB oracle can recompute it exactly. Ratios are computed as a
+  * single double division over exact integer counts, which is
+  * bit-identical across engines (IEEE-754 division is correctly
+  * rounded everywhere).
+  *
+  * At 100 TB these are embarrassingly parallel map-only transforms:
+  * no shuffle, no state — they scale with input splits.
+  */
+object TextAnalysis {
+
+  /** Normalized token array of a text column. */
+  def tokens(text: Column): Column = split(Portable.normText(text), " ")
+
+  def duckTokens(x: String): String =
+    s"string_split(${Portable.duckNormText(x)}, ' ')"
+
+  /** Token + char counting: the "how big is this document really"
+    * pass every corpus pipeline runs first.
+    */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame = {
+    val t = tokens(text)
+    df.withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("avg_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size(t).cast("double"))
+  }
+
+  /** Document fingerprint: md5 of canonicalized text (exact-dup key)
+    * plus the 60-bit portable hash used for sharding/bucketing.
+    */
+  def fingerprint(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("fp", md5(Portable.normText(text)))
+      .withColumn("fp60", Portable.pHash(Portable.normText(text)))
+
+  /** Per-language stopword marker sets (classic stopword-list
+    * language ID — the fastText-free heuristic). Deterministic
+    * alphabetical tie-break on equal scores.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "了", "在", "是", "我"))
+
+  private def markerCount(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit): _*))).cast("long")
+
+  /** Language ID: argmax of marker counts, alphabetical tie-break
+    * (langs are pre-sorted in `markers`, so a running strictly-greater
+    * comparison implements it).
+    */
+  def langId(df: DataFrame, text: Column): DataFrame = {
+    val t = tokens(text)
+    val scored = markers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", markerCount(t, words))
+    }
+    // argmax with first-alphabetical winner on ties
+    val pred = markers.tail.foldLeft(
+      (lit(markers.head._1), col(s"score_${markers.head._1}"))) {
+      case ((bestLang, bestScore), (lang, _)) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored.withColumn("pred_lang", pred._1)
+  }
+
+  /** Quality score: the usual cheap corpus-filter features — doc
+    * length, mean token length, stopword ratio — combined with fixed
+    * weights into a single score. Weights match the oracle verbatim;
+    * the expression tree shape is identical so doubles agree bitwise.
+    */
+  def quality(df: DataFrame, text: Column): DataFrame = {
+    val t = tokens(text)
+    val nTok = size(t).cast("long")
+    val stop = markerCount(t, Seq("the", "a", "of", "and", "is"))
+    val avgLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      nTok.cast("double")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stop.cast("double") / nTok.cast("double"))
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("quality_score",
+        lit(0.4) * least(nTok.cast("double") / lit(64.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0)))
+  }
+}

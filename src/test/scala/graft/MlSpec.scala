@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
+import graft.multimodal.Binary
+
+class MlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  test("jvmPHash matches the Spark portable hash bit-for-bit") {
+    val samples = Seq("", "a", "hello world", "srp#3#17", "graft.users_1")
+    val fromSpark = spark.range(1)
+      .select(samples.map(s =>
+        graft.functions.Portable.pHash(lit(s)).as(s"h")): _*)
+      .collect()(0)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(fromSpark.getLong(i) == Vectors.jvmPHash(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("dedup_exact groups partition the corpus") {
+    val total = docs.count()
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(groups.forall(_.getAs[Long]("canonical_id") >= 0))
+  }
+
+  test("minhash candidate pairs are ordered and est_jaccard bounded") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b"))
+      val ej = r.getAs[Double]("est_jaccard")
+      assert(ej >= 0.0 && ej <= 1.0)
+    }
+  }
+
+  test("ngram jaccard is exact on candidates and bounded") {
+    val rows = Dedup.ngramJaccardPairs(docs).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_inter") <=
+        math.min(r.getAs[Long]("size_a"), r.getAs[Long]("size_b")))
+    }
+  }
+
+  test("simhash covers every doc once; bucket counts consistent") {
+    val rows = Dedup.simhash(docs).collect()
+    assert(rows.length == docs.count())
+    val byBucket = rows.groupBy(_.getAs[Long]("simhash"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bucket") ==
+        byBucket(r.getAs[Long]("simhash")).length)
+    }
+  }
+
+  test("embedding near-dup pairs pass the cosine threshold") {
+    val rows = Dedup.embeddingPairs(embs).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= Dedup.CosineTau && c <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("vec_id_a") < r.getAs[Long]("vec_id_b"))
+    }
+  }
+
+  test("brute-force top-k: k per probe, descending, no self-match") {
+    val rows = Similarity.topKBruteForce(embs).collect()
+    val perProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(perProbe.size == Similarity.NumProbes)
+    perProbe.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val cs = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      g.foreach(r =>
+        assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("probe_id")))
+    }
+  }
+
+  test("ANN-LSH neighbors are a subset scored identically to brute force") {
+    val brute = Similarity.topKBruteForce(embs).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val ann = Similarity.topKAnnLsh(embs).collect()
+    // every ANN hit that brute force also ranked must agree on cosine
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("text analysis: counts, fingerprints, quality, langid shape") {
+    val t = TextAnalysis.tokenCounts(docs, col("text")).collect()
+    t.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_distinct_tokens"))
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+    val q = TextAnalysis.quality(docs, col("text")).collect()
+    q.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val langs = TextAnalysis.markers.map(_._1).toSet
+    TextAnalysis.langId(docs, col("text")).collect()
+      .foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+    val fps = TextAnalysis.fingerprint(docs, col("text")).collect()
+    fps.foreach(r => assert(r.getAs[String]("fp").length == 32))
+  }
+
+  test("decode stub emits one typed row per document") {
+    val out = Binary.decodeStub(Binary.withPayload(docs)).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length ==
+        Binary.FeatureDim)
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+}

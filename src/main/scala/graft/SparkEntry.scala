@@ -296,7 +296,11 @@ object SparkEntry {
          |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "cdc_full_load" -> {
-      val parts = Seq("nation", "part", "region").flatMap { t =>
+      // Table list derived from the SAME mapping the query uses, so
+      // editing the demo rules can't desynchronize the oracle.
+      val selected = TableMapping.Mapping(fullLoadDemoRules)
+        .selectTables(FullLoad.catalog).map(_._2).sorted
+      val parts = selected.flatMap { t =>
         Seq(
           s"SELECT '$t' AS table_name, 'drop-table' AS op, CAST(1 AS BIGINT) AS n_records",
           s"SELECT '$t', 'create-table', CAST(1 AS BIGINT)",

@@ -60,8 +60,12 @@ object Envelope {
     val recordType =
       when(op.isin("insert", "update", "delete", "load"), RecordTypeData)
         .otherwise(RecordTypeControl)
+    // to_utc_timestamp(ts, current session tz) + date_format renders
+    // the UTC wall time whatever the session time zone is, so the
+    // trailing 'Z' designator is always truthful.
     struct(
-      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+      date_format(to_utc_timestamp(ts, current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
       recordType.as("record-type"),
       op.as("operation"),
       lit("schema-table").as("partition-key-type"),

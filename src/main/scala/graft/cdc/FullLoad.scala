@@ -10,9 +10,15 @@ import graft.Tables
   * one `load` data event per row; selection via table-mapping rules).
   *
   * The task plan (which tables) is driver-side over a tiny catalog —
-  * exactly how DMS enumerates information_schema. The per-table row
-  * work stays fully distributed: `events` streams table rows through
-  * Envelope.wrap without collecting anything.
+  * exactly how DMS enumerates information_schema. Row counting stays
+  * fully distributed.
+  *
+  * Scale notes: control rows are ONE local driver-built DataFrame
+  * (two rows per table — zero Spark jobs, no per-table plan
+  * explosion), and the load counts are one count-star aggregate per
+  * table unioned into a single job whose scans run in parallel; a
+  * count-star over parquet reduces to footer row-group metadata, so
+  * at a 10k-table catalog this costs footer reads, not table scans.
   */
 object FullLoad {
 
@@ -20,16 +26,20 @@ object FullLoad {
   def catalog: Seq[(String, String)] =
     Tables.all.map(t => (ChangeFeed.SchemaName, t))
 
+  /** Drop/create control events for tables, as a zero-job local DF. */
+  private def controlRows(spark: SparkSession, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { t =>
+      Seq((t, "drop-table", 1L), (t, "create-table", 1L))
+    }.toDF("table_name", "op", "n_records")
+  }
+
   /** Full-load events for one table: 2 control + N load messages. */
   def events(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val df = Tables.load(spark, dir, table)
-    val controls = Seq("drop-table", "create-table").map { op =>
-      spark.range(1).select(
-        lit(op).as("op"),
-        lit(ChangeFeed.SchemaName).as("schema_name"),
-        lit(table).as("table_name"))
-    }.reduce(_ union _)
-    val loads = df.select(
+    val controls = controlRows(spark, Seq(table))
+      .select(col("op"), lit(ChangeFeed.SchemaName).as("schema_name"),
+        col("table_name"))
+    val loads = Tables.load(spark, dir, table).select(
       lit("load").as("op"),
       lit(ChangeFeed.SchemaName).as("schema_name"),
       lit(table).as("table_name"))
@@ -38,19 +48,22 @@ object FullLoad {
 
   /** Task summary: per selected table, record counts by operation —
     * the shape run.py's wait_for_kinesis asserts on (2 controls +
-    * row-count loads per table).
+    * row-count loads per table). An empty selection yields an empty
+    * (table_name, op, n_records) frame rather than throwing.
     */
   def summary(
       spark: SparkSession,
       dir: String,
       mapping: TableMapping.Mapping): DataFrame = {
-    val selected = mapping.selectTables(catalog)
-    val perTable = selected.map { case (_, t) =>
-      events(spark, dir, t)
-        .groupBy(col("table_name"), col("op"))
+    val selected = mapping.selectTables(catalog).map(_._2)
+    if (selected.isEmpty) return controlRows(spark, Nil)
+    val controls = controlRows(spark, selected)
+    val loads = selected.map { t =>
+      Tables.load(spark, dir, t)
         .agg(count(lit(1)).as("n_records"))
-    }
-    perTable.reduce(_ union _)
+        .select(lit(t).as("table_name"), lit("load").as("op"), col("n_records"))
+    }.reduce(_ union _)
+    controls.unionByName(loads)
       .orderBy(col("table_name"), col("op"))
   }
 }

@@ -47,10 +47,23 @@ object TableMapping {
       catalog.filter { case (s, t) => matchesPlain(s, t) }
 
     private def matchesPlain(schema: String, table: String): Boolean = {
+      // Mirrors Column.like semantics including its default backslash
+      // escape: \% and \_ match the literal characters.
       def likeMatch(pat: String, v: String): Boolean = {
-        val rx = java.util.regex.Pattern.quote(pat)
-          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
-        v.matches(rx)
+        val rx = new StringBuilder
+        var i = 0
+        while (i < pat.length) {
+          pat.charAt(i) match {
+            case '\\' if i + 1 < pat.length =>
+              rx ++= java.util.regex.Pattern.quote(pat.charAt(i + 1).toString)
+              i += 1
+            case '%' => rx ++= ".*"
+            case '_' => rx += '.'
+            case c => rx ++= java.util.regex.Pattern.quote(c.toString)
+          }
+          i += 1
+        }
+        v.matches(rx.toString)
       }
       val inc = rules.exists(r => r.action == Include &&
         likeMatch(r.schemaPattern, schema) && likeMatch(r.tablePattern, table))
@@ -60,10 +73,14 @@ object TableMapping {
     }
   }
 
-  /** SQL LIKE → predicate for the same pattern in the DuckDB oracle. */
+  /** SQL LIKE → predicate for the same pattern in the DuckDB oracle.
+    * Single quotes in patterns are doubled so a quote in a rule can't
+    * break (or inject into) the generated SQL.
+    */
   def duckPredicate(rules: Seq[SelectionRule], schemaExpr: String, tableExpr: String): String = {
+    def q(p: String) = p.replace("'", "''")
     def m(r: SelectionRule) =
-      s"($schemaExpr LIKE '${r.schemaPattern}' AND $tableExpr LIKE '${r.tablePattern}')"
+      s"($schemaExpr LIKE '${q(r.schemaPattern)}' AND $tableExpr LIKE '${q(r.tablePattern)}')"
     val inc = rules.filter(_.action == Include).map(m) match {
       case Nil => "FALSE"; case xs => xs.mkString("(", " OR ", ")")
     }

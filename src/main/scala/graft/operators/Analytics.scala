@@ -127,14 +127,22 @@ object Analytics {
 
   /** Semi/anti join surface: customers with orders above a threshold
     * (EXISTS) that never placed a low-priority order (NOT EXISTS).
+    *
+    * Both existence tests fold into ONE pass over orders (two
+    * conditional max flags in a single aggregate), so the fact table
+    * is scanned once and joined once — instead of two scans + a
+    * semi- plus an anti-join.
     */
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val ord  = Tables.load(spark, dir, "orders")
-    val big  = ord.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
-    val low  = ord.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
-    cust.join(big, col("c_custkey") === big("o_custkey"), "left_semi")
-      .join(low, col("c_custkey") === low("o_custkey"), "left_anti")
+    val keep = ord.groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_totalprice") > 150000, 1).otherwise(0)).as("has_big"),
+        max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("has_low"))
+      .filter(col("has_big") === 1 && col("has_low") === 0)
+      .select(col("o_custkey"))
+    cust.join(keep, col("c_custkey") === keep("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.cdc.{ChangeFeed, Envelope, FullLoad, TableMapping, TableStatistics}
+import graft.cdc.{ChangeFeed, Envelope, FullLoad, SchemaEvolution, TableMapping, TableStatistics}
 import graft.functions.Portable
 import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
 import graft.multimodal.Binary
@@ -101,6 +101,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("data.user_id")).as("sum_user_id"),
           sum(col("data.value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("operation"), col("table_name"))
+    }),
+
+    // Control events through the envelope: the schema-evolution
+    // surface (reference run.py:309-315 asserts create/alter/drop
+    // control events arrive during CDC). record-type=control comes
+    // from Envelope.metadata, and the envelope timestamp's UTC 'Z'
+    // rendering is verified against the oracle's strftime.
+    "cdc_control_events" -> ((s, dir) => {
+      val ctl = SchemaEvolution.controlEvents(ChangeFeed.fromEvents(s, dir))
+      val wrapped = Envelope.wrap(ctl, col("op"), col("schema_name"),
+        col("table_name"), col("ts"), lit(null).cast("long"),
+        Seq("table_name"))
+      Envelope.parse(wrapped.select("message"), "message",
+          StructType(Seq(StructField("table_name", StringType))))
+        .select(
+          col("metadata.`record-type`").as("record_type"),
+          col("metadata.operation").as("operation"),
+          col("metadata.`table-name`").as("table_name"),
+          col("metadata.timestamp").as("ts_utc"))
+        .orderBy(col("table_name"), col("operation"))
+    }),
+
+    // Full envelope: before-image riding IN the message (masked to
+    // non-insert ops, stack.py:341-346) + commit-grouped transaction
+    // ids (include_transaction_details) — parsed back and audited.
+    "cdc_envelope_txn" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val withB = ChangeFeed.beforeImage(c, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), Seq("value", "event_id"))
+      val t = SchemaEvolution.withTxnId(withB)
+      val wrapped = Envelope.wrap(t, col("op"), col("schema_name"),
+        col("table_name"), col("ts"), col("txn_id"),
+        Seq("event_id", "user_id", "value", "props"),
+        beforeCols = Seq(
+          SchemaEvolution.maskedBefore(col("before_value"), col("op")).as("value"),
+          SchemaEvolution.maskedBefore(col("before_event_id"), col("op")).as("event_id")))
+      val dataSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      Envelope.parse(wrapped.select("message"), "message", dataSchema)
+        .groupBy(
+          col("metadata.operation").as("operation"),
+          col("metadata.`table-name`").as("table_name"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("metadata.`transaction-id`")).as("n_txns"),
+          count(col("before_image.value")).as("n_before"))
         .orderBy(col("operation"), col("table_name"))
     }),
 
@@ -419,6 +466,33 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS $D)) AS DOUBLE) AS session_value,
          |  min(ts) AS session_start
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_control_events" ->
+      s"""$C, agg AS (
+         |  SELECT table_name,
+         |    min(ts) AS create_ts,
+         |    arg_max(ts, event_id) AS alter_ts,
+         |    max(ts) AS drop_ts
+         |  FROM c GROUP BY 1)
+         |SELECT 'control' AS record_type, x.operation, agg.table_name,
+         |  strftime(x.t, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_utc
+         |FROM agg CROSS JOIN LATERAL (VALUES
+         |  ('create-table', create_ts),
+         |  ('alter-table', alter_ts),
+         |  ('drop-table', drop_ts)) AS x(operation, t)
+         |ORDER BY table_name, operation""".stripMargin,
+
+    "cdc_envelope_txn" ->
+      s"""$C, t AS (
+         |  SELECT *,
+         |    CAST(dense_rank() OVER (PARTITION BY table_name
+         |      ORDER BY date_trunc('minute', ts)) AS BIGINT) AS txn_id,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bv
+         |  FROM c)
+         |SELECT op AS operation, table_name, count(*) AS n,
+         |  count(DISTINCT txn_id) AS n_txns,
+         |  count(CASE WHEN op <> 'insert' THEN bv END) AS n_before
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // --- §2C LLM-data-pipeline oracles ----------------------------
 

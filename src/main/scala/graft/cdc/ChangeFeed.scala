@@ -26,9 +26,11 @@ object ChangeFeed {
 
   val SchemaName = "graft"
 
-  /** The canonical change-stream view: op, schema/table, key, payload. */
-  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  /** Annotate a raw event frame (batch OR streaming — the transform
+    * is identical, which is the point of the unified Dataset API)
+    * with op, schema/table and partition key.
+    */
+  def annotate(ev: DataFrame): DataFrame =
     ev.withColumn("op",
         when(col("event_type") === "signup", "insert")
           .when(col("event_type") === "error", "delete")
@@ -38,7 +40,10 @@ object ChangeFeed {
         concat(lit("users_"), (col("user_id") % 4).cast("string")))
       .withColumn("partition_key",
         concat(col("schema_name"), lit("."), col("table_name")))
-  }
+
+  /** The canonical change-stream view: op, schema/table, key, payload. */
+  def fromEvents(spark: SparkSession, dir: String): DataFrame =
+    annotate(Tables.load(spark, dir, "events"))
 
   /** Oracle twin of fromEvents as a DuckDB CTE body. */
   def duckFromEvents: String =

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{ChangeFeed, Envelope, SchemaEvolution}
+
+class SchemaEvolutionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val baseSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("controlEvents emits create/alter/drop per table with record-type control") {
+    val ctl = SchemaEvolution.controlEvents(ChangeFeed.fromEvents(spark, sf))
+    val rows = ctl.collect()
+    val perTable = rows.groupBy(_.getAs[String]("table_name"))
+    perTable.values.foreach { g =>
+      assert(g.map(_.getAs[String]("op")).sorted.toSeq ==
+        Seq("alter-table", "create-table", "drop-table"))
+    }
+    // through the envelope they become control records
+    val wrapped = Envelope.wrap(ctl, col("op"), col("schema_name"),
+      col("table_name"), col("ts"), lit(null).cast("long"), Seq("table_name"))
+    val parsed = Envelope.parse(wrapped.select("message"), "message",
+      StructType(Seq(StructField("table_name", StringType))))
+    assert(parsed.select("metadata.`record-type`").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("control"))
+  }
+
+  test("added column reads as null from old messages") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2.5, "{}")).toDF("event_id", "user_id", "value", "props")
+    val wrapped = Envelope.wrap(df, lit("insert"), lit("graft"), lit("t"),
+      current_timestamp(), col("event_id"),
+      Seq("event_id", "user_id", "value", "props"))
+    val evolved = SchemaEvolution.addColumn(baseSchema, "added_col", IntegerType)
+    val row = SchemaEvolution.parseDrifted(
+      wrapped.select("message"), "message", evolved).select("data.*").collect()(0)
+    assert(row.getAs[Long]("event_id") == 1L)
+    assert(row.isNullAt(row.fieldIndex("added_col")))
+  }
+
+  test("dropped column is ignored; remaining fields survive") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2.5, "{\"k\":1}")).toDF("event_id", "user_id", "value", "props")
+    val wrapped = Envelope.wrap(df, lit("insert"), lit("graft"), lit("t"),
+      current_timestamp(), col("event_id"),
+      Seq("event_id", "user_id", "value", "props"))
+    val evolved = SchemaEvolution.dropColumn(baseSchema, "props")
+    val parsed = SchemaEvolution.parseDrifted(
+      wrapped.select("message"), "message", evolved).select("data.*")
+    assert(!parsed.columns.contains("props"))
+    assert(parsed.collect()(0).getAs[Double]("value") == 2.5)
+  }
+
+  test("retyped column is cast on read (double -> string)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2.5, "{}")).toDF("event_id", "user_id", "value", "props")
+    val wrapped = Envelope.wrap(df, lit("insert"), lit("graft"), lit("t"),
+      current_timestamp(), col("event_id"),
+      Seq("event_id", "user_id", "value", "props"))
+    val evolved = SchemaEvolution.retypeColumn(baseSchema, "value", StringType)
+    val row = SchemaEvolution.parseDrifted(
+      wrapped.select("message"), "message", evolved).select("data.*").collect()(0)
+    assert(row.getAs[String]("value") == "2.5")
+  }
+
+  test("mergeSchema reads batches written before and after an ADD COLUMN") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/b=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "added").write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "added", "b"))
+    val old = merged.filter(col("id") === 1L).collect()(0)
+    assert(old.isNullAt(old.fieldIndex("added")))
+  }
+
+  test("txn ids group same-minute commits per table") {
+    val t = SchemaEvolution.withTxnId(ChangeFeed.fromEvents(spark, sf))
+    val bad = t.groupBy(col("table_name"), date_trunc("minute", col("ts")))
+      .agg(countDistinct(col("txn_id")).as("n"))
+      .filter(col("n") > 1)
+    assert(bad.count() == 0)
+  }
+}

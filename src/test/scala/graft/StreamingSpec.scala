@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.ChangeFeed
+import graft.streaming.CdcPipeline
+import graft.streaming.CdcPipeline.{Change, RawEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private val batch1 = Seq(
+    RawEvent(1, ts(0), 10, "signup", 1.0, "{}"),
+    RawEvent(2, ts(1), 10, "click", 2.0, "{}"),
+    RawEvent(3, ts(0), 11, "signup", 3.0, "{}"))
+  private val batch2 = Seq(
+    RawEvent(4, ts(2), 10, "purchase", 4.0, "{}"),
+    RawEvent(5, ts(3), 11, "error", 0.0, "{}"), // delete user 11
+    RawEvent(6, ts(1), 11, "click", 9.0, "{}")) // late, pre-delete: ignored
+
+  test("streaming latest-wins materialization matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawEvent]
+    val states = CdcPipeline.applyChangesStream(
+      CdcPipeline.annotate(mem.toDF()))
+    val q = states.writeStream.format("memory")
+      .queryName("mat").outputMode("update").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // latest state per key from the update-mode sink
+      val got = spark.table("mat")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("table_name", "user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+
+      // batch twin over the full event set
+      val all = (batch1 ++ batch2).toDF()
+      val expected = ChangeFeed.applyChanges(
+          ChangeFeed.annotate(all), Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+
+      assert(got == expected)
+      // user 11 was deleted after its last update; user 10's latest is event 4
+      assert(got == Set((10L, 4L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("late event older than a delete cannot resurrect the key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawEvent]
+    val states = CdcPipeline.applyChangesStream(
+      CdcPipeline.annotate(mem.toDF()))
+    val q = states.writeStream.format("memory")
+      .queryName("tomb").outputMode("update").start()
+    try {
+      mem.addData(Seq(RawEvent(5, ts(3), 11, "error", 0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(RawEvent(6, ts(1), 11, "click", 9.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.table("tomb").collect()
+      // only the tombstone was ever emitted; the late update produced nothing
+      assert(rows.length == 1 && rows.head.getAs[Boolean]("deleted"))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed stats equal the batch windowed stats") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawEvent]
+    val agg = CdcPipeline.windowedStatsStream(
+      CdcPipeline.annotate(mem.toDF()))
+    val q = agg.writeStream.format("memory")
+      .queryName("winstats").outputMode("update").start()
+    try {
+      mem.addData(batch1 ++ batch2)
+      q.processAllAvailable()
+      val got = spark.table("winstats")
+        .groupBy("window_start", "op")
+        .agg(max("n_ops").as("n_ops"), max("total_value").as("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = ChangeFeed.windowedStats(
+          ChangeFeed.annotate((batch1 ++ batch2).toDF()))
+        .select(col("window_start"), col("op"), col("n_ops"), col("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("kinesis-like sink writes JSON partitioned by partition_key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[RawEvent]
+    val wrapped = CdcPipeline.envelopeStream(
+      CdcPipeline.annotate(mem.toDF()))
+    val q = CdcPipeline.kinesisLikeSink(wrapped,
+      s"$dir/data", s"$dir/ckpt").start()
+    try {
+      mem.addData(batch1 ++ batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // user 10 -> users_2, user 11 -> users_3
+    assert(parts.contains("partition_key=graft.users_2"))
+    assert(parts.contains("partition_key=graft.users_3"))
+    val msgs = spark.read.json(s"$dir/data")
+    assert(msgs.count() == (batch1 ++ batch2).size)
+    val parsed = spark.read.json(msgs.select("message").as[String])
+    assert(parsed.select("metadata.operation").distinct().count() >= 2)
+  }
+}

@@ -131,7 +131,9 @@ object SparkEntry {
       val c = ChangeFeed.fromEvents(s, dir)
       val withB = ChangeFeed.beforeImage(c, Seq("user_id"),
         Seq(col("ts"), col("event_id")), Seq("value", "event_id"))
-      val t = SchemaEvolution.withTxnId(withB)
+      // the txn window collapses to #tables partitions; spread back
+      // out so the JSON wrap/parse runs on every core
+      val t = SchemaEvolution.withTxnId(withB).repartition(col("user_id"))
       val wrapped = Envelope.wrap(t, col("op"), col("schema_name"),
         col("table_name"), col("ts"), col("txn_id"),
         Seq("event_id", "user_id", "value", "props"),
@@ -568,15 +570,13 @@ object SparkEntry {
          |  JOIN shd x ON x.doc_id = c.d1
          |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
          |  GROUP BY 1, 2)
-         |SELECT c.d1 AS doc_id_a, c.d2 AS doc_id_b,
-         |  COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         |SELECT i.d1 AS doc_id_a, i.d2 AS doc_id_b, i.n_inter,
          |  sa.set_size AS size_a, sb.set_size AS size_b,
-         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         |    / CAST(sa.set_size + sb.set_size - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
-         |JOIN sizes sa ON sa.doc_id = c.d1
-         |JOIN sizes sb ON sb.doc_id = c.d2
+         |  CAST(i.n_inter AS DOUBLE)
+         |    / CAST(sa.set_size + sb.set_size - i.n_inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.d1
+         |JOIN sizes sb ON sb.doc_id = i.d2
          |ORDER BY 1, 2""".stripMargin,
 
     "dedup_simhash" -> {

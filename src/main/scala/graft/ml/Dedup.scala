@@ -46,18 +46,34 @@ object Dedup {
     * (doc_id, shingle). Shingles (not unigrams) are what make MinHash
     * discriminative: random docs share words but not word-triples.
     */
+  /** Explicit-width repartition: the per-row lambda/hash work below
+    * is CPU-heavy but byte-light, so AQE's size-based coalescing
+    * (and a single input split) would serialize it on one core —
+    * an explicit partition count pins the parallelism.
+    */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
+  /** Shingling via posexplode + lead windows rather than a
+    * transform/element_at lambda: the lambda form tempts the
+    * optimizer into inlining the tokenizer (split+regexp) into every
+    * element_at, recomputing it ~3·len times per doc; the window
+    * form tokenizes once per doc, stays inside codegen, and reuses
+    * the doc_id partitioning `spread` just created (sort only, no
+    * extra shuffle).
+    */
   def shingles(docs: DataFrame): DataFrame = {
-    val t = TextAnalysis.tokens(col("text"))
-    docs.select(col("doc_id"), t.as("toks"))
-      .withColumn("shingle", explode(
-        when(size(col("toks")) >= ShingleN,
-          transform(sequence(lit(1), size(col("toks")) - (ShingleN - 1)),
-            i => concat_ws(" ",
-              element_at(col("toks"), i),
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2))))
-          .otherwise(array())))
-      .select(col("doc_id"), col("shingle"))
+    val toks = spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull) // docs with < ShingleN tokens drop out
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
   }
 
   /** DuckDB twin of `shingles` as a CTE body over `documents`. */
@@ -81,17 +97,31 @@ object Dedup {
         (1 until NumHashes).map(i =>
           min(Portable.pHash(col("shingle"), i)).as(s"mh$i")): _*)
 
+  /** Signatures + distinct-shingle set size in ONE aggregation over
+    * the same shuffle — the Jaccard verify step needs the set size
+    * anyway, and folding it here saves a whole distinct pass.
+    */
+  def signaturesWithSize(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(Portable.pHash(col("shingle"), 0)).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(Portable.pHash(col("shingle"), i)).as(s"mh$i")) :+
+          countDistinct(col("shingle")).as("set_size"): _*)
+
   /** LSH banding: hash each band's minhash slice to a bucket id.
     * Output: (doc_id, band, bh) — the join key for candidates.
+    * One posexplode pass (NOT a per-band union, which would re-run
+    * the whole upstream signature pipeline once per band).
     */
   def bandBuckets(sigs: DataFrame): DataFrame = {
-    val bands = (0 until Bands).map { b =>
+    val bandCols = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand)
         .map(j => col(s"mh${b * RowsPerBand + j}").cast("string"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        Portable.pHash(concat_ws(",", slice: _*)).as("bh"))
+      Portable.pHash(concat_ws(",", slice: _*))
     }
-    bands.reduce(_ unionAll _)
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
 
   /** Candidate pairs: docs sharing any band bucket. The self-join is
@@ -110,11 +140,35 @@ object Dedup {
   /** MinHash near-dup pairs with estimated Jaccard = fraction of
     * agreeing minhashes (computed on candidates only).
     */
+  /** Persist AND materialize: a lazily-persisted relation consumed
+    * by several branches of one job is recomputed per branch (the
+    * partitions race into the cache), so multi-consumer intermediates
+    * are counted once up front — the MLlib handle-persistence
+    * pattern. The relations are one small row per doc/vector.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
+  /** The shared signature relation: raw shingles and the combined
+    * signature/set-size aggregate, both materialized with plans
+    * IDENTICAL across minhashPairs / ngramJaccardPairs so the second
+    * operator to run in a session reuses the first one's cache.
+    */
+  private def sharedSigs(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = materialize(shingles(docs))
+    (sh, materialize(signaturesWithSize(sh)))
+  }
+
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(shingles(docs))
+    val (_, sigs) = sharedSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
-    val sa = sigs.toDF("doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i"): _*)
-    val sb = sigs.toDF("doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i"): _*)
+    val sa = sigs.toDF(
+      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i") :+ "sza": _*)
+    val sb = sigs.toDF(
+      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i") :+ "szb": _*)
     val matches = (0 until NumHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -131,18 +185,20 @@ object Dedup {
     * only for candidate docs.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-    val sigs = minhashSignatures(shingles(docs))
+    val (sh, sigs) = sharedSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
+    // every LSH candidate shares a band ⇒ shares its argmin shingle,
+    // so the intersection is never empty and an inner join is exact;
+    // countDistinct makes the raw (non-distinct) shingle join count
+    // set intersection correctly
     val inter = cands
       .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
       .join(sh.toDF("id_b2", "shingle_b"),
         col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    cands.join(inter, Seq("doc_id_a", "doc_id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
+      .agg(countDistinct(col("shingle")).as("n_inter"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    inter
       .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")
       .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
@@ -161,7 +217,7 @@ object Dedup {
     * bucket size via a window over the fingerprint.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = spread(docs, col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", Portable.pHash(col("tok"), 201))
     val bitSums = toks.groupBy(col("doc_id"))
@@ -192,10 +248,12 @@ object Dedup {
     * verifies. Pairs with cosine ≥ τ survive.
     */
   def embeddingPairs(embs: DataFrame): DataFrame = {
-    val qv = embs.select(col("vec_id"), Vectors.quantize(col("embedding")).as("q"))
-      .withColumn("n2", Vectors.norm2(col("q")))
-      .withColumn("buckets",
-        Vectors.srpBuckets(col("q"), EmbBands, EmbRowsPerBand, EmbDim))
+    // one small row per vector feeding three branches — persist so
+    // quantization + 24 plane dot products run once per vector
+    // identical plan to Similarity.topKAnnLsh's view, so whichever
+    // operator runs first caches it for the other
+    val qv = materialize(
+      Vectors.quantizedWithBuckets(embs, EmbBands, EmbRowsPerBand, EmbDim))
     val flat = qv.select(col("vec_id"), col("q"), col("n2"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val a = flat.select(col("band"), col("bucket"), col("vec_id").as("vec_id_a"))

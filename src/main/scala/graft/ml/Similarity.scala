@@ -20,16 +20,21 @@ object Similarity {
   val TopK = 5
   val NumProbes = 8
 
-  private def quantized(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), Vectors.quantize(col("embedding")).as("q"))
-      .withColumn("n2", Vectors.norm2(col("q")))
+  /** Persist and materialize a multi-consumer intermediate (see
+    * Dedup.materialize — avoids per-branch recompute races).
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
 
   /** Exact top-k cosine neighbors for probe vectors (vec_id <
     * NumProbes). The probe side broadcasts; ranking is a window per
     * probe with a deterministic (cos desc, vec_id) tiebreak.
     */
   def topKBruteForce(embs: DataFrame): DataFrame = {
-    val qv = quantized(embs)
+    val qv = materialize(Vectors.quantized(embs))
     val probes = broadcast(
       qv.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p")))
@@ -49,9 +54,9 @@ object Similarity {
     * Same bucket structure as Dedup.embeddingPairs.
     */
   def topKAnnLsh(embs: DataFrame): DataFrame = {
-    val qv = quantized(embs)
-      .withColumn("buckets", Vectors.srpBuckets(col("q"),
-        Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
+    // identical plan to Dedup.embeddingPairs' view — shared cache
+    val qv = materialize(Vectors.quantizedWithBuckets(embs,
+      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
     val flat = qv.select(col("vec_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
     val probeFlat = broadcast(flat.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("band").as("band_p"),

@@ -77,6 +77,28 @@ object Vectors {
        |    % 2001 - 1000 AS w
        |FROM range($nPlanes) tp(p), range($dim) ti(i)""".stripMargin
 
+  /** Quantized-vector relation shared by the embedding operators:
+    * (vec_id, q, n2), spread to full parallelism first (the per-row
+    * array math is CPU-heavy but byte-light, so size-based AQE
+    * coalescing or a single input split would serialize it).
+    * Operators that build this with the SAME call produce identical
+    * logical plans, so one operator's persisted copy is reused by the
+    * next (CacheManager matches by plan).
+    */
+  def quantized(embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    embs.repartition(
+        embs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", norm2(col("q")))
+
+  /** quantized() + SRP band buckets — the candidate-generation view. */
+  def quantizedWithBuckets(
+      embs: org.apache.spark.sql.DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int): org.apache.spark.sql.DataFrame =
+    quantized(embs)
+      .withColumn("buckets", srpBuckets(col("q"), bands, rowsPerBand, dim))
+
   /** SRP band buckets for a quantized vector column: `bands` buckets,
     * each packing `rowsPerBand` sign bits. Returns an array<long> of
     * length `bands`. Sign bit = (v · plane ≥ 0); planes are literal

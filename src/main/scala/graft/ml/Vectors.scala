@@ -34,8 +34,17 @@ object Vectors {
   def duckQuantize(x: String): String =
     s"list_transform($x, e -> CAST(round(CAST(e AS DOUBLE)*$Scale) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen Expression (graft.functions.LongDotProduct); see
+    * `dotHof` for the composed-functions equivalent it replaces.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeDot.dot(a, b)
+
+  /** Higher-order-function formulation of `dot` (interpreted; kept
+    * as the differential-testing twin of the native expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Exact integer squared norm. */

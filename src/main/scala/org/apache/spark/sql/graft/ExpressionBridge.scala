@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Thin bridge to Spark's classic Column ⇄ Expression converters,
+  * which are `private[sql]` in Spark 4. Living under
+  * `org.apache.spark.sql` grants the required visibility — the usual
+  * pattern for libraries that register custom Catalyst expressions.
+  */
+object ExpressionBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -12,6 +12,23 @@ class MlSpec extends AnyFunSuite {
   private def docs = Tables.load(spark, sf, "documents")
   private def embs = Tables.load(spark, sf, "embeddings")
 
+  test("native dot product matches the higher-order formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextInt(2001).toLong - 1000),
+      Seq.fill(64)(rnd.nextInt(2001).toLong - 1000)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Vectors.dot(col("a"), col("b")).as("n"),
+      Vectors.dotHof(col("a"), col("b")).as("h")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and against a plain Scala computation
+    val expected = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.map(_.getLong(0)).toSeq == expected)
+  }
+
   test("jvmPHash matches the Spark portable hash bit-for-bit") {
     val samples = Seq("", "a", "hello world", "srp#3#17", "graft.users_1")
     val fromSpark = spark.range(1)

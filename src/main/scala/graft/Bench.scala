@@ -23,6 +23,9 @@ object Bench {
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // settle GC debt from the previous query so its collection
+      // cost isn't attributed to this one's wall time
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -97,17 +97,18 @@ object Dedup {
         (1 until NumHashes).map(i =>
           min(Portable.pHash(col("shingle"), i)).as(s"mh$i")): _*)
 
-  /** Signatures + distinct-shingle set size in ONE aggregation over
-    * the same shuffle — the Jaccard verify step needs the set size
-    * anyway, and folding it here saves a whole distinct pass.
+  /** Signatures + set size in ONE aggregation over an already
+    * DISTINCT shingle relation. (Folding a countDistinct into the
+    * same aggregate instead is ~20× slower: the distinct-aggregate
+    * EXPAND doubles every row through all eight md5 min-aggregates.)
     */
-  def signaturesWithSize(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
+  def signaturesWithSize(shDistinct: DataFrame): DataFrame =
+    shDistinct.groupBy(col("doc_id"))
       .agg(
         min(Portable.pHash(col("shingle"), 0)).as("mh0"),
         (1 until NumHashes).map(i =>
           min(Portable.pHash(col("shingle"), i)).as(s"mh$i")) :+
-          countDistinct(col("shingle")).as("set_size"): _*)
+          count(lit(1)).as("set_size"): _*)
 
   /** LSH banding: hash each band's minhash slice to a bucket id.
     * Output: (doc_id, band, bh) — the join key for candidates.
@@ -158,7 +159,7 @@ object Dedup {
     * operator to run in a session reuses the first one's cache.
     */
   private def sharedSigs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = materialize(shingles(docs))
+    val sh = materialize(shingles(docs).distinct())
     (sh, materialize(signaturesWithSize(sh)))
   }
 
@@ -189,14 +190,13 @@ object Dedup {
     val cands = candidatePairs(bandBuckets(sigs))
     // every LSH candidate shares a band ⇒ shares its argmin shingle,
     // so the intersection is never empty and an inner join is exact;
-    // countDistinct makes the raw (non-distinct) shingle join count
-    // set intersection correctly
+    // sh is distinct, so a plain count is the set intersection
     val inter = cands
       .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
       .join(sh.toDF("id_b2", "shingle_b"),
         col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(countDistinct(col("shingle")).as("n_inter"))
+      .agg(count(lit(1)).as("n_inter"))
     val sizes = sigs.select(col("doc_id"), col("set_size"))
     inter
       .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")

@@ -263,8 +263,9 @@ object SparkEntry {
     * of Dedup.{shingles,minhashSignatures,bandBuckets,candidatePairs}).
     */
   private val minhashCtes: String = {
+    val (h1, h2) = Portable.duckHashPair("shingle")
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"min(${Portable.duckHash("shingle", i)}) AS mh$i").mkString(", ")
+      .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
     val bandRows = (0 until Dedup.Bands).map { b =>
       val cat = (0 until Dedup.RowsPerBand)
         .map(j => s"CAST(mh${b * Dedup.RowsPerBand + j} AS VARCHAR)")
@@ -272,7 +273,8 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, ${Portable.duckHash(s"($cat)")} AS bh FROM sigs"
     }.mkString(" UNION ALL ")
     s"""shf AS (${Dedup.duckShingles}),
-       |sigs AS (SELECT doc_id, $mins FROM shf GROUP BY 1),
+       |hs AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM shf),
+       |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b

@@ -23,6 +23,24 @@ object Portable {
   def pHash(c: Column, seed: Int): Column =
     pHash(concat(c, lit("#" + seed)))
 
+  /** Two independent 60-bit hashes from ONE md5 (hex chars 1-15 and
+    * 17-31). With Kirsch-Mitzenmacher double hashing
+    * (h_i = h1 + i·h2) this yields a whole minhash family for the
+    * price of a single digest — 8 seeded md5s per shingle was the
+    * hottest loop in the dedup pipeline. Max value: h1 + 7·h2 <
+    * 8·2^60 = 2^63, so the arithmetic never overflows int64 and the
+    * oracle computes it exactly.
+    */
+  def pHashPair(c: Column): (Column, Column) = {
+    val hex = md5(c)
+    (conv(substring(hex, 1, 15), 16, 10).cast("long"),
+      conv(substring(hex, 17, 15), 16, 10).cast("long"))
+  }
+
+  def duckHashPair(x: String): (String, String) =
+    (s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)",
+      s"CAST(('0x' || substr(md5($x), 17, 15)) AS BIGINT)")
+
   /** DuckDB SQL fragment computing the same value; `x` is a SQL expr. */
   def duckHash(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"

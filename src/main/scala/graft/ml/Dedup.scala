@@ -86,28 +86,36 @@ object Dedup {
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i))
        |WHERE shingle IS NOT NULL""".stripMargin
 
-  /** MinHash signatures: per doc, min of `NumHashes` seeded portable
-    * hashes over its shingles. One shuffle on doc_id; the mins are
-    * map-side partial aggregates.
+  /** MinHash signatures: per doc, min over its shingles of the
+    * Kirsch-Mitzenmacher family h_i = h1 + i·h2, where (h1, h2) come
+    * from ONE md5 per shingle (Portable.pHashPair) — the md5+conv
+    * digest was the hottest loop, so the family is derived
+    * arithmetically instead of hashing NumHashes times. One shuffle
+    * on doc_id; the mins are map-side partial aggregates.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
+    withHashPair(sh).groupBy(col("doc_id"))
       .agg(
-        min(Portable.pHash(col("shingle"), 0)).as("mh0"),
-        (1 until NumHashes).map(i =>
-          min(Portable.pHash(col("shingle"), i)).as(s"mh$i")): _*)
+        min(famHash(0)).as("mh0"),
+        (1 until NumHashes).map(i => min(famHash(i)).as(s"mh$i")): _*)
+
+  private def withHashPair(sh: DataFrame): DataFrame = {
+    val (h1, h2) = Portable.pHashPair(col("shingle"))
+    sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+  }
+
+  private def famHash(i: Int): Column = col("h1") + lit(i.toLong) * col("h2")
 
   /** Signatures + set size in ONE aggregation over an already
     * DISTINCT shingle relation. (Folding a countDistinct into the
     * same aggregate instead is ~20× slower: the distinct-aggregate
-    * EXPAND doubles every row through all eight md5 min-aggregates.)
+    * EXPAND doubles every row through all the min-aggregates.)
     */
   def signaturesWithSize(shDistinct: DataFrame): DataFrame =
-    shDistinct.groupBy(col("doc_id"))
+    withHashPair(shDistinct).groupBy(col("doc_id"))
       .agg(
-        min(Portable.pHash(col("shingle"), 0)).as("mh0"),
-        (1 until NumHashes).map(i =>
-          min(Portable.pHash(col("shingle"), i)).as(s"mh$i")) :+
+        min(famHash(0)).as("mh0"),
+        (1 until NumHashes).map(i => min(famHash(i)).as(s"mh$i")) :+
           count(lit(1)).as("set_size"): _*)
 
   /** LSH banding: hash each band's minhash slice to a bucket id.

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.LongDotProduct
+
+/** Session extension registering graft's native expressions with the
+  * SQL function registry, so `spark.sql("SELECT long_dot(a, b) ...")`
+  * works anywhere — configure with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+}
+
+/** Imperative twin for sessions that already exist (tests, REPLs). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_dot",
+      (children: Seq[Expression]) => LongDotProduct(children(0), children(1)),
+      "built-in")
+}

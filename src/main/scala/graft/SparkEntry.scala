@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.cdc.{ChangeFeed, Envelope, FullLoad, SchemaEvolution, TableMapping, TableStatistics}
+import graft.cdc.{ChangeFeed, Envelope, FullLoad, SchemaEvolution, TableMapping, TableStatistics, TypePalette}
 import graft.functions.Portable
 import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
 import graft.multimodal.Binary
@@ -153,18 +153,81 @@ object SparkEntry {
         .orderBy(col("operation"), col("table_name"))
     }),
 
+    // Transformation rules: table renames re-route the change feed,
+    // column add/remove/rename reshape the payload (DMS rule-type
+    // "transformation").
+    "cdc_transform_rules" -> ((s, dir) => {
+      val t = TableMapping.Transformations(Seq(
+        TableMapping.RenameTable("users_1", "u1"),
+        TableMapping.RenameTable("users_3", "u3"),
+        TableMapping.RenameColumn("value", "amount"),
+        TableMapping.AddColumn("origin",
+          concat(col("schema_name"), lit("."), col("table_name"))),
+        TableMapping.RemoveColumn("props")))
+      t(ChangeFeed.fromEvents(s, dir))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          countDistinct(col("origin")).as("n_origins"))
+        .orderBy(col("table_name"))
+    }),
+
+    // Consumer semantics (run.py:156-185): parse the envelope stream,
+    // drop messages before a timestamp threshold, count per shard.
+    "cdc_consume" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
+        col("table_name"), col("ts"), col("event_id"),
+        Seq("event_id", "user_id", "value", "props"))
+      val dataSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val feed = Envelope.parse(wrapped.select("message", "partition_key"),
+          "message", dataSchema)
+        .select(col("partition_key"), col("metadata.timestamp").as("event_ts"))
+      graft.sources.EnvelopeSource.consumeSummary(feed, consumeThreshold)
+        .orderBy(col("partition_key"))
+    }),
+
+    // Full MariaDB type palette through the envelope: every type the
+    // reference replicates survives wrap → JSON → parse value-exactly
+    // (the *_ok columns count roundtrip equality row by row; the
+    // numeric aggregates recompute independently in the oracle).
+    "cdc_envelope_types" -> ((s, dir) => {
+      val pal = TypePalette.palette(Tables.load(s, dir, "part"))
+      val wrapped = Envelope.wrap(pal, lit("insert"), lit("graft"),
+        lit("palette"), col("ts"), col("id"), TypePalette.paletteCols)
+      val parsed = Envelope.parse(wrapped, "message", TypePalette.paletteSchema)
+      parsed.agg(
+        count(lit(1)).as("n"),
+        sum(col("data.tiny").cast("long")).as("sum_tiny"),
+        sum(col("data.dec")).cast("double").as("sum_dec"),
+        count(when(col("data.flag"), 1)).as("n_flag"),
+        countDistinct(col("data.enum_v")).as("n_enum"),
+        sum(length(col("data.txt"))).as("sum_txt_len"),
+        count(when(col("data.blob") === col("blob"), 1)).as("n_blob_ok"),
+        count(when(col("data.ts") === col("ts"), 1)).as("n_ts_ok"),
+        count(when(col("data.d") === col("d"), 1)).as("n_d_ok"),
+        count(when(col("data.f32") === col("f32"), 1)).as("n_f32_ok"),
+        count(when(col("data.f64") === col("f64"), 1)).as("n_f64_ok"),
+        count(when(col("data.dec") === col("dec"), 1)).as("n_dec_ok"))
+    }),
+
     // --- §2C LLM-data-pipeline operators --------------------------
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), col("text"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-          col("n_distinct_tokens"), col("avg_token_len"))
+          col("n_distinct_tokens"), col("n_subtokens"), col("avg_token_len"))
         .orderBy(col("doc_id"))),
 
-    "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(Tables.load(s, dir, "documents"), col("text"))
-        .select(col("doc_id"), col("fp"), col("fp60"))
-        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.fingerprint(docs, col("text"))
+        .join(TextAnalysis.rollingFingerprint(docs), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fp"), col("fp60"), col("fp_roll"))
+        .orderBy(col("doc_id"))
+    }),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.load(s, dir, "documents"), col("text"))
@@ -206,6 +269,10 @@ object SparkEntry {
       Similarity.topKAnnLsh(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
 
+    "sim_ann_ivf" -> ((s, dir) =>
+      Similarity.topKAnnIvf(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
     "multimodal_meta" -> ((s, dir) =>
       Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
         .groupBy(col("kind"))
@@ -227,6 +294,9 @@ object SparkEntry {
   private val selectionDemoRules = Seq(
     TableMapping.SelectionRule("graft", "src1%"),
     TableMapping.SelectionRule("graft", "src15", TableMapping.Exclude))
+
+  /** Consumer demo threshold (events span 2024-01-01..01-30). */
+  private val consumeThreshold = "2024-01-15T00:00:00.000000Z"
 
   private val fullLoadDemoRules = Seq(
     TableMapping.SelectionRule("graft", "p%"),
@@ -498,6 +568,39 @@ object SparkEntry {
          |  count(CASE WHEN op <> 'insert' THEN bv END) AS n_before
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "cdc_transform_rules" ->
+      s"""$C, t AS (SELECT *,
+         |  CASE table_name WHEN 'users_1' THEN 'u1'
+         |    WHEN 'users_3' THEN 'u3' ELSE table_name END AS tn FROM c)
+         |SELECT tn AS table_name, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+         |  count(DISTINCT 'graft.' || tn) AS n_origins
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_consume" -> {
+      val f = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+      s"""$C
+         |SELECT partition_key, count(*) AS n_messages,
+         |  min($f) AS first_ts, max($f) AS last_ts
+         |FROM c WHERE $f >= '$consumeThreshold'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "cdc_envelope_types" ->
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(p_partkey % 128) AS BIGINT) AS sum_tiny,
+         |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
+         |  CAST(sum(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+         |  count(DISTINCT p_brand) AS n_enum,
+         |  CAST(sum(length(p_name)) AS BIGINT) AS sum_txt_len,
+         |  count(*) AS n_blob_ok,
+         |  count(*) AS n_ts_ok,
+         |  count(*) AS n_d_ok,
+         |  count(*) AS n_f32_ok,
+         |  count(*) AS n_f64_ok,
+         |  count(*) AS n_dec_ok
+         |FROM part""".stripMargin,
+
     // --- §2C LLM-data-pipeline oracles ----------------------------
 
     "text_tokens" ->
@@ -505,14 +608,21 @@ object SparkEntry {
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len($toksT) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct($toksT)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all($normT, '${TextAnalysis.SubtokenPattern}')) AS BIGINT)
+         |    AS n_subtokens,
          |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS DOUBLE)
          |    / CAST(len($toksT) AS DOUBLE) AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_fingerprint" ->
-      s"""SELECT doc_id, md5($normT) AS fp,
-         |  ${Portable.duckHash(normT)} AS fp60
-         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" -> {
+      val (h1, _) = Portable.duckHashPair("shingle")
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |r AS (SELECT doc_id, min($h1) AS fp_roll FROM shf GROUP BY 1)
+         |SELECT d.doc_id, md5($normT) AS fp,
+         |  ${Portable.duckHash(normT)} AS fp60, r.fp_roll
+         |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "text_quality" -> {
       val nTok = "CAST(n_tokens AS DOUBLE)"
@@ -642,6 +752,41 @@ object SparkEntry {
          |  FROM buckets pb JOIN buckets b
          |  ON b.band = pb.band AND b.bucket = pb.bucket AND b.vec_id <> pb.vec_id
          |  WHERE pb.vec_id < ${Similarity.NumProbes}),
+         |d AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.probe_id
+         |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_ivf" ->
+      s"""WITH $embCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |comp AS (SELECT l.label, f.i, CAST(sum(f.v) AS BIGINT) AS s
+         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
+         |cells AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS sn2 FROM comp GROUP BY 1),
+         |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
+         |  FROM flat f JOIN comp c ON c.i = f.i
+         |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
+         |sc AS (SELECT pc.probe_id, pc.label,
+         |    CAST(dotpc AS DOUBLE)
+         |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cl.sn2 AS DOUBLE))) AS cell_cos
+         |  FROM pc
+         |  JOIN norms n ON n.vec_id = pc.probe_id
+         |  JOIN cells cl ON cl.label = pc.label),
+         |tc AS (SELECT probe_id, label FROM (
+         |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cell_cos DESC, label) AS crk FROM sc)
+         |  WHERE crk <= ${Similarity.IvfNProbe}),
+         |cand AS (SELECT tc.probe_id, l.vec_id AS neighbor_id
+         |  FROM tc JOIN lab l ON l.label = tc.label AND l.vec_id <> tc.probe_id),
          |d AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c
          |  JOIN flat fa ON fa.vec_id = c.probe_id

@@ -73,6 +73,34 @@ object TableMapping {
     }
   }
 
+  // --- transformation rules ---------------------------------------
+
+  /** DMS-style transformation rules (rule-type "transformation" in a
+    * table-mapping document: rename table, add/remove column with an
+    * expression). They operate on the multiplexed change feed:
+    * table renames rewrite the routing column, column rules reshape
+    * the payload. All are pure projections — Catalyst folds them into
+    * the surrounding plan, nothing materializes.
+    */
+  sealed trait TransformRule
+  /** Exact-name table rename (DMS rename-to targets one table). */
+  case class RenameTable(from: String, to: String) extends TransformRule
+  case class RenameColumn(from: String, to: String) extends TransformRule
+  case class AddColumn(name: String, value: Column) extends TransformRule
+  case class RemoveColumn(name: String) extends TransformRule
+
+  case class Transformations(rules: Seq[TransformRule]) {
+    def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rules.foldLeft(df) {
+        case (d, RenameTable(from, to)) =>
+          d.withColumn("table_name",
+            when(col("table_name") === from, to).otherwise(col("table_name")))
+        case (d, RenameColumn(from, to)) => d.withColumnRenamed(from, to)
+        case (d, AddColumn(name, value)) => d.withColumn(name, value)
+        case (d, RemoveColumn(name)) => d.drop(name)
+      }
+  }
+
   /** SQL LIKE → predicate for the same pattern in the DuckDB oracle.
     * Single quotes in patterns are doubled so a quote in a rule can't
     * break (or inject into) the generated SQL.

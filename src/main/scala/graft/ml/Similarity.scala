@@ -49,6 +49,65 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  val IvfNProbe = 2
+
+  /** IVF-style ANN: a coarse quantizer assigns vectors to cells (the
+    * corpus `label` column stands in for a trained k-means
+    * assignment), each probe searches only its `IvfNProbe` nearest
+    * cells, and exact cosine ranks within the probed cells.
+    *
+    * Cell "centroids" are kept as integer component SUMS (a sum
+    * points in the centroid direction, so centroid cosine needs no
+    * division) — all candidate selection stays in exact int64 math,
+    * and only the final cosines are (deterministic) double ops.
+    *
+    * Scale: cells are tiny (#cells × dim rows) and broadcast; the
+    * corpus is touched once to build cells and once per probed cell
+    * subset — never cross-joined.
+    */
+  def topKAnnIvf(embs: DataFrame): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val qv = materialize(Vectors.quantized(embs))
+    val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
+    // component sums per cell: #cells × dim rows
+    val comp = flat.join(lab, "vec_id")
+      .groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
+    val cells = comp.groupBy(col("label")).agg(sum(col("s") * col("s")).as("sn2"))
+    // probe→cell cosine via the component-sum join (comp broadcasts)
+    val pc = flat.filter(col("vec_id") < NumProbes)
+      .join(broadcast(comp), "i")
+      .groupBy(col("vec_id").as("probe_id"), col("label"))
+      .agg(sum(col("v") * col("s")).as("dotpc"))
+    val norms = qv.select(col("vec_id").as("probe_id"), col("n2").as("n2_p"))
+    val scoredCells = pc
+      .join(norms, "probe_id")
+      .join(broadcast(cells), "label")
+      .withColumn("cell_cos", col("dotpc").cast("double") /
+        (sqrt(col("n2_p").cast("double")) * sqrt(col("sn2").cast("double"))))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cell_cos").desc, col("label"))
+    val topCells = scoredCells.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= IvfNProbe)
+      .select(col("probe_id"), col("label"))
+    val cands = topCells
+      .join(lab.toDF("vec_id", "label"), "label")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val probes = qv.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p"))
+    val scored = cands
+      .join(qv.select(col("vec_id"), col("q"), col("n2")), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+  }
+
   /** SRP-LSH ANN: candidates are corpus vectors sharing any band
     * bucket with the probe; exact cosine ranks within candidates.
     * Same bucket structure as Dedup.embeddingPairs.

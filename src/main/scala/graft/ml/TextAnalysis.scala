@@ -27,14 +27,24 @@ object TextAnalysis {
   def duckTokens(x: String): String =
     s"string_split(${Portable.duckNormText(x)}, ' ')"
 
+  /** BPE-ish subword pattern: greedy runs of up to 4 letters or a
+    * digit run — a stand-in for byte-pair pieces that both engines'
+    * regex engines count identically.
+    */
+  val SubtokenPattern = "[a-z]{1,4}|[0-9]+"
+
   /** Token + char counting: the "how big is this document really"
-    * pass every corpus pipeline runs first.
+    * pass every corpus pipeline runs first. `n_subtokens` adds the
+    * BPE-ish piece count (whitespace tokens alone under-estimate
+    * model token budgets).
     */
   def tokenCounts(df: DataFrame, text: Column): DataFrame = {
     val t = tokens(text)
     df.withColumn("n_chars", length(text).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("n_subtokens",
+        regexp_count(Portable.normText(text), lit(SubtokenPattern)).cast("long"))
       .withColumn("avg_token_len",
         aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
           / size(t).cast("double"))
@@ -46,6 +56,16 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, text: Column): DataFrame =
     df.withColumn("fp", md5(Portable.normText(text)))
       .withColumn("fp60", Portable.pHash(Portable.normText(text)))
+
+  /** Winnowing-style rolling fingerprint: the minimum 60-bit hash
+    * over the document's word n-gram windows (the min-sampled variant
+    * of a rolling-hash fingerprint — stable under content shifts,
+    * unlike the whole-document hash).
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs)
+      .select(col("doc_id"), Portable.pHashPair(col("shingle"))._1.as("h1"))
+      .groupBy(col("doc_id")).agg(min(col("h1")).as("fp_roll"))
 
   /** Per-language stopword marker sets (classic stopword-list
     * language ID — the fastText-free heuristic). Deterministic

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.Envelope
+
+/** Consumer side of the Kinesis-like envelope stream (reference:
+  * run.py:156-185 — shard iteration, timestamp-threshold filtering,
+  * partition-key inspection). Reads the partitioned JSON layout the
+  * CdcPipeline sink writes (one directory per partition_key = one
+  * "shard") back into a typed change feed.
+  *
+  * Scale notes: the partition_key directory IS a partition filter —
+  * consuming one shard reads only its directory (partition pruning
+  * on the read path); the JSON parse is from_json inside codegen.
+  */
+object EnvelopeSource {
+
+  private val fileSchema = StructType(Seq(
+    StructField("partition_key", StringType),
+    StructField("message", StringType)))
+
+  /** Batch-read the sink directory into (partition_key, message). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(fileSchema)
+      .option("basePath", path)
+      .json(s"$path/*")
+
+  /** Batch change feed: parse every message against the replicated
+    * table's row schema; metadata fields are flattened for consumers.
+    */
+  def changeFeed(spark: SparkSession, path: String, dataSchema: StructType): DataFrame =
+    flatten(Envelope.parse(readRaw(spark, path), "message", dataSchema))
+
+  /** Streaming change feed over the same directory layout — a file
+    * stream source, so late-arriving shard files keep flowing.
+    */
+  def changeFeedStream(spark: SparkSession, path: String, dataSchema: StructType): DataFrame =
+    flatten(Envelope.parse(
+      spark.readStream.schema(fileSchema).option("basePath", path).json(s"$path/*"),
+      "message", dataSchema))
+
+  private def flatten(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("partition_key"),
+      col("metadata.timestamp").as("event_ts"),
+      col("metadata.`record-type`").as("record_type"),
+      col("metadata.operation").as("operation"),
+      col("metadata.`schema-name`").as("schema_name"),
+      col("metadata.`table-name`").as("table_name"),
+      col("metadata.`transaction-id`").as("transaction_id"),
+      col("data"), col("before_image"))
+
+  /** run.py's consumer checks: drop messages before a threshold and
+    * count per shard (partition key) — the "wait until N messages
+    * arrive on this shard after T" primitive.
+    */
+  def consumeSummary(feed: DataFrame, thresholdTs: String): DataFrame =
+    feed.filter(col("event_ts") >= thresholdTs)
+      .groupBy(col("partition_key"))
+      .agg(count(lit(1)).as("n_messages"),
+        min(col("event_ts")).as("first_ts"),
+        max(col("event_ts")).as("last_ts"))
+}

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to a live
+    * session's registry (`registerFunctions` is private[sql];
+    * `spark.sql.extensions` is a static conf, so the config path
+    * can't be exercised against an already-running test context).
+    */
+  def applyFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(
+      spark.sessionState.functionRegistry.asInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
 }

@@ -111,6 +111,41 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: k per probe, descending, candidates come from probed cells") {
+    val rows = Similarity.topKAnnIvf(embs).collect()
+    val perProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(perProbe.size == Similarity.NumProbes)
+    perProbe.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // exact cosines must agree with the brute-force scores
+    val brute = Similarity.topKBruteForce(embs).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("transformation rules rename tables and reshape columns") {
+    import graft.cdc.{ChangeFeed, TableMapping}
+    val t = TableMapping.Transformations(Seq(
+      TableMapping.RenameTable("users_0", "archive"),
+      TableMapping.RenameColumn("value", "amount"),
+      TableMapping.AddColumn("one", lit(1)),
+      TableMapping.RemoveColumn("props")))
+    val out = t(ChangeFeed.fromEvents(spark, sf))
+    assert(!out.columns.contains("props"))
+    assert(!out.columns.contains("value"))
+    assert(out.columns.contains("amount") && out.columns.contains("one"))
+    val tables = out.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tables.contains("archive") && !tables.contains("users_0"))
+  }
+
   test("text analysis: counts, fingerprints, quality, langid shape") {
     val t = TextAnalysis.tokenCounts(docs, col("text")).collect()
     t.foreach { r =>

@@ -12,11 +12,13 @@ import graft.functions.LongDotProduct
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }
 
 /** Imperative twin for sessions that already exist (tests, REPLs). */

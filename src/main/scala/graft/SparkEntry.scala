@@ -153,6 +153,24 @@ object SparkEntry {
         .orderBy(col("operation"), col("table_name"))
     }),
 
+    // AS-OF join (custom LogicalPlan + Strategy + sort-merge exec,
+    // graft.plans): each event joins the most recent signup-version
+    // of its user at event time — the CDC dimension-enrichment shape.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val versions = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("value").as("rate"))
+      graft.plans.AsOf.join(ev, versions,
+          Seq(ev("user_id")), Seq(versions("r_user_id")),
+          ev("ts"), versions("r_ts"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("r_ts")).as("n_matched"),
+          sum(col("rate").cast("decimal(18,2)")).cast("double").as("sum_rate"),
+          countDistinct(when(col("r_ts").isNotNull, col("user_id"))).as("n_users_matched"))
+    }),
+
     // Transformation rules: table renames re-route the change feed,
     // column add/remove/rename reshape the payload (DMS rule-type
     // "transformation").
@@ -567,6 +585,15 @@ object SparkEntry {
          |  count(DISTINCT txn_id) AS n_txns,
          |  count(CASE WHEN op <> 'insert' THEN bv END) AS n_before
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_asof_join" ->
+      s"""WITH sg AS (SELECT user_id AS r_user_id, ts AS r_ts, value AS rate
+         |  FROM events WHERE event_type = 'signup')
+         |SELECT count(*) AS n, count(r_ts) AS n_matched,
+         |  CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate,
+         |  count(DISTINCT CASE WHEN r_ts IS NOT NULL THEN user_id END) AS n_users_matched
+         |FROM events e ASOF LEFT JOIN sg
+         |  ON e.user_id = sg.r_user_id AND e.ts >= sg.r_ts""".stripMargin,
 
     "cdc_transform_rules" ->
       s"""$C, t AS (SELECT *,

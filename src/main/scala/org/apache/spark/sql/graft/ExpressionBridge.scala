@@ -13,6 +13,15 @@ object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (Dataset.ofRows is
+    * private[sql]).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Apply an extensions object's injected functions to a live
     * session's registry (`registerFunctions` is private[sql];
     * `spark.sql.extensions` is a static conf, so the config path

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -153,6 +154,50 @@ object SparkEntry {
         .orderBy(col("operation"), col("table_name"))
     }),
 
+    // KMV (k-minimum-values) distinct sketch: cardinality estimation
+    // the way a 100 TB pipeline does it — a bounded sketch instead of
+    // an exact distinct — built portably from the 60-bit hash so the
+    // oracle reproduces the estimate bit-for-bit. Output carries the
+    // exact count too, so the result shows the sketch's accuracy.
+    "cdc_distinct_sketch" -> ((s, dir) => {
+      val k = 64
+      val c = ChangeFeed.fromEvents(s, dir)
+      val hashed = c.select(col("table_name"),
+          Portable.pHash(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("table_name")).orderBy(col("h"))
+      val kth = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("table_name"), col("h").as("kth"))
+      val exact = c.groupBy(col("table_name"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(kth, Seq("table_name"), "left")
+        .withColumn("kmv_estimate",
+          round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("kth").cast("double"), 2))
+        .select(col("table_name"), col("exact_distinct"), col("kmv_estimate"))
+        .orderBy(col("table_name"))
+    }),
+
+    // Hot-key (skew) aggregation: two-phase salted aggregate — the
+    // pattern that keeps a single hot partition key from pinning one
+    // reducer at 100 TB. Salt = portable hash of the event id, so the
+    // oracle can replay the exact two-phase plan (decimal partials
+    // make the re-aggregation order-independent).
+    "cdc_salted_stats" -> ((s, dir) => {
+      val nSalts = 8
+      val c = ChangeFeed.fromEvents(s, dir)
+        .withColumn("salt", Portable.pHash(col("event_id").cast("string")) % nSalts)
+      val partial = c.groupBy(col("partition_key"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+      partial.groupBy(col("partition_key"))
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("pv")).cast("double").as("total_value"),
+          count(lit(1)).as("n_salts_used"))
+        .orderBy(col("partition_key"))
+    }),
+
     // AS-OF join (custom LogicalPlan + Strategy + sort-merge exec,
     // graft.plans): each event joins the most recent signup-version
     // of its user at event time — the CDC dimension-enrichment shape.
@@ -298,6 +343,28 @@ object SparkEntry {
           sum(col("n_bytes")).as("total_bytes"),
           countDistinct(col("digest")).as("n_digests"))
         .orderBy(col("kind"))),
+
+    // End-to-end corpus cleaning: the composition a training-data
+    // pipeline actually runs — quality gate + language ID + exact-dup
+    // canonicalization in ONE pass over documents (all three reuse
+    // the same scan; only min/max/count aggregates so doubles stay
+    // order-independent).
+    "corpus_clean" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = TextAnalysis.langId(
+        TextAnalysis.quality(docs, col("text")), col("text"))
+        .withColumn("fp", md5(Portable.normText(col("text"))))
+      val canonical = scored.withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      canonical
+        .filter(col("quality_score") >= 0.5 && col("rn") === 1)
+        .groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("quality_score")).as("min_q"),
+          max(col("quality_score")).as("max_q"))
+        .orderBy(col("source"), col("pred_lang"))
+    }),
 
     // Rows-only (no SQL twin): exercises the stubbed decoder's
     // mapPartitions plumbing end-to-end.
@@ -586,6 +653,31 @@ object SparkEntry {
          |  count(CASE WHEN op <> 'insert' THEN bv END) AS n_before
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "cdc_distinct_sketch" ->
+      s"""$C, h AS (SELECT DISTINCT table_name,
+         |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
+         |r AS (SELECT table_name, h,
+         |    row_number() OVER (PARTITION BY table_name ORDER BY h) AS rn FROM h),
+         |kth AS (SELECT table_name, h AS kth FROM r WHERE rn = 64),
+         |ex AS (SELECT table_name, count(DISTINCT user_id) AS exact_distinct
+         |  FROM c GROUP BY 1)
+         |SELECT ex.table_name, ex.exact_distinct,
+         |  round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(kth.kth AS DOUBLE), 2) AS kmv_estimate
+         |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
+         |ORDER BY ex.table_name""".stripMargin,
+
+    "cdc_salted_stats" ->
+      s"""$C, s AS (SELECT *,
+         |    ${Portable.duckHash("CAST(event_id AS VARCHAR)")} % 8 AS salt FROM c),
+         |p AS (SELECT partition_key, salt, count(*) AS pn,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS pv
+         |  FROM s GROUP BY 1, 2)
+         |SELECT partition_key, CAST(sum(pn) AS BIGINT) AS n_events,
+         |  CAST(sum(pv) AS DOUBLE) AS total_value,
+         |  count(*) AS n_salts_used
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_asof_join" ->
       s"""WITH sg AS (SELECT user_id AS r_user_id, ts AS r_ts, value AS rate
          |  FROM events WHERE event_type = 'signup')
@@ -827,6 +919,33 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "corpus_clean" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len,
+         |  md5($normT) AS fp,
+         |  $scores
+         |FROM documents),
+         |q AS (SELECT *,
+         |  CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    AS quality_score,
+         |  $langPredSql AS pred_lang,
+         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |FROM s)
+         |SELECT source, pred_lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(quality_score) AS min_q, max(quality_score) AS max_q
+         |FROM q WHERE quality_score >= CAST(0.5 AS DOUBLE) AND rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "multimodal_meta" ->
       s"""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -35,6 +35,9 @@ object SparkEntry {
     "q_top_parts_per_brand" -> ((s, dir) => Analytics.qTopPartsPerBrand(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Analytics.qSemiAnti(s, dir)),
     "q_rollup"             -> ((s, dir) => Analytics.qRollup(s, dir)),
+    "q13_custdist"         -> ((s, dir) => Analytics.q13CustDist(s, dir)),
+    "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
+    "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
 
     "cdc_apply_changes" -> ((s, dir) => {
@@ -583,6 +586,33 @@ object SparkEntry {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum(CAST(l_quantity AS $D)) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(CAST(l_quantity AS $D)) > 200)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  CAST(sum_qty AS DOUBLE) AS sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_top_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice, rk FROM (

@@ -67,11 +67,23 @@ object ChangeFeed {
   def applyChanges(
       changes: DataFrame,
       keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame =
+    latestPerKey(changes, keyCols, orderCols)
+      .filter(col("op") =!= "delete")
+
+  /** Latest row per key INCLUDING delete tombstones — the form a
+    * persisted state table needs (a tombstone must survive so a
+    * late-arriving older update can't resurrect the key; readers
+    * filter `op != 'delete'`).
+    */
+  def latestPerKey(
+      changes: DataFrame,
+      keyCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(_.desc): _*)
     changes.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") =!= "delete")
+      .filter(col("_rn") === 1)
       .drop("_rn")
   }
 

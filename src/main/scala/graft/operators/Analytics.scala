@@ -160,6 +160,58 @@ object Analytics {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** TPC-H Q13-style: customer distribution by order count. Left
+    * join so customers with zero orders land in the c_count=0 bucket;
+    * two cheap aggregations (per-customer, then per-count).
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18-style: large-volume orders (lineitem quantity sum over
+    * a threshold), joined back to order + customer, top by price.
+    * The HAVING filter runs on the exact decimal sum pre-join, so the
+    * fact table shrinks before touching dimensions.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4-style: orders with at least one late shipment (shipped
+    * more than 90 days after the order date), counted by priority —
+    * a semi join with a cross-table inequality.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Sessionization over the event stream: a session break is a gap
     * > 30 minutes per user; session ids via cumulative sum of breaks.
     * Single shuffle on user_id, then two windows over the same

@@ -111,6 +111,56 @@ object CdcPipeline {
       col("event_id"), // stream-side txn id: the source event id
       Seq("event_id", "user_id", "value", "props"))
 
+  /** foreachBatch upsert: maintain a parquet state table from the
+    * change stream without any table-format dependency. Each
+    * micro-batch merges into the previous state with latest-wins
+    * semantics (tombstones kept, see ChangeFeed.latestPerKey) and
+    * writes an immutable new version directory — readers always see
+    * a complete consistent version, the classic
+    * write-new-then-repoint layout.
+    *
+    * Scale notes: the merge is one shuffle on the key; state and
+    * batch are both key-partitioned parquet, and versioned dirs give
+    * atomic publication without read-modify-write races.
+    */
+  def foreachBatchUpsert(
+      changes: Dataset[Change],
+      stateDir: String,
+      checkpoint: String): DataStreamWriter[Change] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestVersion(spark, stateDir)
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+        val all = prev match {
+          case Some(p) => p.unionByName(batch.toDF())
+          case None => batch.toDF()
+        }
+        ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
+            Seq(col("ts"), col("event_id")))
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        (): Unit
+      }
+
+  /** The materialized view: latest state version minus tombstones. */
+  def materializedView(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = latestVersion(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"no state versions under $stateDir"))
+    spark.read.parquet(s"$stateDir/v=$v").filter(col("op") =!= "delete")
+  }
+
+  private def latestVersion(spark: SparkSession, stateDir: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted.lastOption
+  }
+
   /** Kinesis-like sink: JSON files partitioned by the schema.table
     * partition key (the exact partition_include_schema_table layout,
     * stack.py:196-211). Consumers tail one partition directory per

@@ -104,6 +104,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert materializes the same state as the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.foreachBatchUpsert(
+      CdcPipeline.annotate(mem.toDF()),
+      s"$dir/state", s"$dir/ckpt").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = CdcPipeline.materializedView(spark, s"$dir/state")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = ChangeFeed.applyChanges(
+        ChangeFeed.annotate((batch1 ++ batch2).toDF()),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // tombstone for user 11 persists in the raw state version
+    val raw = spark.read.parquet(
+      new java.io.File(s"$dir/state").listFiles()
+        .filter(_.getName.startsWith("v="))
+        .maxBy(_.getName.stripPrefix("v=").toLong).getPath)
+    assert(raw.filter(col("op") === "delete").count() == 1)
+  }
+
   test("kinesis-like sink writes JSON partitioned by partition_key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

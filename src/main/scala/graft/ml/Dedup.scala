@@ -168,7 +168,11 @@ object Dedup {
     */
   private def sharedSigs(docs: DataFrame): (DataFrame, DataFrame) = {
     val sh = materialize(shingles(docs).distinct())
-    (sh, materialize(signaturesWithSize(sh)))
+    // sigs persists lazily: every consumer branch derives it from the
+    // already-cached sh with one cheap aggregation, so the races a
+    // lazy persist allows only ever recompute that aggregation — not
+    // the shingle pipeline — and we save an eager job per query
+    (sh, signaturesWithSize(sh).persist())
   }
 
   def minhashPairs(docs: DataFrame): DataFrame = {

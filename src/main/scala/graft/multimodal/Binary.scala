@@ -44,6 +44,10 @@ object Binary {
   case class DecodedDoc(
       doc_id: Long, kind: String, n_bytes: Long, features: Array[Float])
 
+  /** Typed output row of the frame sampler (1→N decode shape). */
+  case class SampledFrame(
+      doc_id: Long, kind: String, frame_idx: Int, frame_off: Long, n_bytes: Long)
+
   val FeatureDim = 4
 
   /** STUB decoder: a real implementation would decode the payload
@@ -68,6 +72,34 @@ object Binary {
           }.toArray
           // ---------------------------------------------------------
           DecodedDoc(docId, kind, payload.length.toLong, feats)
+        }
+      }
+      .toDF()
+  }
+
+  val FramesPerVideo = 3
+
+  /** STUB frame sampler: the 1→N decode shape (a video payload emits
+    * several frame rows, other modalities pass through as one row).
+    * A real implementation would seek/decode; the stub slices the
+    * payload at evenly spaced offsets. The flatMap-per-partition
+    * shape, fan-out row multiplication, and typed schema are what a
+    * production frame sampler drops into.
+    */
+  def frameSampleStub(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, kind, payload) =>
+          val n = if (kind == "video") FramesPerVideo else 1
+          (0 until n).iterator.map { i =>
+            // --- stub: replace with a real seek+decode -------------
+            val off = (payload.length.toLong * i) / n
+            // -------------------------------------------------------
+            SampledFrame(docId, kind, i, off, payload.length.toLong)
+          }
         }
       }
       .toDF()

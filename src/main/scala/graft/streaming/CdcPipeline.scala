@@ -111,6 +111,25 @@ object CdcPipeline {
       col("event_id"), // stream-side txn id: the source event id
       Seq("event_id", "user_id", "value", "props"))
 
+  /** Streaming sessionization: Spark's native session_window merges
+    * per-key events separated by less than `gap` — the streaming twin
+    * of Analytics.eventsSessionize (which computes the same sessions
+    * with lag + cumulative breaks in batch). The watermark closes
+    * sessions once event time passes gap + delay, bounding state.
+    */
+  def sessionizeStream(
+      changes: Dataset[Change],
+      gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    changes.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"),
+        min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("session_value"))
+
   /** foreachBatch upsert: maintain a parquet state table from the
     * change stream without any table-format dependency. Each
     * micro-batch merges into the previous state with latest-wins

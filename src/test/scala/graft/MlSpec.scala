@@ -164,6 +164,19 @@ class MlSpec extends AnyFunSuite {
     fps.foreach(r => assert(r.getAs[String]("fp").length == 32))
   }
 
+  test("frame sampler fans out videos 1-to-N, passes others through") {
+    val out = Binary.frameSampleStub(Binary.withPayload(docs)).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { frames =>
+      val kind = frames.head.getAs[String]("kind")
+      if (kind == "video") {
+        assert(frames.length == Binary.FramesPerVideo)
+        assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq ==
+          (0 until Binary.FramesPerVideo))
+      } else assert(frames.length == 1)
+    }
+  }
+
   test("decode stub emits one typed row per document") {
     val out = Binary.decodeStub(Binary.withPayload(docs)).collect()
     assert(out.length == docs.count())

@@ -135,6 +135,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw.filter(col("op") === "delete").count() == 1)
   }
 
+  test("streaming session_window sessions equal the batch lag-based sessions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // two sessions for user 10 (gap > 30 min between minute 5 and 50)
+    val evs = Seq(
+      RawEvent(1, ts(0), 10, "click", 1.0, "{}"),
+      RawEvent(2, ts(5), 10, "click", 2.0, "{}"),
+      RawEvent(3, ts(50), 10, "click", 3.0, "{}"),
+      RawEvent(4, ts(7), 11, "click", 4.0, "{}"))
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.sessionizeStream(CdcPipeline.annotate(mem.toDF()))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      // advance the watermark far past every session's close, then
+      // one more batch so the closed sessions flush in append mode
+      mem.addData(Seq(RawEvent(98, ts(400), 99, "click", 0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(RawEvent(99, ts(401), 99, "click", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "session_start", "n_events", "session_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+
+    val expected = Set(
+      (10L, ts(0), 2L, 3.0),  // minutes 0+5
+      (10L, ts(50), 1L, 3.0), // minute 50 alone
+      (11L, ts(7), 1L, 4.0))
+    assert(got == expected)
+  }
+
   test("kinesis-like sink writes JSON partitioned by partition_key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

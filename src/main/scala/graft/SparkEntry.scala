@@ -307,6 +307,10 @@ object SparkEntry {
           TextAnalysis.markers.map { case (l, _) => col(s"score_$l") }: _*)
         .orderBy(col("doc_id"))),
 
+    "text_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy(col("fp"))),
@@ -802,6 +806,13 @@ object SparkEntry {
          |SELECT doc_id, lang, $langPredSql AS pred_lang, $outCols
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "text_term_stats" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents)
+         |SELECT tok, count(DISTINCT doc_id) AS doc_freq,
+         |  count(*) AS term_freq
+         |FROM toks GROUP BY 1
+         |ORDER BY doc_freq DESC, term_freq DESC, tok""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,

@@ -67,6 +67,18 @@ object TextAnalysis {
       .select(col("doc_id"), Portable.pHashPair(col("shingle"))._1.as("h1"))
       .groupBy(col("doc_id")).agg(min(col("h1")).as("fp_roll"))
 
+  /** Vocabulary statistics: per token, document frequency (docs
+    * containing it) and total term frequency — the exact integer
+    * core of TF-IDF (the idf log is left to the caller: float logs
+    * aren't reproducible across engines, counts are). One explode +
+    * one aggregation; output cardinality = vocabulary size.
+    */
+  def termStats(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+
   /** Per-language stopword marker sets (classic stopword-list
     * language ID — the fastText-free heuristic). Deterministic
     * alphabetical tie-break on equal scores.

@@ -98,7 +98,12 @@ object Envelope {
       struct(data.as("data"),
         metadata(op, schemaName, tableName, ts, txnId).as("metadata"))
     }
-    df.withColumn("message", to_json(msg))
+    // include_null_and_empty (stack.py:196-211): null columns must
+    // appear in the message as explicit JSON nulls, so the consumer
+    // can distinguish "set to NULL" from "not present" — Spark's
+    // default to_json drops them.
+    df.withColumn("message",
+        to_json(msg, Map("ignoreNullFields" -> "false")))
       .withColumn("partition_key", concat(schemaName, lit("."), tableName))
   }
 

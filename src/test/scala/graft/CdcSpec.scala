@@ -8,6 +8,17 @@ import graft.cdc._
 class CdcSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("envelope includes explicit nulls (include_null_and_empty)") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String], "")).toDF("id", "a", "b")
+    val wrapped = Envelope.wrap(df, lit("update"), lit("graft"), lit("t"),
+      current_timestamp(), col("id"), Seq("id", "a", "b"))
+    val msg = wrapped.select("message").collect()(0).getString(0)
+    // a null column and an empty string both ride in the message
+    assert(msg.contains("\"a\":null"))
+    assert(msg.contains("\"b\":\"\""))
+  }
+
   test("table mapping: include wildcard + exclude exact (DMS a% pattern)") {
     val m = TableMapping.Mapping(Seq(
       TableMapping.SelectionRule("db", "a%"),

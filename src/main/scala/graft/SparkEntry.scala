@@ -39,6 +39,8 @@ object SparkEntry {
     "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
     "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
+    "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
+    "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
 
     "cdc_apply_changes" -> ((s, dir) => {
       val c = ChangeFeed.fromEvents(s, dir)
@@ -310,6 +312,11 @@ object SparkEntry {
     "text_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))),
+
+    "text_topk_terms" -> ((s, dir) =>
+      TextAnalysis.topKTerms(Tables.load(s, dir, "documents"),
+          col("source"), col("text"), 10)
+        .orderBy(col("group_key"), col("rk"))),
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
@@ -660,6 +667,36 @@ object SparkEntry {
          |  min(ts) AS session_start
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "events_funnel" ->
+      """WITH e1 AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1 FROM events),
+        |e2 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2 FROM e1),
+        |e3 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3 FROM e2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM e3 GROUP BY 1)
+        |SELECT count(*) AS n_users, count(t1) AS n_signup,
+        |  count(t2) AS n_click_after, count(t3) AS n_purchase_after
+        |FROM u""".stripMargin,
+
+    "q_window_running" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+         |  CAST(sum(CAST(o_totalprice AS $D)) OVER
+         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+         |  CAST(sum(CAST(o_totalprice AS $D)) OVER w3 AS DOUBLE)
+         |    / CAST(count(*) OVER w3 AS DOUBLE) AS moving_avg_3
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, order_seq""".stripMargin,
+
     "cdc_control_events" ->
       s"""$C, agg AS (
          |  SELECT table_name,
@@ -813,6 +850,16 @@ object SparkEntry {
          |  count(*) AS term_freq
          |FROM toks GROUP BY 1
          |ORDER BY doc_freq DESC, term_freq DESC, tok""".stripMargin,
+
+    "text_topk_terms" ->
+      s"""WITH toks AS (SELECT source AS group_key, unnest($toksT) AS tok
+         |  FROM documents),
+         |tf AS (SELECT group_key, tok, count(*) AS term_freq
+         |  FROM toks GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY group_key
+         |    ORDER BY term_freq DESC, tok) AS BIGINT) AS rk FROM tf)
+         |SELECT group_key, tok, term_freq, rk FROM r
+         |WHERE rk <= 10 ORDER BY group_key, rk""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,

@@ -79,6 +79,29 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("doc_freq"),
         count(lit(1)).as("term_freq"))
 
+  /** Heavy hitters: top-k terms per group (source) by exact term
+    * frequency, deterministic tie-break on the token itself.
+    *
+    * Scale shape: explode → partial-aggregated groupBy(group, tok)
+    * (map-side combine collapses each split's duplicates before the
+    * shuffle) → per-group ranked window over the vocabulary. The
+    * window partitions by the group key, so no global sort; output
+    * cardinality = k × #groups. At 100 TB the exact count is still
+    * the right first choice — vocabulary cardinality, not corpus
+    * size, bounds the shuffle (Zipf keeps it small); a count-min
+    * sketch only wins when even the vocabulary doesn't fit.
+    */
+  def topKTerms(docs: DataFrame, group: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(group.as("group_key"), explode(tokens(text)).as("tok"))
+      .groupBy(col("group_key"), col("tok"))
+      .agg(count(lit(1)).as("term_freq"))
+    val w = Window.partitionBy(col("group_key"))
+      .orderBy(col("term_freq").desc, col("tok"))
+    tf.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-language stopword marker sets (classic stopword-list
     * language ID — the fastText-free heuristic). Deterministic
     * alphabetical tie-break on equal scores.

@@ -233,4 +233,57 @@ object Analytics {
         min(col("ts")).as("session_start"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Ordered-stage funnel over the event stream: per user, first
+    * signup, first click at-or-after that signup, first purchase
+    * at-or-after that click — then corpus-level stage counts.
+    *
+    * The sequential dependency (stage N's threshold is stage N-1's
+    * timestamp) is expressed as three whole-partition window minima
+    * chained over the SAME partitioning, so the plan is one shuffle
+    * on user_id and one sort — not three self-joins. Stage counts
+    * reduce to a single tiny row.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+          col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+          col("ts"))).over(byUser))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+  }
+
+  /** Window-frame running aggregates: per customer, orders in date
+    * order with a sequence number, a running (unbounded-preceding)
+    * spend total, and a 3-row moving average. One shuffle on
+    * o_custkey; all three windows share the partitioning + sort, so
+    * Spark plans a single Window node. Decimal running sums keep the
+    * doubles engine-identical; the moving average divides two exact
+    * quantities in double at the end.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).cast("long").as("order_seq"),
+        sum(dec(col("o_totalprice"))).over(run).cast("double").as("running_spend"),
+        (sum(dec(col("o_totalprice"))).over(w3).cast("double") /
+          count(lit(1)).over(w3).cast("double")).as("moving_avg_3"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
 }

@@ -82,4 +82,22 @@ class AnalyticsSpec extends AnyFunSuite {
     val total = Tables.load(spark, sf, "events").count()
     assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val r = SparkEntry.queries("events_funnel")(spark, sf).collect().head
+    val (u, s, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_signup"),
+      r.getAs[Long]("n_click_after"), r.getAs[Long]("n_purchase_after"))
+    assert(u >= s && s >= c && c >= p && s > 0)
+  }
+
+  test("window running: per-customer running spend is non-decreasing") {
+    val rows = SparkEntry.queries("q_window_running")(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "orders").count())
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("order_seq"))
+      assert(sorted.map(_.getAs[Long]("order_seq")).sameElements(1L to g.length))
+      val run = sorted.map(_.getAs[Double]("running_spend"))
+      assert(run.zip(run.tail).forall { case (a, b) => b >= a })
+    }
+  }
 }

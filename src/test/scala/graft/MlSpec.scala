@@ -177,6 +177,17 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("topk terms: at most k per group, contiguous ranks, freq non-increasing") {
+    val rows = SparkEntry.queries("text_topk_terms")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("group_key")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length <= 10)
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to sorted.length))
+      val fs = sorted.map(_.getAs[Long]("term_freq"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
   test("decode stub emits one typed row per document") {
     val out = Binary.decodeStub(Binary.withPayload(docs)).collect()
     assert(out.length == docs.count())

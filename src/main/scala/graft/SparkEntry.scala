@@ -41,6 +41,8 @@ object SparkEntry {
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
+    "q_pivot"              -> ((s, dir) => Analytics.qPivot(s, dir)),
+    "q_median_price"       -> ((s, dir) => Analytics.qMedianPrice(s, dir)),
 
     "cdc_apply_changes" -> ((s, dir) => {
       val c = ChangeFeed.fromEvents(s, dir)
@@ -696,6 +698,26 @@ object SparkEntry {
          |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_pivot" -> {
+      val cols = Analytics.OrderPriorities.map(p =>
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+        .mkString(",\n  ")
+      s"""SELECT o_orderstatus,
+         |  $cols
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_median_price" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, max(n) AS n_orders,
+        |  (min(o_totalprice) + max(o_totalprice)) / CAST(2 AS DOUBLE) AS median_price
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_control_events" ->
       s"""$C, agg AS (

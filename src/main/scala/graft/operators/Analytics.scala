@@ -265,6 +265,49 @@ object Analytics {
         count(col("t3")).as("n_purchase_after"))
   }
 
+  /** Pivot: order counts per (status × priority) as a wide matrix —
+    * the `groupBy().pivot()` reshape surface. Pivot values are
+    * declared explicitly, so the plan is a single pass with map-side
+    * partial conditional aggregates (no extra distinct-values job,
+    * which at 100 TB would be a full scan before the real one).
+    */
+  val OrderPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"), OrderPriorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, OrderPriorities)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Exact per-group median: deterministic middle-row selection via a
+    * ranked window (rows (n+1)/2 and (n+2)/2 in (price, key) order),
+    * median = midpoint of the two (equal for odd n). No interpolation
+    * ambiguity, so engines agree bitwise. One shuffle on the group
+    * key; the window never crosses groups.
+    */
+  def qMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val n = Window.partitionBy(col("o_orderpriority"))
+    ord.select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(n).as("n"))
+      // Spark's `/` on longs is double division; cast back to long so
+      // both middle rows are selected for even n (matches DuckDB `//`)
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long") ||
+        col("rn") === ((col("n") + 2) / 2).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_orders"),
+        ((min(col("o_totalprice")) + max(col("o_totalprice"))) / lit(2.0))
+          .as("median_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

@@ -90,6 +90,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(u >= s && s >= c && c >= p && s > 0)
   }
 
+  test("pivot: per-status priority counts sum to orders total") {
+    val rows = SparkEntry.queries("q_pivot")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    val sum = rows.map(r =>
+      graft.operators.Analytics.OrderPriorities.map(r.getAs[Long]).sum).sum
+    assert(sum == total)
+  }
+
+  test("median price sits within each group's min/max") {
+    val ord = Tables.load(spark, sf, "orders")
+    import org.apache.spark.sql.functions.{max, min}
+    val bounds = ord.groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("q_median_price")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("o_orderpriority"))
+      val m = r.getAs[Double]("median_price")
+      assert(m >= lo && m <= hi)
+    }
+  }
+
   test("window running: per-customer running spend is non-decreasing") {
     val rows = SparkEntry.queries("q_window_running")(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "orders").count())

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
     "q_pivot"              -> ((s, dir) => Analytics.qPivot(s, dir)),
     "q_median_price"       -> ((s, dir) => Analytics.qMedianPrice(s, dir)),
+    "events_retention"     -> ((s, dir) => Analytics.eventsRetention(s, dir)),
 
     "cdc_apply_changes" -> ((s, dir) => {
       val c = ChangeFeed.fromEvents(s, dir)
@@ -698,6 +699,16 @@ object SparkEntry {
          |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "events_retention" ->
+      """WITH t AS (SELECT user_id, ts,
+        |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day
+        |  FROM events)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) // 7 AS BIGINT)
+        |    AS offset_w,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pivot" -> {
       val cols = Analytics.OrderPriorities.map(p =>

@@ -265,6 +265,25 @@ object Analytics {
         count(col("t3")).as("n_purchase_after"))
   }
 
+  /** Cohort retention: users grouped by first-seen day, then distinct
+    * active users per whole-week offset from that day. The cohort
+    * anchor is a whole-partition window minimum — ONE shuffle on
+    * user_id, no self-join — and the final aggregate is tiny
+    * (#cohorts × #offsets). Offsets are exact integer day arithmetic
+    * floor-divided by 7, so engines agree without week-truncation
+    * convention mismatches.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+    ev.withColumn("cohort_day", to_date(min(col("ts")).over(byUser)))
+      .withColumn("offset_w",
+        (datediff(to_date(col("ts")), col("cohort_day")) / 7).cast("long"))
+      .groupBy(col("cohort_day"), col("offset_w"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_w"))
+  }
+
   /** Pivot: order counts per (status × priority) as a wide matrix —
     * the `groupBy().pivot()` reshape surface. Pivot values are
     * declared explicitly, so the plan is a single pass with map-side

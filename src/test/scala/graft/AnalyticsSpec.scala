@@ -90,6 +90,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(u >= s && s >= c && c >= p && s > 0)
   }
 
+  test("retention: week-0 actives equal each cohort's size") {
+    val rows = SparkEntry.queries("events_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("offset_w") >= 0))
+    val week0 = rows.filter(_.getAs[Long]("offset_w") == 0)
+      .map(_.getAs[Long]("n_active")).sum
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(week0 == users)
+  }
+
   test("pivot: per-status priority counts sum to orders total") {
     val rows = SparkEntry.queries("q_pivot")(spark, sf).collect()
     val total = Tables.load(spark, sf, "orders").count()

@@ -333,6 +333,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Tables.load(s, dir, "documents"))
+        .orderBy(col("cluster_id"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -930,6 +934,23 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = i.d1
          |JOIN sizes sb ON sb.doc_id = i.d2
          |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_clusters" -> {
+      val rounds = (1 to Dedup.ClusterRounds).map { r =>
+        s"lab$r AS (SELECT l.v AS v, least(l.label, min(n.label)) AS label\n" +
+          s"  FROM lab${r - 1} l\n" +
+          s"  JOIN edges e ON e.src = l.v\n" +
+          s"  JOIN lab${r - 1} n ON n.v = e.dst\n" +
+          s"  GROUP BY l.v, l.label)"
+      }.mkString(",\n")
+      s"""WITH $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM cand),
+         |lab0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+         |$rounds
+         |SELECT label AS cluster_id, count(*) AS n_docs, max(v) AS max_doc_id
+         |FROM lab${Dedup.ClusterRounds} GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val sums = (0 until Dedup.SimHashBits)

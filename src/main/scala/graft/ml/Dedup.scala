@@ -219,6 +219,64 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Synchronous min-label propagation rounds for `clusters` —
+    * fixed (not run-to-convergence) so the DuckDB oracle can replay
+    * the exact same computation as chained CTEs. After r rounds a
+    * vertex's label is the minimum doc id in its r-hop ball; dup
+    * components are near-cliques (every band bucket is a clique), so
+    * 4 rounds is past their diameter, and if a pathological chain is
+    * longer, both engines split it the same way.
+    */
+  val ClusterRounds = 4
+
+  /** Duplicate clusters: connected components over the LSH candidate
+    * graph — the step that turns verified pairs into the keep/drop
+    * decision a dedup pipeline actually ships.
+    *
+    * Scale shape: each round is one equi-join on the edge list + one
+    * min-aggregate — the standard distributed CC loop, fixed depth so
+    * the plan (and the oracle) is static. The edge list is the LSH
+    * candidate set (already near-linear), labels are one row per
+    * candidate doc, and both are materialized once. At a 100 TB
+    * corpus you'd swap the fixed rounds for alternating
+    * star-contraction with convergence checks; the per-round
+    * join+agg shape is identical.
+    */
+  def clusters(docs: DataFrame): DataFrame = {
+    val (_, sigs) = sharedSigs(docs)
+    val cands = materialize(candidatePairs(bandBuckets(sigs)))
+    val edges = materialize(
+      cands.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .union(cands.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    (1 to ClusterRounds).foreach { _ =>
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("min_nbr"))
+        .withColumnRenamed("src", "v")
+      // every vertex has >= 1 edge (it came from a pair), so the
+      // USING join keeps all vertices. By-name join, NOT a Column
+      // condition: nbrMin derives from labels, so labels("v") ===
+      // nbrMin("src") carries the same attribute ids on both sides
+      // and relation-dedup resolves it to the wrong side (rows
+      // silently vanish each round).
+      //
+      // localCheckpoint (not persist): each round references `labels`
+      // twice, so the LOGICAL plan doubles per round — by round 4
+      // Catalyst re-analyzes ~2^4 copies of the whole upstream
+      // pipeline per job (tens of seconds of driver time at any data
+      // size). Checkpointing truncates the plan to the computed
+      // result — the standard iterative-algorithm pattern (on a
+      // cluster, reliable checkpoint() for fault tolerance).
+      labels = labels.join(nbrMin, Seq("v"))
+        .select(col("v"), least(col("label"), col("min_nbr")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc_id"))
+  }
+
   // --- SimHash ----------------------------------------------------
 
   val SimHashBits = 16

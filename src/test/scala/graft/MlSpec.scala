@@ -177,6 +177,18 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("clusters: partition the candidate-graph vertices, labels are member minima") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+    val vertices = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+    assert(clusters.map(_.getAs[Long]("n_docs")).sum == vertices.size)
+    clusters.foreach { c =>
+      assert(vertices.contains(c.getAs[Long]("cluster_id")))
+      assert(c.getAs[Long]("cluster_id") <= c.getAs[Long]("max_doc_id"))
+    }
+  }
+
   test("topk terms: at most k per group, contiguous ranks, freq non-increasing") {
     val rows = SparkEntry.queries("text_topk_terms")(spark, sf).collect()
     rows.groupBy(_.getAs[String]("group_key")).values.foreach { g =>

@@ -2,12 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the SF dir from
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. A warm-up pass (one
-  * tiny query touching parquet + a shuffle) runs before any timing so
-  * JVM/Spark session warm-up isn't attributed to whichever query
-  * happens to run first.
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Protocol (order-independent by construction):
+  *  - A warm-up pass (one tiny query touching parquet + a shuffle)
+  *    runs before any timing so session/codegen warm-up isn't
+  *    attributed to whichever query happens to run first.
+  *  - Before EVERY timed run, all caches are dropped
+  *    (CacheScope.releaseAll + catalog.clearCache), so no query ever
+  *    benefits from a sibling's cached intermediate — per-query
+  *    numbers do not depend on execution order.
+  *  - Each query runs `Reps` times cold-cache; the headline number is
+  *    the minimum (first rep additionally pays one-off JIT/codegen
+  *    for that plan shape; the min is the reproducible steady-state
+  *    cold-cache cost). All rep times are published under "runs".
   */
 object Bench {
+  val Reps = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,18 +34,28 @@ object Bench {
     // warm-up: session, codegen, parquet reader, one shuffle
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // settle GC debt from the previous query so its collection
-      // cost isn't attributed to this one's wall time
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to Reps).map { _ =>
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+        // settle GC debt from the previous run so its collection
+        // cost isn't attributed to this one's wall time
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
+    CacheScope.releaseAll()
+    val results = runs.map { case (k, ts) => k -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detail = runs.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$detail,"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

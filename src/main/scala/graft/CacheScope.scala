@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry of relations persisted while building a query, so the
+  * harness (Bench / Verify / a user session) can release them once
+  * the query's result has been consumed.
+  *
+  * Why: several operators persist a multi-consumer intermediate (the
+  * MLlib handle-persistence pattern). Left unreleased, a long-lived
+  * session accumulates every intermediate ever cached, and per-query
+  * cost depends on which sibling ran first — benchmarks become
+  * order-dependent and memory grows without bound. Operators register
+  * each persisted handle here; callers invoke `releaseAll()` at query
+  * end (after the result is materialized — unpersisting earlier would
+  * force recomputation of the branches still in flight).
+  */
+object CacheScope {
+
+  private val active = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Register a persisted dataset for later release; returns it. */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    active += ds
+    ds
+  }
+
+  /** Unpersist (non-blocking) everything registered since the last
+    * release. Safe to call when nothing is registered.
+    */
+  def releaseAll(): Unit = synchronized {
+    active.foreach { ds =>
+      try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    active.clear()
+  }
+
+  /** Number of currently registered (unreleased) handles. */
+  def activeCount: Int = synchronized(active.size)
+}

@@ -388,9 +388,14 @@ object SparkEntry {
     }),
 
     // Rows-only (no SQL twin): exercises the stubbed decoder's
-    // mapPartitions plumbing end-to-end.
+    // mapPartitions plumbing end-to-end. The feature vector is
+    // projected to one scalar column per dimension so the harness's
+    // row sort never sees an array-typed column.
     "multimodal_decode" -> ((s, dir) =>
       Binary.decodeStub(Binary.withPayload(Tables.load(s, dir, "documents")))
+        .select(col("doc_id") +: col("kind") +: col("n_bytes") +:
+          (0 until Binary.FeatureDim)
+            .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("doc_id"))),
   )
 
@@ -935,22 +940,21 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = i.d2
          |ORDER BY 1, 2""".stripMargin,
 
-    "dedup_clusters" -> {
-      val rounds = (1 to Dedup.ClusterRounds).map { r =>
-        s"lab$r AS (SELECT l.v AS v, least(l.label, min(n.label)) AS label\n" +
-          s"  FROM lab${r - 1} l\n" +
-          s"  JOIN edges e ON e.src = l.v\n" +
-          s"  JOIN lab${r - 1} n ON n.v = e.dst\n" +
-          s"  GROUP BY l.v, l.label)"
-      }.mkString(",\n")
-      s"""WITH $minhashCtes,
+    // TRUE connected components on both sides: Spark runs min-label
+    // propagation + pointer jumping to convergence; DuckDB enumerates
+    // reachability with a recursive CTE and takes the per-vertex min.
+    // Both are exact, so the match is independent of iteration order.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
          |edges AS (SELECT d1 AS src, d2 AS dst FROM cand
          |  UNION ALL SELECT d2 AS src, d1 AS dst FROM cand),
-         |lab0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
-         |$rounds
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v)
          |SELECT label AS cluster_id, count(*) AS n_docs, max(v) AS max_doc_id
-         |FROM lab${Dedup.ClusterRounds} GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" -> {
       val sums = (0 until Dedup.SimHashBits)

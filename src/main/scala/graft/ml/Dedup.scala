@@ -153,35 +153,38 @@ object Dedup {
     * by several branches of one job is recomputed per branch (the
     * partitions race into the cache), so multi-consumer intermediates
     * are counted once up front — the MLlib handle-persistence
-    * pattern. The relations are one small row per doc/vector.
+    * pattern. The relations are one small row per doc/vector. Every
+    * handle is registered with [[graft.CacheScope]] so the caller can
+    * release it once the query result has been consumed.
     */
   private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = graft.CacheScope.register(df.persist())
     p.count()
     p
   }
 
-  /** The shared signature relation: raw shingles and the combined
-    * signature/set-size aggregate, both materialized with plans
-    * IDENTICAL across minhashPairs / ngramJaccardPairs so the second
-    * operator to run in a session reuses the first one's cache.
+  /** Distinct shingles + signature/set-size aggregate for the
+    * operators that need exact set semantics (n-gram Jaccard).
     */
-  private def sharedSigs(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def distinctSigs(docs: DataFrame): (DataFrame, DataFrame) = {
     val sh = materialize(shingles(docs).distinct())
     // sigs persists lazily: every consumer branch derives it from the
     // already-cached sh with one cheap aggregation, so the races a
     // lazy persist allows only ever recompute that aggregation — not
     // the shingle pipeline — and we save an eager job per query
-    (sh, signaturesWithSize(sh).persist())
+    (sh, graft.CacheScope.register(signaturesWithSize(sh).persist()))
   }
 
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val (_, sigs) = sharedSigs(docs)
+    // min-over-shingles is duplicate-insensitive, so the signatures
+    // skip the distinct() shuffle the set-semantics operators pay;
+    // minhashPairs does not output set sizes
+    val sigs = materialize(minhashSignatures(shingles(docs)))
     val cands = candidatePairs(bandBuckets(sigs))
     val sa = sigs.toDF(
-      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i") :+ "sza": _*)
+      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i"): _*)
     val sb = sigs.toDF(
-      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i") :+ "szb": _*)
+      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i"): _*)
     val matches = (0 until NumHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -198,7 +201,7 @@ object Dedup {
     * only for candidate docs.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val (sh, sigs) = sharedSigs(docs)
+    val (sh, sigs) = distinctSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
     // every LSH candidate shares a band ⇒ shares its argmin shingle,
     // so the intersection is never empty and an inner join is exact;
@@ -219,61 +222,99 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
-  /** Synchronous min-label propagation rounds for `clusters` —
-    * fixed (not run-to-convergence) so the DuckDB oracle can replay
-    * the exact same computation as chained CTEs. After r rounds a
-    * vertex's label is the minimum doc id in its r-hop ball; dup
-    * components are near-cliques (every band bucket is a clique), so
-    * 4 rounds is past their diameter, and if a pathological chain is
-    * longer, both engines split it the same way.
+  /** Safety bound on label-propagation rounds. With pointer jumping
+    * the hop radius covered doubles per round, so 24 rounds covers
+    * components of diameter ~2^23 — far past any real dup graph; the
+    * bound only exists so a bug cannot loop forever.
     */
-  val ClusterRounds = 4
+  val MaxClusterRounds = 24
+
+  /** TRUE connected-component labels over a symmetric edge list:
+    * run-to-convergence min-label propagation accelerated with
+    * pointer jumping, both folded into ONE join per round. The round
+    * augments the graph with the current label pointers in both
+    * directions,
+    *
+    *   aug = edges ∪ {(v, label(v))} ∪ {(label(v), v)}
+    *   label'(v) = min over aug-neighbors u of label(u)
+    *
+    * so v picks up label(label(v)) (hop doubling — plain propagation
+    * needs diameter rounds; dup graphs chain through shared
+    * boilerplate and can have long paths) and label roots push their
+    * value down the reverse pointers. label(m) ≤ m always, so the
+    * jump term also dominates v's own label and the relation stays
+    * total. Convergence is O(log diameter) rounds; the loop stops
+    * when the label sum — strictly decreasing while any label moves —
+    * is unchanged. At the fixed point labels are equal across every
+    * edge and constant per component, with the component minimum as
+    * the value — exact connected components, not an r-hop
+    * approximation.
+    *
+    * Scale shape per round: one shuffle (join aug⋈labels on the
+    * vertex id) + a map-side-partial min aggregate + one small sum
+    * action; the label relation is one row per candidate doc. Each
+    * round checkpoints via ExpressionBridge.checkpointTruncated: the
+    * logical plan must be truncated (the body references `labels`
+    * three times, so an unchecked plan grows 3^r) AND the inherited
+    * size estimates must be dropped (localCheckpoint alone carries
+    * them over, and the per-round products grow to million-digit
+    * BigInts that stall the planner); on a real cluster use reliable
+    * checkpoint() for lineage fault tolerance.
+    */
+  def clusterLabels(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    // seed with the 1-hop minimum directly (saves one full round)
+    var labels = checkpointTruncated(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("v"), least(col("m"), col("src")).as("label")))
+    // exact, overflow-proof convergence metric (sum of i64 labels can
+    // exceed i64 at corpus scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxClusterRounds) {
+      round += 1
+      // By-name USING joins after renaming, NOT Column conditions:
+      // derived frames carry the parent's attribute ids, and a
+      // same-id condition resolves to the wrong side (rows silently
+      // vanish).
+      val pointers = labels.select(col("v").as("src"), col("label").as("dst"))
+      val aug = edges
+        .union(pointers)
+        .union(pointers.select(col("dst").as("src"), col("src").as("dst")))
+      val step = checkpointTruncated(
+        aug.join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("v")).agg(min(col("nl")).as("label")))
+      val s = labelSum(step)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = step
+    }
+    labels
+  }
 
   /** Duplicate clusters: connected components over the LSH candidate
     * graph — the step that turns verified pairs into the keep/drop
-    * decision a dedup pipeline actually ships.
-    *
-    * Scale shape: each round is one equi-join on the edge list + one
-    * min-aggregate — the standard distributed CC loop, fixed depth so
-    * the plan (and the oracle) is static. The edge list is the LSH
-    * candidate set (already near-linear), labels are one row per
-    * candidate doc, and both are materialized once. At a 100 TB
-    * corpus you'd swap the fixed rounds for alternating
-    * star-contraction with convergence checks; the per-round
-    * join+agg shape is identical.
+    * decision a dedup pipeline actually ships. Exact (run to
+    * convergence, see [[clusterLabels]]); the DuckDB oracle computes
+    * the same components via recursive reachability, so the match is
+    * independent of either engine's iteration order.
     */
   def clusters(docs: DataFrame): DataFrame = {
-    val (_, sigs) = sharedSigs(docs)
+    // persisted: the candidate self-join consumes bandBuckets twice,
+    // which would otherwise run the shingle pipeline twice
+    val sigs = materialize(minhashSignatures(shingles(docs)))
     val cands = materialize(candidatePairs(bandBuckets(sigs)))
-    val edges = materialize(
+    // symmetric edge view over the cached pairs — two cheap scans,
+    // not worth a second persist
+    val edges =
       cands.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-        .union(cands.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))))
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-    (1 to ClusterRounds).foreach { _ =>
-      val nbrMin = edges
-        .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("min_nbr"))
-        .withColumnRenamed("src", "v")
-      // every vertex has >= 1 edge (it came from a pair), so the
-      // USING join keeps all vertices. By-name join, NOT a Column
-      // condition: nbrMin derives from labels, so labels("v") ===
-      // nbrMin("src") carries the same attribute ids on both sides
-      // and relation-dedup resolves it to the wrong side (rows
-      // silently vanish each round).
-      //
-      // localCheckpoint (not persist): each round references `labels`
-      // twice, so the LOGICAL plan doubles per round — by round 4
-      // Catalyst re-analyzes ~2^4 copies of the whole upstream
-      // pipeline per job (tens of seconds of driver time at any data
-      // size). Checkpointing truncates the plan to the computed
-      // result — the standard iterative-algorithm pattern (on a
-      // cluster, reliable checkpoint() for fault tolerance).
-      labels = labels.join(nbrMin, Seq("v"))
-        .select(col("v"), least(col("label"), col("min_nbr")).as("label"))
-        .localCheckpoint()
-    }
-    labels.groupBy(col("label").as("cluster_id"))
+        .union(cands.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    clusterLabels(edges)
+      .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc_id"))
   }
 

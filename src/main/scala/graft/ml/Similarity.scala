@@ -21,10 +21,12 @@ object Similarity {
   val NumProbes = 8
 
   /** Persist and materialize a multi-consumer intermediate (see
-    * Dedup.materialize — avoids per-branch recompute races).
+    * Dedup.materialize — avoids per-branch recompute races). The
+    * handle registers with [[graft.CacheScope]] so callers release it
+    * once the query result is consumed.
     */
   private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = graft.CacheScope.register(df.persist())
     p.count()
     p
   }

@@ -22,6 +22,32 @@ object ExpressionBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** localCheckpoint with statistics truncation, for iterative
+    * DataFrame loops (label propagation, fixed-point joins).
+    *
+    * `Dataset.localCheckpoint` truncates the LOGICAL plan but carries
+    * the optimized plan's estimated `Statistics` onto the resulting
+    * `LogicalRDD`. In a loop whose body joins the previous iteration
+    * with itself, the estimated `sizeInBytes` is therefore a PRODUCT
+    * of the previous round's estimates — the number's digit count
+    * grows geometrically (×3 per round for a 3-reference body), and
+    * after ~15 rounds the driver spends minutes multiplying
+    * million-digit BigInts during planning. Rebuilding the
+    * `LogicalRDD` without the inherited stats resets the estimate to
+    * the session default each round; AQE re-plans from actual runtime
+    * sizes anyway, and partitioning/ordering are preserved.
+    */
+  def checkpointTruncated(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val chk = df.localCheckpoint()
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    chk.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = chk.sparkSession
+        org.apache.spark.sql.classic.Dataset.ofRows(session, lr.copy()(session, None, None))
+      case _ => chk
+    }
+  }
+
   /** Apply an extensions object's injected functions to a live
     * session's registry (`registerFunctions` is private[sql];
     * `spark.sql.extensions` is a static conf, so the config path

@@ -189,6 +189,38 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterLabels computes EXACT connected components (union-find ground truth)") {
+    import spark.implicits._
+    val cands = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select(col("doc_id_a"), col("doc_id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find over the same candidate graph (test-only;
+    // the operator under test never collects)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cands.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = parent.keys.map(v => v -> find(v)).toSeq
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val edges = cands.toSeq.toDF("src", "dst")
+      .union(cands.toSeq.map(_.swap).toDF("src", "dst"))
+    val labels = Dedup.clusterLabels(edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(got == expected)
+    // and the labels are a fixed point: one more propagation round
+    // changes nothing (guards against any fixed-depth approximation)
+    val nbrMin = edges
+      .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
+      .groupBy(col("src")).agg(min(col("nl")).as("min_nbr"))
+      .withColumnRenamed("src", "v")
+    val improved = labels.join(nbrMin, Seq("v"))
+      .filter(col("min_nbr") < col("label")).count()
+    assert(improved == 0L)
+  }
+
   test("topk terms: at most k per group, contiguous ranks, freq non-increasing") {
     val rows = SparkEntry.queries("text_topk_terms")(spark, sf).collect()
     rows.groupBy(_.getAs[String]("group_key")).values.foreach { g =>

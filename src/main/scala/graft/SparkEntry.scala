@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.cdc.{ChangeFeed, Envelope, FullLoad, SchemaEvolution, TableMapping, TableStatistics, TypePalette}
+import graft.cdc.{ChangeFeed, Envelope, Exceptions, FullLoad, SchemaEvolution, TableMapping, TableStatistics, TypePalette}
 import graft.functions.Portable
 import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
 import graft.multimodal.Binary
@@ -284,6 +284,53 @@ object SparkEntry {
         count(when(col("data.dec") === col("dec"), 1)).as("n_dec_ok"))
     }),
 
+    // ADD COLUMN ... DEFAULT drift (lib/query.py:65): pre-ALTER
+    // messages lack the column entirely and must surface the declared
+    // default; post-ALTER messages keep their explicit value —
+    // including explicit null. Event-id parity splits the feed into a
+    // pre-ALTER half (wrapped without is_stock) and a post-ALTER half
+    // (wrapped with it, null when user_id % 3 == 0).
+    "cdc_drifted_defaults" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val pre = Envelope.wrap(c.filter(col("event_id") % 2 === 0),
+        col("op"), col("schema_name"), col("table_name"), col("ts"),
+        col("event_id"), Seq("event_id", "user_id", "value"))
+      val post = Envelope.wrap(
+        c.filter(col("event_id") % 2 === 1)
+          .withColumn("is_stock",
+            when(col("user_id") % 3 === 0, lit(null).cast("boolean"))
+              .otherwise(col("user_id") % 2 === 0)),
+        col("op"), col("schema_name"), col("table_name"), col("ts"),
+        col("event_id"), Seq("event_id", "user_id", "value", "is_stock"))
+      val msgs = pre.select("message").unionByName(post.select("message"))
+      val evolved = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("is_stock", BooleanType)))
+      SchemaEvolution.parseDrifted(msgs, "message", evolved,
+          Map("is_stock" -> lit(true)))
+        .groupBy(col("metadata.`table-name`").as("table_name"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("data.is_stock") === true, 1)).as("n_true"),
+          count(when(col("data.is_stock") === false, 1)).as("n_false"),
+          count(when(col("data.is_stock").isNull, 1)).as("n_null"))
+        .orderBy(col("table_name"))
+    }),
+
+    // Dead-letter channel (apply_dms_exception, run.py:296-297):
+    // change events failing apply-time validation are routed to an
+    // exception envelope; the summary is the exception table a task
+    // operator would page on.
+    "cdc_exceptions" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      Exceptions.exceptions(c, exceptionDemoRules,
+          Seq("event_id", "user_id", "value", "props"))
+        .groupBy(col("table_name"), col("rule"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("table_name"), col("rule"))
+    }),
+
     // --- §2C LLM-data-pipeline operators --------------------------
 
     "text_tokens" -> ((s, dir) =>
@@ -408,6 +455,18 @@ object SparkEntry {
 
   /** Consumer demo threshold (events span 2024-01-01..01-30). */
   private val consumeThreshold = "2024-01-15T00:00:00.000000Z"
+
+  /** Apply-time validation rules for the exception-channel demo:
+    * a key-integrity rule (never fires on clean testdata — the
+    * mechanism must exist for it), a domain rule, and a payload rule
+    * parsing the props JSON number without engine-specific JSON
+    * functions so the oracle replays it exactly.
+    */
+  private val exceptionDemoRules = Seq(
+    Exceptions.Rule("null_key", col("user_id").isNull),
+    Exceptions.Rule("value_out_of_range", col("value") < 1.0),
+    Exceptions.Rule("props_k_out_of_domain",
+      regexp_extract(col("props"), "[0-9]+", 0).cast("long") > 90))
 
   private val fullLoadDemoRules = Seq(
     TableMapping.SelectionRule("graft", "p%"),
@@ -562,6 +621,35 @@ object SparkEntry {
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin,
+
+    // The oracle needs no envelope round trip: the default rule is
+    // "even event_id (pre-ALTER) → TRUE; odd → null when user_id%3==0
+    // else user_id%2==0", computed straight from the change feed.
+    "cdc_drifted_defaults" ->
+      s"""$C
+         |SELECT table_name, count(*) AS n,
+         |  count(*) FILTER (WHERE event_id % 2 = 0
+         |    OR (user_id % 3 <> 0 AND user_id % 2 = 0)) AS n_true,
+         |  count(*) FILTER (WHERE event_id % 2 = 1
+         |    AND user_id % 3 <> 0 AND user_id % 2 = 1) AS n_false,
+         |  count(*) FILTER (WHERE event_id % 2 = 1
+         |    AND user_id % 3 = 0) AS n_null
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_exceptions" ->
+      s"""$C,
+         |viol AS (
+         |  SELECT table_name, 'null_key' AS rule, event_id FROM c
+         |    WHERE user_id IS NULL
+         |  UNION ALL
+         |  SELECT table_name, 'value_out_of_range' AS rule, event_id FROM c
+         |    WHERE value < 1.0
+         |  UNION ALL
+         |  SELECT table_name, 'props_k_out_of_domain' AS rule, event_id FROM c
+         |    WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 90)
+         |SELECT table_name, rule, count(*) AS n,
+         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+         |FROM viol GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -58,11 +58,15 @@ object FullLoad {
     val selected = mapping.selectTables(catalog).map(_._2)
     if (selected.isEmpty) return controlRows(spark, Nil)
     val controls = controlRows(spark, selected)
+    // ONE aggregate over a union of zero-column tagged scans (not an
+    // aggregate per table): plan analysis stays flat in catalog size,
+    // and a parquet scan projecting no data columns materializes rows
+    // from row-group counts — footer-speed, no column I/O.
     val loads = selected.map { t =>
-      Tables.load(spark, dir, t)
-        .agg(count(lit(1)).as("n_records"))
-        .select(lit(t).as("table_name"), lit("load").as("op"), col("n_records"))
+      Tables.load(spark, dir, t).select(lit(t).as("table_name"))
     }.reduce(_ union _)
+      .groupBy(col("table_name")).agg(count(lit(1)).as("n_records"))
+      .select(col("table_name"), lit("load").as("op"), col("n_records"))
     controls.unionByName(loads)
       .orderBy(col("table_name"), col("op"))
   }

@@ -49,6 +49,36 @@ object SchemaEvolution {
   def parseDrifted(df: DataFrame, messageCol: String, evolved: StructType): DataFrame =
     Envelope.parse(df, messageCol, evolved)
 
+  /** Parse with declared column DEFAULTs (the reference's third ALTER
+    * is `ADD COLUMN is_stock BOOLEAN DEFAULT TRUE`, lib/query.py:65):
+    * a message written BEFORE the ALTER does not carry the column at
+    * all, and the source table says its value is the declared default
+    * — surfacing null there silently corrupts any consumer
+    * materializing state across the ALTER boundary.
+    *
+    * Key-absence (not value-null) decides: graft envelopes are
+    * written with include_null_and_empty semantics (explicit JSON
+    * nulls, Envelope.wrap), so a message whose text lacks the
+    * `"name":` key predates the column and takes the default, while a
+    * post-ALTER message carrying an explicit null keeps null. The
+    * presence probe is a substring test on the raw message — cheap,
+    * codegen'd, and exact for envelope-produced JSON (keys are always
+    * serialized).
+    */
+  def parseDrifted(
+      df: DataFrame,
+      messageCol: String,
+      evolved: StructType,
+      defaults: Map[String, Column]): DataFrame = {
+    val parsed = Envelope.parse(df, messageCol, evolved)
+    defaults.foldLeft(parsed) { case (acc, (name, default)) =>
+      val present = col(messageCol).contains(s""""$name":""")
+      acc.withColumn("data",
+        col("data").withField(name,
+          when(present, col("data").getField(name)).otherwise(default)))
+    }
+  }
+
   /** Apply the reference's three ALTERs to a Spark schema (the
     * engine-side mirror of lib/query.py:59-66).
     */

@@ -95,4 +95,31 @@ class CdcSpec extends AnyFunSuite {
         r.getAs[Long]("deletes") == r.getAs[Long]("total"))
     }
   }
+
+  test("exception channel: every row lands in valid or exceptions, multi-rule rows fan out") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val rules = Seq(
+      Exceptions.Rule("null_key", col("user_id").isNull),
+      Exceptions.Rule("low_value", col("value") < 1.0),
+      Exceptions.Rule("k_domain",
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long") > 90))
+    val total = c.count()
+    val ok = Exceptions.valid(c, rules).count()
+    val exc = Exceptions.exceptions(c, rules,
+      Seq("event_id", "user_id", "value", "props"))
+    // distinct violating events + clean events = all events
+    val violatingEvents = exc.select("event_id").distinct().count()
+    assert(ok + violatingEvents == total)
+    assert(exc.count() >= violatingEvents) // multi-rule rows fan out
+    // a null predicate counts as not-violated: rows never vanish
+    val nullRule = Seq(Exceptions.Rule("never",
+      when(lit(false), lit(true)).otherwise(lit(null).cast("boolean"))))
+    assert(Exceptions.valid(c, nullRule).count() == total)
+    assert(Exceptions.exceptions(c, nullRule, Seq("event_id")).count() == 0)
+    // payload is JSON with explicit nulls and the original columns
+    val sample = exc.limit(1).collect()
+    sample.foreach(r =>
+      assert(r.getAs[String]("payload").contains("\"event_id\":")))
+  }
 }

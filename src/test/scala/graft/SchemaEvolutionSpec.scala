@@ -45,6 +45,36 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("added_col")))
   }
 
+  test("added column with DEFAULT: absent key takes default, explicit value and explicit null survive") {
+    import spark.implicits._
+    // pre-ALTER message: no is_stock key at all
+    val pre = Envelope.wrap(
+      Seq((1L, 10L, 2.5, "{}")).toDF("event_id", "user_id", "value", "props"),
+      lit("insert"), lit("graft"), lit("t"), current_timestamp(),
+      col("event_id"), Seq("event_id", "user_id", "value", "props"))
+    // post-ALTER messages: explicit false and explicit null
+    val post = Envelope.wrap(
+      Seq((2L, 11L, 3.5, "{}", Some(false)), (3L, 12L, 4.5, "{}", None))
+        .toDF("event_id", "user_id", "value", "props", "is_stock"),
+      lit("insert"), lit("graft"), lit("t"), current_timestamp(),
+      col("event_id"), Seq("event_id", "user_id", "value", "props", "is_stock"))
+    val evolved = SchemaEvolution.addColumn(baseSchema, "is_stock", BooleanType)
+    val rows = SchemaEvolution.parseDrifted(
+        pre.select("message").unionByName(post.select("message")),
+        "message", evolved, Map("is_stock" -> lit(true)))
+      .select("data.event_id", "data.is_stock").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(rows(1L).contains(true))   // pre-ALTER → declared default
+    assert(rows(2L).contains(false))  // explicit value kept
+    assert(rows(3L).isEmpty)          // explicit null NOT defaulted
+    // without defaults the pre-ALTER message reads null (old behavior)
+    val plain = SchemaEvolution.parseDrifted(
+        pre.select("message"), "message", evolved)
+      .select("data.is_stock").collect()(0)
+    assert(plain.isNullAt(0))
+  }
+
   test("dropped column is ignored; remaining fields survive") {
     import spark.implicits._
     val df = Seq((1L, 10L, 2.5, "{\"k\":1}")).toDF("event_id", "user_id", "value", "props")

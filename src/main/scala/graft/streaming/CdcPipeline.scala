@@ -162,6 +162,115 @@ object CdcPipeline {
         (): Unit
       }
 
+  // --- bucket-partitioned incremental upsert ----------------------
+
+  /** Incremental twin of [[foreachBatchUpsert]]: state is
+    * hash-partitioned into `nBuckets` key buckets, each bucket
+    * versioned independently (`stateDir/bucket=B/v=N/`), and a
+    * micro-batch merges and rewrites ONLY the buckets its keys hash
+    * into. The full-rewrite variant's per-batch I/O is O(total
+    * state); this is O(state in touched buckets) — the difference
+    * between a scale-killer and a steady-state pipeline when state is
+    * 100 TB and a batch touches a sliver of the key space.
+    *
+    * Mechanics per batch: tag rows with bucket = pmod(hash(table,
+    * key), nBuckets); read the latest version of just the touched
+    * buckets (directory-pruned, no full-state scan); latest-wins
+    * merge (same ChangeFeed.latestPerKey semantics, tombstones kept);
+    * write the merged buckets partitioned by bucket into a temp dir,
+    * then rename each bucket dir to its new version — readers always
+    * see a complete version per bucket, untouched buckets stay
+    * byte-identical.
+    */
+  def foreachBatchUpsertBucketed(
+      changes: Dataset[Change],
+      stateDir: String,
+      checkpoint: String,
+      nBuckets: Int = 64): DataStreamWriter[Change] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
+        upsertBucketedBatch(batch.toDF(), stateDir, batchId, nBuckets)
+      }
+
+  private def bucketCol(nBuckets: Int) =
+    pmod(hash(col("table_name"), col("user_id")), lit(nBuckets))
+
+  /** One bucket-scoped merge step (exposed for batch-twin testing). */
+  def upsertBucketedBatch(
+      batch: DataFrame, stateDir: String, batchId: Long, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val tagged = batch.withColumn("bucket", bucketCol(nBuckets))
+    // touched buckets: bounded by nBuckets (a deliberately small
+    // constant), so the collect is a driver-side set, not data
+    val touched = tagged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val fs = hadoopFs(spark, stateDir)
+    val prevDirs = touched.flatMap(b =>
+      latestBucketVersion(spark, stateDir, b)
+        .map(v => s"$stateDir/bucket=$b/v=$v"))
+    val prev =
+      if (prevDirs.isEmpty) None
+      else Some(spark.read.option("basePath", stateDir)
+        .parquet(prevDirs.toIndexedSeq: _*)
+        .drop("v"))
+    val all = prev match {
+      case Some(p) => p.unionByName(tagged)
+      case None => tagged
+    }
+    val merged = ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
+      Seq(col("ts"), col("event_id")))
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$batchId")
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(tmp.toString)
+    touched.foreach { b =>
+      val from = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+      if (fs.exists(from)) {
+        val toDir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b")
+        fs.mkdirs(toDir)
+        fs.rename(from, new org.apache.hadoop.fs.Path(s"$toDir/v=$batchId"))
+        (): Unit
+      }
+    }
+    fs.delete(tmp, true)
+    (): Unit
+  }
+
+  /** Latest state across all buckets, minus tombstones. */
+  def materializedViewBucketed(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = hadoopFs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val latest =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt)
+        .flatMap(b => latestBucketVersion(spark, stateDir, b)
+          .map(v => s"$stateDir/bucket=$b/v=$v"))
+    if (latest.isEmpty)
+      throw new IllegalStateException(s"no state buckets under $stateDir")
+    spark.read.option("basePath", stateDir).parquet(latest.toIndexedSeq: _*)
+      .drop("v")
+      .filter(col("op") =!= "delete")
+  }
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latestBucketVersion(
+      spark: SparkSession, stateDir: String, bucket: Int): Option[Long] = {
+    val fs = hadoopFs(spark, stateDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$bucket")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted.lastOption
+  }
+
   /** The materialized view: latest state version minus tombstones. */
   def materializedView(spark: SparkSession, stateDir: String): DataFrame = {
     val v = latestVersion(spark, stateDir).getOrElse(
@@ -178,6 +287,42 @@ object CdcPipeline {
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
       .sorted.lastOption
+  }
+
+  /** Operational task-status surface — the engine-side mirror of the
+    * reference's task lifecycle waits (run.py:154-165 polls
+    * replication-task status running → stopped before moving on).
+    * Wraps StreamingQuery/StreamingQueryProgress into one flat row a
+    * task runner can poll or join on.
+    */
+  case class TaskStatus(
+      name: String, id: String, isActive: Boolean,
+      latestBatchId: Long, numInputRows: Long, totalInputRows: Long)
+
+  def taskStatus(q: org.apache.spark.sql.streaming.StreamingQuery): TaskStatus = {
+    val last = Option(q.lastProgress)
+    val total = q.recentProgress.map(_.numInputRows).sum
+    TaskStatus(
+      Option(q.name).getOrElse(""), q.id.toString, q.isActive,
+      last.map(_.batchId).getOrElse(-1L),
+      last.map(_.numInputRows).getOrElse(0L),
+      total)
+  }
+
+  /** Poll a query's status until `pred` holds or `timeoutMs` elapses;
+    * returns whether the predicate was met — the `wait_for_status`
+    * idiom as a library call.
+    */
+  def awaitStatus(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long)(pred: TaskStatus => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var ok = pred(taskStatus(q))
+    while (!ok && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      ok = pred(taskStatus(q))
+    }
+    ok
   }
 
   /** Kinesis-like sink: JSON files partitioned by the schema.table

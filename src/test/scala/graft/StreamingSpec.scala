@@ -135,6 +135,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw.filter(col("op") === "delete").count() == 1)
   }
 
+  test("bucketed upsert rewrites only touched buckets; untouched buckets stay byte-identical") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bupsert").toString
+    val nBuckets = 8
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.foreachBatchUpsertBucketed(
+      CdcPipeline.annotate(mem.toDF()),
+      s"$dir/state", s"$dir/ckpt", nBuckets).start()
+
+    def fileState(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/state"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getPath -> (f.length(), md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toMap
+    }
+
+    try {
+      mem.addData(batch1) // users 10 and 11
+      q.processAllAvailable()
+      val after1 = fileState()
+      mem.addData(Seq(RawEvent(7, ts(9), 10, "purchase", 7.5, "{}"))) // user 10 only
+      q.processAllAvailable()
+      val after2 = fileState()
+      // user 11's bucket files from batch 0 must be untouched
+      val changedKeys = after2.keySet -- after1.keySet
+      val u10Bucket = CdcPipeline.materializedViewBucketed(spark, s"$dir/state")
+        .filter(col("user_id") === 10).select("bucket")
+        .as[Int].collect().distinct.toSeq
+      assert(u10Bucket.size == 1)
+      changedKeys.foreach(p => assert(p.contains(s"bucket=${u10Bucket.head}")))
+      after1.foreach { case (path, sig) =>
+        assert(after2.get(path).contains(sig),
+          s"pre-existing state file changed: $path")
+      }
+    } finally q.stop()
+    // materialized view equals the batch twin over all events
+    val got = CdcPipeline.materializedViewBucketed(spark, s"$dir/state")
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    val all = batch1 ++ Seq(RawEvent(7, ts(9), 10, "purchase", 7.5, "{}"))
+    val expected = ChangeFeed.applyChanges(
+        ChangeFeed.annotate(all.toDF()),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("task status surfaces progress and lifecycle (running -> stopped)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-status").toString
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.foreachBatchUpsert(
+      CdcPipeline.annotate(mem.toDF()),
+      s"$dir/state", s"$dir/ckpt").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      // the wait_for_status idiom: poll until the task has consumed rows
+      assert(CdcPipeline.awaitStatus(q, 10000)(s =>
+        s.isActive && s.latestBatchId >= 0 && s.totalInputRows >= batch1.size))
+      val st = CdcPipeline.taskStatus(q)
+      assert(st.id.nonEmpty)
+    } finally q.stop()
+    assert(CdcPipeline.awaitStatus(q, 10000)(s => !s.isActive))
+  }
+
   test("streaming session_window sessions equal the batch lag-based sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

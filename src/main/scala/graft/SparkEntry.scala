@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.{ChangeFeed, Envelope, Exceptions, FullLoad, SchemaEvolution, TableMapping, TableStatistics, TypePalette}
 import graft.functions.Portable
-import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
+import graft.ml.{Corpus, Dedup, Similarity, TextAnalysis, Vectors}
 import graft.multimodal.Binary
 import graft.operators.Analytics
 
@@ -434,6 +434,34 @@ object SparkEntry {
         .orderBy(col("source"), col("pred_lang"))
     }),
 
+    // The 1→N decode shape end-to-end: video payloads fan out to
+    // FramesPerVideo frame rows at deterministic offsets, other
+    // modalities pass through — oracle-checked because the stub's
+    // offsets are a pure function of payload length.
+    "multimodal_frames" -> ((s, dir) =>
+      Binary.frameSampleStub(Binary.withPayload(Tables.load(s, dir, "documents")))
+        .select(col("doc_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_off"), col("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Deterministic stratified sampling: portable-hash gate per
+    // (source, doc_id) with per-stratum per-mille rates — stable
+    // under retries/repartitioning, reproducible in the oracle.
+    "corpus_sample" -> ((s, dir) =>
+      Corpus.sampled(Tables.load(s, dir, "documents"),
+          Map("src1" -> 500, "src2" -> 0), defaultPerMille = 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))),
+
+    // Greedy contiguous token-budget packing: the batch-manifest step
+    // between cleaned documents and training batches.
+    "corpus_pack" -> ((s, dir) =>
+      Corpus.packSummary(Tables.load(s, dir, "documents"), budgetTokens = 2048)
+        .orderBy(col("source"), col("bin"))),
+
     // Rows-only (no SQL twin): exercises the stubbed decoder's
     // mapPartitions plumbing end-to-end. The feature vector is
     // projected to one scalar column per dimension so the harness's
@@ -621,6 +649,40 @@ object SparkEntry {
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |f AS (SELECT doc_id, kind, n_bytes,
+         |    unnest(range(CASE WHEN kind = 'video' THEN 3 ELSE 1 END)) AS frame_idx,
+         |    CASE WHEN kind = 'video' THEN 3 ELSE 1 END AS nf
+         |  FROM p)
+         |SELECT doc_id, kind, frame_idx,
+         |  (n_bytes * frame_idx) // nf AS frame_off, n_bytes
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "corpus_sample" ->
+      s"""SELECT source, count(*) AS n_sampled,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |WHERE ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR))")} % 1000
+         |  < (CASE source WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 100 END)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t)
+         |SELECT source, (cum_tokens - n_tokens) // 2048 AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The oracle needs no envelope round trip: the default rule is
     // "even event_id (pre-ALTER) → TRUE; odd → null when user_id%3==0

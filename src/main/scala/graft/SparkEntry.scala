@@ -404,6 +404,16 @@ object SparkEntry {
       Similarity.topKAnnIvf(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
 
+    // ANN quality gauge: recall@k of the LSH index against the exact
+    // brute-force ranking — the number you tune bands against.
+    "sim_ann_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnLsh(embs), Similarity.TopK)
+        .orderBy(col("probe_id"))
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
         .groupBy(col("kind"))
@@ -649,6 +659,46 @@ object SparkEntry {
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin,
+
+    "sim_ann_recall" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
+         |lc AS (SELECT DISTINCT pb.vec_id AS probe_id, b.vec_id AS neighbor_id
+         |  FROM buckets pb JOIN buckets b
+         |  ON b.band = pb.band AND b.bucket = pb.bucket AND b.vec_id <> pb.vec_id
+         |  WHERE pb.vec_id < ${Similarity.NumProbes}),
+         |ld AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM lc c
+         |  JOIN flat fa ON fa.vec_id = c.probe_id
+         |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |ls AS (SELECT ld.probe_id, ld.neighbor_id,
+         |    ${Vectors.duckCosine("ld.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM ld
+         |  JOIN norms na ON na.vec_id = ld.probe_id
+         |  JOIN norms nb ON nb.vec_id = ld.neighbor_id),
+         |lr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ls),
+         |lshk AS (SELECT probe_id, neighbor_id FROM lr WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(l.neighbor_id) AS DOUBLE) / ${Similarity.TopK}.0 AS recall_at_k
+         |FROM bfk b LEFT JOIN lshk l
+         |  ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The decode stub's fake features are a pure function of the
     // payload bytes (ASCII text ⇒ byte == code point), and Java float

@@ -221,6 +221,20 @@ class MlSpec extends AnyFunSuite {
     assert(improved == 0L)
   }
 
+  test("recall@k is 1.0 against itself and within [0,1] for the LSH index") {
+    import graft.ml.Similarity
+    val bf = Similarity.topKBruteForce(embs)
+    val self = Similarity.recallAtK(bf, bf, Similarity.TopK).collect()
+    assert(self.nonEmpty)
+    self.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+    val lsh = Similarity.recallAtK(bf,
+      Similarity.topKAnnLsh(embs), Similarity.TopK).collect()
+    lsh.foreach { r =>
+      val v = r.getAs[Double]("recall_at_k")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
   test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {
     import graft.ml.Corpus
     val rates = Map("src1" -> 1000, "src2" -> 0)

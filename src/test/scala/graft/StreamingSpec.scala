@@ -209,6 +209,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(CdcPipeline.awaitStatus(q, 10000)(s => !s.isActive))
   }
 
+  test("exception channel runs unchanged on a stream (batch twin equality)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rules = Seq(
+      graft.cdc.Exceptions.Rule("low_value", col("value") < 1.0))
+    val mem = MemoryStream[RawEvent]
+    val q = graft.cdc.Exceptions.exceptions(
+        CdcPipeline.annotate(mem.toDF()).toDF(), rules, Seq("event_id", "value"))
+      .writeStream.format("memory").queryName("exc")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1 ++ batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("exc").select("event_id", "rule")
+      .as[(Long, String)].collect().toSet
+    val expected = graft.cdc.Exceptions.exceptions(
+        ChangeFeed.annotate((batch1 ++ batch2).toDF()), rules,
+        Seq("event_id", "value"))
+      .select("event_id", "rule").as[(Long, String)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming session_window sessions equal the batch lag-based sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -410,7 +410,7 @@ object SparkEntry {
       val embs = Tables.load(s, dir, "embeddings")
       Similarity.recallAtK(
           Similarity.topKBruteForce(embs),
-          Similarity.topKAnnLsh(embs), Similarity.TopK)
+          Similarity.topKAnnLsh(embs))
         .orderBy(col("probe_id"))
     }),
 
@@ -472,10 +472,11 @@ object SparkEntry {
       Corpus.packSummary(Tables.load(s, dir, "documents"), budgetTokens = 2048)
         .orderBy(col("source"), col("bin"))),
 
-    // Rows-only (no SQL twin): exercises the stubbed decoder's
-    // mapPartitions plumbing end-to-end. The feature vector is
-    // projected to one scalar column per dimension so the harness's
-    // row sort never sees an array-typed column.
+    // Exercises the stubbed decoder's mapPartitions plumbing
+    // end-to-end — oracle-checked (the stub features are value-exact
+    // in SQL). The feature vector is projected to one scalar column
+    // per dimension so the harness's row sort never sees an
+    // array-typed column.
     "multimodal_decode" -> ((s, dir) =>
       Binary.decodeStub(Binary.withPayload(Tables.load(s, dir, "documents")))
         .select(col("doc_id") +: col("kind") +: col("n_bytes") +:
@@ -695,7 +696,7 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ls),
          |lshk AS (SELECT probe_id, neighbor_id FROM lr WHERE rk <= ${Similarity.TopK})
          |SELECT b.probe_id,
-         |  CAST(count(l.neighbor_id) AS DOUBLE) / ${Similarity.TopK}.0 AS recall_at_k
+         |  CAST(count(l.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
          |FROM bfk b LEFT JOIN lshk l
          |  ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -777,7 +778,7 @@ object SparkEntry {
          |    WHERE value < 1.0
          |  UNION ALL
          |  SELECT table_name, 'props_k_out_of_domain' AS rule, event_id FROM c
-         |    WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 90)
+         |    WHERE TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 90)
          |SELECT table_name, rule, count(*) AS n,
          |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
          |FROM viol GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

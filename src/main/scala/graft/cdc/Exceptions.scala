@@ -49,7 +49,9 @@ object Exceptions {
           Map("ignoreNullFields" -> "false")).as("payload"))
   }
 
-  /** The rows that apply cleanly: violate no rule. */
+  /** The rows that apply cleanly: violate no rule. An empty rule set
+    * passes everything.
+    */
   def valid(changes: DataFrame, rules: Seq[Rule]): DataFrame =
-    changes.filter(!rules.map(_.violated).reduce(_ || _))
+    changes.filter(!rules.map(_.violated).foldLeft(lit(false))(_ || _))
 }

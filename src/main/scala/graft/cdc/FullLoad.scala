@@ -61,12 +61,19 @@ object FullLoad {
     // ONE aggregate over a union of zero-column tagged scans (not an
     // aggregate per table): plan analysis stays flat in catalog size,
     // and a parquet scan projecting no data columns materializes rows
-    // from row-group counts — footer-speed, no column I/O.
-    val loads = selected.map { t =>
+    // from row-group counts — footer-speed, no column I/O. The left
+    // join against the driver-side table list restores the
+    // n_records=0 row an empty table would otherwise lose to the
+    // groupBy (the task contract is one load row PER selected table).
+    import spark.implicits._
+    val counted = selected.map { t =>
       Tables.load(spark, dir, t).select(lit(t).as("table_name"))
     }.reduce(_ union _)
-      .groupBy(col("table_name")).agg(count(lit(1)).as("n_records"))
-      .select(col("table_name"), lit("load").as("op"), col("n_records"))
+      .groupBy(col("table_name")).agg(count(lit(1)).as("cnt"))
+    val loads = selected.toDF("table_name")
+      .join(counted, Seq("table_name"), "left")
+      .select(col("table_name"), lit("load").as("op"),
+        coalesce(col("cnt"), lit(0L)).as("n_records"))
     controls.unionByName(loads)
       .orderBy(col("table_name"), col("op"))
   }

@@ -72,7 +72,11 @@ object SchemaEvolution {
       defaults: Map[String, Column]): DataFrame = {
     val parsed = Envelope.parse(df, messageCol, evolved)
     defaults.foldLeft(parsed) { case (acc, (name, default)) =>
-      val present = col(messageCol).contains(s""""$name":""")
+      // probe the "data" OBJECT's text, not the whole message: a
+      // drifted column sharing its name with an always-present
+      // metadata or before-image key must still default correctly
+      val present = get_json_object(col(messageCol), "$.data")
+        .contains(s""""$name":""")
       acc.withColumn("data",
         col("data").withField(name,
           when(present, col("data").getField(name)).otherwise(default)))

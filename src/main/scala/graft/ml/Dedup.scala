@@ -272,10 +272,11 @@ object Dedup {
       edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
         .select(col("src").as("v"), least(col("m"), col("src")).as("label")))
     // exact, overflow-proof convergence metric (sum of i64 labels can
-    // exceed i64 at corpus scale)
+    // exceed i64 at corpus scale); empty edge list ⇒ sum is null ⇒
+    // ZERO, so the loop converges immediately on an empty graph
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false

@@ -114,17 +114,20 @@ object Similarity {
     * brute-force top-k — the quality gauge every ANN deployment ships
     * next to its index (tune bands/rows-per-band against measured
     * recall, not hope). Left join on (probe, neighbor), fraction
-    * found; both inputs are tiny (probes × k rows), so the join is
-    * trivially broadcast at any corpus scale.
+    * found; the denominator is the probe's ACTUAL exact-neighbor
+    * count (≤ k — a corpus smaller than k must still score 1.0 on a
+    * perfect match). Both inputs are tiny (probes × k rows), so the
+    * join is trivially broadcast at any corpus scale.
     */
-  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("probe_id"), col("neighbor_id"))
       .join(
         approx.select(col("probe_id").as("p2"), col("neighbor_id").as("n2")),
         col("probe_id") === col("p2") && col("neighbor_id") === col("n2"),
         "left")
       .groupBy(col("probe_id"))
-      .agg((count(col("n2")).cast("double") / lit(k.toDouble)).as("recall_at_k"))
+      .agg((count(col("n2")).cast("double") /
+        count(lit(1)).cast("double")).as("recall_at_k"))
 
   /** SRP-LSH ANN: candidates are corpus vectors sharing any band
     * bucket with the probe; exact cosine ranks within candidates.

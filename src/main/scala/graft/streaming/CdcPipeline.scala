@@ -229,8 +229,16 @@ object CdcPipeline {
       if (fs.exists(from)) {
         val toDir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b")
         fs.mkdirs(toDir)
-        fs.rename(from, new org.apache.hadoop.fs.Path(s"$toDir/v=$batchId"))
-        (): Unit
+        val dest = new org.apache.hadoop.fs.Path(s"$toDir/v=$batchId")
+        // foreachBatch replays the same batchId after a mid-write
+        // failure; latest-wins merging is idempotent (re-merging an
+        // already-applied batch yields identical rows), so replacing
+        // a half-landed version is safe — and rename-onto-existing
+        // would otherwise nest or no-op depending on the filesystem
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(from, dest))
+          throw new java.io.IOException(
+            s"failed to publish state version $dest")
       }
     }
     fs.delete(tmp, true)
@@ -295,18 +303,25 @@ object CdcPipeline {
     * Wraps StreamingQuery/StreamingQueryProgress into one flat row a
     * task runner can poll or join on.
     */
+  /** `recentInputRows` sums the RETAINED progress window
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
+    * batches) — a freshness/volume signal, NOT a lifetime total; a
+    * lifetime counter needs a StreamingQueryListener accumulating
+    * every event. Predicates should compare against per-batch
+    * expectations or batch ids, not a whole-stream row count.
+    */
   case class TaskStatus(
       name: String, id: String, isActive: Boolean,
-      latestBatchId: Long, numInputRows: Long, totalInputRows: Long)
+      latestBatchId: Long, numInputRows: Long, recentInputRows: Long)
 
   def taskStatus(q: org.apache.spark.sql.streaming.StreamingQuery): TaskStatus = {
     val last = Option(q.lastProgress)
-    val total = q.recentProgress.map(_.numInputRows).sum
+    val recent = q.recentProgress.map(_.numInputRows).sum
     TaskStatus(
       Option(q.name).getOrElse(""), q.id.toString, q.isActive,
       last.map(_.batchId).getOrElse(-1L),
       last.map(_.numInputRows).getOrElse(0L),
-      total)
+      recent)
   }
 
   /** Poll a query's status until `pred` holds or `timeoutMs` elapses;

@@ -219,16 +219,20 @@ class MlSpec extends AnyFunSuite {
     val improved = labels.join(nbrMin, Seq("v"))
       .filter(col("min_nbr") < col("label")).count()
     assert(improved == 0L)
+    // a corpus with zero candidate pairs yields an empty cluster set,
+    // not a crash (null label-sum on the empty graph)
+    assert(Dedup.clusterLabels(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
   test("recall@k is 1.0 against itself and within [0,1] for the LSH index") {
     import graft.ml.Similarity
     val bf = Similarity.topKBruteForce(embs)
-    val self = Similarity.recallAtK(bf, bf, Similarity.TopK).collect()
+    val self = Similarity.recallAtK(bf, bf).collect()
     assert(self.nonEmpty)
     self.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
     val lsh = Similarity.recallAtK(bf,
-      Similarity.topKAnnLsh(embs), Similarity.TopK).collect()
+      Similarity.topKAnnLsh(embs)).collect()
     lsh.foreach { r =>
       val v = r.getAs[Double]("recall_at_k")
       assert(v >= 0.0 && v <= 1.0)

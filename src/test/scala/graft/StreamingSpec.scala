@@ -202,7 +202,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       // the wait_for_status idiom: poll until the task has consumed rows
       assert(CdcPipeline.awaitStatus(q, 10000)(s =>
-        s.isActive && s.latestBatchId >= 0 && s.totalInputRows >= batch1.size))
+        s.isActive && s.latestBatchId >= 0 && s.recentInputRows >= batch1.size))
       val st = CdcPipeline.taskStatus(q)
       assert(st.id.nonEmpty)
     } finally q.stop()

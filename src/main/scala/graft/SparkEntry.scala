@@ -38,6 +38,8 @@ object SparkEntry {
     "q13_custdist"         -> ((s, dir) => Analytics.q13CustDist(s, dir)),
     "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
     "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
+    "q10_returned_items"   -> ((s, dir) => Analytics.q10ReturnedItems(s, dir)),
+    "q19_disjunctive_revenue" -> ((s, dir) => Analytics.q19DisjunctiveRevenue(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
@@ -782,6 +784,30 @@ object SparkEntry {
          |SELECT table_name, rule, count(*) AS n,
          |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
          |FROM viol GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      s"""SELECT
+         |  CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 20)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |    AND l_quantity BETWEEN 10 AND 30)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -212,6 +212,51 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q10-style: revenue lost to returned items per customer,
+    * top 20. The big join (lineitem⋈orders) shuffles on the order
+    * key; the customer dimension broadcasts.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R")
+      .join(ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("revenue_d"))
+      .orderBy(col("revenue_d").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue_d").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q19-style: disjunctive multi-attribute predicate revenue.
+    * The OR-of-ANDs spans both tables, but the single-table halves
+    * (brand/size on part, quantity on lineitem) are pushed into each
+    * scan as a disjunctive PushedFilter — the scan-level pruning this
+    * query exists to exercise — and the part side broadcasts.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Sessionization over the event stream: a session break is a gap
     * > 30 minutes per user; session ids via cumulative sum of breaks.
     * Single shuffle on user_id, then two windows over the same

@@ -122,6 +122,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("returned items: top-20 revenue is sorted and only from returned lines") {
+    val rows = SparkEntry.queries("q10_returned_items")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("disjunctive revenue: totals equal a driver-side recomputation") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+    val parts = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val expectN = li.count { r =>
+      parts.get(r.getLong(0)).exists { case (b, s) =>
+        val q = r.getDouble(1)
+        (b == "Brand#1" && s >= 1 && s <= 15 && q >= 1 && q <= 20) ||
+        (b == "Brand#2" && s >= 10 && s <= 30 && q >= 10 && q <= 30) ||
+        (b == "Brand#3" && s >= 20 && s <= 50 && q >= 20 && q <= 40)
+      }
+    }
+    val got = SparkEntry.queries("q19_disjunctive_revenue")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_items") == expectN.toLong)
+  }
+
   test("window running: per-customer running spend is non-decreasing") {
     val rows = SparkEntry.queries("q_window_running")(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "orders").count())

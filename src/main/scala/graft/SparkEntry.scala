@@ -39,6 +39,7 @@ object SparkEntry {
     "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
     "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
     "q10_returned_items"   -> ((s, dir) => Analytics.q10ReturnedItems(s, dir)),
+    "q_quantile_sketch"    -> ((s, dir) => Analytics.qQuantileSketch(s, dir)),
     "q19_disjunctive_revenue" -> ((s, dir) => Analytics.q19DisjunctiveRevenue(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
@@ -796,6 +797,28 @@ object SparkEntry {
          |GROUP BY 1, 2, 3
          |ORDER BY sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q_quantile_sketch" -> {
+      val h = Portable.duckHash(
+        "(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR))")
+      s"""WITH keyed AS (SELECT l_returnflag AS g, l_extendedprice AS v, $h AS h
+         |  FROM lineitem),
+         |samp AS (SELECT g, v, h FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+         |    FROM keyed)
+         |  WHERE rn <= ${Analytics.QuantileSampleK}),
+         |sorted AS (SELECT g, v,
+         |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, h) AS BIGINT) AS vr
+         |  FROM samp),
+         |wn AS (SELECT *, max(vr) OVER (PARTITION BY g) AS ns,
+         |    ((max(vr) OVER (PARTITION BY g)) - 1) * 50 // 100 + 1 AS t50,
+         |    ((max(vr) OVER (PARTITION BY g)) - 1) * 90 // 100 + 1 AS t90
+         |  FROM sorted)
+         |SELECT g, max(ns) AS n_sample,
+         |  max(CASE WHEN vr = t50 THEN v END) AS est_p50,
+         |  max(CASE WHEN vr = t90 THEN v END) AS est_p90
+         |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q19_disjunctive_revenue" ->
       s"""SELECT

@@ -257,6 +257,41 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** Bounded-memory quantile estimation per group, done PORTABLY: the
+    * sample is the k rows with the smallest portable hash of the row
+    * key (a deterministic uniform sample — stable across engines,
+    * partitioning, and retries, unlike rand() sampling or Spark's
+    * internal approx_percentile sketch), and the estimate is an exact
+    * order statistic of that sample. At 100 TB the sample bound makes
+    * this a fixed-size aggregate; the hash ranking is one window per
+    * group.
+    */
+  val QuantileSampleK = 256
+
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val keyed = li.select(col("l_returnflag").as("g"),
+      col("l_extendedprice").as("v"),
+      graft.functions.Portable.pHash(
+        concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("h"))
+    val byHash = Window.partitionBy(col("g")).orderBy(col("h"), col("v"))
+    val samp = keyed.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= QuantileSampleK)
+    val byValue = Window.partitionBy(col("g")).orderBy(col("v"), col("h"))
+    val wg = Window.partitionBy(col("g"))
+    def target(p: Int) =
+      (((col("ns") - 1) * p) / lit(100)).cast("long") + 1
+    samp.withColumn("vr", row_number().over(byValue).cast("long"))
+      .withColumn("ns", max(col("vr")).over(wg))
+      .withColumn("t50", target(50))
+      .withColumn("t90", target(90))
+      .groupBy(col("g"))
+      .agg(max(col("ns")).as("n_sample"),
+        max(when(col("vr") === col("t50"), col("v"))).as("est_p50"),
+        max(when(col("vr") === col("t90"), col("v"))).as("est_p90"))
+      .orderBy(col("g"))
+  }
+
   /** Sessionization over the event stream: a session break is a gap
     * > 30 minutes per user; session ids via cumulative sum of breaks.
     * Single shuffle on user_id, then two windows over the same

@@ -148,6 +148,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_items") == expectN.toLong)
   }
 
+  test("quantile sketch: estimates bracket the true per-group percentiles loosely") {
+    import org.apache.spark.sql.functions.col
+    val exact = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    SparkEntry.queries("q_quantile_sketch")(spark, sf).collect().foreach { r =>
+      val vs = exact(r.getAs[String]("g"))
+      val (p50, p90) = (r.getAs[Double]("est_p50"), r.getAs[Double]("est_p90"))
+      assert(p50 >= vs.head && p50 <= vs.last)
+      assert(p90 >= p50 && p90 <= vs.last)
+      // a 256-point uniform sample's median lands within the exact
+      // 35th..65th percentile band w.h.p. — loose, deterministic check
+      val (lo, hi) = (vs((vs.length - 1) * 35 / 100), vs((vs.length - 1) * 65 / 100))
+      assert(p50 >= lo && p50 <= hi, s"p50 $p50 outside [$lo,$hi]")
+    }
+  }
+
   test("window running: per-customer running spend is non-decreasing") {
     val rows = SparkEntry.queries("q_window_running")(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "orders").count())

@@ -297,6 +297,17 @@ object CdcPipeline {
       .sorted.lastOption
   }
 
+  /** Streaming exact dedup of the change feed: at-least-once sources
+    * (Kinesis re-polls, binlog reconnects) deliver duplicate events;
+    * dropDuplicatesWithinWatermark keys on event_id and bounds the
+    * dedup state by the watermark — at 100 TB/day the state holds one
+    * tiny row per event id seen within the late window, not forever.
+    */
+  def dedupStream(changes: Dataset[Change], delay: String = "1 hour"): Dataset[Change] =
+    changes
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Operational task-status surface — the engine-side mirror of the
     * reference's task lifecycle waits (run.py:154-165 polls
     * replication-task status running → stopped before moving on).

@@ -209,6 +209,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(CdcPipeline.awaitStatus(q, 10000)(s => !s.isActive))
   }
 
+  test("streaming dedup drops cross-batch duplicate deliveries within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.dedupStream(CdcPipeline.annotate(mem.toDF()))
+      .toDF().writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      // redeliver batch1 (at-least-once source) plus one new event
+      mem.addData(batch1 :+ RawEvent(9, ts(4), 12, "click", 5.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(batch1.map(_.event_id).sorted :+ 9L))
+  }
+
   test("exception channel runs unchanged on a stream (batch twin equality)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -38,4 +38,16 @@ object CacheScope {
 
   /** Number of currently registered (unreleased) handles. */
   def activeCount: Int = synchronized(active.size)
+
+  /** Persist AND materialize a multi-consumer intermediate, registered
+    * for release: a lazily-persisted relation consumed by several
+    * branches of one job is recomputed per branch (the partitions race
+    * into the cache), so count it once up front — the MLlib
+    * handle-persistence pattern.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = register(df.persist())
+    p.count()
+    p
+  }
 }

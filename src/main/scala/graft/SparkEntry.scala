@@ -711,7 +711,8 @@ object SparkEntry {
     // stubbed decoder is value-exact against SQL.
     "multimodal_decode" -> {
       val fs = (0 until Binary.FeatureDim).map { i =>
-        s"CAST(CAST(unicode(substr(text, CAST(($i*7) % greatest(n_bytes, 1) AS INT) + 1, 1)) AS REAL)/255.0 AS REAL) AS f$i"
+        s"CASE WHEN n_bytes = 0 THEN CAST(0.0 AS REAL) ELSE " +
+          s"CAST(CAST(unicode(substr(text, CAST(($i*7) % n_bytes AS INT) + 1, 1)) AS REAL)/255.0 AS REAL) END AS f$i"
       }.mkString(",\n|  ")
       s"""WITH p AS (SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

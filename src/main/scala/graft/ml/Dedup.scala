@@ -151,21 +151,12 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with estimated Jaccard = fraction of
-    * agreeing minhashes (computed on candidates only).
+    * agreeing minhashes (computed on candidates only). Multi-consumer
+    * intermediates go through CacheScope.materialize so the caller
+    * can release them once the query result has been consumed.
     */
-  /** Persist AND materialize: a lazily-persisted relation consumed
-    * by several branches of one job is recomputed per branch (the
-    * partitions race into the cache), so multi-consumer intermediates
-    * are counted once up front — the MLlib handle-persistence
-    * pattern. The relations are one small row per doc/vector. Every
-    * handle is registered with [[graft.CacheScope]] so the caller can
-    * release it once the query result has been consumed.
-    */
-  private def materialize(df: DataFrame): DataFrame = {
-    val p = graft.CacheScope.register(df.persist())
-    p.count()
-    p
-  }
+  private def materialize(df: DataFrame): DataFrame =
+    graft.CacheScope.materialize(df)
 
   /** Distinct shingles + signature/set-size aggregate for the
     * operators that need exact set semantics (n-gram Jaccard).

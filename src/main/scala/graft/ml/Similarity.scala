@@ -20,16 +20,11 @@ object Similarity {
   val TopK = 5
   val NumProbes = 8
 
-  /** Persist and materialize a multi-consumer intermediate (see
-    * Dedup.materialize — avoids per-branch recompute races). The
-    * handle registers with [[graft.CacheScope]] so callers release it
-    * once the query result is consumed.
+  /** Multi-consumer intermediates go through CacheScope.materialize
+    * (persist + count + registered for release at query end).
     */
-  private def materialize(df: DataFrame): DataFrame = {
-    val p = graft.CacheScope.register(df.persist())
-    p.count()
-    p
-  }
+  private def materialize(df: DataFrame): DataFrame =
+    graft.CacheScope.materialize(df)
 
   /** Exact top-k cosine neighbors for probe vectors (vec_id <
     * NumProbes). The probe side broadcasts; ranking is a window per

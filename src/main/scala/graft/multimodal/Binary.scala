@@ -67,8 +67,8 @@ object Binary {
         rows.map { case (docId, kind, payload) =>
           // --- stub: replace with a real decode --------------------
           val feats = (0 until FeatureDim).map { i =>
-            val b = payload((i * 7) % math.max(payload.length, 1)) & 0xff
-            b / 255.0f
+            if (payload.isEmpty) 0.0f // empty media ⇒ zero features
+            else (payload((i * 7) % payload.length) & 0xff) / 255.0f
           }.toArray
           // ---------------------------------------------------------
           DecodedDoc(docId, kind, payload.length.toLong, feats)

@@ -150,15 +150,20 @@ object CdcPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
         val spark = batch.sparkSession
-        val prev = latestVersion(spark, stateDir)
-          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+        // monotonic version (max existing + 1), NOT the batchId: a
+        // fresh-checkpoint restart over existing state restarts
+        // batchId at 0, and a v=0 dir under a v=N state would never
+        // be read — see upsertBucketedBatch
+        val prevV = latestVersion(spark, stateDir)
+        val prev = prevV.map(v => spark.read.parquet(s"$stateDir/v=$v"))
         val all = prev match {
           case Some(p) => p.unionByName(batch.toDF())
           case None => batch.toDF()
         }
         ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
             Seq(col("ts"), col("event_id")))
-          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/v=${prevV.getOrElse(-1L) + 1}")
         (): Unit
       }
 
@@ -196,53 +201,70 @@ object CdcPipeline {
   private def bucketCol(nBuckets: Int) =
     pmod(hash(col("table_name"), col("user_id")), lit(nBuckets))
 
-  /** One bucket-scoped merge step (exposed for batch-twin testing). */
+  /** One bucket-scoped merge step (exposed for batch-twin testing).
+    *
+    * Version numbering is monotonic over the STATE DIRECTORY (max
+    * existing version + 1), not the streaming batchId: a stream
+    * restarted with a fresh checkpoint over existing state restarts
+    * batchId at 0, and publishing v=0 under buckets already at v=N
+    * would pin every reader and merge to the stale N — silent data
+    * loss. Replays are safe without version reuse because the
+    * latest-wins merge is idempotent: re-merging an already-applied
+    * batch publishes a new version with identical content.
+    */
   def upsertBucketedBatch(
       batch: DataFrame, stateDir: String, batchId: Long, nBuckets: Int): Unit = {
     val spark = batch.sparkSession
-    val tagged = batch.withColumn("bucket", bucketCol(nBuckets))
-    // touched buckets: bounded by nBuckets (a deliberately small
-    // constant), so the collect is a driver-side set, not data
-    val touched = tagged.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val fs = hadoopFs(spark, stateDir)
-    val prevDirs = touched.flatMap(b =>
-      latestBucketVersion(spark, stateDir, b)
-        .map(v => s"$stateDir/bucket=$b/v=$v"))
-    val prev =
-      if (prevDirs.isEmpty) None
-      else Some(spark.read.option("basePath", stateDir)
-        .parquet(prevDirs.toIndexedSeq: _*)
-        .drop("v"))
-    val all = prev match {
-      case Some(p) => p.unionByName(tagged)
-      case None => tagged
-    }
-    val merged = ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
-      Seq(col("ts"), col("event_id")))
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$batchId")
-    merged.write.mode("overwrite").partitionBy("bucket")
-      .parquet(tmp.toString)
-    touched.foreach { b =>
-      val from = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
-      if (fs.exists(from)) {
-        val toDir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b")
-        fs.mkdirs(toDir)
-        val dest = new org.apache.hadoop.fs.Path(s"$toDir/v=$batchId")
-        // foreachBatch replays the same batchId after a mid-write
-        // failure; latest-wins merging is idempotent (re-merging an
-        // already-applied batch yields identical rows), so replacing
-        // a half-landed version is safe — and rename-onto-existing
-        // would otherwise nest or no-op depending on the filesystem
-        if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(from, dest))
-          throw new java.io.IOException(
-            s"failed to publish state version $dest")
+    // the batch is consumed twice (touched-bucket collect + merged
+    // write) — persist so a real source isn't re-read per consumer
+    val tagged = batch.withColumn("bucket", bucketCol(nBuckets)).persist()
+    try {
+      // touched buckets: bounded by nBuckets (a deliberately small
+      // constant), so the collect is a driver-side set, not data
+      val touched = tagged.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val fs = hadoopFs(spark, stateDir)
+      val prevVersions = touched
+        .map(b => b -> latestBucketVersion(spark, stateDir, b))
+      val newVersion = (prevVersions.flatMap(_._2) :+ -1L).max + 1
+      val prevDirs = prevVersions.collect {
+        case (b, Some(v)) => s"$stateDir/bucket=$b/v=$v"
       }
+      val prev =
+        if (prevDirs.isEmpty) None
+        else Some(spark.read.option("basePath", stateDir)
+          .parquet(prevDirs.toIndexedSeq: _*)
+          .drop("v"))
+      val all = prev match {
+        case Some(p) => p.unionByName(tagged)
+        case None => tagged
+      }
+      val merged = ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
+        Seq(col("ts"), col("event_id")))
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$newVersion")
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp.toString)
+      touched.foreach { b =>
+        val from = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+        if (fs.exists(from)) {
+          val toDir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b")
+          fs.mkdirs(toDir)
+          val dest = new org.apache.hadoop.fs.Path(s"$toDir/v=$newVersion")
+          // monotonic versions make collisions impossible in normal
+          // operation; replace defensively if a crashed writer left one
+          if (fs.exists(dest)) fs.delete(dest, true)
+          if (!fs.rename(from, dest))
+            throw new java.io.IOException(
+              s"failed to publish state version $dest")
+        }
+      }
+      fs.delete(tmp, true)
+      (): Unit
+    } finally {
+      tagged.unpersist(blocking = false)
+      (): Unit
     }
-    fs.delete(tmp, true)
-    (): Unit
   }
 
   /** Latest state across all buckets, minus tombstones. */

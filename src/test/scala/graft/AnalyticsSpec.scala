@@ -17,6 +17,20 @@ object SparkTestSession {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Shared driver-side union-find: the connected-components ground
+    * truth both MlSpec and GraphProps compare against.
+    */
+  def unionFindComponents(pairs: Iterable[(Long, Long)]): Set[Set[Long]] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    parent.keys.map(v => v -> find(v)).toSeq
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+  }
 }
 
 class AnalyticsSpec extends AnyFunSuite {

@@ -29,14 +29,7 @@ object GraphProps extends Properties("graft.graph") {
         Dedup.clusterLabels(
           Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L
       else {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
-        val expected = parent.keys.map(v => v -> find(v)).toSeq
-          .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+        val expected = SparkTestSession.unionFindComponents(pairs)
         val edges = pairs.toDF("src", "dst")
           .union(pairs.map(_.swap).toDF("src", "dst"))
         val got = Dedup.clusterLabels(edges).collect()

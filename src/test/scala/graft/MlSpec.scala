@@ -196,14 +196,7 @@ class MlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     // driver-side union-find over the same candidate graph (test-only;
     // the operator under test never collects)
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    cands.foreach { case (a, b) => parent(find(a)) = find(b) }
-    val expected = parent.keys.map(v => v -> find(v)).toSeq
-      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val expected = SparkTestSession.unionFindComponents(cands)
     val edges = cands.toSeq.toDF("src", "dst")
       .union(cands.toSeq.map(_.swap).toDF("src", "dst"))
     val labels = Dedup.clusterLabels(edges)

@@ -287,6 +287,32 @@ object SparkEntry {
         count(when(col("data.dec") === col("dec"), 1)).as("n_dec_ok"))
     }),
 
+    // Incremental view maintenance: the aggregate a CDC consumer
+    // maintains by folding deltas (using before-images) must equal
+    // recomputation over the materialized state — both computed and
+    // compared in one result (`maintained_ok`).
+    "cdc_incremental_agg" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val keys = Seq("table_name", "user_id")
+      val ord = Seq(col("ts"), col("event_id"))
+      val inc = ChangeFeed.incrementalSum(c, "table_name", keys, ord, "value")
+      val full = ChangeFeed.applyChanges(c, keys, ord)
+        .groupBy(col("table_name"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("full_sum_d"),
+          count(lit(1)).as("n_live_keys"))
+      inc.join(full, Seq("table_name"), "left")
+        .select(col("table_name"),
+          col("inc_sum_d").cast("double").as("inc_sum"),
+          coalesce(col("full_sum_d"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("full_sum"),
+          (col("inc_sum_d") ===
+            coalesce(col("full_sum_d"), lit(0).cast("decimal(18,2)")))
+            .as("maintained_ok"),
+          col("n_changes"),
+          coalesce(col("n_live_keys"), lit(0L)).as("n_live_keys"))
+        .orderBy(col("table_name"))
+    }),
+
     // ADD COLUMN ... DEFAULT drift (lib/query.py:65): pre-ALTER
     // messages lack the column entirely and must surface the declared
     // default; post-ALTER messages keep their explicit value —
@@ -757,6 +783,30 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_incremental_agg" ->
+      s"""$C,
+         |prev AS (SELECT *, lag(value) OVER w AS pv, lag(op) OVER w AS pop
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY table_name, user_id ORDER BY ts, event_id)),
+         |inc AS (SELECT table_name,
+         |    sum(CAST(COALESCE(CASE WHEN op <> 'delete' THEN value END, 0) AS DECIMAL(18,2))
+         |      - CAST(COALESCE(CASE WHEN pop IS NOT NULL AND pop <> 'delete' THEN pv END, 0) AS DECIMAL(18,2))) AS inc_sum_d,
+         |    count(*) AS n_changes
+         |  FROM prev GROUP BY 1),
+         |st AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY table_name, user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |f AS (SELECT table_name, sum(CAST(value AS DECIMAL(18,2))) AS full_sum_d,
+         |    count(*) AS n_live_keys
+         |  FROM st GROUP BY 1)
+         |SELECT i.table_name,
+         |  CAST(i.inc_sum_d AS DOUBLE) AS inc_sum,
+         |  CAST(COALESCE(f.full_sum_d, 0) AS DOUBLE) AS full_sum,
+         |  i.inc_sum_d = COALESCE(f.full_sum_d, 0) AS maintained_ok,
+         |  i.n_changes, COALESCE(f.n_live_keys, 0) AS n_live_keys
+         |FROM inc i LEFT JOIN f USING (table_name) ORDER BY 1""".stripMargin,
 
     // The oracle needs no envelope round trip: the default rule is
     // "even event_id (pre-ALTER) → TRUE; odd → null when user_id%3==0

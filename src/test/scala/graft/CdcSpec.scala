@@ -96,6 +96,17 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental sum from deltas equals recomputation over the final state") {
+    val rows = SparkEntry.queries("cdc_incremental_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("maintained_ok"),
+        s"table ${r.getAs[String]("table_name")}: " +
+          s"inc=${r.getAs[Double]("inc_sum")} full=${r.getAs[Double]("full_sum")}")
+      assert(r.getAs[Double]("inc_sum") == r.getAs[Double]("full_sum"))
+    }
+  }
+
   test("exception channel: every row lands in valid or exceptions, multi-rule rows fan out") {
     import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
     val c = ChangeFeed.fromEvents(spark, sf)

@@ -19,8 +19,36 @@ import graft.operators.Analytics
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+  /** Flagship: the composed CDC pipeline end-to-end — annotate the
+    * event stream, wrap into envelope messages, parse them back, and
+    * maintain the per-table incremental aggregate next to a
+    * recomputed check column. One DataFrame touching the envelope,
+    * change-feed, and incremental-maintenance surfaces together.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = ChangeFeed.fromEvents(spark, dir)
+    val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
+      col("table_name"), col("ts"), col("event_id"),
+      Seq("event_id", "user_id", "value", "props"))
+    val dataSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val feed = Envelope.parse(wrapped.select("message"), "message", dataSchema)
+      .select(
+        col("metadata.`table-name`").as("table_name"),
+        col("metadata.`schema-name`").as("schema_name"),
+        col("metadata.operation").as("op"),
+        to_timestamp(col("metadata.timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
+        col("data.event_id").as("event_id"),
+        col("data.user_id").as("user_id"),
+        col("data.value").as("value"))
+    ChangeFeed.incrementalSum(feed, "table_name",
+        Seq("table_name", "user_id"), Seq(col("ts"), col("event_id")), "value")
+      .withColumnRenamed("inc_sum_d", "maintained_sum")
+      .orderBy(col("table_name"))
+  }
 
   /** Shared DECIMAL cast used to keep aggregate math exact (and thus
     * engine-order-independent); oracle SQL mirrors it verbatim.

@@ -209,6 +209,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(CdcPipeline.awaitStatus(q, 10000)(s => !s.isActive))
   }
 
+  test("drifted-defaults parsing runs unchanged on a message stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.cdc.{Envelope, SchemaEvolution}
+    // pre-ALTER message (no is_stock) and post-ALTER with explicit null
+    val pre = Envelope.wrap(
+      Seq((1L, 10L, 2.5)).toDF("event_id", "user_id", "value"),
+      lit("insert"), lit("graft"), lit("t"), current_timestamp(),
+      col("event_id"), Seq("event_id", "user_id", "value"))
+      .select("message").as[String].collect()
+    val post = Envelope.wrap(
+      Seq((2L, 11L, 3.5, None: Option[Boolean]))
+        .toDF("event_id", "user_id", "value", "is_stock"),
+      lit("insert"), lit("graft"), lit("t"), current_timestamp(),
+      col("event_id"), Seq("event_id", "user_id", "value", "is_stock"))
+      .select("message").as[String].collect()
+    val evolved = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("is_stock", BooleanType)))
+    val mem = MemoryStream[String]
+    val q = SchemaEvolution.parseDrifted(
+        mem.toDF().withColumnRenamed("value", "message"),
+        "message", evolved, Map("is_stock" -> lit(true)))
+      .select(col("data.event_id").as("eid"), col("data.is_stock").as("st"))
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      mem.addData(pre.toSeq ++ post.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("drift").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .toMap
+    assert(got(1L).contains(true)) // absent key → declared default
+    assert(got(2L).isEmpty)        // explicit null survives
+  }
+
   test("streaming dedup drops cross-batch duplicate deliveries within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -18,33 +18,45 @@ import graft.operators.Analytics
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  /** Flagship: the composed CDC pipeline end-to-end — annotate the
-    * event stream, wrap into envelope messages, parse them back, and
-    * maintain the per-table incremental aggregate next to a
-    * recomputed check column. One DataFrame touching the envelope,
-    * change-feed, and incremental-maintenance surfaces together.
+  /** Flagship (driver smoke-checks rows > 0): the composed CDC
+    * pipeline end-to-end — derive a change feed, wrap it into
+    * envelope messages, parse them back, and maintain the per-group
+    * incremental aggregate from the parsed stream. One DataFrame
+    * touching the envelope, change-feed, and incremental-maintenance
+    * surfaces together.
+    *
+    * Built over the orders table (plain micro timestamps) so it runs
+    * on ANY caller-supplied session — the events table needs the
+    * nanosAsLong reader flag from Tables.sessionConf, which a vanilla
+    * smoke-check session may not carry.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val c = ChangeFeed.fromEvents(spark, dir)
-    val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
+    val feed = Tables.load(spark, dir, "orders").select(
+      element_at(array(lit("insert"), lit("update"), lit("delete")),
+        (col("o_orderkey") % 3 + 1).cast("int")).as("op"),
+      lit("graft").as("schema_name"),
+      concat(lit("orders_"), (col("o_custkey") % 4).cast("string")).as("table_name"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("event_id"),
+      col("o_custkey").as("user_id"),
+      col("o_totalprice").as("value"))
+    val wrapped = Envelope.wrap(feed, col("op"), col("schema_name"),
       col("table_name"), col("ts"), col("event_id"),
-      Seq("event_id", "user_id", "value", "props"))
+      Seq("event_id", "user_id", "value"))
     val dataSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val feed = Envelope.parse(wrapped.select("message"), "message", dataSchema)
+      StructField("value", DoubleType)))
+    val parsed = Envelope.parse(wrapped.select("message"), "message", eventDataSchema)
       .select(
         col("metadata.`table-name`").as("table_name"),
-        col("metadata.`schema-name`").as("schema_name"),
         col("metadata.operation").as("op"),
         to_timestamp(col("metadata.timestamp"),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
         col("data.event_id").as("event_id"),
         col("data.user_id").as("user_id"),
         col("data.value").as("value"))
-    ChangeFeed.incrementalSum(feed, "table_name",
+    ChangeFeed.incrementalSum(parsed, "table_name",
         Seq("table_name", "user_id"), Seq(col("ts"), col("event_id")), "value")
       .withColumnRenamed("inc_sum_d", "maintained_sum")
       .orderBy(col("table_name"))
@@ -130,10 +142,7 @@ object SparkEntry {
       val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
         col("table_name"), col("ts"), col("event_id"),
         Seq("event_id", "user_id", "value", "props"))
-      val dataSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      Envelope.parse(wrapped.select("message", "partition_key"), "message", dataSchema)
+      Envelope.parse(wrapped.select("message", "partition_key"), "message", eventDataSchema)
         .groupBy(
           col("metadata.`record-type`").as("record_type"),
           col("metadata.operation").as("operation"),
@@ -180,10 +189,7 @@ object SparkEntry {
         beforeCols = Seq(
           SchemaEvolution.maskedBefore(col("before_value"), col("op")).as("value"),
           SchemaEvolution.maskedBefore(col("before_event_id"), col("op")).as("event_id")))
-      val dataSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      Envelope.parse(wrapped.select("message"), "message", dataSchema)
+      Envelope.parse(wrapped.select("message"), "message", eventDataSchema)
         .groupBy(
           col("metadata.operation").as("operation"),
           col("metadata.`table-name`").as("table_name"))
@@ -281,11 +287,8 @@ object SparkEntry {
       val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
         col("table_name"), col("ts"), col("event_id"),
         Seq("event_id", "user_id", "value", "props"))
-      val dataSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val feed = Envelope.parse(wrapped.select("message", "partition_key"),
-          "message", dataSchema)
+          "message", eventDataSchema)
         .select(col("partition_key"), col("metadata.timestamp").as("event_ts"))
       graft.sources.EnvelopeSource.consumeSummary(feed, consumeThreshold)
         .orderBy(col("partition_key"))
@@ -548,6 +551,14 @@ object SparkEntry {
   private val selectionDemoRules = Seq(
     TableMapping.SelectionRule("graft", "src1%"),
     TableMapping.SelectionRule("graft", "src15", TableMapping.Exclude))
+
+  /** Payload schema of the events change feed as wrapped by the CDC
+    * demo queries — one definition so the envelope queries cannot
+    * drift apart.
+    */
+  private val eventDataSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Consumer demo threshold (events span 2024-01-01..01-30). */
   private val consumeThreshold = "2024-01-15T00:00:00.000000Z"

@@ -526,6 +526,14 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"))),
 
+    // Benchmark decontamination: 3-gram overlap of every training doc
+    // against the eval stratum (source=src0 stands in for a held-out
+    // benchmark) — the leakage check a training pipeline gates on.
+    "corpus_decontaminate" -> ((s, dir) =>
+      Corpus.decontaminationScores(Tables.load(s, dir, "documents"),
+          col("source") === "src0")
+        .orderBy(col("doc_id"))),
+
     // Greedy contiguous token-budget packing: the batch-manifest step
     // between cleaned documents and training batches.
     "corpus_pack" -> ((s, dir) =>
@@ -809,6 +817,20 @@ object SparkEntry {
          |FROM documents
          |WHERE ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR))")} % 1000
          |  < (CASE source WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 100 END)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_decontaminate" ->
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ev AS (SELECT DISTINCT s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source = 'src0'),
+         |cs AS (SELECT DISTINCT s.doc_id, s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source <> 'src0')
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |  count(e.shingle) AS n_overlap,
+         |  CAST(count(e.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+         |FROM cs c LEFT JOIN ev e ON e.shingle = c.shingle
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_pack" ->

@@ -57,4 +57,10 @@ object Portable {
 
   def duckNormText(x: String): String =
     s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+
+  /** Driver/JVM twin of [[normText]] (same regex semantics), for
+    * test-side recomputation.
+    */
+  def normTextJvm(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
 }

@@ -58,6 +58,36 @@ object Corpus {
         ((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
   }
 
+  /** Benchmark decontamination scores: for every non-eval document,
+    * the fraction of its distinct word 3-grams that also appear in
+    * the eval set (`isEval` marks held-out/benchmark docs). Training
+    * pipelines drop or flag docs above a threshold so evaluation data
+    * cannot leak into training.
+    *
+    * Scale shape: the eval shingle inventory is a distinct projection
+    * (near-always broadcastable — eval sets are small next to the
+    * corpus); scoring is one left join on the shingle and a per-doc
+    * aggregate, never a doc×doc comparison. Shingling reuses the
+    * dedup pipeline's exchange-materialized tokenizer.
+    */
+  def decontaminationScores(docs: DataFrame, isEval: Column): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val evalIds = docs.filter(isEval).select(col("doc_id").as("eval_id"))
+    val evalShingles = sh
+      .join(evalIds, col("doc_id") === col("eval_id"), "left_semi")
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    val corpusSh = sh
+      .join(docs.filter(isEval).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .distinct()
+    corpusSh
+      .join(evalShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Packing summary per (source, bin): the batch manifest. */
   def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
     packed(docs, budgetTokens)

@@ -269,6 +269,28 @@ class MlSpec extends AnyFunSuite {
     assert(sum.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
 
+  test("decontamination scores match a driver-side recomputation") {
+    import graft.ml.Corpus
+    def shingleSet(text: String): Set[String] = {
+      val toks = graft.functions.Portable.normTextJvm(text).split(" ")
+      if (toks.length < Dedup.ShingleN) Set.empty
+      else toks.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+    }
+    val all = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalSh = all.filter(_._2 == "src0").flatMap(t => shingleSet(t._3)).toSet
+    val expected = all.filter(_._2 != "src0").flatMap { case (id, _, text) =>
+      val sh = shingleSet(text)
+      if (sh.isEmpty) None
+      else Some(id -> (sh.size.toLong, sh.count(evalSh).toLong))
+    }.toMap
+    val got = Corpus.decontaminationScores(docs, col("source") === "src0")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))).toMap
+    assert(got == expected)
+  }
+
   test("frame sampler offsets are evenly spaced within the payload") {
     val out = Binary.frameSampleStub(Binary.withPayload(docs)).collect()
     out.filter(_.getAs[String]("kind") == "video").foreach { r =>

@@ -49,13 +49,20 @@ object Bench {
     }
     CacheScope.releaseAll()
     val results = runs.map { case (k, ts) => k -> ts.min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail = runs.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$detail,"reps":$Reps,"sf":"$sfDir"}""")
+    // Two lines: full per-rep detail first, then the compact headline
+    // line LAST. The harness that collects this output keeps only the
+    // final ~2000 characters, so the headline line is kept short
+    // (3-decimal values, no per-rep detail) and printed last so it
+    // survives truncation intact and machine-parseable.
+    println(s"""{"metric":"detail","runs":$detail,"reps":$Reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,14 @@ import org.apache.spark.sql.Dataset
   * each persisted handle here; callers invoke `releaseAll()` at query
   * end (after the result is materialized — unpersisting earlier would
   * force recomputation of the branches still in flight).
+  *
+  * Concurrency contract: the registry is process-global, sized for the
+  * single-threaded harness (Verify/Bench run queries sequentially). If
+  * two queries run concurrently on one session, a `releaseAll()` from
+  * one unpersists the other's in-flight intermediates — results stay
+  * correct (Spark recomputes), but the persist-to-avoid-recompute
+  * guarantee silently vanishes. Concurrent callers should skip
+  * `releaseAll()` and unpersist their own handles instead.
   */
 object CacheScope {
 

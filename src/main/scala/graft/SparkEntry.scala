@@ -44,9 +44,6 @@ object SparkEntry {
     val wrapped = Envelope.wrap(feed, col("op"), col("schema_name"),
       col("table_name"), col("ts"), col("event_id"),
       Seq("event_id", "user_id", "value"))
-    val dataSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("value", DoubleType)))
     val parsed = Envelope.parse(wrapped.select("message"), "message", eventDataSchema)
       .select(
         col("metadata.`table-name`").as("table_name"),
@@ -840,7 +837,7 @@ object SparkEntry {
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
          |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
          |  FROM t)
-         |SELECT source, (cum_tokens - n_tokens) // 2048 AS bin,
+         |SELECT source, CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

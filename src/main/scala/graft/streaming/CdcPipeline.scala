@@ -225,6 +225,17 @@ object CdcPipeline {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val fs = hadoopFs(spark, stateDir)
+      // sweep .tmp-* staging dirs orphaned by a writer that crashed
+      // between its parquet write and the bucket renames — later
+      // batches use fresh version suffixes, so nothing ever reclaims
+      // these except this sweep
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      if (fs.exists(root)) {
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .filter(_.getName.startsWith(".tmp-"))
+          .foreach(p => fs.delete(p, true))
+      }
       val prevVersions = touched
         .map(b => b -> latestBucketVersion(spark, stateDir, b))
       val newVersion = (prevVersions.flatMap(_._2) :+ -1L).max + 1

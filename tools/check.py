@@ -53,6 +53,16 @@ for name in sorted(oracle):
         continue
     got = got.sort_values(gc).reset_index(drop=True)
     exp = exp.sort_values(gc).reset_index(drop=True)
+    # The round driver hashes raw values, so an int64 column on one
+    # side and float64 on the other (e.g. DuckDB HUGEINT -> float64)
+    # hash-mismatches even when numerically equal. Catch that here.
+    kind_bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in gc
+                if got[c].dtype.kind != exp[c].dtype.kind]
+    if kind_bad:
+        c, gk, ek = kind_bad[0]
+        print(f"FAIL {name}: dtype kind col={c} spark={gk} oracle={ek}")
+        fail += 1
+        continue
     bad = None
     for c in gc:
         gv, ev = got[c], exp[c]

@@ -49,7 +49,10 @@ object Bench {
     }
     CacheScope.releaseAll()
     val results = runs.map { case (k, ts) => k -> ts.min }
-    def fmt(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would emit "value":52,035 — invalid JSON.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail = runs.map { case (k, ts) =>
@@ -60,9 +63,21 @@ object Bench {
     // line LAST. The harness that collects this output keeps only the
     // final ~2000 characters, so the headline line is kept short
     // (3-decimal values, no per-rep detail) and printed last so it
-    // survives truncation intact and machine-parseable.
+    // survives truncation intact and machine-parseable. If the query
+    // surface ever grows the headline past the safety budget (the
+    // window also has to fit sbt's trailing "[success]" line), fall
+    // back to appending a total-only line that is guaranteed to fit.
+    val headline =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(s"""{"metric":"detail","runs":$detail,"reps":$Reps,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (headline.length <= 1800) println(headline)
+    else {
+      Console.err.println(
+        s"[bench] headline is ${headline.length} chars (>1800 budget); " +
+          "emitting a total-only final line so truncation cannot split it")
+      println(headline)
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

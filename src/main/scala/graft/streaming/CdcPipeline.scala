@@ -228,7 +228,13 @@ object CdcPipeline {
       // sweep .tmp-* staging dirs orphaned by a writer that crashed
       // between its parquet write and the bucket renames — later
       // batches use fresh version suffixes, so nothing ever reclaims
-      // these except this sweep
+      // these except this sweep.
+      // SINGLE WRITER PER stateDir: the sweep deletes ALL staging
+      // dirs, including one a concurrent writer might have in flight.
+      // That matches this sink's design (one streaming query owns a
+      // stateDir; foreachBatch serializes batches within it). If
+      // multi-writer sharing is ever wanted, scope the sweep to dirs
+      // older than a grace age instead of deleting unconditionally.
       val root = new org.apache.hadoop.fs.Path(stateDir)
       if (fs.exists(root)) {
         fs.listStatus(root).iterator

@@ -548,6 +548,49 @@ object SparkEntry {
           (0 until Binary.FeatureDim)
             .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("doc_id"))),
+
+    // Unigram-LM familiarity: token frequencies trained on the corpus
+    // itself, scored per doc with exact-integer aggregates (the
+    // cross-engine-reproducible decomposition of a perplexity filter).
+    "text_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLm(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub. The synthetic corpus carries no PII-shaped spans, so
+    // the query plants doc_id-derived email/ssn/phone spans (same
+    // derivation in the oracle) and the operator must count and
+    // redact exactly those.
+    "text_pii" -> ((s, dir) => {
+      val enriched = Tables.load(s, dir, "documents").withColumn("pii_text",
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise(lit(""))))
+      TextAnalysis.piiScrub(enriched, col("pii_text"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
+          length(col("redacted")).cast("long").as("red_len"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-mix realization: per-mille epoch weights per source —
+    // full epochs plus one hash-gated partial epoch per doc.
+    "corpus_mix" -> ((s, dir) =>
+      Corpus.mixed(Tables.load(s, dir, "documents"),
+          Map("src0" -> 2500, "src1" -> 1000, "src2" -> 300, "src3" -> 0),
+          defaultPerMille = 1000)
+        .groupBy(col("source"), col("epoch"), col("weight_pm"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("epoch"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -1478,5 +1521,54 @@ object SparkEntry {
          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          |  count(DISTINCT md5(text)) AS n_digests
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1)
+         |SELECT doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+         |  CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf,
+         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tf,
+         |  CAST(sum(length(bin(tf)) - 1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_log2_tf
+         |FROM toks JOIN tf USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         |  AS pii_text FROM documents),
+         |r AS (SELECT doc_id, pii_text,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.IdRe}', '<ID>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_ids,
+         |  CAST(length(redacted) AS BIGINT) AS red_len,
+         |  md5(redacted) AS red_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |  CAST(CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+         |    WHEN 'src2' THEN 300 WHEN 'src3' THEN 0 ELSE 1000 END AS BIGINT)
+         |    AS weight_pm
+         |  FROM documents),
+         |e AS (SELECT doc_id, source, weight_pm,
+         |    unnest(range((weight_pm + 999) // 1000)) AS epoch
+         |  FROM w WHERE weight_pm > 0),
+         |k AS (SELECT * FROM e WHERE epoch < weight_pm // 1000
+         |  OR ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))")} % 1000 < weight_pm % 1000)
+         |SELECT source, epoch, weight_pm, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
   )
 }

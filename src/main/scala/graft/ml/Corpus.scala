@@ -39,6 +39,39 @@ object Corpus {
     docs.filter(pmod(h, lit(1000)) < rate)
   }
 
+  /** Epoch-weighted mixture: realize a training-mix weight per source
+    * (in per-mille epochs — 2500 = "see src0 2.5 times per pass") as
+    * repeated full epochs plus ONE hash-gated partial epoch. A doc
+    * with weight w appears at epochs 0..⌊w/1000⌋-1 unconditionally
+    * and at the final epoch iff the portable hash of
+    * (source, doc_id, epoch) falls under w mod 1000 — so upsampling
+    * is deterministic, reproducible across engines/retries, and
+    * independent of partitioning, exactly like [[sampled]]'s gate.
+    *
+    * Scale shape: map-only (explode of a ≤⌈w/1000⌉-element sequence,
+    * then a hash filter) — no shuffle; output size is the mixture-
+    * weighted corpus size, which is the point.
+    */
+  def mixed(
+      docs: DataFrame,
+      weightsPerMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    val wpm = weightsPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (src, w)) => when(col("source") === src, lit(w)).otherwise(acc)
+    }.cast("long")
+    // weight 0 would make sequence() count DOWN (negative stop), not
+    // produce nothing — guard with an empty epoch array
+    val epochs = when(col("weight_pm") > 0,
+      sequence(lit(0L), floor((col("weight_pm") + 999L) / 1000L).cast("long") - 1))
+      .otherwise(array())
+    val gate = Portable.pHash(concat(
+      col("source"), lit("#"), col("doc_id"), lit("#"), col("epoch")))
+    docs.withColumn("weight_pm", wpm)
+      .withColumn("epoch", explode(epochs))
+      .filter(col("epoch") < floor(col("weight_pm") / 1000L).cast("long") ||
+        pmod(gate, lit(1000L)) < col("weight_pm") % 1000L)
+  }
+
   /** Greedy contiguous sequence packing: within each source (ordered
     * by doc_id), documents are packed into fixed token-budget bins by
     * cumulative offset — bin = (running tokens before this doc) div

@@ -136,6 +136,70 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred._1)
   }
 
+  /** Unigram-LM familiarity scoring — the corpus-level half of a
+    * perplexity quality filter (CCNet/Gopher-style: score each doc by
+    * how probable its tokens are under a language model trained on
+    * the corpus itself; low familiarity ≈ high perplexity ≈ noise).
+    *
+    * The log-likelihood is deliberately decomposed into EXACT integer
+    * aggregates — Σ tf(t), Σ ⌊log2 tf(t)⌋ (computed as
+    * length(bin(tf))-1, exact in both engines), hapax count — with
+    * one final double division each, because a float Σ log p(t) is
+    * not reproducible across engines (libm vs java.lang.Math last-ulp
+    * differences, plus order-dependent double summation). ⌊log2 tf⌋
+    * is the integer-rounded self-information, so avg_log2_tf is a
+    * monotone stand-in for negative cross-entropy; callers wanting
+    * nats/exact perplexity can apply their own smoothing downstream.
+    *
+    * Scale shape: one explode + vocabulary aggregate (map-side
+    * partial; Zipf bounds the vocab, not the corpus), a BROADCAST
+    * join of tokens against the vocab, and one per-doc aggregate —
+    * two shuffles total at any corpus size. */
+  def unigramLm(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(tf), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"),
+        sum((length(bin(col("tf"))) - 1).cast("long")).as("sum_log2_tf"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("avg_tf",
+        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_log2_tf",
+        col("sum_log2_tf").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  // --- PII scrubbing ----------------------------------------------
+
+  /** RE2-compatible patterns (no lookarounds/backrefs), so the Spark
+    * (java.util.regex) and DuckDB (RE2) engines match identically on
+    * ASCII text.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val IdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** PII scrub: count and redact email / phone / SSN-shaped spans —
+    * the compliance pass a corpus pipeline runs before anything else
+    * ships. Counts are taken on the ORIGINAL text; redaction applies
+    * email → id → phone (the digit patterns are mutually exclusive —
+    * 3-2-4 vs 3-3-4 groups — so the order cannot cascade). Pure
+    * codegen'd column expressions: map-only, no shuffle, scales with
+    * input splits.
+    */
+  def piiScrub(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(text, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ids", regexp_count(text, lit(IdRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, EmailRe, "<EMAIL>"),
+            IdRe, "<ID>"),
+          PhoneRe, "<PHONE>"))
+
   /** Quality score: the usual cheap corpus-filter features — doc
     * length, mean token length, stopword ratio — combined with fixed
     * weights into a single score. Weights match the oracle verbatim;

@@ -321,4 +321,63 @@ class MlSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bytes") > 0)
     }
   }
+
+  test("unigram LM scores match a hand-computed frequency table") {
+    import spark.implicits._
+    // tf: a=2, b=2, c=1  →  doc 1: Σtf=6, Σ⌊log2 tf⌋=3, hapax=0
+    //                       doc 2: Σtf=3, Σ⌊log2 tf⌋=1, hapax=1
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLm(df, col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("sum_tf"), r.getAs[Long]("sum_log2_tf"),
+      r.getAs[Long]("n_hapax"))).toSeq ==
+      Seq((1L, 3L, 6L, 3L, 0L), (2L, 2L, 3L, 1L, 1L)))
+    assert(got(0).getAs[Double]("avg_tf") == 2.0)
+    assert(got(1).getAs[Double]("avg_log2_tf") == 0.5)
+  }
+
+  test("PII scrub counts and redacts exactly the planted spans") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@test.org or jo@a.io thanks"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567"),
+      (3L, "clean text, no identifiers at all"),
+      (4L, "almost 12-34-5678 and 5551234567 but not shaped")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df, col("text"))
+      .orderBy(col("doc_id")).collect()
+    def row(i: Int) = (got(i).getAs[Long]("n_emails"),
+      got(i).getAs[Long]("n_phones"), got(i).getAs[Long]("n_ids"),
+      got(i).getAs[String]("redacted"))
+    assert(row(0) == (2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> thanks"))
+    assert(row(1) == (0L, 1L, 1L, "ssn <ID> phone <PHONE>"))
+    assert(row(2) == (0L, 0L, 0L, "clean text, no identifiers at all"))
+    assert(row(3) == (0L, 0L, 0L, "almost 12-34-5678 and 5551234567 but not shaped"))
+  }
+
+  test("epoch-weighted mixture: full epochs unconditional, partial gated, zero dropped") {
+    import graft.ml.Corpus
+    val weights = Map("src0" -> 2500, "src1" -> 1000, "src2" -> 0)
+    val out = Corpus.mixed(docs, weights, defaultPerMille = 1000)
+      .select(col("doc_id"), col("source"), col("epoch")).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(!bySrc.contains("src2"))
+    val src0Ids = docs.filter(col("source") === "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // epochs 0 and 1 carry EVERY src0 doc; epoch 2 a strict subset
+    val src0 = bySrc("src0").groupBy(_.getAs[Long]("epoch"))
+    assert(src0(0L).map(_.getLong(0)).toSet == src0Ids)
+    assert(src0(1L).map(_.getLong(0)).toSet == src0Ids)
+    val partial = src0.getOrElse(2L, Array.empty).map(_.getLong(0)).toSet
+    assert(partial.subsetOf(src0Ids) && partial.size < src0Ids.size)
+    // weight 1000 = exactly one unconditional epoch
+    bySrc.filterKeys(k => k != "src0" && k != "src2").values.foreach { rows =>
+      assert(rows.forall(_.getAs[Long]("epoch") == 0L))
+    }
+    // deterministic: a second run selects the identical multiset
+    val again = Corpus.mixed(docs, weights, defaultPerMille = 1000)
+      .select(col("doc_id"), col("source"), col("epoch")).collect()
+    assert(again.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .sameElements(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted))
+  }
 }

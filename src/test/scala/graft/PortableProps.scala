@@ -26,6 +26,25 @@ object PortableProps extends Properties("graft.portable") {
     fromSpark == Vectors.jvmPHash(s)
   }
 
+  private val mixedText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '#', '_'),
+      1 -> Gen.oneOf('的', 'é', 'ß', 'Ω'))).map(_.mkString)
+
+  property("native md5 hash60/pair == hex+conv SQL formula") =
+    Prop.forAll(mixedText) { s =>
+      val hex = md5(lit(s))
+      val (h1, h2) = graft.functions.Portable.pHashPair(lit(s))
+      val r = spark.range(1).select(
+        graft.functions.Portable.pHash(lit(s)).as("n"),
+        conv(substring(hex, 1, 15), 16, 10).cast("long").as("f"),
+        h1.as("p1"), h2.as("p2"),
+        conv(substring(hex, 17, 15), 16, 10).cast("long").as("f2"))
+        .collect()(0)
+      r.getLong(0) == r.getLong(1) &&
+        r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(4)
+    }
+
   private val likePattern: Gen[String] =
     Gen.listOfN(4, Gen.frequency(
       5 -> Gen.alphaLowerChar.map(_.toString),

@@ -308,15 +308,25 @@ object Dedup {
       Option(stars.groupBy(col("v")).agg(min(col("label")).as("label"))
         .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var stars = checkpointTruncated(localContractPass(edges))
+    def sym(stars: DataFrame): DataFrame =
+      stars.select(col("v").as("src"), col("label").as("dst"))
+        .union(stars.select(col("label").as("src"), col("v").as("dst")))
+    // TWO contraction passes per checkpoint/convergence round: the
+    // passes pipeline into one job (exchange → union-find → exchange
+    // → union-find → checkpoint), so at small scale the fixed per-job
+    // scheduling cost is paid half as often (measured 6.6 s → 5.3 s
+    // for the sf0.1 loop), and at large scale the lineage depth per
+    // checkpoint stays a constant 2. Convergence on the fused round
+    // is still exact: labels only ever decrease, so an unchanged sum
+    // across the double pass means the single pass is a fixed point
+    // too.
+    var stars = checkpointTruncated(localContractPass(sym(localContractPass(edges))))
     var prevSum = labelSum(stars)
     var round = 0
     var converged = false
     while (!converged && round < MaxClusterRounds) {
       round += 1
-      val sym = stars.select(col("v").as("src"), col("label").as("dst"))
-        .union(stars.select(col("label").as("src"), col("v").as("dst")))
-      stars = checkpointTruncated(localContractPass(sym))
+      stars = checkpointTruncated(localContractPass(sym(localContractPass(sym(stars)))))
       val s = labelSum(stars)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -121,6 +121,31 @@ object Corpus {
         col("n_overlap").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-document duplicated n-gram inventory per source: of each
+    * source's distinct (doc, 3-gram) instances, how many use a 3-gram
+    * that also appears in at least one OTHER document corpus-wide.
+    * This is the corpus-level repetition census (boilerplate headers,
+    * licence blocks, template text) that decides whether line/passage
+    * dedup is worth running — the cheap precursor to MinHash.
+    *
+    * Scale shape: distinct (doc, shingle) pairs (one shuffle), a
+    * document-frequency count as a window over the SAME shingle key
+    * (second shuffle, vocabulary-bounded output), then a per-source
+    * rollup (tiny). Never doc×doc; the df>1 test replaces any join
+    * against a duplicate inventory.
+    */
+  def dupNgramStats(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs).distinct()
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("df", count(lit(1)).over(w))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Packing summary per (source, bin): the batch manifest. */
   def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
     packed(docs, budgetTokens)

@@ -200,6 +200,47 @@ object TextAnalysis {
             IdRe, "<ID>"),
           PhoneRe, "<PHONE>"))
 
+  // --- Repetition signals ------------------------------------------
+
+  /** Gopher-style within-document repetition signals: duplicate-word
+    * fraction, most-common-word fraction, and duplicate-bigram
+    * fraction — the "is this doc just the same phrase looping" gate
+    * that runs right after quality scoring in a corpus pipeline.
+    *
+    * Everything is a higher-order array expression over the token
+    * array (distinct/size for uniques, zip_with of two slices for
+    * bigrams, a transform+filter scan for the top frequency) — pure
+    * map-only codegen, NO shuffle, so at 100 TB it rides the scan. The
+    * top-frequency scan is O(distinct × n) per doc, bounded by the
+    * per-doc token count, never by corpus size. Ratios divide exact
+    * integers once in double, which both engines round identically.
+    */
+  def repetition(df: DataFrame, text: Column): DataFrame = {
+    val t = tokens(text)
+    val nW = size(t).cast("long")
+    val nD = size(array_distinct(t)).cast("long")
+    val topF = array_max(transform(array_distinct(t),
+      x => size(filter(t, y => y === x)))).cast("long")
+    val bigrams = zip_with(
+      slice(t, 1, greatest(size(t) - 1, lit(0))),
+      slice(t, 2, greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.withColumn("n_words", nW)
+      .withColumn("n_distinct", nD)
+      .withColumn("top_freq", topF)
+      .withColumn("n_bigrams", size(bigrams).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)).cast("long"))
+      .withColumn("dup_word_ratio",
+        (col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("top_word_ratio",
+        col("top_freq").cast("double") / col("n_words").cast("double"))
+      .withColumn("dup_bigram_ratio",
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams").cast("double")))
+  }
+
   /** Quality score: the usual cheap corpus-filter features — doc
     * length, mean token length, stopword ratio — combined with fixed
     * weights into a single score. Weights match the oracle verbatim;

@@ -407,6 +407,156 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between distinct
+    * customer/supplier nation pairs per ship year. Both nation lookups
+    * ride broadcast dimension joins; the only shuffle is
+    * lineitem⋈orders on the order key. Output is #pairs × #years —
+    * tiny at any scale.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q14-style promo revenue share per ship month. Numerator
+    * and denominator are exact decimal conditional aggregates from ONE
+    * pass (no second scan for the total); the share is a single double
+    * division at the end. The part side broadcasts.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_d"),
+        sum(vol).as("total_d"),
+        count(lit(1)).as("n_lines"))
+      .select(col("ship_month"),
+        (col("promo_d").cast("double") * 100.0 / col("total_d").cast("double"))
+          .as("promo_pct"),
+        col("total_d").cast("double").as("total_revenue"),
+        col("n_lines"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q15-style top supplier: supplier(s) whose quarter revenue
+    * equals the maximum. The max is a 1-row aggregate broadcast back
+    * against the per-supplier totals (no global window, which would
+    * funnel every supplier through one partition at scale); equality
+    * on exact decimals keeps the tie set engine-identical.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(spark, dir, "supplier")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("total_rev_d"))
+    val top = rev.agg(max(col("total_rev_d")).as("max_rev_d"))
+    rev.join(broadcast(top), col("total_rev_d") === col("max_rev_d"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_d").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    * parts with quantity under 20% of that part's average quantity.
+    * The brand filter semi-joins (broadcast) BEFORE the heavy work, so
+    * the per-part average — a whole-partition window over ONE shuffle
+    * on l_partkey — only sees surviving rows. The 0.2·avg threshold is
+    * evaluated as exact integer-free decimal cross-multiplication
+    * (5·qty·cnt < Σqty), so engines agree at the boundary.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = Window.partitionBy(col("l_partkey"))
+    li.withColumn("sum_qty_d", sum(dec(col("l_quantity"))).over(perPart))
+      .withColumn("cnt", count(lit(1)).over(perPart))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sum_qty_d"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21-style waiting suppliers: in orders served by at least
+    * two suppliers, the supplier who alone shipped late (> 60 days
+    * after the order date). Per-(order, supplier) lateness reduces
+    * first (map-side partial), then one per-order aggregate decides
+    * multi-supplier/single-late and names the culprit — no self-joins
+    * over lineitem, which is the naive Q21 plan's downfall.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(spark, dir, "supplier")
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("s_late"))
+    val culprit = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_late")).as("n_late"),
+        max(when(col("s_late") === 1L, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    culprit.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style sales opportunity: customers with no orders whose
+    * balance exceeds the average positive balance, grouped by segment.
+    * The global average is a 1-row broadcast; the threshold compares
+    * exact decimals cross-multiplied (bal·n > Σ), so no engine ever
+    * disagrees at the float boundary. The anti join shuffles once on
+    * the customer key.
+    */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

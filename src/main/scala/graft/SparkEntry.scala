@@ -78,6 +78,12 @@ object SparkEntry {
     "q10_returned_items"   -> ((s, dir) => Analytics.q10ReturnedItems(s, dir)),
     "q_quantile_sketch"    -> ((s, dir) => Analytics.qQuantileSketch(s, dir)),
     "q19_disjunctive_revenue" -> ((s, dir) => Analytics.q19DisjunctiveRevenue(s, dir)),
+    "q7_volume_shipping"   -> ((s, dir) => Analytics.q7VolumeShipping(s, dir)),
+    "q14_promo_revenue"    -> ((s, dir) => Analytics.q14PromoRevenue(s, dir)),
+    "q15_top_supplier"     -> ((s, dir) => Analytics.q15TopSupplier(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Analytics.q17SmallQtyRevenue(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => Analytics.q21WaitingSuppliers(s, dir)),
+    "q22_sales_opportunity" -> ((s, dir) => Analytics.q22SalesOpportunity(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
@@ -580,6 +586,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style within-document repetition signals: duplicate-word
+    // fraction, top-word fraction, duplicate-bigram fraction — all
+    // map-only higher-order array expressions, value-exact in SQL.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("top_freq"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("dup_word_ratio"), col("top_word_ratio"), col("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-level duplicated-3-gram census per source: the cheap
+    // boilerplate gauge run before deciding to pay for passage dedup.
+    "corpus_dup_ngrams" -> ((s, dir) =>
+      Corpus.dupNgramStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // Training-mix realization: per-mille epoch weights per source —
     // full epochs plus one hash-gated partial epoch per doc.
     "corpus_mix" -> ((s, dir) =>
@@ -873,6 +895,51 @@ object SparkEntry {
          |FROM cs c LEFT JOIN ev e ON e.shingle = c.shingle
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Repetition signals recomputed relationally: per-token term
+    // frequencies for top_freq, a lead() window for bigrams — same
+    // exact integers, same single double division.
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS toks
+         |  FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+         |  FROM t),
+         |wc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+         |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_freq FROM (
+         |    SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bigram
+         |  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |bgn AS (SELECT doc_id, CAST(count(bigram) AS BIGINT) AS n_bigrams,
+         |    CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+         |  FROM bg GROUP BY 1)
+         |SELECT w.doc_id, w.n_words, w.n_distinct, top.top_freq,
+         |  b.n_bigrams, b.n_distinct_bigrams,
+         |  CAST(w.n_words - w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+         |    AS dup_word_ratio,
+         |  CAST(top.top_freq AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+         |    AS top_word_ratio,
+         |  CASE WHEN b.n_bigrams = 0 THEN 0.0
+         |    ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+         |      / CAST(b.n_bigrams AS DOUBLE) END AS dup_bigram_ratio
+         |FROM wc w JOIN top USING (doc_id) JOIN bgn b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Duplicated-3-gram census: distinct (doc, shingle) instances,
+    // document frequency via a window over the shingle key, per-source
+    // rollup — the same three-stage shape as the Spark plan.
+    "corpus_dup_ngrams" ->
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |w AS (SELECT doc_id, shingle,
+         |    count(*) OVER (PARTITION BY shingle) AS df FROM ds)
+         |SELECT d.source, count(*) AS n_shingles,
+         |  count(*) FILTER (WHERE w.df > 1) AS n_shared,
+         |  CAST(count(*) FILTER (WHERE w.df > 1) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS shared_ratio
+         |FROM w JOIN documents d ON d.doc_id = w.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "corpus_pack" ->
       s"""WITH t AS (SELECT source, doc_id,
          |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
@@ -983,6 +1050,85 @@ object SparkEntry {
          |    AND l_quantity BETWEEN 10 AND 30)
          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
          |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+         |  AND cn.n_name <> sn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+         |  CAST(sum(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))
+         |      ELSE CAST(0 AS $D) END) AS DOUBLE) * 100.0
+         |    / CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE)
+         |    AS promo_pct,
+         |  CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS total_revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS total_rev_d
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev_d = (SELECT max(total_rev_d) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')),
+         |w AS (SELECT *,
+         |    sum(CAST(l_quantity AS $D)) OVER (PARTITION BY l_partkey) AS sum_qty_d,
+         |    count(*) OVER (PARTITION BY l_partkey) AS cnt FROM li)
+         |SELECT CAST(sum(CAST(l_extendedprice AS $D)) AS DOUBLE) / 7.0 AS avg_yearly,
+         |  count(*) AS n_items
+         |FROM w WHERE CAST(l_quantity AS $D) * 5 * cnt < sum_qty_d""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      s"""WITH per_supp AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |      THEN 1 ELSE 0 END) AS s_late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |culprit AS (
+         |  SELECT l_orderkey, count(*) AS n_supp, sum(s_late) AS n_late,
+         |    max(CASE WHEN s_late = 1 THEN l_suppkey END) AS late_supp
+         |  FROM per_supp GROUP BY 1
+         |  HAVING count(*) >= 2 AND sum(s_late) = 1)
+         |SELECT s_suppkey, s_name, count(*) AS numwait
+         |FROM culprit JOIN supplier ON late_supp = s_suppkey
+         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      s"""WITH pos AS (
+         |  SELECT sum(CAST(c_acctbal AS $D)) AS sum_pos, count(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, count(*) AS n_cust,
+         |  CAST(sum(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+         |FROM customer, pos
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+         |  AND CAST(c_acctbal AS $D) * n_pos > sum_pos
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -222,8 +222,8 @@ object TextAnalysis {
     val topF = array_max(transform(array_distinct(t),
       x => size(filter(t, y => y === x)))).cast("long")
     val bigrams = zip_with(
-      slice(t, 1, greatest(size(t) - 1, lit(0))),
-      slice(t, 2, greatest(size(t) - 1, lit(0))),
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     df.withColumn("n_words", nW)
       .withColumn("n_distinct", nD)

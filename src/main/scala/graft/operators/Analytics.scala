@@ -536,16 +536,21 @@ object Analytics {
       .limit(20)
   }
 
-  /** TPC-H Q22-style sales opportunity: customers with no orders whose
-    * balance exceeds the average positive balance, grouped by segment.
-    * The global average is a 1-row broadcast; the threshold compares
+  /** TPC-H Q22-style sales opportunity: customers with no RECENT
+    * orders (the anti-join window keeps the result non-trivial on a
+    * corpus where everyone ordered at least once) whose balance
+    * exceeds the average positive balance, grouped by segment. The
+    * global average is a 1-row broadcast; the threshold compares
     * exact decimals cross-multiplied (bal·n > Σ), so no engine ever
     * disagrees at the float boundary. The anti join shuffles once on
-    * the customer key.
+    * the customer key, and the date filter pushes into the orders
+    * scan before the shuffle.
     */
   def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
-    val ord = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
     val pos = cust.filter(col("c_acctbal") > 0)
       .agg(sum(dec(col("c_acctbal"))).as("sum_pos"), count(lit(1)).as("n_pos"))
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")

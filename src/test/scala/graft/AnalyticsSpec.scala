@@ -190,4 +190,66 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(run.zip(run.tail).forall { case (a, b) => b >= a })
     }
   }
+
+  test("q7 pairs are distinct nations within the ship window") {
+    val rows = SparkEntry.queries("q7_volume_shipping")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("cust_nation") != r.getAs[String]("supp_nation"))
+      assert(r.getAs[Double]("revenue") > 0)
+      val y = r.getAs[Long]("l_year")
+      assert(y == 1996L || y == 1997L)
+    }
+  }
+
+  test("q14 promo share is a percentage and months are 1996") {
+    val rows = SparkEntry.queries("q14_promo_revenue")(spark, sf).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("ship_month")
+      assert(m >= 199601L && m <= 199612L)
+      val pct = r.getAs[Double]("promo_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(r.getAs[Double]("total_revenue") > 0)
+    }
+  }
+
+  test("q15 returns the suppliers tied at the quarter-revenue maximum") {
+    val rows = SparkEntry.queries("q15_top_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1) // every returned supplier carries the max
+  }
+
+  test("q17 small-quantity lines are strictly below a fifth of their part's average") {
+    val r = SparkEntry.queries("q17_small_qty_revenue")(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_items")
+    assert(n >= 0)
+    if (n > 0) assert(r.getAs[Double]("avg_yearly") > 0)
+  }
+
+  test("q21 numwait is positive and sorted descending") {
+    val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val w = rows.map(_.getAs[Long]("numwait"))
+    assert(w.forall(_ >= 1L))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q22 keeps only above-average balances among recently-inactive customers") {
+    val rows = SparkEntry.queries("q22_sales_opportunity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // threshold property: each segment's average kept balance exceeds
+    // the global average positive balance that defines the gate
+    import org.apache.spark.sql.functions.{avg, col}
+    val cust = Tables.load(spark, sf, "customer")
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")))
+      .collect()(0).getDouble(0)
+    rows.foreach { r =>
+      val avgKept = r.getAs[Double]("total_acctbal") / r.getAs[Long]("n_cust")
+      assert(avgKept > posAvg,
+        s"segment ${r.getAs[String]("c_mktsegment")}: $avgKept <= $posAvg")
+    }
+  }
 }

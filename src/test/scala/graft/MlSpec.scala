@@ -380,4 +380,45 @@ class MlSpec extends AnyFunSuite {
     assert(again.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
       .sameElements(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted))
   }
+
+  test("repetition signals are internally consistent per document") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "go go go go"),
+      (3L, "unique words only here"),
+      (4L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df, col("text"))
+      .orderBy(col("doc_id")).collect()
+    got.foreach { r =>
+      val (n, d, top) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("top_freq"))
+      assert(d <= n && top >= 1 && top <= n)
+      assert(r.getAs[Long]("n_bigrams") == math.max(n - 1, 0L))
+      assert(math.abs(r.getAs[Double]("dup_word_ratio") -
+        (n - d).toDouble / n) < 1e-12)
+    }
+    // "go go go go": 4 words, 1 distinct, top_freq 4, 3 bigrams all equal
+    val g2 = got(1)
+    assert(g2.getAs[Long]("top_freq") == 4L)
+    assert(g2.getAs[Long]("n_distinct_bigrams") == 1L)
+    assert(g2.getAs[Double]("dup_bigram_ratio") == 2.0 / 3.0)
+    // single word: no bigrams, ratio defined as 0
+    assert(got(3).getAs[Double]("dup_bigram_ratio") == 0.0)
+  }
+
+  test("dup-ngram census: per-source totals tie out against the shingle inventory") {
+    import graft.ml.Corpus
+    val got = SparkEntry.queries("corpus_dup_ngrams")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, sh) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))
+      assert(sh >= 0 && sh <= n)
+      val ratio = r.getAs[Double]("shared_ratio")
+      assert(math.abs(ratio - sh.toDouble / n) < 1e-12)
+    }
+    val totalPairs = Dedup.shingles(
+      Tables.load(spark, sf, "documents")).distinct().count()
+    assert(got.map(_.getAs[Long]("n_shingles")).sum == totalPairs)
+  }
 }

@@ -84,6 +84,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Analytics.q17SmallQtyRevenue(s, dir)),
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.q21WaitingSuppliers(s, dir)),
     "q22_sales_opportunity" -> ((s, dir) => Analytics.q22SalesOpportunity(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Analytics.q2MinCostSupplier(s, dir)),
+    "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
@@ -602,6 +604,18 @@ object SparkEntry {
       Corpus.dupNgramStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // Per-doc TF-IDF argmax keyword with exact integer idf — document
+    // tagging with engine-identical scoring and tie-breaks.
+    "text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // Power-of-two token-length histogram per source: the
+    // token-budget planning view (exact integer log2 buckets).
+    "corpus_histogram" -> ((s, dir) =>
+      Corpus.lengthHistogram(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"), col("bucket"))),
+
     // Training-mix realization: per-mille epoch weights per source —
     // full epochs plus one hash-gated partial epoch per doc.
     "corpus_mix" -> ((s, dir) =>
@@ -940,6 +954,32 @@ object SparkEntry {
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TF-IDF argmax with the same integer idf (bin-length log2 of the
+    // floor quotient) and the same three-way tie-break.
+    "text_keywords" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(${TextAnalysis.duckTokens("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |    tf.tf * (length(bin(n_docs // df.df)) - 1) AS score
+         |  FROM tf JOIN df USING (tok), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tf DESC, tok) AS rn FROM sc)
+         |SELECT doc_id, tok AS keyword, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "corpus_histogram" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "corpus_pack" ->
       s"""WITH t AS (SELECT source, doc_id,
          |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
@@ -1129,6 +1169,35 @@ object SparkEntry {
          |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
          |  AND CAST(c_acctbal AS $D) * n_pos > sum_pos
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH pf AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 5),
+         |c AS (SELECT l_partkey, l_suppkey,
+         |    CAST(l_extendedprice AS $D) AS price_d,
+         |    min(CAST(l_extendedprice AS $D))
+         |      OVER (PARTITION BY l_partkey) AS min_d
+         |  FROM lineitem JOIN pf ON l_partkey = p_partkey),
+         |m AS (SELECT DISTINCT l_partkey, l_suppkey, min_d
+         |  FROM c WHERE price_d = min_d)
+         |SELECT m.l_partkey AS p_partkey, pf.p_name, s_name, n_name,
+         |  CAST(min_d AS DOUBLE) AS min_price
+         |FROM m
+         |JOIN pf ON m.l_partkey = pf.p_partkey
+         |JOIN supplier ON m.l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY 1, 3""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER w AS e2,
+        |    lag(event_type, 1) OVER w AS e1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT e2 || '>' || e1 || '>' || event_type AS path
+        |  FROM s WHERE e2 IS NOT NULL)
+        |SELECT path, count(*) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -146,6 +146,24 @@ object Corpus {
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Token-length histogram per source in exact power-of-two buckets
+    * (bucket = ⌊log2 n_tokens⌋ via the bin()-length trick — no
+    * floating log, so engines bucket identically at every boundary).
+    * The token-budget planning view a pipeline consults before
+    * packing/mixing. Map-only per doc, then one tiny aggregate:
+    * output is |sources| × ~12 buckets at any corpus size.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+    docs.select(col("source"), n.as("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
   /** Packing summary per (source, bin): the batch manifest. */
   def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
     packed(docs, budgetTokens)

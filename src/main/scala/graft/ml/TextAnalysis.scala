@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -169,6 +170,39 @@ object TextAnalysis {
         col("sum_tf").cast("double") / col("n_tokens").cast("double"))
       .withColumn("avg_log2_tf",
         col("sum_log2_tf").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Per-document keyword: the term maximizing tf · ⌊log2(N ÷ df)⌋ —
+    * a TF-IDF argmax whose idf is the exact integer self-information
+    * (same ⌊log2⌋-via-bin trick as [[unigramLm]]), so both engines
+    * score and tie-break identically (score desc, tf desc, term asc).
+    *
+    * Scale shape: tf is one shuffle on (doc, term); df aggregates the
+    * tf relation on term (vocabulary-bounded output) and joins back on
+    * the SAME term key (co-partitioned, no extra exchange at scale);
+    * the argmax is a per-doc window over one shuffle on doc_id. N is a
+    * 1-row broadcast. Nothing is ever doc × vocabulary.
+    */
+  def keywords(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tf").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      // integer floor division (expr "div"), NOT double /: the double
+      // quotient rounds and its truncation can disagree with exact
+      // floor at corpus scale
+      .withColumn("idf_int",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("score", col("tf") * col("idf_int"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("keyword"),
+        col("tf"), col("df"), col("score"))
   }
 
   // --- PII scrubbing ----------------------------------------------

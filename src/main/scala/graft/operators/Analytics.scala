@@ -562,6 +562,64 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q2-flavored min-cost supplier, re-grounded on observed
+    * lineitem prices (the testdata has no partsupp table): for small
+    * parts, the supplier(s) whose line price hits the part's minimum.
+    *
+    * The part filter broadcasts ahead of the fact scan (semi-ish
+    * reduction before any heavy work), the per-part minimum is a
+    * whole-partition window over ONE shuffle on l_partkey, and the
+    * supplier/nation lookups broadcast after the candidate set has
+    * collapsed to one row per (part, supplier). Decimal equality
+    * picks the tie set identically in both engines.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = Window.partitionBy(col("l_partkey"))
+    li.withColumn("price_d", dec(col("l_extendedprice")))
+      .withColumn("min_d", min(dec(col("l_extendedprice"))).over(perPart))
+      .filter(col("price_d") === col("min_d"))
+      .select(col("l_partkey"), col("p_name"), col("l_suppkey"), col("min_d"))
+      .distinct()
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name"),
+        col("min_d").cast("double").as("min_price"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** Top event-type paths: the 20 most common 3-step event sequences
+    * across all user timelines — classic clickstream path analysis.
+    *
+    * Two lag() frames over ONE per-user window (single shuffle on
+    * user_id), then a global count whose output cardinality is
+    * |event_type|³ — tiny — so the final aggregation broadcasts
+    * partials, never the stream. Deterministic top-20 via
+    * (count desc, path asc).
+    */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("e2", lag(col("event_type"), 2).over(w))
+      .withColumn("e1", lag(col("event_type"), 1).over(w))
+      .filter(col("e2").isNotNull)
+      .select(concat(col("e2"), lit(">"), col("e1"), lit(">"),
+        col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

@@ -236,6 +236,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(w.zip(w.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q2 suppliers all quote their part's minimum price") {
+    val rows = SparkEntry.queries("q2_min_cost_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("p_partkey")).values.foreach { g =>
+      assert(g.map(_.getAs[Double]("min_price")).distinct.length == 1)
+      assert(g.head.getAs[Double]("min_price") > 0)
+    }
+  }
+
+  test("events_top_paths returns 3-step paths in descending frequency") {
+    val rows = SparkEntry.queries("events_top_paths")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[String]("path").count(_ == '>') == 2)
+    }
+  }
+
   test("q22 keeps only above-average balances among recently-inactive customers") {
     val rows = SparkEntry.queries("q22_sales_opportunity")(spark, sf).collect()
     assert(rows.nonEmpty)

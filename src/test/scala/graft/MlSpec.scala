@@ -421,4 +421,35 @@ class MlSpec extends AnyFunSuite {
       Tables.load(spark, sf, "documents")).distinct().count()
     assert(got.map(_.getAs[Long]("n_shingles")).sum == totalPairs)
   }
+
+  test("keywords: one keyword per doc, argmax beats the doc's rarest repeated term") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "common common beta beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(df, col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.length == 3)
+    // 'common' appears in every doc → idf ⌊log2(3/3)⌋ = 0, score 0;
+    // the doc-exclusive terms (df=1, idf ⌊log2 3⌋=1) must win
+    assert(got(0).getAs[String]("keyword") == "alpha")
+    assert(got(0).getAs[Long]("score") == 3L)
+    assert(got(1).getAs[String]("keyword") == "beta")
+    assert(got(2).getAs[String]("keyword") == "gamma")
+  }
+
+  test("length histogram buckets bound their min/max token counts") {
+    val got = SparkEntry.queries("corpus_histogram")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (1L << b, 1L << (b + 1))
+      assert(r.getAs[Long]("min_tokens") >= lo)
+      assert(r.getAs[Long]("max_tokens") < hi)
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == total)
+  }
 }

@@ -86,6 +86,28 @@ object SparkEntry {
     "q22_sales_opportunity" -> ((s, dir) => Analytics.q22SalesOpportunity(s, dir)),
     "q2_min_cost_supplier" -> ((s, dir) => Analytics.q2MinCostSupplier(s, dir)),
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
+    "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
+
+    // Point-in-time replay: state AS OF mid-feed, summarized per
+    // table (resume-from-timestamp semantics, run.py:156-185).
+    "cdc_replay_at" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      ChangeFeed.replayAt(c, lit("2024-01-15 00:00:00"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("table_name"))
+    }),
+
+    // Log-compaction summary: raw feed vs latest-per-key changelog
+    // (tombstones retained), per table.
+    "cdc_compacted_log" -> ((s, dir) =>
+      ChangeFeed.compactionSummary(ChangeFeed.fromEvents(s, dir),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .orderBy(col("table_name"))),
     "events_sessionize"    -> ((s, dir) => Analytics.eventsSessionize(s, dir)),
     "events_funnel"        -> ((s, dir) => Analytics.eventsFunnel(s, dir)),
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
@@ -742,6 +764,29 @@ object SparkEntry {
          |  value AS last_value, table_name
          |FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
 
+    "cdc_replay_at" ->
+      s"""$C, f AS (SELECT * FROM c WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+         |SELECT table_name, count(*) AS n_keys,
+         |  CAST(sum(CAST(value AS $D)) AS DOUBLE) AS total_value,
+         |  max(ts) AS max_ts
+         |FROM r WHERE rn = 1 AND op <> 'delete'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_compacted_log" ->
+      s"""$C, r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+         |k AS (SELECT table_name, count(*) AS n_keys,
+         |    count(*) FILTER (WHERE op = 'delete') AS n_tombstones
+         |  FROM r WHERE rn = 1 GROUP BY 1),
+         |raw AS (SELECT table_name, count(*) AS n_raw FROM c GROUP BY 1)
+         |SELECT k.table_name, raw.n_raw, k.n_keys,
+         |  k.n_keys - k.n_tombstones AS n_live, k.n_tombstones,
+         |  CAST(k.n_keys AS DOUBLE) / CAST(raw.n_raw AS DOUBLE)
+         |    AS compaction_ratio
+         |FROM k JOIN raw USING (table_name) ORDER BY 1""".stripMargin,
+
     "cdc_table_statistics" ->
       s"""$C
          |SELECT schema_name, table_name,
@@ -1198,6 +1243,22 @@ object SparkEntry {
         |  FROM s WHERE e2 IS NOT NULL)
         |SELECT path, count(*) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // The oracle joins on the raw BETWEEN predicate — DuckDB plans its
+    // own IEJoin; the Spark side must produce identical rows through
+    // the bucketized equi-join path.
+    "events_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |vip AS (SELECT user_id FROM (
+        |  SELECT user_id, count(*) AS c FROM ev GROUP BY 1
+        |  ORDER BY c DESC, user_id LIMIT 3)),
+        |iv AS (SELECT e.user_id AS vip_user, min(t_us) AS lo,
+        |    min(t_us) + 7200000000 AS hi
+        |  FROM ev e JOIN vip USING (user_id) GROUP BY 1)
+        |SELECT vip_user, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM iv JOIN ev e ON e.t_us >= iv.lo AND e.t_us <= iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

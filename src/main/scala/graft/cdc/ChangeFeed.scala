@@ -87,6 +87,45 @@ object ChangeFeed {
       .drop("_rn")
   }
 
+  /** Point-in-time replay: the materialized state AS OF `cutoff` —
+    * the batch twin of resuming a CDC task from a commit timestamp
+    * (reference: the consumer's timestamp-threshold positioning,
+    * run.py:156-185, and DMS's CdcStartPosition task setting). The
+    * cutoff filter pushes into the scan, so replaying an old point
+    * reads only the prefix of the feed; everything downstream is the
+    * same single-shuffle latest-per-key as [[applyChanges]].
+    */
+  def replayAt(
+      changes: DataFrame,
+      cutoff: Column,
+      keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame =
+    applyChanges(changes.filter(col("ts") <= cutoff), keyCols, orderCols)
+
+  /** Log-compaction summary per table: how far the raw feed collapses
+    * under latest-per-key retention (tombstones kept, as a compacted
+    * changelog must — see [[latestPerKey]]). Two aggregates — one over
+    * the compacted relation, one tiny per-table raw count joined back
+    * broadcast — output cardinality = |tables|.
+    */
+  def compactionSummary(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val compacted = latestPerKey(changes, keyCols, orderCols)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_tombstones"))
+    val raw = changes.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_raw"))
+    compacted.join(broadcast(raw), "table_name")
+      .select(col("table_name"), col("n_raw"), col("n_keys"),
+        (col("n_keys") - col("n_tombstones")).as("n_live"),
+        col("n_tombstones"),
+        (col("n_keys").cast("double") / col("n_raw").cast("double"))
+          .as("compaction_ratio"))
+  }
+
   /** Before-image per change (reference: BeforeImageSettings with
     * ColumnFilter=all, stack.py:341-346): previous values of the
     * tracked columns for every non-insert change.

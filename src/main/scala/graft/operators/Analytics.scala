@@ -465,10 +465,13 @@ object Analytics {
   }
 
   /** TPC-H Q15-style top supplier: supplier(s) whose quarter revenue
-    * equals the maximum. The max is a 1-row aggregate broadcast back
-    * against the per-supplier totals (no global window, which would
-    * funnel every supplier through one partition at scale); equality
-    * on exact decimals keeps the tie set engine-identical.
+    * equals the maximum. The max rides a global window over the
+    * ALREADY-AGGREGATED per-supplier relation — dimension-sized, so
+    * the single window partition holds |suppliers| rows, not the
+    * fact table — which keeps the plan to ONE lineitem scan (the
+    * 1-row-aggregate-join alternative made Spark recompute the whole
+    * aggregate, scanning the fact twice). Equality on exact decimals
+    * keeps the tie set engine-identical.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val supp = Tables.load(spark, dir, "supplier")
@@ -478,8 +481,8 @@ object Analytics {
     val rev = li.groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .as("total_rev_d"))
-    val top = rev.agg(max(col("total_rev_d")).as("max_rev_d"))
-    rev.join(broadcast(top), col("total_rev_d") === col("max_rev_d"))
+    rev.withColumn("max_rev_d", max(col("total_rev_d")).over(Window.partitionBy()))
+      .filter(col("total_rev_d") === col("max_rev_d"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev_d").cast("double").as("total_revenue"))
@@ -618,6 +621,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(20)
+  }
+
+  /** Keyless range join demo: all events landing inside any VIP
+    * user's first-two-hours window. The interval side has NO join
+    * key in common with the point side — a raw `BETWEEN` join would
+    * be a nested-loop — so it goes through [[RangeJoin]]'s bucketized
+    * equi-join (10-minute buckets ≈ the interval span / 12, keeping
+    * per-interval fan-out small). Everything runs in epoch-micros
+    * longs; the VIP set is deterministic (count desc, user_id).
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+    val vip = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id")).limit(3)
+      .select(col("user_id"))
+    val iv = ev.join(broadcast(vip), "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("t_us")).as("lo"))
+      .withColumn("hi", col("lo") + lit(7200000000L))
+      .select(col("user_id").as("vip_user"), col("lo"), col("hi"))
+    RangeJoin.pointInInterval(
+        ev.select(col("t_us"), col("user_id")), col("t_us"),
+        iv, col("lo"), col("hi"), bucketUs = 600000000L)
+      .groupBy(col("vip_user"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("vip_user"))
   }
 
   /** Window-frame running aggregates: per customer, orders in date

@@ -133,4 +133,33 @@ class CdcSpec extends AnyFunSuite {
     sample.foreach(r =>
       assert(r.getAs[String]("payload").contains("\"event_id\":")))
   }
+
+  test("replay at the feed's end equals full apply; replay mid-feed is a prefix state") {
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val keys = Seq("user_id")
+    val ord = Seq(col("ts"), col("event_id"))
+    val full = ChangeFeed.applyChanges(c, keys, ord)
+    val atEnd = ChangeFeed.replayAt(c, lit("2099-01-01"), keys, ord)
+    assert(atEnd.collect().toSet == full.collect().toSet)
+    val mid = ChangeFeed.replayAt(c, lit("2024-01-15 00:00:00"), keys, ord)
+    // every key live mid-feed existed in the feed prefix, so the
+    // replayed state can't exceed the prefix's key count
+    val prefixKeys = c.filter(col("ts") <= lit("2024-01-15 00:00:00"))
+      .select(col("user_id")).distinct().count()
+    assert(mid.count() <= prefixKeys)
+    assert(mid.count() > 0)
+  }
+
+  test("compaction summary: live + tombstones = keys, keys <= raw, ratio in (0,1]") {
+    val s = ChangeFeed.compactionSummary(ChangeFeed.fromEvents(spark, sf),
+      Seq("user_id"), Seq(col("ts"), col("event_id"))).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_tombstones")
+        == r.getAs[Long]("n_keys"))
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_raw"))
+      val ratio = r.getAs[Double]("compaction_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
 }

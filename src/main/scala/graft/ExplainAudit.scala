@@ -25,6 +25,7 @@ object ExplainAudit {
         .appName("graft-explain")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.ui.enabled", "false")) {
         case (b, (k, v)) => b.config(k, v)
       }.getOrCreate()

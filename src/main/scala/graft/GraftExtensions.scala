@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    // derived raw-nanos bounds for computed timestamp predicates, so
+    // replay/threshold filters on the events feed skip row groups
+    ext.injectOptimizerRule(_ => graft.plans.DerivedTimeBound)
   }
 }
 

@@ -85,6 +85,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.q21WaitingSuppliers(s, dir)),
     "q22_sales_opportunity" -> ((s, dir) => Analytics.q22SalesOpportunity(s, dir)),
     "q2_min_cost_supplier" -> ((s, dir) => Analytics.q2MinCostSupplier(s, dir)),
+    "q6_forecast_revenue"  -> ((s, dir) => Analytics.q6ForecastRevenue(s, dir)),
+    "q16_supplier_variety" -> ((s, dir) => Analytics.q16SupplierVariety(s, dir)),
+    "q20_bulk_suppliers"   -> ((s, dir) => Analytics.q20BulkSuppliers(s, dir)),
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
 
@@ -1231,6 +1234,34 @@ object SparkEntry {
          |JOIN supplier ON m.l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |ORDER BY 1, 3""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT
+         |  CAST(sum(CAST(l_extendedprice AS $D) * CAST(l_discount AS $D)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 15
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 25""".stripMargin,
+
+    "q20_bulk_suppliers" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS $D)) AS qty_d
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (SELECT *, sum(qty_d) OVER (PARTITION BY l_partkey) AS tot_d
+         |  FROM ps),
+         |dom AS (SELECT l_suppkey, count(*) AS n_parts_dominated
+         |  FROM w WHERE qty_d * 5 > tot_d GROUP BY 1)
+         |SELECT s_suppkey, s_name, n_parts_dominated
+         |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY n_parts_dominated DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "events_top_paths" ->
       """WITH s AS (

@@ -623,6 +623,65 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q6-style forecast revenue: one scan, every predicate
+    * pushed to parquet, a single partial+final aggregate — the
+    * canonical "rides the scan" query. Revenue is Σ price·discount in
+    * exact decimal.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers per
+    * (brand, type) for mid-size parts. The distinct aggregate is
+    * Spark's two-phase plan (partial distinct on (brand, type,
+    * suppkey), then the final count) — both shuffles keyed on the
+    * group, no row ever carries more than the three columns.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+      .limit(25)
+  }
+
+  /** TPC-H Q20-flavored bulk suppliers: suppliers who alone shipped
+    * more than 20% of a part's total quantity (concentrated-source
+    * detection; this corpus spreads parts evenly enough that a >50%
+    * bar never fires at any SF). Per-(part, supplier) totals reduce
+    * FIRST (map-side partial), the part total is a window over the
+    * reduced relation, and the share test cross-multiplies exact
+    * decimals.
+    */
+  def q20BulkSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(spark, dir, "supplier")
+    val ps = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_d"))
+    val perPart = Window.partitionBy(col("l_partkey"))
+    ps.withColumn("tot_d", sum(col("qty_d")).over(perPart))
+      .filter(col("qty_d") * 5 > col("tot_d"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+      .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Keyless range join demo: all events landing inside any VIP
     * user's first-two-hours window. The interval side has NO join
     * key in common with the point side — a raw `BETWEEN` join would

@@ -256,6 +256,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q6 is a single-row filtered aggregate with positive revenue") {
+    val r = SparkEntry.queries("q6_forecast_revenue")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_items") > 0)
+    assert(r.getAs[Double]("revenue") > 0)
+  }
+
+  test("q16 counts distinct suppliers, never more than lines") {
+    val rows = SparkEntry.queries("q16_supplier_variety")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("supplier_cnt") >= 1)
+      assert(r.getAs[Long]("supplier_cnt") <= r.getAs[Long]("n_lines"))
+    }
+    val cnts = rows.map(_.getAs[Long]("supplier_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q20 dominant suppliers each dominate at least one part") {
+    val rows = SparkEntry.queries("q20_bulk_suppliers")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Long]("n_parts_dominated") >= 1))
+    // strictly >20% share means at most 4 suppliers qualify per part
+    val nParts = Tables.load(spark, sf, "part").count()
+    assert(rows.map(_.getAs[Long]("n_parts_dominated")).sum <= 4 * nParts)
+  }
+
   test("q22 keeps only above-average balances among recently-inactive customers") {
     val rows = SparkEntry.queries("q22_sales_opportunity")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -254,6 +254,26 @@ object SparkEntry {
         .orderBy(col("table_name"))
     }),
 
+    // Same KMV statistic through the native TypedImperativeAggregate:
+    // ONE aggregate pass with a bounded k-entry buffer and map-side
+    // partial merge — no distinct relation shuffled, no per-group
+    // sort. Value-identical to the relational twin above (same
+    // deterministic order statistic), which is exactly what the
+    // shared oracle asserts.
+    "cdc_distinct_sketch_agg" -> ((s, dir) => {
+      val k = 64
+      val c = ChangeFeed.fromEvents(s, dir)
+      c.groupBy(col("table_name"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          graft.functions.KmvSketch.kmvKth(
+            Portable.pHash(col("user_id").cast("string")), k).as("kth"))
+        .withColumn("kmv_estimate",
+          round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("kth").cast("double"), 2))
+        .select(col("table_name"), col("exact_distinct"), col("kmv_estimate"))
+        .orderBy(col("table_name"))
+    }),
+
     // Hot-key (skew) aggregation: two-phase salted aggregate — the
     // pattern that keeps a single hot partition key from pinning one
     // reducer at 100 TB. Salt = portable hash of the event id, so the
@@ -1495,6 +1515,21 @@ object SparkEntry {
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_distinct_sketch" ->
+      s"""$C, h AS (SELECT DISTINCT table_name,
+         |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
+         |r AS (SELECT table_name, h,
+         |    row_number() OVER (PARTITION BY table_name ORDER BY h) AS rn FROM h),
+         |kth AS (SELECT table_name, h AS kth FROM r WHERE rn = 64),
+         |ex AS (SELECT table_name, count(DISTINCT user_id) AS exact_distinct
+         |  FROM c GROUP BY 1)
+         |SELECT ex.table_name, ex.exact_distinct,
+         |  round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(kth.kth AS DOUBLE), 2) AS kmv_estimate
+         |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
+         |ORDER BY ex.table_name""".stripMargin,
+
+    // identical statistic, so the oracle is the same relational form
+    "cdc_distinct_sketch_agg" ->
       s"""$C, h AS (SELECT DISTINCT table_name,
          |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
          |r AS (SELECT table_name, h,

@@ -150,6 +150,30 @@ class CdcSpec extends AnyFunSuite {
     assert(mid.count() > 0)
   }
 
+  test("native kmv_kth equals the sorted kth distinct value, null below k") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    // duplicates + shuffled order: the aggregate must dedup and the
+    // result must be order-insensitive (merge path exercised by the
+    // multi-partition input)
+    val hs = (1L to 100L).flatMap(h => Seq(h * 7, h * 7)) // dup each
+    val df = scala.util.Random.shuffle(hs).zipWithIndex
+      .map { case (h, i) => (i % 4, h) }.toDF("g", "h")
+      .repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(KmvSketch.kmvKth(col("h"), 10).as("kth"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = df.select("g", "h").collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(1)).distinct.sorted.apply(9)).toMap
+    assert(got == expect.toMap)
+    // below-k groups evaluate to null
+    val small = Seq((0, 1L), (0, 2L), (0, 2L)).toDF("g", "h")
+    val r = small.groupBy(col("g"))
+      .agg(KmvSketch.kmvKth(col("h"), 10).as("kth")).collect()(0)
+    assert(r.isNullAt(1))
+  }
+
   test("compaction summary: live + tombstones = keys, keys <= raw, ratio in (0,1]") {
     val s = ChangeFeed.compactionSummary(ChangeFeed.fromEvents(spark, sf),
       Seq("user_id"), Seq(col("ts"), col("event_id"))).collect()

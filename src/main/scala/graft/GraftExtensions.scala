@@ -17,6 +17,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    // kmv_kth(hash, k): k must be a foldable integer literal
+    ext.injectFunction((
+      FunctionIdentifier("kmv_kth"),
+      new ExpressionInfo(classOf[graft.functions.KmvKth].getName, "kmv_kth"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "kmv_kth(hash, k) needs a literal k")
+        graft.functions.KmvKth(children(0),
+          children(1).eval().asInstanceOf[Number].intValue)
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     // derived raw-nanos bounds for computed timestamp predicates, so
     // replay/threshold filters on the events feed skip row groups

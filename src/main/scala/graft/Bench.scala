@@ -70,7 +70,17 @@ object Bench {
     // back to appending a total-only line that is guaranteed to fit.
     val headline =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(s"""{"metric":"detail","runs":$detail,"reps":$Reps,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"sf":"$sfDir"}"""
+    println(detailLine)
+    // The retained-stdout tail (~2000 chars) can no longer hold an
+    // 84-query headline at ANY precision, so the full per-query
+    // numbers are also persisted as a repo artifact every run —
+    // stdout truncation can cost the per-query map but never the data.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (detailLine + "\n" + headline + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only CWD: stdout still has it
     if (headline.length <= 1800) println(headline)
     else {
       // Middle tier before surrendering the per-query map: 2-decimal

@@ -153,13 +153,15 @@ object TextAnalysis {
     * nats/exact perplexity can apply their own smoothing downstream.
     *
     * Scale shape: one explode + vocabulary aggregate (map-side
-    * partial; Zipf bounds the vocab, not the corpus), a BROADCAST
-    * join of tokens against the vocab, and one per-doc aggregate —
-    * two shuffles total at any corpus size. */
+    * partial; Zipf bounds the vocab, not the corpus), a join of
+    * tokens against the vocab on the term key (threshold-broadcast
+    * while the vocab is small, co-partitioned shuffle once a 100 TB
+    * corpus's vocabulary outgrows the driver — no forced hint), and
+    * one per-doc aggregate. */
   def unigramLm(docs: DataFrame, text: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    toks.join(broadcast(tf), "tok")
+    toks.join(tf, "tok")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -14,9 +14,16 @@ import graft.Tables
   * engines, decimal summation doesn't.
   *
   * Scale notes: all transforms are single-pass declarative plans —
-  * filters/projections reach the parquet scan, dimension joins are
-  * broadcast, fact-side aggregates are partial (map-side) before the
-  * one unavoidable shuffle on the group/join key.
+  * filters/projections reach the parquet scan, fact-side aggregates
+  * are partial (map-side) before the one unavoidable shuffle on the
+  * group/join key.
+  *
+  * Join-side policy: only BOUNDED relations (nation/region, 1-row
+  * aggregates, top-k sets, non-equi probe sides) carry an explicit
+  * broadcast() hint. Scale-growing dimensions (customer/supplier/
+  * part) are joined plain: the size threshold + AQE broadcast them
+  * at bench SFs — same local plans — and switch to a co-partitioned
+  * shuffle at 100 TB, instead of OOMing the driver on a forced hint.
   */
 object Analytics {
 
@@ -55,7 +62,7 @@ object Analytics {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -63,9 +70,10 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: revenue by nation through a 6-table join. All
-    * dimension sides (region/nation/customer/supplier) broadcast; the
-    * lineitem⋈orders fact join shuffles once on orderkey.
+  /** TPC-H Q5-style: revenue by nation through a 6-table join.
+    * nation/region broadcast by hint (bounded); customer/supplier
+    * broadcast under the size threshold at bench SFs and shuffle at
+    * real scale; the lineitem⋈orders fact join shuffles on orderkey.
     */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -76,8 +84,8 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val li = Tables.load(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -101,7 +109,7 @@ object Analytics {
     val li  = Tables.load(spark, dir, "lineitem")
     val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,2)")))
@@ -188,7 +196,7 @@ object Analytics {
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
       .filter(col("sum_qty") > 200)
     ord.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),
         col("sum_qty").cast("double").as("sum_qty"))
@@ -214,7 +222,7 @@ object Analytics {
 
   /** TPC-H Q10-style: revenue lost to returned items per customer,
     * top 20. The big join (lineitem⋈orders) shuffles on the order
-    * key; the customer dimension broadcasts.
+    * key; the customer dimension joins under the size threshold.
     */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
@@ -224,7 +232,7 @@ object Analytics {
       .join(ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .as("revenue_d"))
@@ -238,7 +246,8 @@ object Analytics {
     * The OR-of-ANDs spans both tables, but the single-table halves
     * (brand/size on part, quantity on lineitem) are pushed into each
     * scan as a disjunctive PushedFilter — the scan-level pruning this
-    * query exists to exercise — and the part side broadcasts.
+    * query exists to exercise — and the part side joins under the
+    * size threshold.
     */
   def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(spark, dir, "part")
@@ -250,7 +259,7 @@ object Analytics {
         col("l_quantity").between(10, 30)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
         col("l_quantity").between(20, 40))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+    li.join(part, col("l_partkey") === col("p_partkey") && cond)
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast("double").as("revenue"),
@@ -408,9 +417,10 @@ object Analytics {
   }
 
   /** TPC-H Q7-style volume shipping: revenue between distinct
-    * customer/supplier nation pairs per ship year. Both nation lookups
-    * ride broadcast dimension joins; the only shuffle is
-    * lineitem⋈orders on the order key. Output is #pairs × #years —
+    * customer/supplier nation pairs per ship year. Both nation maps
+    * broadcast by hint; the cust/supp lookups join plain (threshold
+    * decides); the unavoidable shuffle is lineitem⋈orders on the
+    * order key. Output is #pairs × #years —
     * tiny at any scale.
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
@@ -426,8 +436,8 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -440,7 +450,8 @@ object Analytics {
   /** TPC-H Q14-style promo revenue share per ship month. Numerator
     * and denominator are exact decimal conditional aggregates from ONE
     * pass (no second scan for the total); the share is a single double
-    * division at the end. The part side broadcasts.
+    * division at the end. The part side joins under the size
+    * threshold.
     */
   def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(spark, dir, "part")
@@ -448,7 +459,7 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1997-01-01"))
     val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
         .cast("long").as("ship_month"))
       .agg(
@@ -483,7 +494,7 @@ object Analytics {
         .as("total_rev_d"))
     rev.withColumn("max_rev_d", max(col("total_rev_d")).over(Window.partitionBy()))
       .filter(col("total_rev_d") === col("max_rev_d"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev_d").cast("double").as("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -491,7 +502,7 @@ object Analytics {
 
   /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
     * parts with quantity under 20% of that part's average quantity.
-    * The brand filter semi-joins (broadcast) BEFORE the heavy work, so
+    * The brand filter semi-joins BEFORE the heavy work, so
     * the per-part average — a whole-partition window over ONE shuffle
     * on l_partkey — only sees surviving rows. The 0.2·avg threshold is
     * evaluated as exact integer-free decimal cross-multiplication
@@ -501,7 +512,7 @@ object Analytics {
     val brandParts = Tables.load(spark, dir, "part")
       .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
     val li = Tables.load(spark, dir, "lineitem")
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
     val perPart = Window.partitionBy(col("l_partkey"))
     li.withColumn("sum_qty_d", sum(dec(col("l_quantity"))).over(perPart))
       .withColumn("cnt", count(lit(1)).over(perPart))
@@ -533,7 +544,7 @@ object Analytics {
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
     culprit.groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+      .join(supp, col("late_supp") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
@@ -569,10 +580,11 @@ object Analytics {
     * lineitem prices (the testdata has no partsupp table): for small
     * parts, the supplier(s) whose line price hits the part's minimum.
     *
-    * The part filter broadcasts ahead of the fact scan (semi-ish
-    * reduction before any heavy work), the per-part minimum is a
-    * whole-partition window over ONE shuffle on l_partkey, and the
-    * supplier/nation lookups broadcast after the candidate set has
+    * The part filter joins ahead of the fact scan (semi-ish
+    * reduction before any heavy work; threshold-broadcast at bench
+    * SFs), the per-part minimum is a whole-partition window over ONE
+    * shuffle on l_partkey, and the supplier/nation lookup joins after
+    * the candidate set has
     * collapsed to one row per (part, supplier). Decimal equality
     * picks the tie set identically in both engines.
     */
@@ -585,14 +597,14 @@ object Analytics {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     val li = Tables.load(spark, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
     val perPart = Window.partitionBy(col("l_partkey"))
     li.withColumn("price_d", dec(col("l_extendedprice")))
       .withColumn("min_d", min(dec(col("l_extendedprice"))).over(perPart))
       .filter(col("price_d") === col("min_d"))
       .select(col("l_partkey"), col("p_name"), col("l_suppkey"), col("min_d"))
       .distinct()
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("p_name"),
         col("s_name"), col("n_name"),
         col("min_d").cast("double").as("min_price"))
@@ -650,7 +662,7 @@ object Analytics {
       .filter(col("p_size").between(1, 15))
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
     Tables.load(spark, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
         count(lit(1)).as("n_lines"))
@@ -676,7 +688,7 @@ object Analytics {
       .filter(col("qty_d") * 5 > col("tot_d"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_parts_dominated"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
       .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
       .limit(20)

@@ -88,6 +88,9 @@ object SparkEntry {
     "q6_forecast_revenue"  -> ((s, dir) => Analytics.q6ForecastRevenue(s, dir)),
     "q16_supplier_variety" -> ((s, dir) => Analytics.q16SupplierVariety(s, dir)),
     "q20_bulk_suppliers"   -> ((s, dir) => Analytics.q20BulkSuppliers(s, dir)),
+    "q9_product_profit"    -> ((s, dir) => Analytics.q9ProductProfit(s, dir)),
+    "q11_important_stock"  -> ((s, dir) => Analytics.q11ImportantStock(s, dir)),
+    "q12_priority_shipping" -> ((s, dir) => Analytics.q12PriorityShipping(s, dir)),
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
 
@@ -1282,6 +1285,47 @@ object SparkEntry {
          |SELECT s_suppkey, s_name, n_parts_dominated
          |FROM dom JOIN supplier ON l_suppkey = s_suppkey
          |ORDER BY n_parts_dominated DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE)
+         |    - 0.6 * CAST(sum(CAST(l_quantity AS $D) * CAST(p_retailprice AS $D)) AS DOUBLE)
+         |    AS profit,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH base AS (
+         |  SELECT l_partkey AS p_partkey,
+         |    CAST(l_quantity AS $D) * CAST(p_retailprice AS $D) AS v_d
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey % 10 = 3)),
+         |tot AS (SELECT sum(v_d) AS total_d FROM base)
+         |SELECT p_partkey, CAST(sum(v_d) AS DOUBLE) AS stock_value,
+         |  count(*) AS n_lines
+         |FROM base, tot
+         |GROUP BY p_partkey, total_d
+         |HAVING sum(v_d) * 2000 > total_d
+         |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
+        |    WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60d'
+        |    ELSE '60d+' END AS delay_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_top_paths" ->
       """WITH s AS (

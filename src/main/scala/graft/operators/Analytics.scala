@@ -722,6 +722,107 @@ object Analytics {
       .orderBy(col("vip_user"))
   }
 
+  /** TPC-H Q9-style product profit, re-grounded on observed prices
+    * (the testdata has no partsupp, so supply cost is modeled as 60%
+    * of the part's retail price): for parts whose name carries one
+    * token, profit per (supplier nation, order year).
+    *
+    * The part-name filter reduces the fact FIRST (it reaches the
+    * part scan; the join then semi-reduces lineitem before orders /
+    * supplier / nation attach). Revenue and cost each sum in exact
+    * decimal; the 0.6 factor applies ONCE per group to the two
+    * already-exact sums in double — one IEEE multiply + subtract on
+    * both engines, so no accumulation-order drift. Group cardinality
+    * is |nations|·|years| — the final shuffle is trivial no matter
+    * the SF.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.load(spark, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev_d"),
+        sum(dec(col("l_quantity")) * dec(col("p_retailprice"))).as("cost_d"),
+        count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("o_year"),
+        (col("rev_d").cast("double") - lit(0.6) * col("cost_d").cast("double"))
+          .as("profit"),
+        col("n_lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q11-style important stock: parts whose observed shipped
+    * value from one nation's suppliers exceeds 1/2000 of that
+    * nation's total. The global threshold is a 1-ROW aggregate
+    * broadcast against the per-part relation — NOT a global window —
+    * so nothing ever funnels into a single partition (at 100 TB the
+    * per-part relation is billions of rows; the 1-row cross join
+    * costs a second, fully parallel pass over the reduced join
+    * instead). The share test cross-multiplies exact decimals.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    // nation "family" 3 (keys ≡ 3 mod 10): non-empty at every SF —
+    // the smallest testdata slice only populates 10 nations
+    val suppN = Tables.load(spark, dir, "supplier")
+      .filter(col("s_nationkey") % 10 === 3)
+      .select(col("s_suppkey"))
+    val parts = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val base = Tables.load(spark, dir, "lineitem")
+      .join(suppN, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"),
+        (dec(col("l_quantity")) * dec(col("p_retailprice"))).as("v_d"))
+    val total = base.agg(sum(col("v_d")).as("total_d"))
+    base.groupBy(col("p_partkey"))
+      .agg(sum(col("v_d")).as("value_d"), count(lit(1)).as("n_lines"))
+      .crossJoin(broadcast(total))
+      .filter(col("value_d") * 2000 > col("total_d"))
+      .select(col("p_partkey"), col("value_d").cast("double").as("stock_value"),
+        col("n_lines"))
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping buckets: one year of lineitems bucketed
+    * by ship delay (≤30 / 31–60 / >60 days after the order date),
+    * counting critical-priority vs other orders per bucket. The date
+    * range pushes to the lineitem scan; the conditional counts are
+    * one map-side-partial aggregate over a 3-row group key. The
+    * orders join carries only (key, date, priority).
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "0-30d")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 60, "31-60d")
+          .otherwise("60d+"))
+      .groupBy(col("delay_bucket"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_bucket"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

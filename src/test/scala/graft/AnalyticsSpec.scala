@@ -298,4 +298,40 @@ class AnalyticsSpec extends AnyFunSuite {
         s"segment ${r.getAs[String]("c_mktsegment")}: $avgKept <= $posAvg")
     }
   }
+
+  test("q9 profit groups cover only red parts' nations and years") {
+    val rows = SparkEntry.queries("q9_product_profit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val years = rows.map(_.getAs[Long]("o_year"))
+    assert(years.forall(y => y >= 1995 && y <= 2001))
+    // revenue minus 60%-of-retail cost: every group saw at least a line
+    rows.foreach(r => assert(r.getAs[Long]("n_lines") >= 1))
+    // sorted by (nation, year)
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q11 keeps only parts above 1/2000 of the nation's total value") {
+    val rows = SparkEntry.queries("q11_important_stock")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("stock_value"))
+    assert(vals.sameElements(vals.sortBy(-_)))
+    // each kept part's share strictly exceeds the 1/2000 threshold of
+    // the total implied by the shares themselves (sum(all) >= sum(kept))
+    val keptSum = vals.sum
+    vals.foreach(v => assert(v * 2000 > keptSum * 0.999,
+      s"kept value $v not above threshold vs kept-sum $keptSum"))
+  }
+
+  test("q12 buckets partition the year's lineitems by priority") {
+    val rows = SparkEntry.queries("q12_priority_shipping")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val total = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    import org.apache.spark.sql.functions.{col, lit}
+    val expected = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01")).count()
+    assert(total == expected)
+  }
 }

@@ -485,6 +485,31 @@ object SparkEntry {
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy(col("fp"))),
 
+    // Batch-vs-snapshot incremental dedup — the daily-ingest shape
+    // (dedup the new crawl against the standing index, not the world).
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalSummary(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // Blocked exact similarity join: all within-label pairs above τ.
+    "sim_pairs_threshold" -> ((s, dir) =>
+      Similarity.pairsAboveThreshold(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"), col("vec_id_a"), col("vec_id_b"))),
+
+    // Int8 re-quantization error report per label (all-int64 math).
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.int8QuantStats(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
+    // Hash-disjoint train/val/test assignment, summarized per stratum.
+    "corpus_split" -> ((s, dir) =>
+      Corpus.splitAssigned(Tables.load(s, dir, "documents"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("source"), col("split"))),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -1714,6 +1739,75 @@ object SparkEntry {
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,
          |  min(doc_id) AS canonical_id
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH fp AS (SELECT doc_id, source, md5($normT) AS fp FROM documents),
+         |snap AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+         |batch AS (SELECT f.source, (s.fp IS NOT NULL) AS in_snap,
+         |    row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+         |  FROM fp f LEFT JOIN snap s ON f.fp = s.fp
+         |  WHERE f.doc_id % 2 = 1)
+         |SELECT source, count(*) AS n_batch,
+         |  CAST(sum(CASE WHEN in_snap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_vs_snapshot,
+         |  CAST(sum(CASE WHEN NOT in_snap AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_within_batch,
+         |  CAST(sum(CASE WHEN NOT in_snap AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new_unique
+         |FROM batch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sim_pairs_threshold" ->
+      s"""WITH $embCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |d AS (SELECT la.label AS label, a.vec_id AS vec_id_a,
+         |    b.vec_id AS vec_id_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM flat a
+         |  JOIN lab la ON la.vec_id = a.vec_id
+         |  JOIN lab lb ON lb.label = la.label AND lb.vec_id > la.vec_id
+         |  JOIN flat b ON b.vec_id = lb.vec_id AND b.i = a.i
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT d.label, vec_id_a, vec_id_b,
+         |    ${Vectors.duckCosine("d.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = vec_id_a
+         |  JOIN norms nb ON nb.vec_id = vec_id_b)
+         |SELECT label, vec_id_a, vec_id_b, cos_sim FROM scored
+         |WHERE cos_sim >= ${Similarity.PairTau}
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "embed_quantize" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |s AS (SELECT vec_id, label, q,
+         |    greatest(list_aggregate(list_transform(q, x -> abs(x)), 'max'), 1) AS m,
+         |    CAST(list_aggregate(list_transform(q, x -> x*x), 'sum') AS BIGINT) AS n2
+         |  FROM q),
+         |e AS (SELECT label, m, n2,
+         |    CAST(list_aggregate(list_transform(
+         |      list_zip(q, list_transform(q,
+         |        x -> CAST(round(CAST(x * 127 AS DOUBLE) / m) AS BIGINT))),
+         |      t -> (t[1]*127 - t[2]*m) * (t[1]*127 - t[2]*m)), 'sum') AS BIGINT)
+         |      AS err_num
+         |  FROM s)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(err_num) AS DOUBLE) * 1000000.0
+         |    / CAST(sum(127 * 127 * n2) AS DOUBLE) AS err_ppm,
+         |  CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_scale
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_split" ->
+      s"""WITH h AS (SELECT source, n_chars, doc_id,
+         |    ${Portable.duckHash(
+                "(source || '#' || CAST(doc_id AS VARCHAR) || '#split')")} % 1000
+         |      AS hb
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_minhash" -> {
       val nMatch = (0 until Dedup.NumHashes)

@@ -72,6 +72,21 @@ object Corpus {
         pmod(gate, lit(1000L)) < col("weight_pm") % 1000L)
   }
 
+  /** Deterministic train/val/test split: the portable hash of
+    * (source, doc_id, "split") mod 1000 buckets each document —
+    * <800 train, <900 val, else test. Hash-based for the same
+    * reasons as [[sampled]]: the assignment is a pure row function
+    * (stable under retries/repartitioning/engine swaps) and the
+    * three splits are DISJOINT by construction — the property that
+    * actually matters for leakage. Map-only, no shuffle.
+    */
+  def splitAssigned(docs: DataFrame): DataFrame = {
+    val h = pmod(Portable.pHash(concat(
+      col("source"), lit("#"), col("doc_id"), lit("#split"))), lit(1000))
+    docs.withColumn("split",
+      when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+  }
+
   /** Greedy contiguous sequence packing: within each source (ordered
     * by doc_id), documents are packed into fixed token-budget bins by
     * cumulative offset — bin = (running tokens before this doc) div

@@ -40,6 +40,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
 
+  /** Incremental dedup: a NEW batch of documents (odd doc ids here;
+    * in production the day's crawl) deduped against an existing
+    * corpus snapshot's fingerprint set (even doc ids), then within
+    * itself. Per source: batch size, dups already in the snapshot,
+    * dups repeated inside the batch, and the net-new unique docs.
+    *
+    * Scale shape: the snapshot side reduces to DISTINCT fingerprints
+    * before the join (at 100 TB that set is the dedup index you'd
+    * keep materialized); one left join + one window, both keyed on
+    * fp, then a tiny per-source aggregate. No full-corpus re-dedup
+    * to ingest a batch.
+    */
+  def incrementalSummary(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      md5(Portable.normText(col("text"))).as("fp"))
+    val snap = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("fp")).distinct().withColumn("in_snap", lit(1))
+    val batch = fp.filter(col("doc_id") % 2 === 1)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.join(snap, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("in_snap").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_vs_snapshot"),
+        sum(when(col("in_snap").isNull && col("rn") > 1, 1L).otherwise(0L))
+          .as("n_dup_within_batch"),
+        sum(when(col("in_snap").isNull && col("rn") === 1, 1L).otherwise(0L))
+          .as("n_new_unique"))
+  }
+
   // --- shingling + MinHash ----------------------------------------
 
   /** Word `ShingleN`-gram shingles of normalized text, one row per

@@ -124,6 +124,65 @@ object Similarity {
       .agg((count(col("n2")).cast("double") /
         count(lit(1)).cast("double")).as("recall_at_k"))
 
+  val PairTau = 0.4
+
+  /** All similar pairs above a cosine threshold WITHIN a blocking
+    * key (the `label` column — a cluster/shard assignment in a real
+    * pipeline). The quadratic blow-up is bounded by the largest
+    * block, not the corpus: both sides shuffle once on the block key
+    * and pairs never cross blocks — the standard blocked
+    * similarity-join shape at 100 TB (vs. the ANN operators, whose
+    * candidates come from LSH buckets and may cross blocks). Exact
+    * integer dot products; one double division per surviving pair.
+    */
+  def pairsAboveThreshold(embs: DataFrame, tau: Double = PairTau): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs)
+      .join(embs.select(col("vec_id"), col("label")), "vec_id"))
+    val a = qv.select(col("label"), col("vec_id").as("vec_id_a"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = qv.select(col("label").as("label_b"), col("vec_id").as("vec_id_b"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
+    a.join(b, col("label") === col("label_b") &&
+        col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("label"), col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+  }
+
+  /** Int8 re-quantization report: each (already int64-quantized)
+    * vector is scaled to int8 range by its own max-abs component, and
+    * the per-label reconstruction error is reported in parts-per-
+    * million of the signal energy. Everything up to the final ratio
+    * is EXACT int64 math — err_num = Σ(q·127 − q8·m)² and den =
+    * 127²·‖q‖² per vector, both summed per label before ONE double
+    * multiply+divide — so group aggregation order can't move the
+    * result. Per-row array math rides codegen; one shuffle on label.
+    */
+  def int8QuantStats(embs: DataFrame): DataFrame = {
+    val qv = Vectors.quantized(embs)
+      .join(embs.select(col("vec_id"), col("label")), "vec_id")
+    val m = greatest(aggregate(transform(col("q"), x => abs(x)), lit(0L),
+      (acc, x) => greatest(acc, x)), lit(1L))
+    val scaled = qv.withColumn("m", m)
+      .withColumn("q8", transform(col("q"),
+        x => round((x * 127).cast("double") / col("m")).cast("long")))
+    val errNum = aggregate(
+      zip_with(col("q"), col("q8"), (x, y) => {
+        val d = x * 127 - y * col("m")
+        d * d
+      }),
+      lit(0L), (acc, x) => acc + x)
+    scaled.withColumn("err_num", errNum)
+      .withColumn("den", lit(127L * 127L) * col("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("err_num")).cast("double") * lit(1000000.0) /
+          sum(col("den")).cast("double")).as("err_ppm"),
+        (sum(col("m")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_scale"))
+  }
+
   /** SRP-LSH ANN: candidates are corpus vectors sharing any band
     * bucket with the probe; exact cosine ranks within candidates.
     * Same bucket structure as Dedup.embeddingPairs.

@@ -452,4 +452,58 @@ class MlSpec extends AnyFunSuite {
     val total = Tables.load(spark, sf, "documents").count()
     assert(got.map(_.getAs[Long]("n_docs")).sum == total)
   }
+
+  test("incremental dedup categories partition the batch") {
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batch") ==
+        r.getAs[Long]("n_dup_vs_snapshot") +
+        r.getAs[Long]("n_dup_within_batch") +
+        r.getAs[Long]("n_new_unique"))
+    }
+    // batch = all odd doc ids
+    val nOdd = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1).count()
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == nOdd)
+  }
+
+  test("threshold pairs stay within label and above tau, no self/dup pairs") {
+    val rows = SparkEntry.queries("sim_pairs_threshold")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id_a") < r.getAs[Long]("vec_id_b"))
+      assert(r.getAs[Double]("cos_sim") >= Similarity.PairTau)
+      assert(r.getAs[Double]("cos_sim") <= 1.0 + 1e-12)
+    }
+    val keys = rows.map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("int8 quantization error is small and scales are in range") {
+    val rows = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach { r =>
+      // rounding to the nearest int8 step keeps relative sq-error
+      // far under (0.5/127)² ≈ 15.5 ppm of signal energy per axis —
+      // allow generous headroom for small-norm vectors
+      assert(r.getAs[Double]("err_ppm") >= 0.0)
+      assert(r.getAs[Double]("err_ppm") < 1000.0,
+        s"err_ppm ${r.getAs[Double]("err_ppm")}")
+      assert(r.getAs[Double]("avg_scale") >= 1.0)
+    }
+  }
+
+  test("train/val/test split is disjoint, total, and roughly 80/10/10") {
+    val docs = Tables.load(spark, sf, "documents")
+    val assigned = ml.Corpus.splitAssigned(docs)
+    assert(assigned.count() == docs.count()) // total: every doc gets a split
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    assert(bySplit.getOrElse("train", 0L) / n > 0.6)
+    assert(bySplit.getOrElse("train", 0L) / n < 0.95)
+  }
 }

@@ -92,6 +92,7 @@ object SparkEntry {
     "q11_important_stock"  -> ((s, dir) => Analytics.q11ImportantStock(s, dir)),
     "q12_priority_shipping" -> ((s, dir) => Analytics.q12PriorityShipping(s, dir)),
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
+    "events_anomaly"       -> ((s, dir) => Analytics.eventsAnomaly(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
@@ -1351,6 +1352,23 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_anomaly" ->
+      s"""WITH m AS (SELECT user_id, event_id, event_type, value,
+         |    count(*) OVER w AS n,
+         |    sum(CAST(value AS $D)) OVER w AS s_d,
+         |    sum(CAST(value AS $D) * CAST(value AS $D)) OVER w AS q_d
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id)),
+         |z AS (SELECT *,
+         |    CAST(CAST(value AS $D) * n - s_d AS DOUBLE)
+         |      * sqrt(CAST(n * (n - 1) AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * sqrt(CAST(q_d * n - s_d * s_d AS DOUBLE)))
+         |      AS z
+         |  FROM m WHERE n >= 10 AND q_d * n - s_d * s_d > 0)
+         |SELECT user_id, event_id, event_type, value, z
+         |FROM z WHERE abs(z) > 2.0
+         |ORDER BY user_id, event_id""".stripMargin,
 
     "events_top_paths" ->
       """WITH s AS (

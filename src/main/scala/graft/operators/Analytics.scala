@@ -823,6 +823,39 @@ object Analytics {
       .orderBy(col("delay_bucket"))
   }
 
+  /** Per-user event-value outliers: events whose value sits more than
+    * 2 sample standard deviations from the user's mean. The moment
+    * sums S=Σv and Q=Σv² ride ONE whole-partition window per user
+    * (exact decimals, order-independent), and the z-score is a fixed
+    * double expression tree over those exact moments —
+    * z = (vn−S)·√(n(n−1)) / (n·√(Qn−S²)) — so both engines compute
+    * identical doubles. Zero-variance users are excluded EXPLICITLY
+    * (not via NaN comparisons, which DuckDB orders ABOVE all values
+    * while Spark orders them below — the one place the engines'
+    * float semantics disagree).
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+    val vd = col("value").cast("decimal(18,2)")
+    val withMoments = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s_d", sum(vd).over(w))
+      .withColumn("q_d", sum(vd * vd).over(w))
+    val numD = vd * col("n") - col("s_d")
+    val varNumD = col("q_d") * col("n") - col("s_d") * col("s_d")
+    val z = numD.cast("double") *
+      sqrt((col("n") * (col("n") - 1)).cast("double")) /
+      (col("n").cast("double") * sqrt(varNumD.cast("double")))
+    withMoments
+      .filter(col("n") >= 10 && varNumD > 0)
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 2.0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

@@ -299,6 +299,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomalies carry |z| > 2 and match a driver-side recomputation") {
+    val rows = SparkEntry.queries("events_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 2.0))
+    // recompute one flagged user's z directly from the raw events
+    val u = rows.head.getAs[Long]("user_id")
+    val vals = Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("user_id") === u)
+      .select("event_id", "value").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    val n = vals.size.toDouble
+    val mean = vals.values.sum / n
+    val variance = vals.values.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+    val e = rows.head
+    val zRecomputed = (vals(e.getAs[Long]("event_id")) - mean) / math.sqrt(variance)
+    assert(math.abs(e.getAs[Double]("z") - zRecomputed) < 1e-6)
+  }
+
   test("q9 profit groups cover only red parts' nations and years") {
     val rows = SparkEntry.queries("q9_product_profit")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -271,10 +271,9 @@ object Dedup {
     * that processed edge (u,v) emits u→m and v→m for its shared local
     * minimum m, so u-m-v survives into the next pass's graph.
     */
-  private def localContractPass(edges: DataFrame): DataFrame = {
+  private def localContractPass(edges: DataFrame, n: Int): DataFrame = {
     val sp = edges.sparkSession
     import sp.implicits._
-    val n = sp.sessionState.conf.numShufflePartitions
     edges.repartition(n, col("src"))
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
@@ -335,6 +334,17 @@ object Dedup {
     */
   def clusterLabels(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    // Size the iterative phase's shuffles by the MEASURED edge count
+    // (the caller hands us a cached candidate relation, so the count
+    // is free): the star relation never grows past the input edge
+    // list, and full-width shuffles of a few-10k-row graph are pure
+    // scheduler overhead — each pass is one job whose fixed cost
+    // scales with task count, not data. ~100k edges per partition,
+    // floor 2 (still distributed), capped at the session parallelism
+    // so a billion-edge graph on a real cluster still fans out fully.
+    val conf = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val n = math.min(conf.toLong,
+      math.max(2L, edges.count() / 100000L + 1L)).toInt
     def labelSum(stars: DataFrame): java.math.BigDecimal =
       Option(stars.groupBy(col("v")).agg(min(col("label")).as("label"))
         .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
@@ -351,13 +361,13 @@ object Dedup {
     // is still exact: labels only ever decrease, so an unchanged sum
     // across the double pass means the single pass is a fixed point
     // too.
-    var stars = checkpointTruncated(localContractPass(sym(localContractPass(edges))))
+    var stars = checkpointTruncated(localContractPass(sym(localContractPass(edges, n)), n))
     var prevSum = labelSum(stars)
     var round = 0
     var converged = false
     while (!converged && round < MaxClusterRounds) {
       round += 1
-      stars = checkpointTruncated(localContractPass(sym(localContractPass(sym(stars)))))
+      stars = checkpointTruncated(localContractPass(sym(localContractPass(sym(stars), n)), n))
       val s = labelSum(stars)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

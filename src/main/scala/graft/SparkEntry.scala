@@ -93,6 +93,7 @@ object SparkEntry {
     "q12_priority_shipping" -> ((s, dir) => Analytics.q12PriorityShipping(s, dir)),
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
     "events_anomaly"       -> ((s, dir) => Analytics.eventsAnomaly(s, dir)),
+    "events_rolling_active" -> ((s, dir) => Analytics.eventsRollingActive(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
@@ -1369,6 +1370,15 @@ object SparkEntry {
          |SELECT user_id, event_id, event_type, value, z
          |FROM z WHERE abs(z) > 2.0
          |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |obs AS (SELECT DISTINCT d AS day FROM du),
+        |w AS (SELECT du.d + CAST(t.x AS INTEGER) AS day, du.user_id
+        |  FROM du, range(7) t(x))
+        |SELECT w.day, count(DISTINCT w.user_id) AS active_7d
+        |FROM w JOIN obs ON w.day = obs.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_top_paths" ->
       """WITH s AS (

@@ -856,6 +856,26 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Trailing-7-day distinct active users per day. Sliding-window
+    * DISTINCT doesn't decompose like a sum, so the scale-sane plan is
+    * the bounded fan-out: reduce to distinct (day, user) first (the
+    * big shuffle, keyed and partial-aggregated), then each active day
+    * contributes to exactly 7 window anchors (a ×7 explode of the
+    * REDUCED relation, not the raw stream) and a two-phase distinct
+    * count lands per anchor day. Anchors are clipped to observed days
+    * so the output range is data-defined on both engines.
+    */
+  def eventsRollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val obs = du.select(col("d").as("day")).distinct()
+    du.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
+      .join(obs, "day")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy(col("day"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

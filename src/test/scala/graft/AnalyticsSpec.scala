@@ -317,6 +317,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(e.getAs[Double]("z") - zRecomputed) < 1e-6)
   }
 
+  test("rolling 7-day active users bounds daily actives and total users") {
+    val rows = SparkEntry.queries("events_rolling_active")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.{col, countDistinct, to_date}
+    val ev = Tables.load(spark, sf, "events")
+    val totalUsers = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day")
+      val a = r.getAs[Long]("active_7d")
+      assert(a <= totalUsers)
+      assert(a >= daily(d), s"window active $a below same-day active ${daily(d)}")
+    }
+  }
+
   test("q9 profit groups cover only red parts' nations and years") {
     val rows = SparkEntry.queries("q9_product_profit")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -94,6 +94,8 @@ object SparkEntry {
     "events_top_paths"     -> ((s, dir) => Analytics.eventsTopPaths(s, dir)),
     "events_anomaly"       -> ((s, dir) => Analytics.eventsAnomaly(s, dir)),
     "events_rolling_active" -> ((s, dir) => Analytics.eventsRollingActive(s, dir)),
+    "q_above_avg_orders"   -> ((s, dir) => Analytics.qAboveAvgOrders(s, dir)),
+    "events_dwell_time"    -> ((s, dir) => Analytics.eventsDwellTime(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
@@ -486,6 +488,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy(col("fp"))),
+
+    // Estimated-vs-exact Jaccard calibration per agreement bucket —
+    // the precision curve bands/rows-per-band are tuned against.
+    "dedup_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(Tables.load(s, dir, "documents"))
+        .orderBy(col("n_match"))),
 
     // Batch-vs-snapshot incremental dedup — the daily-ingest shape
     // (dedup the new crawl against the standing index, not the world).
@@ -1371,6 +1379,31 @@ object SparkEntry {
          |FROM z WHERE abs(z) > 2.0
          |ORDER BY user_id, event_id""".stripMargin,
 
+    "q_above_avg_orders" ->
+      s"""WITH pc AS (SELECT o_custkey AS ck,
+         |    sum(CAST(o_totalprice AS $D)) AS sum_d, count(*) AS n_ord
+         |  FROM orders GROUP BY 1)
+         |SELECT c_mktsegment, count(*) AS n_above,
+         |  CAST(sum(CAST(o_totalprice AS $D)) AS DOUBLE) AS sum_above
+         |FROM orders
+         |JOIN pc ON o_custkey = ck
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE CAST(o_totalprice AS $D) * n_ord > sum_d
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_dwell_time" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |  count(*) AS n,
+        |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+        |    AS avg_gap_sec
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_rolling_active" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
         |obs AS (SELECT DISTINCT d AS day FROM du),
@@ -1767,6 +1800,39 @@ object SparkEntry {
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,
          |  min(doc_id) AS canonical_id
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_lsh_calibration" -> {
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sz AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |iv AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.d1
+         |  JOIN shd b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |nm AS (SELECT c.d1, c.d2, CAST($nMatch AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.d1
+         |  JOIN sigs sb ON sb.doc_id = c.d2),
+         |p AS (SELECT nm.n_match, iv.n_inter,
+         |    za.set_size AS size_a, zb.set_size AS size_b
+         |  FROM iv
+         |  JOIN nm ON nm.d1 = iv.d1 AND nm.d2 = iv.d2
+         |  JOIN sz za ON za.doc_id = iv.d1
+         |  JOIN sz zb ON zb.doc_id = iv.d2)
+         |SELECT n_match,
+         |  CAST(n_match AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN n_inter * 3 >= size_a + size_b
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(CASE WHEN n_inter * 3 >= size_a + size_b
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS precision
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "dedup_incremental" ->
       s"""WITH fp AS (SELECT doc_id, source, md5($normT) AS fp FROM documents),

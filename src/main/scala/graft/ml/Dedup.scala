@@ -248,6 +248,46 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** LSH calibration: per minhash-agreement bucket (n_match ∈ 0..8),
+    * how many candidate pairs the exact verify confirms as near-dups
+    * (Jaccard ≥ ½, tested in INTEGERS: 3·|∩| ≥ |A|+|B|) — the
+    * precision curve you tune bands/rows against. Everything is
+    * counts until ONE double ratio per bucket, so aggregation order
+    * can't move results. Same LSH-candidate scale shape as the
+    * verify step; output is ≤ NumHashes+1 rows.
+    */
+  def lshCalibration(docs: DataFrame): DataFrame = {
+    val (sh, sigs) = distinctSigs(docs)
+    val cands = candidatePairs(bandBuckets(sigs))
+    val inter = cands
+      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
+      .join(sh.toDF("id_b2", "shingle_b"),
+        col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sa = sigs.toDF(
+      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i") :+ "size_a": _*)
+    val sb = sigs.toDF(
+      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i") :+ "size_b": _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .withColumn("n_match", matches)
+      .withColumn("near_dup",
+        when(col("n_inter") * 3 >= col("size_a") + col("size_b"), 1L)
+          .otherwise(0L))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("near_dup")).as("n_near_dup"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(NumHashes.toDouble))
+      .withColumn("precision",
+        col("n_near_dup").cast("double") / col("n_pairs").cast("double"))
+      .select(col("n_match"), col("est_jaccard"), col("n_pairs"),
+        col("n_near_dup"), col("precision"))
+  }
+
   /** Safety bound on contraction passes. Each filtering pass collapses
     * every partition-local component to a star, so the surviving
     * cross-partition chain depth shrinks at least geometrically — the

@@ -876,6 +876,50 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Correlated-subquery decorrelation: orders strictly above their
+    * own customer's average order value, counted per market segment.
+    * The correlated `price > (SELECT avg ... WHERE same customer)`
+    * rewrites to ONE per-customer aggregate joined back on the
+    * correlation key — the standard decorrelation every engine does,
+    * expressed directly so the plan is one orders scan + one
+    * customer-keyed shuffle. The threshold compares exact decimals
+    * cross-multiplied (price·n > Σ), never a float average.
+    */
+  def qAboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val perCust = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(dec(col("o_totalprice"))).as("sum_d"),
+        count(lit(1)).as("n_ord"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ord.join(perCust, col("o_custkey") === col("ck"))
+      .filter(dec(col("o_totalprice")) * col("n_ord") > col("sum_d"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_above"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Dwell time between consecutive events per (from, to) transition:
+    * one lag window per user timeline (single shuffle on user_id),
+    * gaps summed as exact integer micros, ONE double division per
+    * transition group. The transition matrix is |event_type|² rows —
+    * partial aggregation collapses the stream map-side.
+    */
+  def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000000.0)).as("avg_gap_sec"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Window-frame running aggregates: per customer, orders in date
     * order with a sequence number, a running (unbounded-preceding)
     * spend total, and a 3-row moving average. One shuffle on

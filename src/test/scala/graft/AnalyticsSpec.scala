@@ -334,6 +334,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("above-average orders are a strict subset with higher mean value") {
+    val rows = SparkEntry.queries("q_above_avg_orders")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.{avg, col, count}
+    val ord = Tables.load(spark, sf, "orders")
+    val nAll = ord.count()
+    val globalAvg = ord.agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val nAbove = rows.map(_.getAs[Long]("n_above")).sum
+    assert(nAbove > 0 && nAbove < nAll)
+    // per-segment mean of kept orders exceeds the global mean: kept
+    // orders beat their own customer's average, which lifts the pool
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_above") / r.getAs[Long]("n_above") > globalAvg * 0.8)
+    }
+  }
+
+  test("dwell-time transitions cover each observed pair once with positive gaps") {
+    val rows = SparkEntry.queries("events_dwell_time")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach(r => assert(r.getAs[Double]("avg_gap_sec") >= 0.0))
+    // total transition count = events minus one per multi-event user
+    import org.apache.spark.sql.functions.{col, count}
+    val ev = Tables.load(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+  }
+
   test("q9 profit groups cover only red parts' nations and years") {
     val rows = SparkEntry.queries("q9_product_profit")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -453,6 +453,24 @@ class MlSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_docs")).sum == total)
   }
 
+  test("LSH calibration buckets tie out against the pair-level queries") {
+    val cal = SparkEntry.queries("dedup_lsh_calibration")(spark, sf).collect()
+    assert(cal.nonEmpty)
+    // same candidate universe as the verify step
+    val nPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(cal.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    cal.foreach { r =>
+      assert(r.getAs[Long]("n_near_dup") <= r.getAs[Long]("n_pairs"))
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // precision is non-decreasing from the lowest to the highest
+    // agreement bucket on this corpus (exact dups agree on all hashes)
+    val byMatch = cal.sortBy(_.getAs[Long]("n_match"))
+    assert(byMatch.last.getAs[Double]("precision") >=
+      byMatch.head.getAs[Double]("precision"))
+  }
+
   test("incremental dedup categories partition the batch") {
     val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
     assert(rows.nonEmpty)

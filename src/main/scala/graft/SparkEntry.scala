@@ -511,6 +511,12 @@ object SparkEntry {
       Similarity.int8QuantStats(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"))),
 
+    // Token-level blocklist cleaning gate, per-source removal stats.
+    "corpus_blocklist" -> ((s, dir) =>
+      Corpus.blocklistSummary(Tables.load(s, dir, "documents"),
+          Seq("dup", "slow"))
+        .orderBy(col("source"))),
+
     // Hash-disjoint train/val/test assignment, summarized per stratum.
     "corpus_split" -> ((s, dir) =>
       Corpus.splitAssigned(Tables.load(s, dir, "documents"))
@@ -1888,6 +1894,16 @@ object SparkEntry {
          |    / CAST(sum(127 * 127 * n2) AS DOUBLE) AS err_ppm,
          |  CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_scale
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_blocklist" ->
+      s"""WITH b AS (SELECT source, n_chars,
+         |    list_has_any($toksT, ['dup', 'slow']) AS blocked
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |  CAST(sum(CASE WHEN blocked THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS blocked_chars
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_split" ->
       s"""WITH h AS (SELECT source, n_chars, doc_id,

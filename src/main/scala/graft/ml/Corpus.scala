@@ -87,6 +87,26 @@ object Corpus {
       when(h < 800, "train").when(h < 900, "val").otherwise("test"))
   }
 
+  /** Token-level blocklist gate: a document is blocked iff any of its
+    * tokens matches the (tiny, literal) blocklist — the standard
+    * cleaning stage between crawling and training. `arrays_overlap`
+    * against a literal array is per-row codegen'd set probing:
+    * map-only, no shuffle, no join — at 100 TB the blocklist rides
+    * in the closure, not a broadcast relation. Reported per source
+    * as kept/blocked counts and the chars removed.
+    */
+  def blocklistSummary(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val blocked = arrays_overlap(
+      TextAnalysis.tokens(col("text")),
+      array(terms.map(lit): _*))
+    docs.withColumn("blocked", blocked)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("blocked"), col("n_chars")).otherwise(0L))
+          .as("blocked_chars"))
+  }
+
   /** Greedy contiguous sequence packing: within each source (ordered
     * by doc_id), documents are packed into fixed token-budget bins by
     * cumulative offset — bin = (running tokens before this doc) div

@@ -471,6 +471,18 @@ class MlSpec extends AnyFunSuite {
       byMatch.head.getAs[Double]("precision"))
   }
 
+  test("blocklist gate blocks exactly the docs containing a listed token") {
+    val rows = SparkEntry.queries("corpus_blocklist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nBlocked = rows.map(_.getAs[Long]("n_blocked")).sum
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(array_contains(TextAnalysis.tokens(col("text")), "dup") ||
+        array_contains(TextAnalysis.tokens(col("text")), "slow"))
+      .count()
+    assert(nBlocked == expected && nBlocked > 0)
+    rows.foreach(r => assert(r.getAs[Long]("n_blocked") <= r.getAs[Long]("n_docs")))
+  }
+
   test("incremental dedup categories partition the batch") {
     val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
     assert(rows.nonEmpty)

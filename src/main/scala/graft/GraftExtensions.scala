@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.KmvKth(children(0),
           children(1).eval().asInstanceOf[Number].intValue)
       }))
+    // vec_sum(array<long>): element-wise per-group vector sum
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[graft.functions.VecSumLong].getName, "vec_sum"),
+      (children: Seq[Expression]) => graft.functions.VecSumLong(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     // derived raw-nanos bounds for computed timestamp predicates, so
     // replay/threshold filters on the events feed skip row groups

@@ -640,6 +640,25 @@ object SparkEntry {
       Corpus.packSummary(Tables.load(s, dir, "documents"), budgetTokens = 2048)
         .orderBy(col("source"), col("bin"))),
 
+    // Fixed-window token chunking with overlap: the doc→sequence
+    // fan-out (map-only, fingerprinted per chunk for passage dedup).
+    "corpus_chunks" -> ((s, dir) =>
+      Corpus.chunked(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Per-label embedding centroids through the native vec_sum
+    // aggregate — |labels|·dim longs shuffle instead of an exploded
+    // rows×dim relation.
+    "embed_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"), col("dim"))),
+
+    // Majority-label kNN classification of the probe set over the
+    // exact neighbor ranking (deterministic tie-breaks).
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"))),
+
     // Exercises the stubbed decoder's mapPartitions plumbing
     // end-to-end — oracle-checked (the stub features are value-exact
     // in SQL). The feature vector is projected to one scalar column
@@ -1109,6 +1128,60 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "corpus_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    ${TextAnalysis.duckTokens("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, source, toks, len(toks) AS n_tokens FROM t
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, source, toks,
+         |    unnest(range(0, CAST(n_tokens AS BIGINT),
+         |      ${Corpus.ChunkStride})) AS start
+         |  FROM n),
+         |k AS (SELECT doc_id, source,
+         |    CAST(start // ${Corpus.ChunkStride} AS BIGINT) AS chunk_id,
+         |    list_slice(toks, start + 1, start + ${Corpus.ChunkSize}) AS chunk
+         |  FROM c)
+         |SELECT doc_id, source, chunk_id,
+         |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |  ${Portable.duckHash("array_to_string(chunk, ' ')")} AS chunk_fp
+         |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "embed_centroids" ->
+      s"""WITH q AS (SELECT label,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |f AS (SELECT label, generate_subscripts(q, 1) - 1 AS dim,
+         |    unnest(q) AS v FROM q)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n_vecs,
+         |  CAST(sum(v) AS DOUBLE)
+         |    / CAST(count(*) * ${Vectors.Scale} AS DOUBLE) AS centroid
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH $embCtes,
+         |d AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored),
+         |v AS (SELECT r.probe_id, e.label, count(*) AS votes,
+         |    min(r.rk) AS best_rk
+         |  FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+         |  WHERE r.rk <= ${Similarity.TopK}
+         |  GROUP BY 1, 2),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY votes DESC, best_rk, label) AS pick FROM v)
+         |SELECT probe_id, label AS predicted_label,
+         |  CAST(votes AS BIGINT) AS votes
+         |FROM p WHERE pick = 1 ORDER BY probe_id""".stripMargin,
 
     "cdc_incremental_agg" ->
       s"""$C,

@@ -199,6 +199,39 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Fixed-window token chunking with overlap: each document fans out
+    * to chunks of [[ChunkSize]] tokens starting every [[ChunkStride]]
+    * tokens (so consecutive chunks share `ChunkSize - ChunkStride`
+    * tokens of context) — the doc→training-sequence step of a
+    * tokenizer pipeline, and the unit passage/chunk dedup and
+    * retrieval indexing operate on.
+    *
+    * Scale shape: map-only — the explode fan-out is
+    * ⌈n_tokens / stride⌉ per document (bounded by document length,
+    * never corpus size), no shuffle, no join; each chunk carries a
+    * portable 60-bit fingerprint so downstream exact chunk-dedup is a
+    * plain groupBy. Determinism: chunk boundaries are pure functions
+    * of the token sequence.
+    */
+  def chunked(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(ChunkStride))))
+      .withColumn("chunk",
+        slice(col("toks"), col("start") + lit(1), lit(ChunkSize)))
+      .select(col("doc_id"), col("source"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        Portable.pHash(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
+
   /** Packing summary per (source, bin): the batch manifest. */
   def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
     packed(docs, budgetTokens)

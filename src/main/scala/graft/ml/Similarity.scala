@@ -183,6 +183,60 @@ object Similarity {
           count(lit(1)).cast("double")).as("avg_scale"))
   }
 
+  /** Per-label centroid of the quantized embeddings via the native
+    * element-wise vector-sum aggregate ([[graft.functions.VecSumLong]])
+    * — the E-step of k-means / the class-prototype builder.
+    *
+    * Scale shape: ONE pass, ONE group-by shuffle whose payload is
+    * |labels| · dim longs (map-side partial buffers), versus the
+    * posexplode twin that would multiply the shuffled relation by the
+    * dimensionality. The tiny |labels|-row result is then exploded
+    * (driver-light) to (label, dim) rows so the output is scalar
+    * columns. Sums are exact int64; the centroid value is ONE double
+    * division per (label, dim).
+    */
+  def labelCentroids(embs: DataFrame): DataFrame = {
+    val summed = embs
+      .select(col("label"), Vectors.quantize(col("embedding")).as("q"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("sums"),
+        count(lit(1)).as("n_vecs"))
+    summed
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("sums")).as(Seq("dim", "sum_q")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("sum_q"),
+        col("n_vecs"),
+        (col("sum_q").cast("double") /
+          (col("n_vecs") * lit(Vectors.Scale.toLong)).cast("double"))
+          .as("centroid"))
+  }
+
+  /** Majority-label kNN classification of the probe set: each probe
+    * takes the most frequent label among its exact top-k cosine
+    * neighbors (ties → the label holding the best-ranked neighbor,
+    * then the smaller label — fully deterministic).
+    *
+    * Scale shape: the neighbor ranking is [[topKBruteForce]]'s output
+    * — probes × k rows, tiny at any corpus size — so it BROADCASTS
+    * into the label lookup (the corpus label relation streams once,
+    * never shuffles on the probe side), and the vote count + argmax
+    * window run on probes × ≤k rows.
+    */
+  def knnClassify(embs: DataFrame): DataFrame = {
+    val nn = topKBruteForce(embs)
+    val votes = broadcast(nn)
+      .join(embs.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rk")).as("best_rk"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("best_rk"), col("label"))
+    votes.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+      .select(col("probe_id"), col("label").as("predicted_label"),
+        col("votes"))
+  }
+
   /** SRP-LSH ANN: candidates are corpus vectors sharing any band
     * bucket with the probe; exact cosine ranks within candidates.
     * Same bucket structure as Dedup.embeddingPairs.

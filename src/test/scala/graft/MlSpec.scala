@@ -550,6 +550,92 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_sum matches the posexplode twin and handles merge paths") {
+    // exploded relational twin over the real embeddings
+    val q = embs.select(col("label"),
+      Vectors.quantize(col("embedding")).as("q"))
+    val twin = q
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sum_q"))
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        r.getAs[Long]("sum_q")).toMap
+    // force a multi-partition plan so partial-merge + serialize run
+    val got = q.repartition(8, col("label"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("sums"))
+      .select(col("label"), posexplode(col("sums")).as(Seq("dim", "s")))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getAs[Int]("label"), r.getAs[Int]("dim"))
+      assert(twin(k) == r.getAs[Long]("s"), s"mismatch at $k")
+    }
+    // SQL registry path (GraftExtensions)
+    q.createOrReplaceTempView("vs_in")
+    val viaSql = spark.sql(
+      "SELECT label, vec_sum(q) AS sums FROM vs_in GROUP BY label").count()
+    assert(viaSql > 0)
+  }
+
+  test("label centroids average the quantized components exactly") {
+    val rows = Similarity.labelCentroids(embs).collect()
+    val labels = embs.select("label").distinct().count()
+    assert(rows.map(_.getAs[Int]("label")).distinct.length == labels.toInt)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid")
+      val expect = r.getAs[Long]("sum_q").toDouble /
+        (r.getAs[Long]("n_vecs") * Vectors.Scale).toDouble
+      assert(c == expect)
+      assert(math.abs(c) <= 1.0 + 1e-12) // components are in [-1, 1]
+    }
+  }
+
+  test("chunking covers every token with the declared size and stride") {
+    val chunks = ml.Corpus.chunked(docs).collect()
+    val nTokens = docs
+      .select(size(TextAnalysis.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect().map(_.getAs[Int]("n").toLong)
+    // chunk count per doc = ceil(n / stride); total tokens covered
+    val expectChunks = nTokens
+      .map(n => (n + ml.Corpus.ChunkStride - 1) / ml.Corpus.ChunkStride).sum
+    assert(chunks.length.toLong == expectChunks)
+    chunks.foreach { r =>
+      val ct = r.getAs[Long]("chunk_tokens")
+      assert(ct >= 1 && ct <= ml.Corpus.ChunkSize)
+    }
+    // last chunk of each doc ends exactly at the doc's last token:
+    // sum over docs of (tokens in chunks) - overlap = total tokens
+    val perDocLast = chunks.groupBy(_.getAs[Long]("doc_id")).values.map { cs =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      val n = sorted.init.map(_ => ml.Corpus.ChunkStride.toLong).sum +
+        sorted.last.getAs[Long]("chunk_tokens")
+      n
+    }.sum
+    assert(perDocLast == nTokens.sum)
+  }
+
+  test("knn classification votes are consistent with the neighbor list") {
+    val nn = Similarity.topKBruteForce(embs).collect()
+    val labelOf = embs.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val expected = nn.groupBy(_.getAs[Long]("probe_id")).map { case (p, rs) =>
+      val votes = rs.groupBy(r => labelOf(r.getAs[Long]("neighbor_id")))
+        .map { case (l, g) =>
+          (l, g.length.toLong, g.map(_.getAs[Long]("rk")).min) }
+      val best = votes.toSeq.minBy { case (l, v, br) => (-v, br, l.toLong) }
+      p -> (best._1, best._2)
+    }
+    val got = Similarity.knnClassify(embs).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (lbl, v) = expected(r.getAs[Long]("probe_id"))
+      assert(r.getAs[Int]("predicted_label") == lbl)
+      assert(r.getAs[Long]("votes") == v)
+    }
+  }
+
   test("train/val/test split is disjoint, total, and roughly 80/10/10") {
     val docs = Tables.load(spark, sf, "documents")
     val assigned = ml.Corpus.splitAssigned(docs)

@@ -659,6 +659,36 @@ object SparkEntry {
       Similarity.knnClassify(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"))),
 
+    // Passage-level duplication census over chunk fingerprints.
+    "corpus_chunk_dedup" -> ((s, dir) =>
+      Corpus.chunkDupStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // One k-means assignment step: label→nearest-centroid transition
+    // matrix (broadcast integer-sum centroids, argmax via max-struct).
+    "sim_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"), col("assigned_cell"))),
+
+    // DMS-style table validation: source vs drifted replicated twin,
+    // per-status matched/mismatched/missing/extra counts. Drift is
+    // planted from the portable key hash (mod 97: 0→checksum bump,
+    // 1→row dropped, 2→extra re-keyed row) so the oracle replants it.
+    "cdc_validation" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val h = pmod(Portable.pHash(col("o_orderkey").cast("string")), lit(97L))
+      val src = orders.withColumn("chk", cents)
+      val kept = orders.filter(h =!= 1)
+        .withColumn("chk", when(h === 0, cents + 1L).otherwise(cents))
+      val extra = orders.filter(h === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("chk", cents)
+      cdc.Validation.report(src, kept.unionByName(extra),
+          "o_orderkey", "o_orderstatus", col("chk"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Exercises the stubbed decoder's mapPartitions plumbing
     // end-to-end — oracle-checked (the stub features are value-exact
     // in SQL). The feature vector is projected to one scalar column
@@ -1182,6 +1212,83 @@ object SparkEntry {
          |SELECT probe_id, label AS predicted_label,
          |  CAST(votes AS BIGINT) AS votes
          |FROM p WHERE pick = 1 ORDER BY probe_id""".stripMargin,
+
+    "corpus_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    ${TextAnalysis.duckTokens("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, source, toks, len(toks) AS n_tokens FROM t
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, source,
+         |    unnest(range(0, CAST(n_tokens AS BIGINT),
+         |      ${Corpus.ChunkStride})) AS start, toks
+         |  FROM n),
+         |k AS (SELECT doc_id, source,
+         |    ${Portable.duckHash(
+                 s"array_to_string(list_slice(toks, start + 1, " +
+                   s"start + ${Corpus.ChunkSize}), ' ')")} AS chunk_fp
+         |  FROM c),
+         |dpf AS (SELECT chunk_fp, doc_id,
+         |    count(*) OVER (PARTITION BY chunk_fp) AS docs_with_fp
+         |  FROM (SELECT DISTINCT chunk_fp, doc_id FROM k))
+         |SELECT k.source, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.docs_with_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks,
+         |  CAST(sum(CASE WHEN d.docs_with_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS shared_ratio
+         |FROM k JOIN dpf d
+         |  ON d.chunk_fp = k.chunk_fp AND d.doc_id = k.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sim_kmeans_assign" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |flat AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS i,
+         |    unnest(q) AS v FROM q),
+         |comp AS (SELECT label AS cell, i, CAST(sum(v) AS BIGINT) AS s
+         |  FROM flat GROUP BY 1, 2),
+         |cells AS (SELECT cell, CAST(sum(s * s) AS BIGINT) AS sn2
+         |  FROM comp GROUP BY 1),
+         |d AS (SELECT f.vec_id, f.label, c.cell,
+         |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
+         |  FROM flat f JOIN comp c ON c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT d.vec_id, d.label, d.cell,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(ce.sn2 AS DOUBLE)) AS score
+         |  FROM d JOIN cells ce ON ce.cell = d.cell),
+         |a AS (SELECT vec_id, label, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cell) AS rk
+         |  FROM scored)
+         |SELECT label, cell AS assigned_cell, count(*) AS n_vecs
+         |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_validation" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         |    ${Portable.duckHash("CAST(o_orderkey AS VARCHAR)")} % 97 AS hb
+         |  FROM orders),
+         |tgt AS (
+         |  SELECT k, g, CASE WHEN hb = 0 THEN c + 1 ELSE c END AS c
+         |  FROM src WHERE hb <> 1
+         |  UNION ALL
+         |  SELECT k + 100000000, g, c FROM src WHERE hb = 2),
+         |j AS (SELECT coalesce(s.g, t.g) AS g, s.k AS k_s, t.k AS k_t,
+         |    s.c AS c_s, t.c AS c_t
+         |  FROM src s FULL OUTER JOIN tgt t ON s.k = t.k)
+         |SELECT g AS o_orderstatus,
+         |  CAST(sum(CASE WHEN k_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_source,
+         |  CAST(sum(CASE WHEN k_t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_target,
+         |  CAST(sum(CASE WHEN k_s IS NOT NULL AND k_t IS NOT NULL
+         |    AND c_s = c_t THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  CAST(sum(CASE WHEN k_s IS NOT NULL AND k_t IS NOT NULL
+         |    AND c_s <> c_t THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+         |  CAST(sum(CASE WHEN k_t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_missing_target,
+         |  CAST(sum(CASE WHEN k_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_extra_target
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_incremental_agg" ->
       s"""$C,

@@ -232,6 +232,31 @@ object Corpus {
         Portable.pHash(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
 
+  /** Passage-level duplication census over [[chunked]] fingerprints:
+    * per source, how many chunks share their 60-bit fingerprint with
+    * at least one OTHER document (boilerplate passages, quoted
+    * blocks, licence text — what passage dedup would remove). The
+    * chunk-granularity sibling of [[dupNgramStats]].
+    *
+    * Scale shape: distinct (fingerprint, doc) pairs (one shuffle), a
+    * document-frequency window on the SAME fingerprint key, a join
+    * back to the chunk rows on (fp, doc) — co-keyed with the distinct
+    * — and a tiny per-source rollup. Never doc×doc.
+    */
+  def chunkDupStats(docs: DataFrame): DataFrame = {
+    val ch = chunked(docs)
+    val w = Window.partitionBy(col("chunk_fp"))
+    val docsPerFp = ch.select(col("chunk_fp"), col("doc_id")).distinct()
+      .withColumn("docs_with_fp", count(lit(1)).over(w))
+    ch.join(docsPerFp, Seq("chunk_fp", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("docs_with_fp") > 1, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+      .withColumn("shared_ratio",
+        col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Packing summary per (source, bin): the batch manifest. */
   def packSummary(docs: DataFrame, budgetTokens: Int): DataFrame =
     packed(docs, budgetTokens)

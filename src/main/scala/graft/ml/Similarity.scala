@@ -211,6 +211,45 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** One k-means assignment step (the E-step companion of
+    * [[labelCentroids]]): every vector is assigned to the centroid
+    * direction it is most cosine-similar to, reported as the
+    * (current label → assigned cell) transition matrix — exactly what
+    * an iterative clustering driver inspects for convergence.
+    *
+    * Determinism: centroid directions are kept as INTEGER component
+    * sums (as in [[topKAnnIvf]] — a sum points the same way as the
+    * mean, so no per-cell division); the per-(vector, cell) score is
+    * one double division of an exact int64 dot by sqrt(int64), and
+    * argmax ties break to the smaller cell id via a max-of-struct
+    * with the negated cell.
+    *
+    * Scale shape: cells are |labels| rows and BROADCAST; the corpus
+    * fans out ×|cells| map-side, reduces back to one row per vector
+    * with a map-side-combinable max-of-struct aggregate (no window
+    * over the corpus), then a tiny |labels|² rollup. The corpus never
+    * joins itself; shuffles carry corpus-row and |labels|²-row
+    * relations only.
+    */
+  def kmeansAssign(embs: DataFrame): DataFrame = {
+    val qv = embs.select(col("vec_id"), col("label"),
+      Vectors.quantize(col("embedding")).as("q"))
+    val cells = qv.groupBy(col("label").as("cell"))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("s"))
+      .withColumn("sn2", Vectors.norm2(col("s")))
+    val scored = qv.join(broadcast(cells))
+      .withColumn("score",
+        Vectors.dot(col("q"), col("s")).cast("double") /
+          sqrt(col("sn2").cast("double")))
+    val assigned = scored
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("score"), (-col("cell")).as("neg_cell")))
+        .as("best"))
+      .select(col("label"), (-col("best.neg_cell")).as("assigned_cell"))
+    assigned.groupBy(col("label"), col("assigned_cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Majority-label kNN classification of the probe set: each probe
     * takes the most frequent label among its exact top-k cosine
     * neighbors (ties → the label holding the best-ranked neighbor,

@@ -174,6 +174,32 @@ class CdcSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("validation report ties out against the planted drift exactly") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, sf, "orders")
+    val rows = SparkEntry.queries("cdc_validation")(spark, sf).collect()
+    // planted drift: key-hash mod 97 → 0 mismatch, 1 missing, 2 extra
+    val h = pmod(graft.functions.Portable.pHash(
+      col("o_orderkey").cast("string")), lit(97L))
+    val planted = orders.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(when(h === 0, 1L).otherwise(0L)).as("mis"),
+        sum(when(h === 1, 1L).otherwise(0L)).as("drop"),
+        sum(when(h === 2, 1L).otherwise(0L)).as("extra"))
+      .collect()(0)
+    assert(rows.map(_.getAs[Long]("n_source")).sum == planted.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("n_mismatched")).sum == planted.getAs[Long]("mis"))
+    assert(rows.map(_.getAs[Long]("n_missing_target")).sum == planted.getAs[Long]("drop"))
+    assert(rows.map(_.getAs[Long]("n_extra_target")).sum == planted.getAs[Long]("extra"))
+    rows.foreach { r =>
+      // states partition each side's rows
+      assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_mismatched") +
+        r.getAs[Long]("n_missing_target") == r.getAs[Long]("n_source"))
+      assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_mismatched") +
+        r.getAs[Long]("n_extra_target") == r.getAs[Long]("n_target"))
+    }
+  }
+
   test("compaction summary: live + tombstones = keys, keys <= raw, ratio in (0,1]") {
     val s = ChangeFeed.compactionSummary(ChangeFeed.fromEvents(spark, sf),
       Seq("user_id"), Seq(col("ts"), col("event_id"))).collect()

@@ -636,6 +636,50 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup census ties out against the chunk inventory") {
+    val stats = ml.Corpus.chunkDupStats(docs).collect()
+    val chunks = ml.Corpus.chunked(docs).collect()
+    assert(stats.map(_.getAs[Long]("n_chunks")).sum == chunks.length.toLong)
+    // driver-side recompute of the shared count
+    val docsPerFp = chunks.groupBy(_.getAs[Long]("chunk_fp"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).distinct.size).toMap
+    val expectShared = chunks.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.count(c => docsPerFp(c.getAs[Long]("chunk_fp")) > 1))
+      .toMap
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_shared_chunks") ==
+        expectShared(r.getAs[String]("source")).toLong)
+      val ratio = r.getAs[Double]("shared_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("kmeans assignment matrix is total and matches a driver argmax") {
+    val m = Similarity.kmeansAssign(embs).collect()
+    assert(m.map(_.getAs[Long]("n_vecs")).sum == embs.count())
+    // driver-side recompute on the quantized vectors
+    val vecs = embs.select(col("vec_id"), col("label"),
+        Vectors.quantize(col("embedding")).as("q")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[collection.Seq[Long]]("q").toSeq))
+    val sums = vecs.groupBy(_._2).view.mapValues { g =>
+      g.map(_._3).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    }.toMap
+    val sn2 = sums.view.mapValues(s => s.map(x => x * x).sum).toMap
+    val expect = vecs.map { case (_, label, q) =>
+      val best = sums.keys.toSeq.map { cell =>
+        val dot = q.zip(sums(cell)).map { case (x, y) => x * y }.sum
+        (cell, dot.toDouble / math.sqrt(sn2(cell).toDouble))
+      }.minBy { case (cell, score) => (-score, cell) }._1
+      (label, best)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(m.length == expect.size)
+    m.foreach { r =>
+      val k = (r.getAs[Int]("label"), r.getAs[Int]("assigned_cell"))
+      assert(expect(k) == r.getAs[Long]("n_vecs"), s"mismatch at $k")
+    }
+  }
+
   test("train/val/test split is disjoint, total, and roughly 80/10/10") {
     val docs = Tables.load(spark, sf, "documents")
     val assigned = ml.Corpus.splitAssigned(docs)

@@ -24,4 +24,24 @@ object TableStatistics {
         sum(when(col("op") === "load", 1L).otherwise(0L)).as("full_load_rows"),
         count(lit(1)).as("total"))
       .orderBy(col("schema_name"), col("table_name"))
+
+  /** Replication-lag monitor: each table's high-water mark against
+    * the newest event anywhere in the feed (the task-level CDC
+    * latency view an operator watches next to [[compute]] — a table
+    * whose lag grows is a table whose apply has stalled).
+    *
+    * Exact integer epoch-micros arithmetic end to end. Scale shape:
+    * map-side-combined per-table max/count (output = |tables| rows),
+    * then the 1-row global head broadcasts back — no second scan of
+    * the feed, no window.
+    */
+  def lagMonitor(changes: DataFrame): DataFrame = {
+    val perTable = changes.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+    val head = perTable.groupBy().agg(max(col("max_ts_us")).as("head_us"))
+    perTable.join(broadcast(head))
+      .select(col("table_name"), col("n_events"), col("max_ts_us"),
+        (col("head_us") - col("max_ts_us")).as("lag_us"))
+  }
 }

@@ -670,6 +670,25 @@ object SparkEntry {
       Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"), col("assigned_cell"))),
 
+    // Replication-lag monitor: per-table high-water mark vs the
+    // newest event anywhere (1-row head broadcast, no second scan).
+    "cdc_lag_monitor" -> ((s, dir) =>
+      TableStatistics.lagMonitor(ChangeFeed.fromEvents(s, dir))
+        .orderBy(col("table_name"))),
+
+    // Missed-position audit: per-key event-id gaps beyond 8x the key
+    // cardinality (exact integer threshold, lag window + 1-row
+    // broadcast).
+    "events_gap_detection" -> ((s, dir) =>
+      Analytics.eventGaps(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"))),
+
+    // Character-level verify on the LSH candidates: exact Levenshtein
+    // with an integer relative near-dup verdict.
+    "dedup_fuzzy_verify" -> ((s, dir) =>
+      Dedup.fuzzyVerifiedPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
     // DMS-style table validation: source vs drifted replicated twin,
     // per-status matched/mismatched/missing/extra counts. Drift is
     // planted from the portable key hash (mod 97: 0→checksum bump,
@@ -1261,6 +1280,42 @@ object SparkEntry {
          |  FROM scored)
          |SELECT label, cell AS assigned_cell, count(*) AS n_vecs
          |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_lag_monitor" ->
+      s"""$C,
+         |pt AS (SELECT table_name, count(*) AS n_events,
+         |    max(epoch_us(ts)) AS max_ts_us
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT max(max_ts_us) AS head_us FROM pt)
+         |SELECT table_name, n_events, max_ts_us,
+         |  head_us - max_ts_us AS lag_us
+         |FROM pt, g ORDER BY 1""".stripMargin,
+
+    "events_gap_detection" ->
+      s"""WITH u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+         |p AS (SELECT user_id, event_id,
+         |    lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         |      AS prev_id
+         |  FROM events),
+         |a AS (SELECT p.user_id, count(*) AS n_events,
+         |    CAST(sum(CASE WHEN p.event_id - p.prev_id > u.n_users * 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         |    max(p.event_id - p.prev_id) AS max_gap
+         |  FROM p, u GROUP BY 1)
+         |SELECT user_id, n_events, n_gaps, max_gap
+         |FROM a WHERE n_gaps > 0 ORDER BY 1""".stripMargin,
+
+    "dedup_fuzzy_verify" ->
+      s"""WITH $minhashCtes,
+         |nt AS (SELECT doc_id, $normT AS nt FROM documents)
+         |SELECT c.d1 AS doc_id_a, c.d2 AS doc_id_b,
+         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         |  (levenshtein(a.nt, b.nt) * 5
+         |    <= greatest(length(a.nt), length(b.nt))) AS near
+         |FROM cand c
+         |JOIN nt a ON a.doc_id = c.d1
+         |JOIN nt b ON b.doc_id = c.d2
+         |ORDER BY 1, 2""".stripMargin,
 
     "cdc_validation" ->
       s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS g,

@@ -32,15 +32,19 @@ object TableStatistics {
     *
     * Exact integer epoch-micros arithmetic end to end. Scale shape:
     * map-side-combined per-table max/count (output = |tables| rows),
-    * then the 1-row global head broadcasts back — no second scan of
-    * the feed, no window.
+    * then the global head is a singleton-partition window over that
+    * POST-AGGREGATE |tables|-row relation — ONE scan of the feed
+    * (a broadcast-back formulation would re-run the aggregate branch
+    * for the head, scanning the feed twice).
     */
   def lagMonitor(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perTable = changes.groupBy(col("table_name"))
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("max_ts_us"))
-    val head = perTable.groupBy().agg(max(col("max_ts_us")).as("head_us"))
-    perTable.join(broadcast(head))
+    perTable
+      .withColumn("head_us",
+        max(col("max_ts_us")).over(Window.partitionBy()))
       .select(col("table_name"), col("n_events"), col("max_ts_us"),
         (col("head_us") - col("max_ts_us")).as("lag_us"))
   }

@@ -248,6 +248,31 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Edit-distance verification on the LSH candidate pairs: exact
+    * Levenshtein distance over the normalized texts, with a relative
+    * near-dup verdict (distance ≤ 20% of the longer text, tested in
+    * integers: 5·lev ≤ max len). The character-level verify
+    * complements the n-gram set Jaccard — it penalizes token
+    * reorderings a bag-of-shingles comparison can't see.
+    *
+    * Scale shape: candidates come from the banding equi-join (never
+    * all-pairs); the O(len·len) distance — Spark's codegen'd builtin
+    * — runs once per candidate pair only.
+    */
+  def fuzzyVerifiedPairs(docs: DataFrame): DataFrame = {
+    val sigs = materialize(minhashSignatures(shingles(docs)))
+    val cands = candidatePairs(bandBuckets(sigs))
+    val nt = docs.select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+    cands
+      .join(nt.toDF("doc_id_a", "nt_a"), "doc_id_a")
+      .join(nt.toDF("doc_id_b", "nt_b"), "doc_id_b")
+      .withColumn("lev", levenshtein(col("nt_a"), col("nt_b")).cast("long"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("lev"),
+        (col("lev") * 5L <=
+          greatest(length(col("nt_a")), length(col("nt_b"))).cast("long"))
+          .as("near"))
+  }
+
   /** LSH calibration: per minhash-agreement bucket (n_match ∈ 0..8),
     * how many candidate pairs the exact verify confirms as near-dups
     * (Jaccard ≥ ½, tested in INTEGERS: 3·|∩| ≥ |A|+|B|) — the

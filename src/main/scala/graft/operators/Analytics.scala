@@ -933,6 +933,34 @@ object Analytics {
     * doubles engine-identical; the moving average divides two exact
     * quantities in double at the end.
     */
+  /** Sequence-gap integrity check over the event feed: per key
+    * (user), consecutive event ids are expected to advance by roughly
+    * the key cardinality (ids are globally dense, keys interleave);
+    * a jump beyond `factor`× that expectation marks positions the
+    * feed never delivered — the missed-binlog-position audit a CDC
+    * consumer runs against its own intake.
+    *
+    * Scale shape: one shuffle on the key for the lag window, the
+    * 1-row distinct-key count broadcasts back (no second pass), and
+    * only keys with at least one gap survive. Threshold arithmetic is
+    * exact integers.
+    */
+  def eventGaps(events: DataFrame, factor: Int = 8): DataFrame = {
+    val users = events.groupBy()
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events.select(col("user_id"), col("event_id"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .join(broadcast(users))
+      .withColumn("gap", col("event_id") - col("prev_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") > col("n_users") * factor, 1L).otherwise(0L))
+          .as("n_gaps"),
+        max(col("gap")).as("max_gap"))
+      .filter(col("n_gaps") > 0)
+  }
+
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
     val w = Window.partitionBy(col("o_custkey"))

@@ -350,6 +350,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("gap detection flags exactly the keys with an oversized id jump") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("events_gap_detection")(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val ids = es.map(_._2).sorted
+      val gaps = ids.zip(ids.tail).map { case (a, b) => b - a }
+      val big = gaps.count(_ > nUsers * 8).toLong
+      if (big > 0) Some(u -> (ids.length.toLong, big, gaps.max)) else None
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, g, m) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_gaps") == g)
+      assert(r.getAs[Long]("max_gap") == m)
+    }
+  }
+
   test("dwell-time transitions cover each observed pair once with positive gaps") {
     val rows = SparkEntry.queries("events_dwell_time")(spark, sf).collect()
     assert(rows.nonEmpty)

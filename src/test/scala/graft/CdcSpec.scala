@@ -174,6 +174,26 @@ class CdcSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("lag monitor: head table lags zero, others lag exactly to the head") {
+    import org.apache.spark.sql.functions._
+    val rows = cdc.TableStatistics.lagMonitor(
+      ChangeFeed.fromEvents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val head = rows.map(_.getAs[Long]("max_ts_us")).max
+    assert(rows.count(_.getAs[Long]("lag_us") == 0L) >= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lag_us") == head - r.getAs[Long]("max_ts_us"))
+      assert(r.getAs[Long]("lag_us") >= 0L)
+    }
+    // per-table maxima tie out against a direct recompute
+    val expect = ChangeFeed.fromEvents(spark, sf)
+      .groupBy(col("table_name"))
+      .agg(max(unix_micros(col("ts"))).as("m")).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("m")).toMap
+    rows.foreach(r => assert(
+      expect(r.getAs[String]("table_name")) == r.getAs[Long]("max_ts_us")))
+  }
+
   test("validation report ties out against the planted drift exactly") {
     import org.apache.spark.sql.functions._
     val orders = Tables.load(spark, sf, "orders")

@@ -636,6 +636,26 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy verify: lev is a metric-consistent distance on candidates") {
+    val rows = Dedup.fuzzyVerifiedPairs(docs).collect()
+    assert(rows.nonEmpty)
+    val nt = docs.select(col("doc_id"),
+        graft.functions.Portable.normText(col("text")).as("nt")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("nt")).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))
+      assert(a < b)
+      val lev = r.getAs[Long]("lev")
+      val (ta, tb) = (nt(a), nt(b))
+      // identity of indiscernibles + length lower bound
+      assert((lev == 0L) == (ta == tb))
+      assert(lev >= math.abs(ta.length - tb.length).toLong)
+      assert(lev <= math.max(ta.length, tb.length).toLong)
+      assert(r.getAs[Boolean]("near") ==
+        (lev * 5 <= math.max(ta.length, tb.length).toLong))
+    }
+  }
+
   test("chunk dedup census ties out against the chunk inventory") {
     val stats = ml.Corpus.chunkDupStats(docs).collect()
     val chunks = ml.Corpus.chunked(docs).collect()

@@ -659,6 +659,11 @@ object SparkEntry {
       Similarity.knnClassify(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"))),
 
+    // Relative quality gate: top half per source by score.
+    "corpus_quality_filter" -> ((s, dir) =>
+      Corpus.qualityFiltered(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"), col("rk"))),
+
     // Passage-level duplication census over chunk fingerprints.
     "corpus_chunk_dedup" -> ((s, dir) =>
       Corpus.chunkDupStats(Tables.load(s, dir, "documents"))
@@ -1231,6 +1236,28 @@ object SparkEntry {
          |SELECT probe_id, label AS predicted_label,
          |  CAST(votes AS BIGINT) AS votes
          |FROM p WHERE pick = 1 ORDER BY probe_id""".stripMargin,
+
+    "corpus_quality_filter" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    AS quality_score
+         |FROM s),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n_docs
+         |  FROM q)
+         |SELECT source, doc_id, quality_score, rk
+         |FROM r WHERE rk * 2 <= n_docs + 1 ORDER BY source, rk""".stripMargin
+    },
 
     "corpus_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, source,

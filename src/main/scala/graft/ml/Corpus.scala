@@ -199,6 +199,30 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Relative quality gate: keep each source's top half by
+    * [[TextAnalysis.quality]] score (rank ties broken by doc_id, the
+    * keep test in exact integers: 2·rank ≤ n+1 ⟺ rank ≤ ⌈n/2⌉) —
+    * the percentile-threshold filter pipelines apply when an absolute
+    * score cutoff would over- or under-prune a source.
+    *
+    * Scale shape: scoring is map-only; ranking is ONE shuffle on the
+    * source key with both window frames (ranked + unranked count)
+    * sharing it. An exact per-source median rank at 100 TB implies a
+    * per-source sort — that is the cost of the exact formulation;
+    * the approximate alternative (threshold from a quantile sketch,
+    * see q_quantile_sketch) trades it away when sources are huge.
+    */
+  def qualityFiltered(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.quality(docs, col("text"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") * 2 <= col("n_docs") + 1)
+      .select(col("source"), col("doc_id"), col("quality_score"), col("rk"))
+  }
+
   val ChunkSize = 32
   val ChunkStride = 24
 

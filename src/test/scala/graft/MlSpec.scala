@@ -636,6 +636,27 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filter keeps exactly the top half per source") {
+    val kept = ml.Corpus.qualityFiltered(docs).collect()
+    val perSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val keptBySource = kept.groupBy(_.getAs[String]("source"))
+    keptBySource.foreach { case (src, rows) =>
+      assert(rows.length.toLong == (perSource(src) + 1) / 2, s"source $src")
+      // ranks are contiguous from 1 and scores non-increasing in rank
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to rows.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("quality_score") >=
+            lo.getAs[Double]("quality_score"))
+        case _ =>
+      }
+    }
+    assert(keptBySource.keySet == perSource.keySet)
+  }
+
   test("fuzzy verify: lev is a metric-consistent distance on candidates") {
     val rows = Dedup.fuzzyVerifiedPairs(docs).collect()
     assert(rows.nonEmpty)

@@ -230,6 +230,13 @@ class MlSpec extends AnyFunSuite {
       val v = r.getAs[Double]("recall_at_k")
       assert(v >= 0.0 && v <= 1.0)
     }
+    val ivf = Similarity.recallAtK(bf,
+      Similarity.topKAnnIvf(embs)).collect()
+    assert(ivf.length == lsh.length) // one row per probe for both
+    ivf.foreach { r =>
+      val v = r.getAs[Double]("recall_at_k")
+      assert(v >= 0.0 && v <= 1.0)
+    }
   }
 
   test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {

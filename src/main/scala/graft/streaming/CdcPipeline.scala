@@ -104,6 +104,19 @@ object CdcPipeline {
   /** Wrap a change stream into envelope messages (stateless — reuses
     * the batch Envelope transform verbatim).
     */
+  /** Streaming twin of TableStatistics.lagMonitor's per-table
+    * high-water marks: a running complete-mode aggregate (state =
+    * |tables| rows, bounded). Lag against the head is derived from
+    * the tiny result wherever it lands — a monitoring consumer does
+    * one max over |tables| rows per refresh; putting the head
+    * subtraction inside the streaming plan would force a second
+    * stateful aggregate for no state saving.
+    */
+  def lagMonitorStream(changes: Dataset[Change]): DataFrame =
+    changes.toDF().groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+
   def envelopeStream(changes: Dataset[Change]): DataFrame =
     Envelope.wrap(
       changes.toDF(),

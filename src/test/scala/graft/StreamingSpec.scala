@@ -104,6 +104,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lag monitor matches the batch high-water marks") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawEvent]
+    val agg = CdcPipeline.lagMonitorStream(CdcPipeline.annotate(mem.toDF()))
+    val q = agg.writeStream.format("memory")
+      .queryName("lagmon").outputMode("complete").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("lagmon")
+        .as[(String, Long, Long)].collect().toSet
+      val batchTwin = cdc.TableStatistics.lagMonitor(
+          ChangeFeed.annotate((batch1 ++ batch2).toDF()))
+      val expected = batchTwin
+        .select(col("table_name"), col("n_events"), col("max_ts_us"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == expected)
+      // and the derived lag view agrees with the monitor's contract
+      val head = expected.map(_._3).max
+      batchTwin.collect().foreach(r =>
+        assert(r.getAs[Long]("lag_us") == head - r.getAs[Long]("max_ts_us")))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert materializes the same state as the batch twin") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

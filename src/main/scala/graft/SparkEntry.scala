@@ -699,6 +699,12 @@ object SparkEntry {
       Analytics.eventGaps(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"))),
 
+    // One-sided overlap on the LSH candidates: the inclusion detector
+    // symmetric Jaccard under-scores (quotes, wrapped payloads).
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
     // Character-level verify on the LSH candidates: exact Levenshtein
     // with an integer relative near-dup verdict.
     "dedup_fuzzy_verify" -> ((s, dir) =>
@@ -1396,6 +1402,26 @@ object SparkEntry {
          |  FROM p, u GROUP BY 1)
          |SELECT user_id, n_events, n_gaps, max_gap
          |FROM a WHERE n_gaps > 0 ORDER BY 1""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.d1
+         |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.d1 AS doc_id_a, i.d2 AS doc_id_b, i.n_inter,
+         |  CAST(i.n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE)
+         |    AS containment_a,
+         |  CAST(i.n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE)
+         |    AS containment_b,
+         |  (i.n_inter * 5 >= least(sa.set_size, sb.set_size) * 4) AS contained
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.d1
+         |JOIN sizes sb ON sb.doc_id = i.d2
+         |ORDER BY 1, 2""".stripMargin,
 
     "dedup_fuzzy_verify" ->
       s"""WITH $minhashCtes,

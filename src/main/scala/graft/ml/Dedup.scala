@@ -248,6 +248,40 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Containment verification on the LSH candidates: one-sided
+    * overlap |A∩B|/|A| (and /|B|) — the inclusion detector. A short
+    * document fully quoted inside a long one scores near-zero
+    * symmetric Jaccard (the union is dominated by the long side) but
+    * containment ≈ 1 on the short side; passage-extraction and
+    * quote-dedup pipelines filter on this, not Jaccard. The
+    * `contained` verdict is integer-exact (5·|∩| ≥ 4·min size).
+    *
+    * Same scale shape as the Jaccard verify: intersections only for
+    * banding candidates, sizes from the one-pass signature aggregate.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val (sh, sigs) = distinctSigs(docs)
+    val cands = candidatePairs(bandBuckets(sigs))
+    val inter = cands
+      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
+      .join(sh.toDF("id_b2", "shingle_b"),
+        col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    inter
+      .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")
+      .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
+      .withColumn("containment_a",
+        col("n_inter").cast("double") / col("size_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_inter").cast("double") / col("size_b").cast("double"))
+      .withColumn("contained",
+        col("n_inter") * 5 >= least(col("size_a"), col("size_b")) * 4)
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
+        col("containment_a"), col("containment_b"), col("contained"))
+  }
+
   /** Edit-distance verification on the LSH candidate pairs: exact
     * Levenshtein distance over the normalized texts, with a relative
     * near-dup verdict (distance ≤ 20% of the longer text, tested in

@@ -643,6 +643,27 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("containment bounds jaccard and the verdict matches the ratio") {
+    val jac = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b")) -> r)
+      .toMap
+    val rows = Dedup.containmentPairs(docs).collect()
+    assert(rows.length == jac.size) // same candidate set
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))
+      val j = jac(k)
+      val (ca, cb) =
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))
+      // containment dominates symmetric jaccard on both sides
+      assert(ca >= j.getAs[Double]("jaccard") - 1e-12)
+      assert(cb >= j.getAs[Double]("jaccard") - 1e-12)
+      assert(ca <= 1.0 + 1e-12 && cb <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("n_inter") == j.getAs[Long]("n_inter"))
+      assert(r.getAs[Boolean]("contained") == (r.getAs[Long]("n_inter") * 5 >=
+        math.min(j.getAs[Long]("size_a"), j.getAs[Long]("size_b")) * 4))
+    }
+  }
+
   test("quality filter keeps exactly the top half per source") {
     val kept = ml.Corpus.qualityFiltered(docs).collect()
     val perSource = docs.groupBy(col("source")).count().collect()

@@ -712,9 +712,11 @@ object SparkEntry {
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
 
     // DMS-style table validation: source vs drifted replicated twin,
-    // per-status matched/mismatched/missing/extra counts. Drift is
-    // planted from the portable key hash (mod 97: 0→checksum bump,
-    // 1→row dropped, 2→extra re-keyed row) so the oracle replants it.
+    // per-status matched/mismatched/missing/extra KEY counts. Drift
+    // is planted from the portable key hash (mod 97: 0→checksum
+    // bump, 1→row dropped, 2→extra re-keyed row, 3→key duplicated on
+    // the target — caught as a digest mismatch) so the oracle
+    // replants it.
     "cdc_validation" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val cents = round(col("o_totalprice") * 100).cast("long")
@@ -725,7 +727,9 @@ object SparkEntry {
       val extra = orders.filter(h === 2)
         .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
         .withColumn("chk", cents)
-      cdc.Validation.report(src, kept.unionByName(extra),
+      val dup = orders.filter(h === 3).withColumn("chk", cents)
+      cdc.Validation.report(src,
+          kept.unionByName(extra).unionByName(dup),
           "o_orderkey", "o_orderstatus", col("chk"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -1293,9 +1297,11 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
          |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
          |lab AS (SELECT vec_id, label FROM embeddings),
-         |comp AS (SELECT l.label, f.i, CAST(sum(f.v) AS BIGINT) AS s
+         |comp AS (SELECT l.label, f.i,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
          |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
-         |cells AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS sn2 FROM comp GROUP BY 1),
+         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
+         |  FROM comp GROUP BY 1),
          |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
          |  FROM flat f JOIN comp c ON c.i = f.i
          |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
@@ -1361,9 +1367,10 @@ object SparkEntry {
          |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
          |flat AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS i,
          |    unnest(q) AS v FROM q),
-         |comp AS (SELECT label AS cell, i, CAST(sum(v) AS BIGINT) AS s
+         |comp AS (SELECT label AS cell, i,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS s
          |  FROM flat GROUP BY 1, 2),
-         |cells AS (SELECT cell, CAST(sum(s * s) AS BIGINT) AS sn2
+         |cells AS (SELECT cell, greatest(CAST(sum(s * s) AS BIGINT), 1) AS sn2
          |  FROM comp GROUP BY 1),
          |d AS (SELECT f.vec_id, f.label, c.cell,
          |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
@@ -1444,22 +1451,36 @@ object SparkEntry {
          |  SELECT k, g, CASE WHEN hb = 0 THEN c + 1 ELSE c END AS c
          |  FROM src WHERE hb <> 1
          |  UNION ALL
-         |  SELECT k + 100000000, g, c FROM src WHERE hb = 2),
-         |j AS (SELECT coalesce(s.g, t.g) AS g, s.k AS k_s, t.k AS k_t,
-         |    s.c AS c_s, t.c AS c_t
-         |  FROM src s FULL OUTER JOIN tgt t ON s.k = t.k)
+         |  SELECT k + 100000000, g, c FROM src WHERE hb = 2
+         |  UNION ALL
+         |  SELECT k, g, c FROM src WHERE hb = 3),
+         |ds AS (SELECT k, max(g) AS g, count(*) AS cnt, count(c) AS c_cnt,
+         |    sum(c) AS c_sum, min(c) AS c_min, max(c) AS c_max,
+         |    TRUE AS present
+         |  FROM src GROUP BY 1),
+         |dt AS (SELECT k, max(g) AS g, count(*) AS cnt, count(c) AS c_cnt,
+         |    sum(c) AS c_sum, min(c) AS c_min, max(c) AS c_max,
+         |    TRUE AS present
+         |  FROM tgt GROUP BY 1),
+         |j AS (SELECT coalesce(s.g, t.g) AS g,
+         |    coalesce(s.present, FALSE) AS in_s,
+         |    coalesce(t.present, FALSE) AS in_t,
+         |    (coalesce(s.present, FALSE) AND coalesce(t.present, FALSE)
+         |      AND s.cnt = t.cnt AND s.c_cnt = t.c_cnt
+         |      AND s.c_sum IS NOT DISTINCT FROM t.c_sum
+         |      AND s.c_min IS NOT DISTINCT FROM t.c_min
+         |      AND s.c_max IS NOT DISTINCT FROM t.c_max) AS is_match
+         |  FROM ds s FULL OUTER JOIN dt t ON s.k IS NOT DISTINCT FROM t.k)
          |SELECT g AS o_orderstatus,
-         |  CAST(sum(CASE WHEN k_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_source,
-         |  CAST(sum(CASE WHEN k_t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_target,
-         |  CAST(sum(CASE WHEN k_s IS NOT NULL AND k_t IS NOT NULL
-         |    AND c_s = c_t THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-         |  CAST(sum(CASE WHEN k_s IS NOT NULL AND k_t IS NOT NULL
-         |    AND c_s <> c_t THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
-         |  CAST(sum(CASE WHEN k_t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_source,
+         |  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+         |  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(sum(CASE WHEN in_s AND in_t AND NOT is_match
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+         |  CAST(sum(CASE WHEN in_s AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_missing_target,
-         |  CAST(sum(CASE WHEN k_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN in_t AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_extra_target
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2434,9 +2455,11 @@ object SparkEntry {
     "sim_ann_ivf" ->
       s"""WITH $embCtes,
          |lab AS (SELECT vec_id, label FROM embeddings),
-         |comp AS (SELECT l.label, f.i, CAST(sum(f.v) AS BIGINT) AS s
+         |comp AS (SELECT l.label, f.i,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
          |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
-         |cells AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS sn2 FROM comp GROUP BY 1),
+         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
+         |  FROM comp GROUP BY 1),
          |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
          |  FROM flat f JOIN comp c ON c.i = f.i
          |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),

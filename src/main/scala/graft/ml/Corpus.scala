@@ -28,15 +28,20 @@ object Corpus {
     * @param rates per-mille keep-rate per source; sources absent from
     *              the map use `defaultPerMille`
     */
+  /** Per-source per-mille rate resolution shared by [[sampled]] and
+    * [[mixed]] — one nested-CASE column over a literal map.
+    */
+  private def perSourceRate(rates: Map[String, Int], default: Int): Column =
+    rates.foldLeft(lit(default).cast("long")) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r.toLong)).otherwise(acc)
+    }
+
   def sampled(
       docs: DataFrame,
       rates: Map[String, Int],
       defaultPerMille: Int): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (src, r)) =>
-      when(col("source") === src, lit(r)).otherwise(acc)
-    }
     val h = Portable.pHash(concat(col("source"), lit("#"), col("doc_id")))
-    docs.filter(pmod(h, lit(1000)) < rate)
+    docs.filter(pmod(h, lit(1000L)) < perSourceRate(rates, defaultPerMille))
   }
 
   /** Epoch-weighted mixture: realize a training-mix weight per source
@@ -56,9 +61,7 @@ object Corpus {
       docs: DataFrame,
       weightsPerMille: Map[String, Int],
       defaultPerMille: Int): DataFrame = {
-    val wpm = weightsPerMille.foldLeft(lit(defaultPerMille)) {
-      case (acc, (src, w)) => when(col("source") === src, lit(w)).otherwise(acc)
-    }.cast("long")
+    val wpm = perSourceRate(weightsPerMille, defaultPerMille)
     // weight 0 would make sequence() count DOWN (negative stop), not
     // produce nothing — guard with an empty epoch array
     val epochs = when(col("weight_pm") > 0,

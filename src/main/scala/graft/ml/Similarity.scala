@@ -53,10 +53,13 @@ object Similarity {
     * assignment), each probe searches only its `IvfNProbe` nearest
     * cells, and exact cosine ranks within the probed cells.
     *
-    * Cell "centroids" are kept as integer component SUMS (a sum
-    * points in the centroid direction, so centroid cosine needs no
-    * division) — all candidate selection stays in exact int64 math,
-    * and only the final cosines are (deterministic) double ops.
+    * Cell "centroids" are ROUNDED-MEAN integer components
+    * (m_i = round(sum_i / n), as in [[kmeansAssign]]): bounded by the
+    * quantization scale whatever the cell size, so Σm² and every dot
+    * stay inside int64 at any corpus scale (raw SUMS would overflow
+    * the squared norm beyond ~4·10⁵ vectors per cell). Candidate
+    * selection stays in exact integer math; only the final cosines
+    * are (deterministic) double ops.
     *
     * Scale: cells are tiny (#cells × dim rows) and broadcast; the
     * corpus is touched once to build cells and once per probed cell
@@ -66,16 +69,22 @@ object Similarity {
     val lab = embs.select(col("vec_id"), col("label"))
     val qv = materialize(Vectors.quantized(embs))
     val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
-    // component sums per cell: #cells × dim rows
+    // rounded-mean components per cell: #cells × dim rows
     val comp = flat.join(lab, "vec_id")
-      .groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
-    val cells = comp.groupBy(col("label")).agg(sum(col("s") * col("s")).as("sn2"))
-    // probe→cell cosine via the component-sum join (comp broadcasts)
+      .groupBy(col("label"), col("i"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("s"))
+    val cells = comp.groupBy(col("label"))
+      .agg(greatest(sum(col("s") * col("s")), lit(1L)).as("sn2"))
+    // probe→cell cosine via the component join (comp broadcasts)
     val pc = flat.filter(col("vec_id") < NumProbes)
       .join(broadcast(comp), "i")
       .groupBy(col("vec_id").as("probe_id"), col("label"))
       .agg(sum(col("v") * col("s")).as("dotpc"))
-    val norms = qv.select(col("vec_id").as("probe_id"), col("n2").as("n2_p"))
+    // probe norms only — the unfiltered corpus relation would shuffle
+    // n rows into a join that keeps NumProbes of them
+    val norms = qv.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("n2").as("n2_p"))
     val scoredCells = pc
       .join(norms, "probe_id")
       .join(broadcast(cells), "label")
@@ -173,12 +182,15 @@ object Similarity {
         d * d
       }),
       lit(0L), (acc, x) => acc + x)
+    // per-row err_num/den reach ~1e12, so an int64 group sum would
+    // wrap beyond ~9M rows per label — sum in DECIMAL(38,0) (exact,
+    // order-independent, matches DuckDB's int128 sum) and cast once
     scaled.withColumn("err_num", errNum)
       .withColumn("den", lit(127L * 127L) * col("n2"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        (sum(col("err_num")).cast("double") * lit(1000000.0) /
-          sum(col("den")).cast("double")).as("err_ppm"),
+        (sum(col("err_num").cast("decimal(38,0)")).cast("double") * lit(1000000.0) /
+          sum(col("den").cast("decimal(38,0)")).cast("double")).as("err_ppm"),
         (sum(col("m")).cast("double") /
           count(lit(1)).cast("double")).as("avg_scale"))
   }
@@ -217,12 +229,16 @@ object Similarity {
     * (current label → assigned cell) transition matrix — exactly what
     * an iterative clustering driver inspects for convergence.
     *
-    * Determinism: centroid directions are kept as INTEGER component
-    * sums (as in [[topKAnnIvf]] — a sum points the same way as the
-    * mean, so no per-cell division); the per-(vector, cell) score is
-    * one double division of an exact int64 dot by sqrt(int64), and
-    * argmax ties break to the smaller cell id via a max-of-struct
-    * with the negated cell.
+    * Determinism: centroid directions are ROUNDED-MEAN integer
+    * components m_i = round(s_i / n) — bounded by the quantization
+    * scale whatever the cell size, so the per-cell squared norm and
+    * every dot stay far from int64 limits at any corpus scale (raw
+    * component SUMS would overflow Σm² beyond ~4·10⁵ vectors per
+    * cell). The s/n division is exact-int64-to-double (s < 2⁵³ up to
+    * ~10¹² rows per cell), rounded identically by both engines; the
+    * per-(vector, cell) score is one double division of an exact
+    * int64 dot by sqrt(int64), and argmax ties break to the smaller
+    * cell id via a max-of-struct with the negated cell.
     *
     * Scale shape: cells are |labels| rows and BROADCAST; the corpus
     * fans out ×|cells| map-side, reduces back to one row per vector
@@ -235,11 +251,15 @@ object Similarity {
     val qv = embs.select(col("vec_id"), col("label"),
       Vectors.quantize(col("embedding")).as("q"))
     val cells = qv.groupBy(col("label").as("cell"))
-      .agg(graft.functions.VecSum.vecSum(col("q")).as("s"))
-      .withColumn("sn2", Vectors.norm2(col("s")))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", transform(col("s"),
+        x => round(x.cast("double") / col("n")).cast("long")))
+      .withColumn("sn2", greatest(Vectors.norm2(col("m")), lit(1L)))
+      .select(col("cell"), col("m"), col("sn2"))
     val scored = qv.join(broadcast(cells))
       .withColumn("score",
-        Vectors.dot(col("q"), col("s")).cast("double") /
+        Vectors.dot(col("q"), col("m")).cast("double") /
           sqrt(col("sn2").cast("double")))
     val assigned = scored
       .groupBy(col("vec_id"), col("label"))

@@ -198,26 +198,54 @@ class CdcSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val orders = Tables.load(spark, sf, "orders")
     val rows = SparkEntry.queries("cdc_validation")(spark, sf).collect()
-    // planted drift: key-hash mod 97 → 0 mismatch, 1 missing, 2 extra
+    // planted drift: key-hash mod 97 → 0 checksum mismatch, 1 missing,
+    // 2 extra key, 3 key duplicated on target (digest mismatch)
     val h = pmod(graft.functions.Portable.pHash(
       col("o_orderkey").cast("string")), lit(97L))
     val planted = orders.groupBy()
       .agg(count(lit(1)).as("n"),
-        sum(when(h === 0, 1L).otherwise(0L)).as("mis"),
+        sum(when(h === 0, 1L).otherwise(0L)).as("chk"),
         sum(when(h === 1, 1L).otherwise(0L)).as("drop"),
-        sum(when(h === 2, 1L).otherwise(0L)).as("extra"))
+        sum(when(h === 2, 1L).otherwise(0L)).as("extra"),
+        sum(when(h === 3, 1L).otherwise(0L)).as("dup"))
       .collect()(0)
     assert(rows.map(_.getAs[Long]("n_source")).sum == planted.getAs[Long]("n"))
-    assert(rows.map(_.getAs[Long]("n_mismatched")).sum == planted.getAs[Long]("mis"))
+    assert(rows.map(_.getAs[Long]("n_mismatched")).sum ==
+      planted.getAs[Long]("chk") + planted.getAs[Long]("dup"))
     assert(rows.map(_.getAs[Long]("n_missing_target")).sum == planted.getAs[Long]("drop"))
     assert(rows.map(_.getAs[Long]("n_extra_target")).sum == planted.getAs[Long]("extra"))
     rows.foreach { r =>
-      // states partition each side's rows
+      // states partition each side's keys
       assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_mismatched") +
         r.getAs[Long]("n_missing_target") == r.getAs[Long]("n_source"))
       assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_mismatched") +
         r.getAs[Long]("n_extra_target") == r.getAs[Long]("n_target"))
     }
+  }
+
+  test("validation handles null keys and null checksums without double-counting") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // k=1 matched; k=2 null checksum both sides (matched, null-safe);
+    // k=3 null checksum source-only (mismatched); k=null on source
+    // only (one missing key, NOT missing+extra); k=4 dup on target
+    val src = Seq(
+      (Option(1L), "a", Option(10L)), (Option(2L), "a", None),
+      (Option(3L), "a", None), (None: Option[Long], "a", Option(7L)),
+      (Option(4L), "a", Option(40L)))
+      .toDF("k", "g", "c")
+    val tgt = Seq(
+      (Option(1L), "a", Option(10L)), (Option(2L), "a", None),
+      (Option(3L), "a", Option(3L)), (Option(4L), "a", Option(40L)),
+      (Option(4L), "a", Option(40L)))
+      .toDF("k", "g", "c")
+    val r = cdc.Validation.report(src, tgt, "k", "g", col("c")).collect()(0)
+    assert(r.getAs[Long]("n_source") == 5L)   // 5 distinct source keys
+    assert(r.getAs[Long]("n_target") == 4L)
+    assert(r.getAs[Long]("n_matched") == 2L)  // k=1, k=2
+    assert(r.getAs[Long]("n_mismatched") == 2L) // k=3 (null chk), k=4 (dup)
+    assert(r.getAs[Long]("n_missing_target") == 1L) // the null key
+    assert(r.getAs[Long]("n_extra_target") == 0L)
   }
 
   test("compaction summary: live + tombstones = keys, keys <= raw, ratio in (0,1]") {

@@ -731,13 +731,14 @@ class MlSpec extends AnyFunSuite {
         Vectors.quantize(col("embedding")).as("q")).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
         r.getAs[collection.Seq[Long]]("q").toSeq))
-    val sums = vecs.groupBy(_._2).view.mapValues { g =>
-      g.map(_._3).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val means = vecs.groupBy(_._2).view.mapValues { g =>
+      val s = g.map(_._3).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      s.map(x => math.round(x.toDouble / g.length))
     }.toMap
-    val sn2 = sums.view.mapValues(s => s.map(x => x * x).sum).toMap
+    val sn2 = means.view.mapValues(m => math.max(m.map(x => x * x).sum, 1L)).toMap
     val expect = vecs.map { case (_, label, q) =>
-      val best = sums.keys.toSeq.map { cell =>
-        val dot = q.zip(sums(cell)).map { case (x, y) => x * y }.sum
+      val best = means.keys.toSeq.map { cell =>
+        val dot = q.zip(means(cell)).map { case (x, y) => x * y }.sum
         (cell, dot.toDouble / math.sqrt(sn2(cell).toDouble))
       }.minBy { case (cell, score) => (-score, cell) }._1
       (label, best)

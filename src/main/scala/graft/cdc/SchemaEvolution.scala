@@ -58,12 +58,14 @@ object SchemaEvolution {
     *
     * Key-absence (not value-null) decides: graft envelopes are
     * written with include_null_and_empty semantics (explicit JSON
-    * nulls, Envelope.wrap), so a message whose text lacks the
-    * `"name":` key predates the column and takes the default, while a
+    * nulls, Envelope.wrap), so a message whose data object lacks the
+    * key predates the column and takes the default, while a
     * post-ALTER message carrying an explicit null keeps null. The
-    * presence probe is a substring test on the raw message — cheap,
-    * codegen'd, and exact for envelope-produced JSON (keys are always
-    * serialized).
+    * presence probe enumerates the data object's TOP-LEVEL keys
+    * (`json_object_keys`) — a nested struct column whose inner
+    * object happens to contain an identically-named key can NOT
+    * shadow the probe (a raw substring test over the object text
+    * would).
     */
   def parseDrifted(
       df: DataFrame,
@@ -72,11 +74,13 @@ object SchemaEvolution {
       defaults: Map[String, Column]): DataFrame = {
     val parsed = Envelope.parse(df, messageCol, evolved)
     defaults.foldLeft(parsed) { case (acc, (name, default)) =>
-      // probe the "data" OBJECT's text, not the whole message: a
+      // probe the "data" OBJECT's own keys, not the whole message: a
       // drifted column sharing its name with an always-present
-      // metadata or before-image key must still default correctly
-      val present = get_json_object(col(messageCol), "$.data")
-        .contains(s""""$name":""")
+      // metadata/before-image key — or with a key nested inside a
+      // struct column's serialized object — must still default
+      val present = array_contains(
+        json_object_keys(get_json_object(col(messageCol), "$.data")),
+        name)
       acc.withColumn("data",
         col("data").withField(name,
           when(present, col("data").getField(name)).otherwise(default)))

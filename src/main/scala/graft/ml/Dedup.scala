@@ -73,10 +73,6 @@ object Dedup {
 
   // --- shingling + MinHash ----------------------------------------
 
-  /** Word `ShingleN`-gram shingles of normalized text, one row per
-    * (doc_id, shingle). Shingles (not unigrams) are what make MinHash
-    * discriminative: random docs share words but not word-triples.
-    */
   /** Explicit-width repartition: the per-row lambda/hash work below
     * is CPU-heavy but byte-light, so AQE's size-based coalescing
     * (and a single input split) would serialize it on one core —
@@ -86,7 +82,11 @@ object Dedup {
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, key)
 
-  /** Shingling as a per-row array transform with the tokenizer
+  /** Word `ShingleN`-gram shingles of normalized text, one row per
+    * (doc_id, shingle). Shingles (not unigrams) are what make MinHash
+    * discriminative: random docs share words but not word-triples.
+    *
+    * Implemented as a per-row array transform with the tokenizer
     * MATERIALIZED below an exchange: the naive single-select lambda
     * form lets CollapseProject inline the tokenizer (split+regexp)
     * into every element_at, recomputing it ~3·len times per doc — but
@@ -226,22 +226,33 @@ object Dedup {
     * are computed with joins over the (distinct) shingle relation —
     * only for candidate docs.
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val (sh, sigs) = distinctSigs(docs)
-    val cands = candidatePairs(bandBuckets(sigs))
-    // every LSH candidate shares a band ⇒ shares its argmin shingle,
-    // so the intersection is never empty and an inner join is exact;
-    // sh is distinct, so a plain count is the set intersection
-    val inter = cands
+  /** Exact shingle-set intersection count per candidate pair: two
+    * co-keyed joins against the DISTINCT shingle relation. Every LSH
+    * candidate shares a band ⇒ shares its argmin shingle, so the
+    * intersection is never empty and an inner join is exact; sh is
+    * distinct, so a plain count is the set intersection. Shared by
+    * the Jaccard / containment / calibration verifies.
+    */
+  private def intersections(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
       .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
       .join(sh.toDF("id_b2", "shingle_b"),
         col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("n_inter"))
+
+  /** Join both endpoints' set sizes onto the intersection counts. */
+  private def withSizes(inter: DataFrame, sigs: DataFrame): DataFrame = {
     val sizes = sigs.select(col("doc_id"), col("set_size"))
     inter
       .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")
       .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val (sh, sigs) = distinctSigs(docs)
+    val cands = candidatePairs(bandBuckets(sigs))
+    withSizes(intersections(cands, sh), sigs)
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
       .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
@@ -262,16 +273,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame): DataFrame = {
     val (sh, sigs) = distinctSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
-    val inter = cands
-      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
-      .join(sh.toDF("id_b2", "shingle_b"),
-        col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = sigs.select(col("doc_id"), col("set_size"))
-    inter
-      .join(sizes.toDF("doc_id_a", "size_a"), "doc_id_a")
-      .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
+    withSizes(intersections(cands, sh), sigs)
       .withColumn("containment_a",
         col("n_inter").cast("double") / col("size_a").cast("double"))
       .withColumn("containment_b",
@@ -318,12 +320,7 @@ object Dedup {
   def lshCalibration(docs: DataFrame): DataFrame = {
     val (sh, sigs) = distinctSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
-    val inter = cands
-      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
-      .join(sh.toDF("id_b2", "shingle_b"),
-        col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = intersections(cands, sh)
     val sa = sigs.toDF(
       "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i") :+ "size_a": _*)
     val sb = sigs.toDF(

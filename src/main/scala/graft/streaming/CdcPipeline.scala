@@ -101,9 +101,6 @@ object CdcPipeline {
       .select(col("win.start").as("window_start"), col("op"),
         col("n_ops"), col("total_value"))
 
-  /** Wrap a change stream into envelope messages (stateless — reuses
-    * the batch Envelope transform verbatim).
-    */
   /** Streaming twin of TableStatistics.lagMonitor's per-table
     * high-water marks: a running complete-mode aggregate (state =
     * |tables| rows, bounded). Lag against the head is derived from
@@ -117,6 +114,9 @@ object CdcPipeline {
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("max_ts_us"))
 
+  /** Wrap a change stream into envelope messages (stateless — reuses
+    * the batch Envelope transform verbatim).
+    */
   def envelopeStream(changes: Dataset[Change]): DataFrame =
     Envelope.wrap(
       changes.toDF(),
@@ -163,6 +163,15 @@ object CdcPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
         val spark = batch.sparkSession
+        val fs = hadoopFs(spark, stateDir)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        // sweep staging dirs a crashed writer left (same single-
+        // writer-per-stateDir contract as the bucketed sweep)
+        if (fs.exists(root)) {
+          fs.listStatus(root).iterator.map(_.getPath)
+            .filter(_.getName.startsWith(".tmp-"))
+            .foreach(p => fs.delete(p, true))
+        }
         // monotonic version (max existing + 1), NOT the batchId: a
         // fresh-checkpoint restart over existing state restarts
         // batchId at 0, and a v=0 dir under a v=N state would never
@@ -173,12 +182,41 @@ object CdcPipeline {
           case Some(p) => p.unionByName(batch.toDF())
           case None => batch.toDF()
         }
+        val newV = prevV.getOrElse(-1L) + 1
+        // stage under .tmp-N, publish with ONE rename: a crash
+        // mid-write leaves only a staging dir the next batch sweeps,
+        // never a partial v=N that latestVersion would read as the
+        // newest complete state
+        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$newV")
         ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
             Seq(col("ts"), col("event_id")))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/v=${prevV.getOrElse(-1L) + 1}")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dest = new org.apache.hadoop.fs.Path(s"$stateDir/v=$newV")
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"publish failed: $tmp -> $dest")
+        pruneVersions(fs, root)
         (): Unit
       }
+
+  /** Delete superseded `v=N` dirs, keeping the newest `keep`
+    * versions (latest for readers repointing now, latest-1 for a
+    * reader that resolved the version just before a publish). Without
+    * pruning a steady stream accumulates one full state copy per
+    * batch forever.
+    */
+  private def pruneVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      keep: Int = 2): Unit = {
+    if (!fs.exists(dir)) return
+    val versions = fs.listStatus(dir).iterator
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .toSeq
+      .sortBy(p => -p.getName.stripPrefix("v=").toLong)
+    versions.drop(keep).foreach(p => fs.delete(p, true))
+  }
 
   // --- bucket-partitioned incremental upsert ----------------------
 
@@ -287,6 +325,10 @@ object CdcPipeline {
           if (!fs.rename(from, dest))
             throw new java.io.IOException(
               s"failed to publish state version $dest")
+          // superseded versions of THIS bucket are dead weight now —
+          // prune to the newest two so steady streaming cannot
+          // accumulate one bucket copy per touching batch forever
+          pruneVersions(fs, toDir)
         }
       }
       fs.delete(tmp, true)

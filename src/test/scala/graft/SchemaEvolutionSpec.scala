@@ -75,6 +75,27 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(plain.isNullAt(0))
   }
 
+  test("a nested key with the drifted column's name cannot shadow the presence probe") {
+    import spark.implicits._
+    // props is a JSON STRING column whose text contains "is_stock":
+    // — as a string field its quotes are escaped in the envelope, and
+    // the probe must also ignore genuinely nested objects' keys: only
+    // a TOP-LEVEL data key counts as present
+    val pre = Envelope.wrap(
+      Seq((1L, 10L, 2.5, """{"is_stock": false}"""))
+        .toDF("event_id", "user_id", "value", "props"),
+      lit("insert"), lit("graft"), lit("t"), current_timestamp(),
+      col("event_id"), Seq("event_id", "user_id", "value", "props"))
+    val evolved = SchemaEvolution.addColumn(baseSchema, "is_stock", BooleanType)
+    val row = SchemaEvolution.parseDrifted(
+        pre.select("message"), "message", evolved,
+        Map("is_stock" -> lit(true)))
+      .select("data.is_stock").collect()(0)
+    // pre-ALTER message: the declared default applies despite the
+    // lookalike inner key
+    assert(!row.isNullAt(0) && row.getBoolean(0))
+  }
+
   test("dropped column is ignored; remaining fields survive") {
     import spark.implicits._
     val df = Seq((1L, 10L, 2.5, "{\"k\":1}")).toDF("event_id", "user_id", "value", "props")

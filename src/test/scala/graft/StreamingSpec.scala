@@ -160,6 +160,11 @@ class StreamingSpec extends AnyFunSuite {
         .filter(_.getName.startsWith("v="))
         .maxBy(_.getName.stripPrefix("v=").toLong).getPath)
     assert(raw.filter(col("op") === "delete").count() == 1)
+    // publish is staged (.tmp then rename) and superseded versions
+    // are pruned: only the newest two survive, no staging dirs remain
+    val names = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+    assert(names.count(_.startsWith("v=")) <= 2, names.mkString(","))
+    assert(!names.exists(_.startsWith(".tmp-")), names.mkString(","))
   }
 
   test("bucketed upsert rewrites only touched buckets; untouched buckets stay byte-identical") {

@@ -1262,7 +1262,7 @@ object SparkEntry {
       val nTok = "CAST(n_tokens AS DOUBLE)"
       s"""WITH s AS (SELECT doc_id, source,
          |  CAST(len($toksT) AS BIGINT) AS n_tokens,
-         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
          |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
          |FROM documents),
          |q AS (SELECT doc_id, source,
@@ -2139,7 +2139,7 @@ object SparkEntry {
       val nTok = "CAST(n_tokens AS DOUBLE)"
       s"""WITH s AS (SELECT doc_id,
          |  CAST(len($toksT) AS BIGINT) AS n_tokens,
-         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
          |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
          |FROM documents)
          |SELECT doc_id, n_tokens,
@@ -2496,7 +2496,7 @@ object SparkEntry {
       val nTok = "CAST(n_tokens AS DOUBLE)"
       s"""WITH s AS (SELECT doc_id, source,
          |  CAST(len($toksT) AS BIGINT) AS n_tokens,
-         |  ${markerCountSql(Seq("the", "a", "of", "and", "is"))} AS stop_cnt,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
          |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len,
          |  md5($normT) AS fp,
          |  $scores

@@ -257,7 +257,7 @@ object Similarity {
         x => round(x.cast("double") / col("n")).cast("long")))
       .withColumn("sn2", greatest(Vectors.norm2(col("m")), lit(1L)))
       .select(col("cell"), col("m"), col("sn2"))
-    val scored = qv.join(broadcast(cells))
+    val scored = qv.crossJoin(broadcast(cells))
       .withColumn("score",
         Vectors.dot(col("q"), col("m")).cast("double") /
           sqrt(col("sn2").cast("double")))

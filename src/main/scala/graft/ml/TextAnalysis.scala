@@ -114,6 +114,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("的", "了", "在", "是", "我"))
 
+  /** The English marker set — also the stopword basis of the quality
+    * score and its oracles (one definition, so langId and quality
+    * can't silently diverge).
+    */
+  val EnStopwords: Seq[String] = markers.toMap.apply("en")
+
   private def markerCount(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isin(words.map(lit): _*))).cast("long")
 
@@ -213,7 +219,9 @@ object TextAnalysis {
     * (java.util.regex) and DuckDB (RE2) engines match identically on
     * ASCII text.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i): emails are case-insensitive on the wire; both engines'
+  // regex dialects support the inline flag, preserving parity
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   val IdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
@@ -285,7 +293,7 @@ object TextAnalysis {
   def quality(df: DataFrame, text: Column): DataFrame = {
     val t = tokens(text)
     val nTok = size(t).cast("long")
-    val stop = markerCount(t, Seq("the", "a", "of", "and", "is"))
+    val stop = markerCount(t, EnStopwords)
     val avgLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
       nTok.cast("double")
     df.withColumn("n_tokens", nTok)

@@ -925,14 +925,6 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  /** Window-frame running aggregates: per customer, orders in date
-    * order with a sequence number, a running (unbounded-preceding)
-    * spend total, and a 3-row moving average. One shuffle on
-    * o_custkey; all three windows share the partitioning + sort, so
-    * Spark plans a single Window node. Decimal running sums keep the
-    * doubles engine-identical; the moving average divides two exact
-    * quantities in double at the end.
-    */
   /** Sequence-gap integrity check over the event feed: per key
     * (user), consecutive event ids are expected to advance by roughly
     * the key cardinality (ids are globally dense, keys interleave);
@@ -951,7 +943,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     events.select(col("user_id"), col("event_id"))
       .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .join(broadcast(users))
+      .crossJoin(broadcast(users))
       .withColumn("gap", col("event_id") - col("prev_id"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -961,6 +953,14 @@ object Analytics {
       .filter(col("n_gaps") > 0)
   }
 
+  /** Window-frame running aggregates: per customer, orders in date
+    * order with a sequence number, a running (unbounded-preceding)
+    * spend total, and a 3-row moving average. One shuffle on
+    * o_custkey; all three windows share the partitioning + sort, so
+    * Spark plans a single Window node. Decimal running sums keep the
+    * doubles engine-identical; the moving average divides two exact
+    * quantities in double at the end.
+    */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
     val w = Window.partitionBy(col("o_custkey"))

@@ -39,7 +39,12 @@ object RangeJoin {
     // using pmod-corrected floor division
     def fdiv(c: Column): Column =
       ((c - pmod(c, w)) / w).cast("long")
+    // inverted intervals (hi < lo) must match NOTHING — without the
+    // guard, sequence(start, stop) steps -1 and one corrupt row
+    // explodes ~|lo-hi|/bucketUs bucket rows (OOM-scale for epoch
+    // sentinels) before the residual filter could discard them
     val iv = intervals
+      .filter(loCol <= hiCol)
       .withColumn("__bucket",
         explode(sequence(fdiv(loCol), fdiv(hiCol))))
     val pt = points.withColumn("__bucket", fdiv(tCol))

@@ -104,21 +104,36 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyGen(l)
-          val lTs = lTsProj(l).getLong(0)
+          // SQL as-of semantics for NULL timestamps: `r.ts <= l.ts`
+          // is never true when either side is NULL, so a null-ts
+          // event matches nothing and a null-ts version is never a
+          // match — getLong on a null slot would read 0 and attach
+          // epoch-0 versions instead
+          val lTsRow = lTsProj(l)
+          val lTsNull = lTsRow.isNullAt(0)
+          val lTs = if (lTsNull) 0L else lTsRow.getLong(0)
           // consume right rows that are usable for this (or an
-          // earlier) left position; remember the latest per key
-          while (rHead != null && {
+          // earlier) left position; remember the latest per key.
+          // Null-ts right rows (sorted first in their key group) are
+          // consumed and DISCARDED; same-key right rows are left for
+          // later left rows when this left row's ts is null.
+          var consuming = true
+          while (consuming && rHead != null) {
             val c = keyOrdering.compare(rHeadKey, lKey)
-            c < 0 || (c == 0 && rTsProj(rHead).getLong(0) <= lTs)
-          }) {
-            if (keyOrdering.compare(rHeadKey, lKey) == 0) {
-              lastMatch = rHead
-              lastMatchKey = rHeadKey
+            val rTsRow = rTsProj(rHead)
+            val rTsNull = rTsRow.isNullAt(0)
+            consuming = c < 0 || (c == 0 && (rTsNull ||
+              (!lTsNull && rTsRow.getLong(0) <= lTs)))
+            if (consuming) {
+              if (c == 0 && !rTsNull) {
+                lastMatch = rHead
+                lastMatchKey = rHeadKey
+              }
+              rHead = advanceRight()
+              rHeadKey = if (rHead == null) null else rKeyGen(rHead).copy()
             }
-            rHead = advanceRight()
-            rHeadKey = if (rHead == null) null else rKeyGen(rHead).copy()
           }
-          val matched = lastMatch != null && lastMatchKey != null &&
+          val matched = !lTsNull && lastMatch != null && lastMatchKey != null &&
             keyOrdering.compare(lastMatchKey, lKey) == 0
           out(joined(l, if (matched) lastMatch else nullRight))
         }

@@ -35,6 +35,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("e") == null)        // key with no versions at all
   }
 
+  test("null timestamps: null-ts events match nothing, null-ts versions never match") {
+    import spark.implicits._
+    val nullTs: Option[Timestamp] = None
+    val left = Seq(
+      (1L, Option(ts(5)), "v"),   // normal: should match the ts(1) version
+      (1L, nullTs, "n"),          // null event ts: SQL `r_ts <= NULL` is never true
+      (2L, Option(ts(5)), "w"))   // its key's only version has null ts
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, Option(ts(1)), 100.0),
+      (1L, nullTs, -1.0),         // null version ts must never attach (not epoch 0)
+      (2L, nullTs, -2.0))
+      .toDF("r_user_id", "r_ts", "rate")
+    val out = AsOf.join(left, right,
+        Seq(left("user_id")), Seq(right("r_user_id")),
+        left("ts"), right("r_ts"))
+      .select("tag", "rate")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("v") == 100.0) // the null-ts version did not shadow or block
+    assert(out("n") == null)
+    assert(out("w") == null)
+  }
+
   test("as-of join matches a window-based reference on real data") {
     val ev = Tables.load(spark, sf, "events")
     val versions = ev.filter(col("event_type") === "signup")

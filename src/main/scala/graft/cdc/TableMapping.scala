@@ -48,14 +48,25 @@ object TableMapping {
 
     private def matchesPlain(schema: String, table: String): Boolean = {
       // Mirrors Column.like semantics including its default backslash
-      // escape: \% and \_ match the literal characters.
+      // escape: \% \_ \\ match the literal characters, and — like
+      // Spark's pattern parser — any other escape (backslash before a
+      // plain character, or a trailing backslash) is REJECTED rather
+      // than silently matched as a literal, so full-load planning and
+      // the stream predicate can never disagree on the same rule set.
       def likeMatch(pat: String, v: String): Boolean = {
         val rx = new StringBuilder
         var i = 0
         while (i < pat.length) {
           pat.charAt(i) match {
-            case '\\' if i + 1 < pat.length =>
-              rx ++= java.util.regex.Pattern.quote(pat.charAt(i + 1).toString)
+            case '\\' =>
+              if (i + 1 >= pat.length)
+                throw new IllegalArgumentException(
+                  s"invalid LIKE pattern '$pat': trailing escape")
+              val n = pat.charAt(i + 1)
+              if (n != '%' && n != '_' && n != '\\')
+                throw new IllegalArgumentException(
+                  s"invalid LIKE pattern '$pat': escape before '$n'")
+              rx ++= java.util.regex.Pattern.quote(n.toString)
               i += 1
             case '%' => rx ++= ".*"
             case '_' => rx += '.'
@@ -103,12 +114,17 @@ object TableMapping {
 
   /** SQL LIKE → predicate for the same pattern in the DuckDB oracle.
     * Single quotes in patterns are doubled so a quote in a rule can't
-    * break (or inject into) the generated SQL.
+    * break (or inject into) the generated SQL. An explicit
+    * `ESCAPE '\'` rides every LIKE: Spark's Column.like treats
+    * backslash as the escape by default, DuckDB only with the clause
+    * — without it an escaped-wildcard pattern (`100\%`) matches
+    * differently on the two engines.
     */
   def duckPredicate(rules: Seq[SelectionRule], schemaExpr: String, tableExpr: String): String = {
     def q(p: String) = p.replace("'", "''")
     def m(r: SelectionRule) =
-      s"($schemaExpr LIKE '${q(r.schemaPattern)}' AND $tableExpr LIKE '${q(r.tablePattern)}')"
+      s"($schemaExpr LIKE '${q(r.schemaPattern)}' ESCAPE '\\' AND " +
+        s"$tableExpr LIKE '${q(r.tablePattern)}' ESCAPE '\\')"
     val inc = rules.filter(_.action == Include).map(m) match {
       case Nil => "FALSE"; case xs => xs.mkString("(", " OR ", ")")
     }

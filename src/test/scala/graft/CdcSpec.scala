@@ -174,6 +174,39 @@ class CdcSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("full-load events: 2 controls then one load row per table row") {
+    val ev = cdc.FullLoad.events(spark, sf, "region").collect()
+    val n = Tables.load(spark, sf, "region").count()
+    assert(ev.length.toLong == 2L + n)
+    val ops = ev.map(_.getAs[String]("op"))
+    assert(ops.count(_ == "drop-table") == 1)
+    assert(ops.count(_ == "create-table") == 1)
+    assert(ops.count(_ == "load").toLong == n)
+    assert(ev.forall(_.getAs[String]("table_name") == "region"))
+  }
+
+  test("escaped LIKE wildcards: driver match == stream predicate, invalid escapes rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val m = TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("graft", "100\\%")))
+    // driver-side: literal percent
+    assert(m.selectTables(Seq(("graft", "100%"))) == Seq(("graft", "100%")))
+    assert(m.selectTables(Seq(("graft", "1000"))).isEmpty)
+    // stream-side agrees
+    val df = Seq(("graft", "100%"), ("graft", "1000"))
+      .toDF("schema_name", "table_name")
+    val kept = df.filter(m.predicate(col("schema_name"), col("table_name")))
+      .collect().map(_.getString(1))
+    assert(kept.toSeq == Seq("100%"))
+    // invalid escapes throw instead of silently matching
+    val bad = TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("graft", "db\\a")))
+    intercept[IllegalArgumentException] {
+      bad.selectTables(Seq(("graft", "dba")))
+    }
+  }
+
   test("lag monitor: head table lags zero, others lag exactly to the head") {
     import org.apache.spark.sql.functions._
     val rows = cdc.TableStatistics.lagMonitor(

@@ -22,16 +22,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.sessionConf.foldLeft(SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-bench")
     // warm-up: session, codegen, parquet reader, one shuffle
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()

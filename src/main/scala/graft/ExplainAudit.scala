@@ -20,15 +20,7 @@ object ExplainAudit {
         s"available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
-    val spark = Tables.sessionConf.foldLeft(SparkSession.builder()
-        .master("local[8]")
-        .appName("graft-explain")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
+    val spark = Sessions.build("8", "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"==== $n ====")

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one SparkSession recipe shared by every driver-contract main
+  * (Verify, Bench, ExplainAudit): local[cpus], matching shuffle
+  * width, UTC, GraftExtensions, Tables.sessionConf reader flags. A
+  * single definition — Bench must time exactly the session Verify
+  * validates.
+  */
+object Sessions {
+  def build(cpus: String, appName: String = "graft"): SparkSession = {
+    val spark = Tables.sessionConf.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

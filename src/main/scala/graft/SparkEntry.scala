@@ -253,12 +253,7 @@ object SparkEntry {
         .select(col("table_name"), col("h").as("kth"))
       val exact = c.groupBy(col("table_name"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
-      exact.join(kth, Seq("table_name"), "left")
-        .withColumn("kmv_estimate",
-          round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
-            col("kth").cast("double"), 2))
-        .select(col("table_name"), col("exact_distinct"), col("kmv_estimate"))
-        .orderBy(col("table_name"))
+      kmvEstimate(k)(exact.join(kth, Seq("table_name"), "left"))
     }),
 
     // Same KMV statistic through the native TypedImperativeAggregate:
@@ -270,15 +265,10 @@ object SparkEntry {
     "cdc_distinct_sketch_agg" -> ((s, dir) => {
       val k = 64
       val c = ChangeFeed.fromEvents(s, dir)
-      c.groupBy(col("table_name"))
+      kmvEstimate(k)(c.groupBy(col("table_name"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"),
           graft.functions.KmvSketch.kmvKth(
-            Portable.pHash(col("user_id").cast("string")), k).as("kth"))
-        .withColumn("kmv_estimate",
-          round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
-            col("kth").cast("double"), 2))
-        .select(col("table_name"), col("exact_distinct"), col("kmv_estimate"))
-        .orderBy(col("table_name"))
+            Portable.pHash(col("user_id").cast("string")), k).as("kth")))
     }),
 
     // Hot-key (skew) aggregation: two-phase salted aggregate — the
@@ -902,6 +892,34 @@ object SparkEntry {
   }
 
   /** Quantized-embedding CTEs: flat (vec_id, i, v) + exact norms. */
+  /** Shared KMV estimate projection for the sketch twins: ONE
+    * definition of the (k-1)·2⁶⁰ / kth formula, so the relational
+    * and native-aggregate rows cannot drift.
+    */
+  private def kmvEstimate(k: Int)(df: DataFrame): DataFrame =
+    df.withColumn("kmv_estimate",
+        round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+          col("kth").cast("double"), 2))
+      .select(col("table_name"), col("exact_distinct"), col("kmv_estimate"))
+      .orderBy(col("table_name"))
+
+  /** Shared oracle for cdc_distinct_sketch and its native-aggregate
+    * twin (identical statistic, identical relational form).
+    */
+  private lazy val kmvOracleSql: String =
+    s"""$C, h AS (SELECT DISTINCT table_name,
+       |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
+       |r AS (SELECT table_name, h,
+       |    row_number() OVER (PARTITION BY table_name ORDER BY h) AS rn FROM h),
+       |kth AS (SELECT table_name, h AS kth FROM r WHERE rn = 64),
+       |ex AS (SELECT table_name, count(DISTINCT user_id) AS exact_distinct
+       |  FROM c GROUP BY 1)
+       |SELECT ex.table_name, ex.exact_distinct,
+       |  round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |    / CAST(kth.kth AS DOUBLE), 2) AS kmv_estimate
+       |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
+       |ORDER BY ex.table_name""".stripMargin
+
   private val embCtes: String =
     s"""qv AS (SELECT vec_id, ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
        |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS v FROM qv),
@@ -2030,34 +2048,11 @@ object SparkEntry {
          |  count(CASE WHEN op <> 'insert' THEN bv END) AS n_before
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "cdc_distinct_sketch" ->
-      s"""$C, h AS (SELECT DISTINCT table_name,
-         |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
-         |r AS (SELECT table_name, h,
-         |    row_number() OVER (PARTITION BY table_name ORDER BY h) AS rn FROM h),
-         |kth AS (SELECT table_name, h AS kth FROM r WHERE rn = 64),
-         |ex AS (SELECT table_name, count(DISTINCT user_id) AS exact_distinct
-         |  FROM c GROUP BY 1)
-         |SELECT ex.table_name, ex.exact_distinct,
-         |  round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-         |    / CAST(kth.kth AS DOUBLE), 2) AS kmv_estimate
-         |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
-         |ORDER BY ex.table_name""".stripMargin,
-
-    // identical statistic, so the oracle is the same relational form
-    "cdc_distinct_sketch_agg" ->
-      s"""$C, h AS (SELECT DISTINCT table_name,
-         |    ${Portable.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM c),
-         |r AS (SELECT table_name, h,
-         |    row_number() OVER (PARTITION BY table_name ORDER BY h) AS rn FROM h),
-         |kth AS (SELECT table_name, h AS kth FROM r WHERE rn = 64),
-         |ex AS (SELECT table_name, count(DISTINCT user_id) AS exact_distinct
-         |  FROM c GROUP BY 1)
-         |SELECT ex.table_name, ex.exact_distinct,
-         |  round(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-         |    / CAST(kth.kth AS DOUBLE), 2) AS kmv_estimate
-         |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
-         |ORDER BY ex.table_name""".stripMargin,
+    // ONE binding for both KMV rows: the native aggregate computes
+    // the identical statistic, so the oracle must stay byte-identical
+    // — a single val makes that impossible to desynchronize.
+    "cdc_distinct_sketch" -> kmvOracleSql,
+    "cdc_distinct_sketch_agg" -> kmvOracleSql,
 
     "cdc_salted_stats" ->
       s"""$C, s AS (SELECT *,

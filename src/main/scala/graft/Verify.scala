@@ -1,24 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query-name filter]
+    if (args.length < 2) {
+      System.err.println("usage: Verify <sfDir> <outDir> [name,name,...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.sessionConf.foldLeft(SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -27,8 +22,21 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // an analysis-time failure never reaches overwrite's
+        // delete-and-commit, so a REUSED outDir would still hold the
+        // previous run's parquet and the compare would silently pass
+        // on stale output — delete it so the failure is a visible
+        // missing-output FAIL, not a phantom pass
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(dir)
+        }
       }
-      // release per-query cached intermediates: keeps a 51-query
+      // release per-query cached intermediates: keeps a 110-query
       // session's memory bounded and queries independent
       CacheScope.releaseAll()
     }

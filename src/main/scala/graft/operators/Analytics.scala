@@ -925,6 +925,44 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the user's most recent PRECEDING non-purchase event within a
+    * `lookbackDays` window — older or absent touches fall to the
+    * 'direct' channel. The clickstream-attribution shape: an as-of
+    * lookup expressed as ONE ignore-nulls window over the existing
+    * per-user ordering (no self-join, no as-of join needed because
+    * source and target ride the same stream).
+    *
+    * Determinism: the frame orders by (ts, event_id) — unique — and
+    * age math is exact integer micros; the per-channel averages do
+    * two double divisions in a fixed order, identical in the oracle.
+    */
+  def attribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col("event_type") =!= "purchase",
+        struct(unix_micros(col("ts")).as("t_us"),
+          col("event_type").as("ch"))),
+      ignoreNulls = true).over(w)
+    events
+      .withColumn("touch", touch)
+      .filter(col("event_type") === "purchase")
+      .withColumn("age_us", unix_micros(col("ts")) - col("touch.t_us"))
+      .withColumn("channel",
+        when(col("touch").isNull ||
+          col("age_us") > lit(lookbackDays * 86400000000L), "direct")
+          .otherwise(col("touch.ch")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        (sum(when(col("channel") =!= "direct", col("age_us"))).cast("double") /
+          count(lit(1)).cast("double") / lit(60000000.0))
+          .as("avg_min_to_touch"))
+  }
+
   /** Sequence-gap integrity check over the event feed: per key
     * (user), consecutive event ids are expected to advance by roughly
     * the key cardinality (ids are globally dense, keys interleave);

@@ -350,6 +350,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution credits every purchase to exactly one channel") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("events_attribution")(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == purchases)
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(!channels.contains("purchase")) // a purchase never self-attributes
+    // driver recompute: last non-purchase event before each purchase
+    val all = ev.select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type")))
+    val lookbackUs = 7L * 86400000000L
+    def us(t: java.sql.Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (us(e._3), e._2))
+      sorted.zipWithIndex.collect {
+        case (e, i) if e._4 == "purchase" =>
+          val touch = sorted.take(i).filter(_._4 != "purchase").lastOption
+          touch match {
+            case Some(t) if us(e._3) - us(t._3) <= lookbackUs => t._4
+            case _ => "direct"
+          }
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(expect(r.getAs[String]("channel")) ==
+        r.getAs[Long]("n_conversions"), r.getAs[String]("channel"))
+    }
+  }
+
   test("gap detection flags exactly the keys with an oversized id jump") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("events_gap_detection")(spark, sf).collect()

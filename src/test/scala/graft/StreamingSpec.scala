@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!names.exists(_.startsWith(".tmp-")), names.mkString(","))
   }
 
+  test("upsert recovers from a crashed writer's staging dir") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash").toString
+    // simulate a writer that died mid-write: orphan staging junk
+    val orphan = new java.io.File(s"$dir/state/.tmp-7/part-junk")
+    orphan.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath, "not parquet")
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.foreachBatchUpsert(
+      CdcPipeline.annotate(mem.toDF()),
+      s"$dir/state", s"$dir/ckpt").start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the orphan was swept, a clean v=0 published, and the state is
+    // exactly the batch twin's
+    val names = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith(".tmp-")), names.mkString(","))
+    val got = CdcPipeline.materializedView(spark, s"$dir/state")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val expected = ChangeFeed.applyChanges(
+        ChangeFeed.annotate(batch1.toDF()),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("bucketed upsert rewrites only touched buckets; untouched buckets stay byte-identical") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

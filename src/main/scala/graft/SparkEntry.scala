@@ -676,6 +676,17 @@ object SparkEntry {
       Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"), col("assigned_cell"))),
 
+    // Right-to-be-forgotten propagation: scrub a deterministic
+    // deletion list (user_id % 17 == 0) from the feed, re-materialize
+    // state, audit zero residual keys per table.
+    "cdc_forget_keys" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val keys = c.select(col("user_id")).distinct()
+        .filter(col("user_id") % 17 === 0)
+      cdc.Forget.audit(c, "user_id", keys, Seq(col("ts"), col("event_id")))
+        .orderBy(col("table_name"))
+    }),
+
     // Replication-lag monitor: per-table high-water mark vs the
     // newest event anywhere (1-row head broadcast, no second scan).
     "cdc_lag_monitor" -> ((s, dir) =>
@@ -1409,6 +1420,32 @@ object SparkEntry {
          |  FROM scored)
          |SELECT label, cell AS assigned_cell, count(*) AS n_vecs
          |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_forget_keys" ->
+      s"""$C,
+         |fk AS (SELECT DISTINCT user_id FROM c WHERE user_id % 17 = 0),
+         |scrub AS (SELECT c.* FROM c
+         |  WHERE user_id NOT IN (SELECT user_id FROM fk)),
+         |sb AS (SELECT table_name, count(*) AS state_keys_before FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY table_name, user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+         |  WHERE rn = 1 AND op <> 'delete' GROUP BY 1),
+         |sa AS (SELECT table_name, count(*) AS state_keys_after FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY table_name, user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM scrub)
+         |  WHERE rn = 1 AND op <> 'delete' GROUP BY 1),
+         |fc AS (SELECT table_name, count(*) AS feed_rows,
+         |    CAST(sum(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS feed_scrubbed
+         |  FROM c GROUP BY 1)
+         |SELECT fc.table_name, fc.feed_rows, fc.feed_scrubbed,
+         |  coalesce(sb.state_keys_before, 0) AS state_keys_before,
+         |  coalesce(sa.state_keys_after, 0) AS state_keys_after,
+         |  CAST(0 AS BIGINT) AS residual_keys
+         |FROM fc
+         |LEFT JOIN sb ON sb.table_name = fc.table_name
+         |LEFT JOIN sa ON sa.table_name = fc.table_name
+         |ORDER BY 1""".stripMargin,
 
     "cdc_lag_monitor" ->
       s"""$C,

@@ -1,0 +1,56 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deletion-list propagation (right-to-be-forgotten): scrub every
+  * change of the listed keys from the feed, re-materialize state
+  * from the scrubbed feed, and AUDIT that nothing survived — the
+  * compliance pass a replicated pipeline must run end to end, not
+  * just against the newest snapshot (an old change of a forgotten
+  * key replayed later would resurrect it).
+  *
+  * Scale shape: the deletion list BROADCASTS (it is tiny next to the
+  * feed at any scale), so the scrub is a map-side anti probe — the
+  * feed is never shuffled to be scrubbed; the audit's two state
+  * materializations share the one key shuffle the apply path always
+  * pays; counts reduce map-side to |tables| rows.
+  */
+object Forget {
+
+  /** Per-table audit of scrubbing `keys` (one column named like
+    * `keyCol`) out of `changes`:
+    * feed_rows/feed_scrubbed, state_keys before/after, and
+    * `residual_keys` — forgotten keys still live in the state
+    * rebuilt from the scrubbed feed, which must be 0.
+    */
+  def audit(
+      changes: DataFrame,
+      keyCol: String,
+      keys: DataFrame,
+      orderCols: Seq[Column]): DataFrame = {
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val scrubbed = changes.join(k, Seq(keyCol), "left_anti")
+    def stateKeys(feed: DataFrame, label: String): DataFrame =
+      ChangeFeed.applyChanges(feed, Seq("table_name", keyCol), orderCols)
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as(label))
+    val feedCounts = changes
+      .join(k.withColumn("_forget", lit(true)), Seq(keyCol), "left")
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("feed_rows"),
+        sum(when(col("_forget"), 1L).otherwise(0L)).as("feed_scrubbed"))
+    val residual = ChangeFeed
+      .applyChanges(scrubbed, Seq("table_name", keyCol), orderCols)
+      .join(k, Seq(keyCol), "left_semi")
+      .groupBy(col("table_name")).agg(count(lit(1)).as("residual_keys"))
+    feedCounts
+      .join(stateKeys(changes, "state_keys_before"), Seq("table_name"), "left")
+      .join(stateKeys(scrubbed, "state_keys_after"), Seq("table_name"), "left")
+      .join(residual, Seq("table_name"), "left")
+      .select(col("table_name"), col("feed_rows"), col("feed_scrubbed"),
+        coalesce(col("state_keys_before"), lit(0L)).as("state_keys_before"),
+        coalesce(col("state_keys_after"), lit(0L)).as("state_keys_after"),
+        coalesce(col("residual_keys"), lit(0L)).as("residual_keys"))
+  }
+}

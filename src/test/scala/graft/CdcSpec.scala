@@ -174,6 +174,31 @@ class CdcSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("forget audit: scrub is total, state shrinks by the forgotten live keys") {
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val keys = c.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0)
+    val rows = Forget.audit(c, "user_id", keys,
+      Seq(col("ts"), col("event_id"))).collect()
+    assert(rows.nonEmpty)
+    // zero residual everywhere: no forgotten key survives in state
+    rows.foreach(r => assert(r.getAs[Long]("residual_keys") == 0L))
+    // scrubbed feed rows = rows whose key is in the list
+    val expectScrub = c.filter(col("user_id") % 17 === 0).count()
+    assert(rows.map(_.getAs[Long]("feed_scrubbed")).sum == expectScrub)
+    // per table, state shrinks by exactly the forgotten LIVE keys
+    val liveForgotten = ChangeFeed.applyChanges(c,
+        Seq("table_name", "user_id"), Seq(col("ts"), col("event_id")))
+      .filter(col("user_id") % 17 === 0)
+      .groupBy(col("table_name")).count().collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("table_name")
+      assert(r.getAs[Long]("state_keys_before") -
+        r.getAs[Long]("state_keys_after") == liveForgotten.getOrElse(t, 0L), t)
+    }
+  }
+
   test("full-load events: 2 controls then one load row per table row") {
     val ev = cdc.FullLoad.events(spark, sf, "region").collect()
     val n = Tables.load(spark, sf, "region").count()

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the deletion list BROADCASTS (it is tiny next to the
   * feed at any scale), so the scrub is a map-side anti probe — the
-  * feed is never shuffled to be scrubbed; the audit's two state
-  * materializations share the one key shuffle the apply path always
-  * pays; counts reduce map-side to |tables| rows.
+  * feed is never shuffled to be scrubbed. The audit pays exactly two
+  * state materializations (before and after — the after one also
+  * answers the residual probe from the same pass) plus a map-side
+  * feed count; counts reduce to |tables| rows.
   */
 object Forget {
 
@@ -30,24 +31,30 @@ object Forget {
       keys: DataFrame,
       orderCols: Seq[Column]): DataFrame = {
     val k = broadcast(keys.select(col(keyCol)).distinct())
+    val kFlag = broadcast(keys.select(col(keyCol)).distinct()
+      .withColumn("_forget", lit(true)))
     val scrubbed = changes.join(k, Seq(keyCol), "left_anti")
-    def stateKeys(feed: DataFrame, label: String): DataFrame =
-      ChangeFeed.applyChanges(feed, Seq("table_name", keyCol), orderCols)
-        .groupBy(col("table_name"))
-        .agg(count(lit(1)).as(label))
+    val before = ChangeFeed
+      .applyChanges(changes, Seq("table_name", keyCol), orderCols)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("state_keys_before"))
+    // ONE materialization of the scrubbed state serves both the after
+    // count and the residual probe (a separate residual branch would
+    // re-run the whole feed shuffle + window a third time)
+    val after = ChangeFeed
+      .applyChanges(scrubbed, Seq("table_name", keyCol), orderCols)
+      .join(kFlag, Seq(keyCol), "left")
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("state_keys_after"),
+        sum(when(col("_forget"), 1L).otherwise(0L)).as("residual_keys"))
     val feedCounts = changes
-      .join(k.withColumn("_forget", lit(true)), Seq(keyCol), "left")
+      .join(kFlag, Seq(keyCol), "left")
       .groupBy(col("table_name"))
       .agg(count(lit(1)).as("feed_rows"),
         sum(when(col("_forget"), 1L).otherwise(0L)).as("feed_scrubbed"))
-    val residual = ChangeFeed
-      .applyChanges(scrubbed, Seq("table_name", keyCol), orderCols)
-      .join(k, Seq(keyCol), "left_semi")
-      .groupBy(col("table_name")).agg(count(lit(1)).as("residual_keys"))
     feedCounts
-      .join(stateKeys(changes, "state_keys_before"), Seq("table_name"), "left")
-      .join(stateKeys(scrubbed, "state_keys_after"), Seq("table_name"), "left")
-      .join(residual, Seq("table_name"), "left")
+      .join(before, Seq("table_name"), "left")
+      .join(after, Seq("table_name"), "left")
       .select(col("table_name"), col("feed_rows"), col("feed_scrubbed"),
         coalesce(col("state_keys_before"), lit(0L)).as("state_keys_before"),
         coalesce(col("state_keys_after"), lit(0L)).as("state_keys_after"),

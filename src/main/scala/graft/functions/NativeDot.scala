@@ -36,15 +36,27 @@ case class LongDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // a null ELEMENT nulls the result even when both arrays are
+  // non-null, so the expression is nullable regardless of children
+  override def nullable: Boolean = true
+
   override def prettyName: String = "long_dot"
 
+  // Length mismatch THROWS (a truncated dot would mask an upstream
+  // dimensionality bug with a plausible partial sum); a null element
+  // nulls the result — the SQL semantics of the aggregate/zip_with
+  // twin, where NULL poisons the accumulator.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"long_dot: mismatched lengths ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -57,9 +69,14 @@ case class LongDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "long_dot: mismatched lengths (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

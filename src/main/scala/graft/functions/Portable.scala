@@ -61,8 +61,13 @@ object Portable {
     s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
 
   /** Driver/JVM twin of [[normText]] (same regex semantics), for
-    * test-side recomputation.
+    * test-side recomputation. Locale.ROOT (default-locale toLowerCase
+    * would fold 'I' to dotless 'ı' under tr) and a SPACE-only trim
+    * (String.trim strips every char <= U+0020, Spark's trim strips
+    * spaces only).
     */
   def normTextJvm(s: String): String =
-    s.toLowerCase.replaceAll("\\s+", " ").trim
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+      .replaceAll("^ | $", "")
 }

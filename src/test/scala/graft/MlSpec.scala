@@ -29,6 +29,28 @@ class MlSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == expected)
   }
 
+  test("long_dot: null elements null the result, length mismatch throws") {
+    import spark.implicits._
+    // null element → null (the HOF twin's SQL semantics)
+    val withNull = Seq((Seq(Option(1L), None), Seq(Option(5L), Option(7L))))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("d"),
+        Vectors.dotHof(col("a"), col("b")).as("h"))
+      .collect()(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // mismatched lengths surface the upstream bug instead of
+    // truncating to a plausible partial sum
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(5L))).toDF("a", "b")
+        .select(Vectors.dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c =>
+        c.getMessage != null && c.getMessage.contains("mismatched lengths")))
+  }
+
   test("jvmPHash matches the Spark portable hash bit-for-bit") {
     val samples = Seq("", "a", "hello world", "srp#3#17", "graft.users_1")
     val fromSpark = spark.range(1)

@@ -250,6 +250,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bucketed upsert sweeps crashed staging dirs and prunes per-bucket versions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bcrash").toString
+    // orphan staging junk from a "crashed" writer
+    val orphan = new java.io.File(s"$dir/state/.tmp-9/bucket=0/part-junk")
+    orphan.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath, "not parquet")
+    val mem = MemoryStream[RawEvent]
+    val q = CdcPipeline.foreachBatchUpsertBucketed(
+      CdcPipeline.annotate(mem.toDF()),
+      s"$dir/state", s"$dir/ckpt", nBuckets = 4).start()
+    try {
+      // three batches all touching user 10 → same bucket 3 times
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(Seq(RawEvent(7, ts(9), 10, "purchase", 7.5, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(RawEvent(8, ts(10), 10, "click", 8.5, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val root = new java.io.File(s"$dir/state")
+    assert(!root.listFiles().exists(_.getName.startsWith(".tmp-")))
+    // every bucket retains at most the two newest versions
+    root.listFiles().filter(_.getName.startsWith("bucket=")).foreach { b =>
+      val vs = b.listFiles().map(_.getName).filter(_.startsWith("v="))
+      assert(vs.length <= 2, s"${b.getName}: ${vs.mkString(",")}")
+    }
+    // and the state is still exactly the batch twin's
+    val all = batch1 ++ Seq(
+      RawEvent(7, ts(9), 10, "purchase", 7.5, "{}"),
+      RawEvent(8, ts(10), 10, "click", 8.5, "{}"))
+    val got = CdcPipeline.materializedViewBucketed(spark, s"$dir/state")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val expected = ChangeFeed.applyChanges(
+        ChangeFeed.annotate(all.toDF()),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("task status surfaces progress and lifecycle (running -> stopped)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -165,18 +165,20 @@ object CdcPipeline {
         val spark = batch.sparkSession
         val fs = hadoopFs(spark, stateDir)
         val root = new org.apache.hadoop.fs.Path(stateDir)
-        // sweep staging dirs a crashed writer left (same single-
-        // writer-per-stateDir contract as the bucketed sweep)
-        if (fs.exists(root)) {
-          fs.listStatus(root).iterator.map(_.getPath)
-            .filter(_.getName.startsWith(".tmp-"))
-            .foreach(p => fs.delete(p, true))
-        }
+        // ONE listing per batch serves the staging sweep, the
+        // version resolution, AND the post-publish prune — on an
+        // object store the LIST is the expensive metadata call
+        val entries =
+          if (fs.exists(root)) fs.listStatus(root).toSeq else Nil
+        sweepStaging(fs, entries)
         // monotonic version (max existing + 1), NOT the batchId: a
         // fresh-checkpoint restart over existing state restarts
         // batchId at 0, and a v=0 dir under a v=N state would never
         // be read — see upsertBucketedBatch
-        val prevV = latestVersion(spark, stateDir)
+        val prevVersions = entries.map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        val prevV =
+          if (prevVersions.isEmpty) None else Some(prevVersions.max)
         val prev = prevV.map(v => spark.read.parquet(s"$stateDir/v=$v"))
         val all = prev match {
           case Some(p) => p.unionByName(batch.toDF())
@@ -195,9 +197,27 @@ object CdcPipeline {
         if (fs.exists(dest)) fs.delete(dest, true)
         if (!fs.rename(tmp, dest))
           throw new java.io.IOException(s"publish failed: $tmp -> $dest")
-        pruneVersions(fs, root)
+        // prune from the pre-publish listing: retained = newV + the
+        // newest previous version (the keep=2 contract) — no re-LIST
+        prevVersions.sorted.reverse.drop(1).foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
         (): Unit
       }
+
+  /** Delete `.tmp-*` staging dirs a crashed writer orphaned —
+    * SINGLE WRITER PER stateDir: the sweep deletes ALL staging dirs,
+    * including one a concurrent writer might have in flight; that
+    * matches both sinks' design (one streaming query owns a
+    * stateDir; foreachBatch serializes batches within it). If
+    * multi-writer sharing is ever wanted, scope the sweep to dirs
+    * older than a grace age instead of deleting unconditionally.
+    */
+  private def sweepStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Unit =
+    entries.map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(p => fs.delete(p, true))
 
   /** Delete superseded `v=N` dirs, keeping the newest `keep`
     * versions (latest for readers repointing now, latest-1 for a
@@ -276,23 +296,13 @@ object CdcPipeline {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val fs = hadoopFs(spark, stateDir)
-      // sweep .tmp-* staging dirs orphaned by a writer that crashed
-      // between its parquet write and the bucket renames — later
-      // batches use fresh version suffixes, so nothing ever reclaims
-      // these except this sweep.
-      // SINGLE WRITER PER stateDir: the sweep deletes ALL staging
-      // dirs, including one a concurrent writer might have in flight.
-      // That matches this sink's design (one streaming query owns a
-      // stateDir; foreachBatch serializes batches within it). If
-      // multi-writer sharing is ever wanted, scope the sweep to dirs
-      // older than a grace age instead of deleting unconditionally.
+      // sweep staging dirs a crashed writer orphaned between its
+      // parquet write and the bucket renames — later batches use
+      // fresh version suffixes, so nothing reclaims these except
+      // [[sweepStaging]] (single-writer contract documented there)
       val root = new org.apache.hadoop.fs.Path(stateDir)
-      if (fs.exists(root)) {
-        fs.listStatus(root).iterator
-          .map(_.getPath)
-          .filter(_.getName.startsWith(".tmp-"))
-          .foreach(p => fs.delete(p, true))
-      }
+      sweepStaging(fs,
+        if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
       val prevVersions = touched
         .map(b => b -> latestBucketVersion(spark, stateDir, b))
       val newVersion = (prevVersions.flatMap(_._2) :+ -1L).max + 1

@@ -46,6 +46,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.length == 1)
   }
 
+  test("inverted intervals match nothing and cannot explode the bucket fan-out") {
+    import spark.implicits._
+    // hi << lo: without the guard, sequence(lo/w, hi/w) would step -1
+    // and explode ~1e8 bucket rows from this single corrupt interval
+    val iv = Seq(
+      (1L, 10000000000L, 0L), // inverted epoch-scale sentinel
+      (2L, 100L, 200L))       // a normal interval alongside it
+      .toDF("iv_id", "lo", "hi")
+    val pts = Seq((1L, 150L), (2L, 5000000000L)).toDF("pt_id", "t")
+    val rows = RangeJoin.pointInInterval(
+        pts, col("t"), iv, col("lo"), col("hi"), bucketUs = 100L)
+      .select(col("pt_id"), col("iv_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L))) // only the normal interval matches
+  }
+
   test("events_range_join counts every event inside each VIP window") {
     val rows = SparkEntry.queries("events_range_join")(spark, sf).collect()
     assert(rows.length == 3)

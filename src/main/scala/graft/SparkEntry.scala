@@ -699,6 +699,12 @@ object SparkEntry {
       Analytics.attribution(Tables.load(s, dir, "events"))
         .orderBy(col("channel"))),
 
+    // First-touch twin: the EARLIEST preceding touch takes the credit
+    // (brand-discovery vs closing credit).
+    "events_attribution_first" -> ((s, dir) =>
+      Analytics.attributionFirstTouch(Tables.load(s, dir, "events"))
+        .orderBy(col("channel"))),
+
     // Missed-position audit: per-key event-id gaps beyond 8x the key
     // cardinality (exact integer threshold, lag window + 1-row
     // broadcast).
@@ -1460,6 +1466,25 @@ object SparkEntry {
     "events_attribution" ->
       s"""WITH t AS (SELECT user_id, event_id, ts, event_type, value,
          |    last_value(CASE WHEN event_type <> 'purchase' THEN
+         |        struct_pack(t_us := epoch_us(ts), ch := event_type)
+         |      END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM events),
+         |p AS (SELECT *, epoch_us(ts) - (touch).t_us AS age_us FROM t
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT CASE WHEN touch IS NULL
+         |      OR age_us > ${7L * 86400000000L} THEN 'direct'
+         |    ELSE (touch).ch END AS channel, value, age_us FROM p)
+         |SELECT channel, count(*) AS n_conversions,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  CAST(sum(CASE WHEN channel <> 'direct' THEN age_us END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 60000000.0 AS avg_min_to_touch
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_attribution_first" ->
+      s"""WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+         |    first_value(CASE WHEN event_type <> 'purchase' THEN
          |        struct_pack(t_us := epoch_us(ts), ch := event_type)
          |      END IGNORE NULLS)
          |      OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -963,6 +963,39 @@ object Analytics {
           .as("avg_min_to_touch"))
   }
 
+  /** First-touch twin of [[attribution]]: the conversion is credited
+    * to the EARLIEST preceding non-purchase touch instead of the
+    * latest (brand-discovery credit vs closing credit — the two ends
+    * of the multi-touch spectrum). Same single ignore-nulls window
+    * frame, same lookback rule applied to the first touch's age.
+    */
+  def attributionFirstTouch(
+      events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = first(
+      when(col("event_type") =!= "purchase",
+        struct(unix_micros(col("ts")).as("t_us"),
+          col("event_type").as("ch"))),
+      ignoreNulls = true).over(w)
+    events
+      .withColumn("touch", touch)
+      .filter(col("event_type") === "purchase")
+      .withColumn("age_us", unix_micros(col("ts")) - col("touch.t_us"))
+      .withColumn("channel",
+        when(col("touch").isNull ||
+          col("age_us") > lit(lookbackDays * 86400000000L), "direct")
+          .otherwise(col("touch.ch")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        (sum(when(col("channel") =!= "direct", col("age_us"))).cast("double") /
+          count(lit(1)).cast("double") / lit(60000000.0))
+          .as("avg_min_to_touch"))
+  }
+
   /** Sequence-gap integrity check over the event feed: per key
     * (user), consecutive event ids are expected to advance by roughly
     * the key cardinality (ids are globally dense, keys interleave);

@@ -379,6 +379,25 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(expect(r.getAs[String]("channel")) ==
         r.getAs[Long]("n_conversions"), r.getAs[String]("channel"))
     }
+    // first-touch twin: same conversion total, credit may move to
+    // earlier channels but the two reports cover identical purchases
+    val ft = SparkEntry.queries("events_attribution_first")(spark, sf)
+      .collect()
+    assert(ft.map(_.getAs[Long]("n_conversions")).sum == purchases)
+    val ftExpect = all.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (us(e._3), e._2))
+      sorted.zipWithIndex.collect {
+        case (e, i) if e._4 == "purchase" =>
+          sorted.take(i).find(_._4 != "purchase") match {
+            case Some(t) if us(e._3) - us(t._3) <= lookbackUs => t._4
+            case _ => "direct"
+          }
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    ft.foreach { r =>
+      assert(ftExpect(r.getAs[String]("channel")) ==
+        r.getAs[Long]("n_conversions"), "first-touch " + r.getAs[String]("channel"))
+    }
   }
 
   test("gap detection flags exactly the keys with an oversized id jump") {

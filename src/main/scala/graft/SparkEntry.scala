@@ -693,6 +693,47 @@ object SparkEntry {
       TableStatistics.lagMonitor(ChangeFeed.fromEvents(s, dir))
         .orderBy(col("table_name"))),
 
+    // Referential-integrity audit after apply: orphans are PLANTED
+    // deterministically (parents c_custkey%13==0 dropped from
+    // customer; o_orderkey%997==0 dropped from orders; child FK
+    // nulled where o_orderkey%101==0 — NULL is not an orphan, per
+    // SQL MATCH SIMPLE) so the oracle replants and recounts them.
+    "cdc_fk_audit" -> ((s, dir) => {
+      val customer = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 13 =!= 0)
+      val orders = Tables.load(s, dir, "orders")
+      val ordersChild = orders.withColumn("o_custkey",
+        when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      val ordersParent = orders.filter(col("o_orderkey") % 997 =!= 0)
+      val lineitem = Tables.load(s, dir, "lineitem")
+      cdc.FkAudit.report(Seq(
+          ("orders_custkey_fk", ordersChild, "o_custkey",
+            customer, "c_custkey"),
+          ("lineitem_orderkey_fk", lineitem, "l_orderkey",
+            ordersParent, "o_orderkey")))
+        .orderBy(col("constraint_name"))
+    }),
+
+    // The streaming pipeline as ONE driver-checked query: file-stream
+    // source → annotate → envelope → partitioned-JSON sink, read back
+    // by the batch consumer and reduced to a content summary the
+    // oracle recomputes straight from the source table. The collect is
+    // |record_type × op| rows (≤ a handful by construction) and exists
+    // so the temp sink can be deleted before the result is returned.
+    "cdc_stream_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-roundtrip-").toString
+      val summary = streaming.CdcPipeline.fileRoundtrip(s, dir, root)
+        .orderBy(col("operation"))
+      val rows = summary.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), summary.schema)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy(col("operation"))
+    }),
+
     // Last-touch attribution: purchases credited to the most recent
     // preceding non-purchase event within 7 days (else 'direct').
     "events_attribution" -> ((s, dir) =>
@@ -962,6 +1003,30 @@ object SparkEntry {
 
   private val cosSql =
     Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
+
+  /** ONE template for both attribution twins — they differ only in
+    * the window function that picks the credited touch
+    * (last_value = closing credit, first_value = discovery credit),
+    * mirroring Analytics.touchAttribution's single parameter.
+    */
+  private def attributionOracle(winFn: String): String =
+    s"""WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+       |    $winFn(CASE WHEN event_type <> 'purchase' THEN
+       |        struct_pack(t_us := epoch_us(ts), ch := event_type)
+       |      END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM events),
+       |p AS (SELECT *, epoch_us(ts) - (touch).t_us AS age_us FROM t
+       |  WHERE event_type = 'purchase'),
+       |c AS (SELECT CASE WHEN touch IS NULL
+       |      OR age_us > ${7L * 86400000000L} THEN 'direct'
+       |    ELSE (touch).ch END AS channel, value, age_us FROM p)
+       |SELECT channel, count(*) AS n_conversions,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  CAST(sum(CASE WHEN channel <> 'direct' THEN age_us END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 60000000.0 AS avg_min_to_touch
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_apply_changes" ->
@@ -1463,43 +1528,49 @@ object SparkEntry {
          |  head_us - max_ts_us AS lag_us
          |FROM pt, g ORDER BY 1""".stripMargin,
 
-    "events_attribution" ->
-      s"""WITH t AS (SELECT user_id, event_id, ts, event_type, value,
-         |    last_value(CASE WHEN event_type <> 'purchase' THEN
-         |        struct_pack(t_us := epoch_us(ts), ch := event_type)
-         |      END IGNORE NULLS)
-         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-         |  FROM events),
-         |p AS (SELECT *, epoch_us(ts) - (touch).t_us AS age_us FROM t
-         |  WHERE event_type = 'purchase'),
-         |c AS (SELECT CASE WHEN touch IS NULL
-         |      OR age_us > ${7L * 86400000000L} THEN 'direct'
-         |    ELSE (touch).ch END AS channel, value, age_us FROM p)
-         |SELECT channel, count(*) AS n_conversions,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-         |  CAST(sum(CASE WHEN channel <> 'direct' THEN age_us END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) / 60000000.0 AS avg_min_to_touch
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_fk_audit" ->
+      s"""WITH cust AS (SELECT DISTINCT c_custkey FROM customer
+         |  WHERE c_custkey % 13 <> 0),
+         |oc AS (SELECT CASE WHEN o_orderkey % 101 = 0 THEN NULL
+         |    ELSE o_custkey END AS fk FROM orders),
+         |op AS (SELECT DISTINCT o_orderkey FROM orders
+         |  WHERE o_orderkey % 997 <> 0),
+         |a1 AS (SELECT 'orders_custkey_fk' AS constraint_name,
+         |    count(*) AS child_rows,
+         |    CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS null_fk_rows,
+         |    CAST(sum(CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+         |    count(DISTINCT CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
+         |      THEN fk END) AS orphan_keys
+         |  FROM oc LEFT JOIN cust ON oc.fk = cust.c_custkey),
+         |a2 AS (SELECT 'lineitem_orderkey_fk' AS constraint_name,
+         |    count(*) AS child_rows,
+         |    CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS null_fk_rows,
+         |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+         |      AND op.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS orphan_rows,
+         |    count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+         |      AND op.o_orderkey IS NULL THEN l.l_orderkey END) AS orphan_keys
+         |  FROM lineitem l LEFT JOIN op ON l.l_orderkey = op.o_orderkey)
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY 1""".stripMargin,
 
-    "events_attribution_first" ->
-      s"""WITH t AS (SELECT user_id, event_id, ts, event_type, value,
-         |    first_value(CASE WHEN event_type <> 'purchase' THEN
-         |        struct_pack(t_us := epoch_us(ts), ch := event_type)
-         |      END IGNORE NULLS)
-         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-         |  FROM events),
-         |p AS (SELECT *, epoch_us(ts) - (touch).t_us AS age_us FROM t
-         |  WHERE event_type = 'purchase'),
-         |c AS (SELECT CASE WHEN touch IS NULL
-         |      OR age_us > ${7L * 86400000000L} THEN 'direct'
-         |    ELSE (touch).ch END AS channel, value, age_us FROM p)
-         |SELECT channel, count(*) AS n_conversions,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-         |  CAST(sum(CASE WHEN channel <> 'direct' THEN age_us END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) / 60000000.0 AS avg_min_to_touch
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The roundtrip summary must equal the aggregate computed
+    // directly over the source slice the stream replicated — content
+    // equality through sink + consumer, not just a row count.
+    "cdc_stream_roundtrip" ->
+      s"""$C
+         |SELECT 'data' AS record_type, op AS operation, table_name,
+         |  count(*) AS n,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM c WHERE user_id % 4 = 0
+         |GROUP BY 1, 2, 3 ORDER BY 2""".stripMargin,
+
+    "events_attribution" -> attributionOracle("last_value"),
+
+    "events_attribution_first" -> attributionOracle("first_value"),
 
     "events_gap_detection" ->
       s"""WITH u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),

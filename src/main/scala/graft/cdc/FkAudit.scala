@@ -1,0 +1,61 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit over materialized state — the check a
+  * replication consumer runs after apply, because full-load task
+  * ordering and CDC races routinely land child rows whose parent is
+  * missing (the reference schema declares exactly this shape:
+  * `FOREIGN KEY (author_id) REFERENCES authors(author_id)`,
+  * lib/query.py:51, and DMS docs tell users to drop/disable FK
+  * constraints during load — so the target DB no longer enforces
+  * them and an audit has to).
+  *
+  * Semantics follow SQL FK rules: a NULL child key is NOT an orphan
+  * (MATCH SIMPLE), an orphan is a non-null child key with no parent
+  * row. Output per constraint: child rows, null-FK rows, orphan
+  * rows, distinct orphan keys.
+  *
+  * Scale shape: the parent side reduces to DISTINCT keys first (a
+  * key-only shuffle — at 100 TB the parent's payload columns never
+  * move), then ONE left equi-join child→parent-keys and a map-side
+  * partially-aggregated rollup to a single row per constraint.
+  * Unlike the forget-keys deletion list, parent key sets (customer,
+  * orders) GROW with the data, so there is deliberately no broadcast
+  * hint — AQE broadcasts small parents at small SF and falls back to
+  * a co-partitioned shuffle at scale (a forced hint would OOM the
+  * driver; see SURVEY §4).
+  */
+object FkAudit {
+
+  /** Audit one FK constraint; returns exactly one row. */
+  def audit(
+      name: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("_present", lit(true))
+    val orphan = col(childKey).isNotNull && col("_present").isNull
+    child.select(col(childKey))
+      .join(pk, Seq(childKey), "left")
+      .agg(
+        count(lit(1)).as("child_rows"),
+        sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("null_fk_rows"),
+        sum(when(orphan, 1L).otherwise(0L)).as("orphan_rows"),
+        countDistinct(when(orphan, col(childKey))).as("orphan_keys"))
+      .select(lit(name).as("constraint_name"), col("child_rows"),
+        col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"))
+  }
+
+  /** Audit a set of constraints: one output row each. Constraints are
+    * independent jobs unioned together — Spark runs the per-constraint
+    * joins as separate stages, nothing cross-joins.
+    */
+  def report(
+      constraints: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    constraints.map { case (n, c, ck, p, pk) => audit(n, c, ck, p, pk) }
+      .reduce(_ unionByName _)
+}

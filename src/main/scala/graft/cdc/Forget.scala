@@ -30,10 +30,13 @@ object Forget {
       keyCol: String,
       keys: DataFrame,
       orderCols: Seq[Column]): DataFrame = {
-    val k = broadcast(keys.select(col(keyCol)).distinct())
+    // ONE distinct + broadcast serves all three probes: the anti-join
+    // scrub ignores the extra _forget column (anti output = left side
+    // only), so a separate key-only relation would just pay the
+    // distinct aggregation and broadcast twice.
     val kFlag = broadcast(keys.select(col(keyCol)).distinct()
       .withColumn("_forget", lit(true)))
-    val scrubbed = changes.join(k, Seq(keyCol), "left_anti")
+    val scrubbed = changes.join(kFlag, Seq(keyCol), "left_anti")
     val before = ChangeFeed
       .applyChanges(changes, Seq("table_name", keyCol), orderCols)
       .groupBy(col("table_name"))

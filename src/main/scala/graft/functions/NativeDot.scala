@@ -42,10 +42,12 @@ case class LongDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "long_dot"
 
-  // Length mismatch THROWS (a truncated dot would mask an upstream
-  // dimensionality bug with a plausible partial sum); a null element
-  // nulls the result — the SQL semantics of the aggregate/zip_with
-  // twin, where NULL poisons the accumulator.
+  // A null element nulls the result — matching the aggregate/zip_with
+  // twin, where NULL poisons the accumulator. Length mismatch THROWS,
+  // which is a DELIBERATE stricter divergence from the twin (zip_with
+  // null-pads the shorter array, so the twin would return NULL): a
+  // truncated dot would mask an upstream dimensionality bug with a
+  // plausible partial sum.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -833,6 +833,16 @@ object Analytics {
     * (not via NaN comparisons, which DuckDB orders ABOVE all values
     * while Spark orders them below — the one place the engines'
     * float semantics disagree).
+    *
+    * PRECISION BOUND: the products s_d·s_d and q_d·n must fit
+    * decimal(38). With value ≤ 10⁴ (so vd² ≤ 10⁸ at scale 4) the
+    * exact-moment identity holds up to ~10¹⁵ events per user
+    * (|s_d| ≤ 10¹⁹ ⇒ s_d² ≤ 10³⁸); beyond that Spark silently rounds
+    * (spark.sql.decimal.operations.allowPrecisionLoss) while DuckDB
+    * raises an overflow error — an engine divergence outside the
+    * tested surface. Feeds with larger per-user magnitudes should
+    * pre-scale value or compute the moments in decimal(38,0)
+    * micros-scaled integers like the other exact-moment queries.
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -937,31 +947,8 @@ object Analytics {
     * age math is exact integer micros; the per-channel averages do
     * two double divisions in a fixed order, identical in the oracle.
     */
-  def attribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val touch = last(
-      when(col("event_type") =!= "purchase",
-        struct(unix_micros(col("ts")).as("t_us"),
-          col("event_type").as("ch"))),
-      ignoreNulls = true).over(w)
-    events
-      .withColumn("touch", touch)
-      .filter(col("event_type") === "purchase")
-      .withColumn("age_us", unix_micros(col("ts")) - col("touch.t_us"))
-      .withColumn("channel",
-        when(col("touch").isNull ||
-          col("age_us") > lit(lookbackDays * 86400000000L), "direct")
-          .otherwise(col("touch.ch")))
-      .groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_conversions"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("total_value"),
-        (sum(when(col("channel") =!= "direct", col("age_us"))).cast("double") /
-          count(lit(1)).cast("double") / lit(60000000.0))
-          .as("avg_min_to_touch"))
-  }
+  def attribution(events: DataFrame, lookbackDays: Int = 7): DataFrame =
+    touchAttribution(events, lookbackDays, firstTouch = false)
 
   /** First-touch twin of [[attribution]]: the conversion is credited
     * to the EARLIEST preceding non-purchase touch instead of the
@@ -970,15 +957,24 @@ object Analytics {
     * frame, same lookback rule applied to the first touch's age.
     */
   def attributionFirstTouch(
-      events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+      events: DataFrame, lookbackDays: Int = 7): DataFrame =
+    touchAttribution(events, lookbackDays, firstTouch = true)
+
+  /** Shared body of the two attribution twins — they differ ONLY in
+    * which end of the preceding-touch frame takes the credit
+    * (first vs last over the same ignore-nulls window).
+    */
+  private def touchAttribution(
+      events: DataFrame, lookbackDays: Int, firstTouch: Boolean): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val touch = first(
-      when(col("event_type") =!= "purchase",
-        struct(unix_micros(col("ts")).as("t_us"),
-          col("event_type").as("ch"))),
-      ignoreNulls = true).over(w)
+    val picked = when(col("event_type") =!= "purchase",
+      struct(unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("ch")))
+    val touch =
+      (if (firstTouch) first(picked, ignoreNulls = true)
+       else last(picked, ignoreNulls = true)).over(w)
     events
       .withColumn("touch", touch)
       .filter(col("event_type") === "purchase")

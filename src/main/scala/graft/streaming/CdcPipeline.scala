@@ -455,6 +455,54 @@ object CdcPipeline {
     ok
   }
 
+  /** End-to-end file roundtrip of ONE selected table through the
+    * streaming pipeline: file-stream source over the events parquet →
+    * annotate → envelope → kinesisLikeSink (partitioned JSON), then
+    * the batch EnvelopeSource reads the sink back and reduces it to a
+    * per-(record_type, operation, table) content summary. This is the
+    * reference's single-table replication loop (run.py: start task,
+    * stream to Kinesis, read the one shard back, check counts) as one
+    * driver-checkable query — the summary must equal the same
+    * aggregate computed directly over the source, which is exactly
+    * what the DuckDB oracle recomputes.
+    *
+    * The table selection (user_id % 4 == 0 ⇒ users_0) mirrors the
+    * reference's selection-rule scoping of a replication task AND
+    * bounds the sink I/O to one shard's worth of the feed.
+    */
+  def fileRoundtrip(spark: SparkSession, dir: String, tmpRoot: String): DataFrame = {
+    val sink = s"$tmpRoot/sink"
+    val ckpt = s"$tmpRoot/ckpt"
+    // same nanos→micros truncation as Tables.loadEvents, on a file
+    // STREAM source (schema comes from the batch footer read). The
+    // testdata ships one parquet FILE per table and the streaming
+    // file source lists a DIRECTORY — so stream the SF dir with a
+    // glob pinned to the events file.
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("user_id") % 4 === 0)
+    val q = kinesisLikeSink(envelopeStream(annotate(raw)), sink, ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val dataSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    graft.sources.EnvelopeSource.changeFeed(spark, sink, dataSchema)
+      .groupBy(col("record_type"), col("operation"), col("table_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("data.user_id")).as("sum_user_id"),
+        sum(col("data.value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Kinesis-like sink: JSON files partitioned by the schema.table
     * partition key (the exact partition_include_schema_table layout,
     * stack.py:196-211). Consumers tail one partition directory per

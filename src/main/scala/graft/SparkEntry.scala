@@ -734,6 +734,18 @@ object SparkEntry {
       out.orderBy(col("operation"))
     }),
 
+    // Shard-split audit: hash-range layout (4 shards over the 60-bit
+    // key-hash space), shard 1 splits at the cutover into children
+    // 4/5; per-shard pre/post counts prove the handoff continuity
+    // (closed parent receives nothing after the cutover).
+    "cdc_reshard" -> ((s, dir) =>
+      cdc.Resharding.splitAudit(
+          Tables.load(s, dir, "events"),
+          col("user_id").cast("string"),
+          nShards = 4, splitShard = 1,
+          lit("2024-01-15 00:00:00"))
+        .orderBy(col("shard_id"))),
+
     // Last-touch attribution: purchases credited to the most recent
     // preceding non-purchase event within 7 days (else 'direct').
     "events_attribution" -> ((s, dir) =>
@@ -1567,6 +1579,29 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c WHERE user_id % 4 = 0
          |GROUP BY 1, 2, 3 ORDER BY 2""".stripMargin,
+
+    "cdc_reshard" -> {
+      val h = Portable.duckHash("CAST(user_id AS VARCHAR)")
+      s"""WITH hx AS (SELECT $h AS h, ts FROM events),
+         |r AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |      THEN h >> 58
+         |    WHEN (h >> 58) = 1 THEN 4 + ((h >> 57) % 2)
+         |    ELSE h >> 58 END AS shard_id,
+         |    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |      THEN 1 ELSE 0 END AS bef
+         |  FROM hx),
+         |c AS (SELECT shard_id, CAST(sum(bef) AS BIGINT) AS n_before,
+         |    CAST(sum(1 - bef) AS BIGINT) AS n_after
+         |  FROM r GROUP BY 1),
+         |l(shard_id, parent_shard) AS (VALUES
+         |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT)),
+         |  (1, -1), (2, -1), (3, -1), (4, 1), (5, 1))
+         |SELECT l.shard_id, l.parent_shard,
+         |  coalesce(c.n_before, CAST(0 AS BIGINT)) AS n_before,
+         |  coalesce(c.n_after, CAST(0 AS BIGINT)) AS n_after
+         |FROM l LEFT JOIN c ON c.shard_id = l.shard_id
+         |ORDER BY 1""".stripMargin
+    },
 
     "events_attribution" -> attributionOracle("last_value"),
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the SF dir from
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
-  * Protocol (order-independent by construction):
+  * Protocol (order-independent AND regression-detecting):
   *  - A warm-up pass (one tiny query touching parquet + a shuffle)
   *    runs before any timing so session/codegen warm-up isn't
   *    attributed to whichever query happens to run first.
@@ -12,44 +12,135 @@ import org.apache.spark.sql.SparkSession
   *    (CacheScope.releaseAll + catalog.clearCache), so no query ever
   *    benefits from a sibling's cached intermediate — per-query
   *    numbers do not depend on execution order.
-  *  - Each query runs `Reps` times cold-cache; the headline number is
-  *    the minimum (first rep additionally pays one-off JIT/codegen
-  *    for that plan shape; the min is the reproducible steady-state
-  *    cold-cache cost). All rep times are published under "runs".
+  *  - Reps are PASS-MAJOR INTERLEAVED: the whole suite runs once,
+  *    then again — not rep-after-rep per query. A transient slowdown
+  *    (thermal throttle window, background task) then taxes ONE rep
+  *    of many queries instead of BOTH reps of a few, so the min-of-
+  *    reps headline survives it. BENCH_r06's four >2x outliers were
+  *    exactly the both-reps-hot failure the old per-query rep order
+  *    invited (BASELINE.md "Round-7 cooled re-measure").
+  *  - A pure-JVM THERMAL SENTINEL (fixed integer spin, no Spark, no
+  *    allocation) is timed at the start of each pass and published
+  *    under "sentinel" — a later pass sentinel >> the first is
+  *    machine heat in evidence, not plan drift.
+  *  - PER-QUERY GATE: if BASELINE_QUERIES.json exists in the CWD,
+  *    any query whose reps ALL exceed 1.5x its baseline row is
+  *    published under "flagged" with its ratio (one slow rep is
+  *    noise by definition of the min protocol; all-reps-slow with a
+  *    steady sentinel is a regression signal worth profiling). If
+  *    the sentinel itself exceeds 1.25x its cold calibration (the
+  *    "_sentinel" baseline row), "thermal_invalid":true marks the
+  *    whole session: the flags then measure machine heat, not code
+  *    — BENCH_r06's wrong verdict, now machine-detected.
+  *  - Modes: `--sentinel` prints three sentinel timings and exits
+  *    (cold-machine calibration); `--only a,b,c` times a subset.
+  *  - The headline number is the minimum across passes (the first
+  *    pass additionally pays one-off JIT/codegen for that plan
+  *    shape); all rep times are published under "runs".
+  *  - NO explicit System.gc() between queries: a full GC enqueues
+  *    Spark's ContextCleaner weak refs, and its ASYNC shuffle/
+  *    broadcast cleanup then runs inside the next query's timed
+  *    window — measured ~+30% suite-wide when tried (runs of
+  *    2026-08-13: 52.3/53.2 s without vs 71.9/69.2 s with, same
+  *    commit surface, steady sentinel both times).
   */
 object Bench {
   val Reps = 2
 
+  /** Fixed integer spin (~0.1-0.2 s cold) timing the CPU itself:
+    * immune to Spark scheduling, GC, and I/O, so consecutive
+    * sentinel readings isolate clock-speed drift (heat) from
+    * everything the queries could be blamed for.
+    */
+  private def sentinelSecs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) Console.err.println("sentinel fixpoint") // keep x live
+    dt
+  }
+
+  /** Minimal flat-JSON reader for {"name": seconds, ...} — the
+    * baseline table is builder-authored, so a regex parse is safe
+    * (no nesting, no escapes in keys).
+    */
+  private def readBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8")
+      val re = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
+    // --sentinel: print three sentinel timings and exit — calibrates
+    // the "_sentinel" row of BASELINE_QUERIES.json on a cold machine
+    if (args.contains("--sentinel")) {
+      val s = (1 to 3).map(_ => sentinelSecs())
+      println(s"""{"metric":"sentinel","runs":[${s.map(v =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString(",")}]}""")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-bench")
     // warm-up: session, codegen, parquet reader, one shuffle
     Tables.load(spark, sfDir, "events")
       .groupBy("event_type").count().collect()
-    val runs = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+    // --only a,b,c: time a subset (fast per-query iteration)
+    val only = args.sliding(2).collectFirst {
+      case Array("--only", names) => names.split(",").toSet
+    }.getOrElse(Set.empty[String])
+    val qs = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val times = scala.collection.mutable.LinkedHashMap(
+      qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val sentinels = Vector.newBuilder[Double]
+    for (_ <- 1 to Reps) {
+      sentinels += sentinelSecs()
+      qs.foreach { case (name, fn) =>
         CacheScope.releaseAll()
         spark.catalog.clearCache()
-        // settle GC debt from the previous run so its collection
-        // cost isn't attributed to this one's wall time
-        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      name -> times
     }
     CacheScope.releaseAll()
-    val results = runs.map { case (k, ts) => k -> ts.min }
+    val results = times.map { case (k, ts) => k -> ts.min }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would emit "value":52,035 — invalid JSON.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val baseline = readBaseline("BASELINE_QUERIES.json")
+    val flagged = times.collect {
+      case (n, ts) if baseline.contains(n) && ts.nonEmpty &&
+        ts.forall(_ > baseline(n) * 1.5) =>
+        n -> ts.min / baseline(n)
+    }
+    // thermal validity: if the pure-CPU sentinel itself runs >1.25x
+    // its cold-machine calibration ("_sentinel" baseline row), the
+    // machine is clocked down and per-query ratios measure HEAT, not
+    // code — publish the flags but mark the session thermally invalid
+    // so a regression verdict isn't minted from a hot box.
+    val sentinelObs = sentinels.result()
+    val thermalInvalid = baseline.get("_sentinel").exists(cold =>
+      sentinelObs.nonEmpty && sentinelObs.min > cold * 1.25)
+    val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val detail = runs.map { case (k, ts) =>
+    val detail = times.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sentinelJson = sentinelObs.map(fmt).mkString("[", ",", "]")
+    val flaggedJson = flagged.map { case (k, r) =>
+      s"\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Two lines: full per-rep detail first, then the compact headline
@@ -61,18 +152,30 @@ object Bench {
     // window also has to fit sbt's trailing "[success]" line), fall
     // back to appending a total-only line that is guaranteed to fit.
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}"""
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     println(detailLine)
-    // The retained-stdout tail (~2000 chars) can no longer hold an
-    // 84-query headline at ANY precision, so the full per-query
+    // The retained-stdout tail (~2000 chars) can no longer hold a
+    // 100+-query headline at ANY precision, so the full per-query
     // numbers are also persisted as a repo artifact every run —
     // stdout truncation can cost the per-query map but never the data.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detailLine + "\n" + headline + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only CWD: stdout still has it
+    if (flagged.nonEmpty) {
+      val verdict =
+        if (thermalInvalid)
+          "machine is thermally clocked down (sentinel > 1.25x cold " +
+            "calibration) — flags measure heat, re-run cooled before " +
+            "reading them as regressions"
+        else "sentinel steady — these are regression candidates, profile them"
+      Console.err.println(
+        s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline: " +
+          flagged.map { case (k, r) => f"$k (${r}%.2fx)" }.mkString(", ") +
+          s"; sentinel ${sentinelObs.map(fmt).mkString("->")}; $verdict")
+    }
     if (headline.length <= 1800) println(headline)
     else {
       // Middle tier before surrendering the per-query map: 2-decimal

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal generator: replicate an SF directory `factor`×
+  * into a new directory, each copy a DISJOINT key universe, so the
+  * bench can be rehearsed one decade above the driver's largest SF
+  * (BASELINE.md "Scaling across SF" validates the ~1.44×/decade
+  * suite claim where data starts to dominate scheduling).
+  *
+  * Scaling rules (what "10× the data" means here, chosen to mimic
+  * how the generator itself would grow SF):
+  *  - every per-copy ENTITY key (orderkey, custkey, suppkey,
+  *    partkey, doc_id, vec_id, event_id, user_id) shifts by
+  *    copy·10⁹ on BOTH sides of each FK — join selectivity and
+  *    per-key group sizes are preserved exactly, copies never join
+  *    each other;
+  *  - fixed dimensions (region, nation) and their FKs stay fixed —
+  *    low-cardinality group keys grow 10× in group SIZE, not count,
+  *    exactly like real scale growth;
+  *  - document tokens get a per-copy prefix (copy 0 verbatim), so
+  *    cross-copy shingles/minhashes DON'T collide — otherwise every
+  *    doc would acquire factor-1 near-dup twins and the LSH family
+  *    would measure an adversarial dup-blowup, not a 10× corpus;
+  *  - embedding labels shift per copy: the label-blocked quadratic
+  *    ops (sim_pairs_threshold) scale linearly like a corpus whose
+  *    label vocabulary grows with it, and per-label cell sizes hold;
+  *  - events keep their timestamps (10× events over the same span =
+  *    10× the arrival rate) and their raw int64-nanos ts encoding so
+  *    Tables.loadEvents reads the generated dir unchanged.
+  */
+object ScaleUp {
+
+  private val KeyOffset = 1000000000L // divisible by 4 (table bucketing)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-scaleup")
+    generate(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def copies(t: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = read(t)
+      (0 until factor).map(k => f(base, k)).reduce(_ unionByName _)
+    }
+    def off(k: Int): Long = k.toLong * KeyOffset
+    def shift(df: DataFrame, k: Int, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off(k)))
+
+    // fixed dims: verbatim
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    // scale-growing dims: entity key shifts, fixed-dim FKs untouched
+    write(copies("customer")(shift(_, _, "c_custkey")), "customer")
+    write(copies("supplier")(shift(_, _, "s_suppkey")), "supplier")
+    write(copies("part")(shift(_, _, "p_partkey")), "part")
+    // facts: shift every FK to a scale-growing relation
+    write(copies("orders")(shift(_, _, "o_orderkey", "o_custkey")), "orders")
+    write(copies("lineitem")(
+      shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    // events: ts stays raw int64 nanos (see Tables.loadEvents)
+    write(copies("events")(shift(_, _, "event_id", "user_id")), "events")
+    write(copies("documents") { (d, k) =>
+      val tagged =
+        if (k == 0) d
+        else d.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"c$k"), t))))
+          .withColumn("n_chars", length(col("text")))
+      shift(tagged, k, "doc_id")
+    }, "documents")
+    write(copies("embeddings") { (d, k) =>
+      shift(d, k, "vec_id")
+        .withColumn("label", (col("label") + lit(k * 1000)).cast("int"))
+    }, "embeddings")
+  }
+}

@@ -119,7 +119,12 @@ object Bench {
     // on comma-decimal locales would emit "value":52,035 — invalid JSON.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val baseline = readBaseline("BASELINE_QUERIES.json")
+    // The gate rows are calibrated at the driver's sf0.1 — comparing
+    // an sf1 rehearsal (or any other SF) against them would flag the
+    // whole suite for growing with its input.
+    val baseline =
+      if (sfDir.endsWith("sf0.1")) readBaseline("BASELINE_QUERIES.json")
+      else Map.empty[String, Double]
     val flagged = times.collect {
       case (n, ts) if baseline.contains(n) && ts.nonEmpty &&
         ts.forall(_ > baseline(n) * 1.5) =>
@@ -158,12 +163,23 @@ object Bench {
     println(detailLine)
     // The retained-stdout tail (~2000 chars) can no longer hold a
     // 100+-query headline at ANY precision, so the full per-query
-    // numbers are also persisted as a repo artifact every run —
-    // stdout truncation can cost the per-query map but never the data.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (detailLine + "\n" + headline + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only CWD: stdout still has it
+    // numbers are also persisted as a repo artifact — stdout
+    // truncation can cost the per-query map but never the data.
+    // BENCH_LOCAL.json is the CANONICAL artifact (full surface at the
+    // driver's sf0.1); --only probes persist nothing (stdout has it)
+    // and other SF dirs get their own file, so a subset probe or an
+    // sf1 rehearsal can never clobber the numbers BASELINE.md points
+    // readers at (it happened: commit 6386864 shipped a 2-query file).
+    val artifact =
+      if (only.nonEmpty) None
+      else if (sfDir.endsWith("sf0.1")) Some("BENCH_LOCAL.json")
+      else Some(s"BENCH_LOCAL_${new java.io.File(sfDir).getName}.json")
+    artifact.foreach { path =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (detailLine + "\n" + headline + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only CWD: stdout still has it
+    }
     if (flagged.nonEmpty) {
       val verdict =
         if (thermalInvalid)

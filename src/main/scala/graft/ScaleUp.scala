@@ -46,8 +46,39 @@ object ScaleUp {
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // One parquet FILE per table, exactly the driver's testdata
+    // layout — a part-file directory breaks consumers that match on
+    // the file name (fileRoundtrip's pathGlobFilter streamed ZERO
+    // files from a directory-per-table sf1 and summarized an empty
+    // sink). Parquet files split at row-group boundaries, so scan
+    // parallelism at bench time is unaffected by the single file.
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$dst/.tmp_$t"
+      // 16 MB row groups: a single-file table is only as parallel as
+      // its row-group count (a scan split never straddles one), and
+      // the default 128 MB block would leave sf1's 113 MB lineitem
+      // ONE row group — a serial scan that cost the first rehearsal
+      // run 2x (183 s vs 89 s). Pairs with the session's matching
+      // spark.sql.files.maxPartitionBytes (Tables.sessionConf).
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (16 << 20).toString)
+        .parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $t"))
+      val target = new java.io.File(s"$dst/$t.parquet")
+      if (target.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(target)
+      }
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmpDir.listFiles().foreach(_.delete())
+      tmpDir.delete()
+    }
 
     def copies(t: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = read(t)

@@ -25,10 +25,20 @@ object Tables {
     *    Spark's vectorized reader rejects; read as long + truncate.
     *  - aggregatePushdown: count-star over parquet (FullLoad.summary)
     *    answers from footer metadata instead of scanning pages.
+    *  - maxPartitionBytes 16 MB: the testdata layout is ONE parquet
+    *    file per table, so scan parallelism is splits-per-file; the
+    *    default 128 MB split would read a whole rehearsal-scale table
+    *    (sf1 lineitem: 113 MB) in a single task. 16 MB matches
+    *    ScaleUp's row-group size, splits a big single file into
+    *    row-group-aligned parallel reads, and leaves the sf0.1 bench
+    *    files (each < 11 MB = one split either way) untouched. A
+    *    production cluster re-tunes this per deployment; the value
+    *    here is sized for single-node local[32] at sf 0.001-1.
     */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.parquet.aggregatePushdown" -> "true")
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> String.valueOf(16 << 20))
 
   /** Read nanos as long and floor-divide to micros — the same
     * truncation DuckDB applies reading ns→µs — so both engines see

@@ -102,6 +102,10 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val times = scala.collection.mutable.LinkedHashMap(
       qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // A throwing query must surface as an ERROR, never as a fast rep:
+    // swallowing it would let a hard breakage read as a speedup (the
+    // total drops, the >1.5x gate can't fire on a small number).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sentinels = Vector.newBuilder[Double]
     for (_ <- 1 to Reps) {
       sentinels += sentinelSecs()
@@ -109,7 +113,11 @@ object Bench {
         CacheScope.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200).replace('\n', ' ')
+        }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
@@ -121,9 +129,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     // The gate rows are calibrated at the driver's sf0.1 — comparing
     // an sf1 rehearsal (or any other SF) against them would flag the
-    // whole suite for growing with its input.
+    // whole suite for growing with its input. Name comparison (not
+    // endsWith) so a trailing slash can't silently disarm the gate or
+    // reroute the canonical artifact.
+    val sfName = new java.io.File(sfDir).getName
     val baseline =
-      if (sfDir.endsWith("sf0.1")) readBaseline("BASELINE_QUERIES.json")
+      if (sfName == "sf0.1") readBaseline("BASELINE_QUERIES.json")
       else Map.empty[String, Double]
     val flagged = times.collect {
       case (n, ts) if baseline.contains(n) && ts.nonEmpty &&
@@ -147,6 +158,9 @@ object Bench {
     val flaggedJson = flagged.map { case (k, r) =>
       s"\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
+    val errorsJson = errors.map { case (k, m) =>
+      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Two lines: full per-rep detail first, then the compact headline
     // line LAST. The harness that collects this output keeps only the
@@ -159,8 +173,13 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}"""
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(detailLine)
+    if (errors.nonEmpty)
+      Console.err.println(
+        s"[bench] ERRORS: ${errors.size} queries THREW (their times are " +
+          "setup cost, not execution — the run is not comparable): " +
+          errors.map { case (k, m) => s"$k ($m)" }.mkString("; "))
     // The retained-stdout tail (~2000 chars) can no longer hold a
     // 100+-query headline at ANY precision, so the full per-query
     // numbers are also persisted as a repo artifact — stdout
@@ -172,8 +191,8 @@ object Bench {
     // readers at (it happened: commit 6386864 shipped a 2-query file).
     val artifact =
       if (only.nonEmpty) None
-      else if (sfDir.endsWith("sf0.1")) Some("BENCH_LOCAL.json")
-      else Some(s"BENCH_LOCAL_${new java.io.File(sfDir).getName}.json")
+      else if (sfName == "sf0.1") Some("BENCH_LOCAL.json")
+      else Some(s"BENCH_LOCAL_$sfName.json")
     artifact.foreach { path =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
@@ -189,7 +208,10 @@ object Bench {
         else "sentinel steady — these are regression candidates, profile them"
       Console.err.println(
         s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline: " +
-          flagged.map { case (k, r) => f"$k (${r}%.2fx)" }.mkString(", ") +
+          flagged.map { case (k, r) =>
+            s"$k (" + String.format(java.util.Locale.ROOT, "%.2f",
+              Double.box(r)) + "x)"
+          }.mkString(", ") +
           s"; sentinel ${sentinelObs.map(fmt).mkString("->")}; $verdict")
     }
     if (headline.length <= 1800) println(headline)

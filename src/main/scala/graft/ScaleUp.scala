@@ -45,6 +45,9 @@ object ScaleUp {
   }
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // fail BEFORE any table is written — a partial dst (fixed dims
+    // only) looks like a valid dataset to a later consumer
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // One parquet FILE per table, exactly the driver's testdata
     // layout — a part-file directory breaks consumers that match on
@@ -101,6 +104,20 @@ object ScaleUp {
       shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     // events: ts stays raw int64 nanos (see Tables.loadEvents)
     write(copies("events")(shift(_, _, "event_id", "user_id")), "events")
+    // the per-copy prefix is only collision-free if no SOURCE token
+    // already looks like one (a source "c1x" + copy-1's rewrite of
+    // "x" -> "c1x" would hand LSH synthetic cross-copy near-dups) —
+    // copy 0 stays verbatim, so check the real corpus instead of
+    // assuming it (one map-only aggregate; negligible vs generation)
+    if (factor > 1) {
+      val clashing = read("documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").rlike("^c[1-9][0-9]*"))
+        .limit(1).count()
+      require(clashing == 0L,
+        "source corpus has tokens matching the per-copy prefix " +
+          "'c<k>' — pick a different tag before scaling this corpus")
+    }
     write(copies("documents") { (d, k) =>
       val tagged =
         if (k == 0) d

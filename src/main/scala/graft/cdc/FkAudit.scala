@@ -38,14 +38,25 @@ object FkAudit {
       parentKey: String): DataFrame = {
     val pk = parent.select(col(parentKey).as(childKey)).distinct()
       .withColumn("_present", lit(true))
-    val orphan = col(childKey).isNotNull && col("_present").isNull
-    child.select(col(childKey))
+    val keys = child.select(col(childKey))
+    // Null child keys never enter the join: a nulled/disabled-FK load
+    // (the very scenario this audit exists for) can be null-heavy,
+    // and equality-joining nulls hashes every one of them to a single
+    // shuffle partition — a straggler no matching row will ever pay
+    // off. They are counted in a map-only pre-aggregate instead; the
+    // join shuffles only keys that can match.
+    val base = keys.agg(
+      count(lit(1)).as("child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("null_fk_rows"))
+    val orphan = col("_present").isNull
+    val joined = keys.filter(col(childKey).isNotNull)
       .join(pk, Seq(childKey), "left")
       .agg(
-        count(lit(1)).as("child_rows"),
-        sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("null_fk_rows"),
         sum(when(orphan, 1L).otherwise(0L)).as("orphan_rows"),
         countDistinct(when(orphan, col(childKey))).as("orphan_keys"))
+    // two single-row aggregates — the 1-row-broadcast idiom, not a
+    // real cartesian (same shape as the global-threshold queries)
+    base.crossJoin(joined)
       .select(lit(name).as("constraint_name"), col("child_rows"),
         col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"))
   }

@@ -16,7 +16,7 @@ import graft.ml.Dedup
 class SkewSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+  private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
     val prev = kvs.map { case (k, _) =>
       k -> (try Some(spark.conf.get(k)) catch { case _: Throwable => None })
     }
@@ -76,22 +76,16 @@ class SkewSpec extends AnyFunSuite {
       Dedup.candidatePairs(
           Dedup.bandBuckets(Dedup.minhashSignatures(Dedup.shingles(docs))))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val skewed = withConfsResult(
-      Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"))(run())
+    val skewed = withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")(run())
     val plain = run()
     assert(skewed === plain)
     // every hot-bucket pair is present (background docs may or may
     // not add band collisions — equality above is the strict check)
     assert(skewed.size >= 200 * 199 / 2)
-  }
-
-  private def withConfsResult[T](kvs: Seq[(String, String)])(body: => T): T = {
-    var out: Option[T] = None
-    withConfs(kvs: _*) { out = Some(body) }
-    out.get
   }
 }

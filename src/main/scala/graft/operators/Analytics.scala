@@ -306,8 +306,15 @@ object Analytics {
     * Single shuffle on user_id, then two windows over the same
     * partitioning (Spark reuses the sort).
     */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.load(spark, dir, "events"))
+
+  /** [[eventsSessionize]]'s core over any (user_id, ts, event_id,
+    * value) relation — split out so tests can drive it with arbitrary
+    * in-memory inputs (SessionizeProps) and library users aren't
+    * coupled to the parquet catalog.
+    */
+  def sessionize(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapped = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_break",

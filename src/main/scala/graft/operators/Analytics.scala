@@ -340,8 +340,14 @@ object Analytics {
     * on user_id and one sort — not three self-joins. Stage counts
     * reduce to a single tiny row.
     */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.load(spark, dir, "events"))
+
+  /** [[eventsFunnel]]'s core over any (user_id, ts, event_type)
+    * relation — split out so FunnelProps can drive it with arbitrary
+    * in-memory inputs.
+    */
+  def funnel(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val staged = ev
       .withColumn("t1",

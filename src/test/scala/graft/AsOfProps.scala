@@ -35,7 +35,8 @@ object AsOfProps extends Properties("graft.asof") {
       val left = ls.zipWithIndex
         .map { case ((k, t), i) => (i.toLong, k, t) }
         .toDF("id", "k", "lts")
-      val right = rs.toSeq.map { case ((k, t), p) => (k, t, p) }
+      val rseq = rs.toSeq
+      val right = rseq.map { case ((k, t), p) => (k, t, p) }
         .toDF("rk", "rts", "payload")
 
       val got = AsOf.join(left, right,
@@ -49,7 +50,7 @@ object AsOfProps extends Properties("graft.asof") {
         i.toLong -> (lt match {
           case None => None
           case Some(t) =>
-            val hits = rs.toSeq.collect {
+            val hits = rseq.collect {
               case ((rk, Some(rt)), p) if rk == k && rt <= t => (rt, p)
             }
             if (hits.isEmpty) None else Some(hits.maxBy(_._1)._2)

@@ -25,9 +25,13 @@ object MinhashProps extends Properties("graft.minhash") {
         .toDF("doc_id", "shingle"))
   }
 
-  private def collectSigs(sets: Map[Long, Set[String]]): Map[Long, Seq[Long]] =
-    sigDF(sets).collect()
+  private def decodeSigs(
+      sigs: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    sigs.collect()
       .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+
+  private def collectSigs(sets: Map[Long, Set[String]]): Map[Long, Seq[Long]] =
+    decodeSigs(sigDF(sets))
 
   property("signature is a function of the shingle SET") =
     Prop.forAll(shingleSet, Gen.nonEmptyListOf(Gen.chooseNum(0, 50))) {
@@ -38,11 +42,8 @@ object MinhashProps extends Properties("graft.minhash") {
         // aggregate over the family hashes must not see any of it
         val withDups = new scala.util.Random(42).shuffle(
           base ++ dupPicks.map(i => base(i % base.size)))
-        val a = collectSigs(Map(0L -> ss))
-        val b = Dedup.minhashSignatures(withDups.toDF("doc_id", "shingle"))
-          .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong))
-          .toMap
-        a == b
+        collectSigs(Map(0L -> ss)) == decodeSigs(
+          Dedup.minhashSignatures(withDups.toDF("doc_id", "shingle")))
     }
 
   property("minhash is monotone under shingle-set growth") =

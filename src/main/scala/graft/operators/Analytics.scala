@@ -375,8 +375,14 @@ object Analytics {
     * floor-divided by 7, so engines agree without week-truncation
     * convention mismatches.
     */
-  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.load(spark, dir, "events"))
+
+  /** [[eventsRetention]]'s core over any (ts, user_id) relation —
+    * split out so RetentionProps can drive it with arbitrary
+    * in-memory inputs.
+    */
+  def retention(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     ev.withColumn("cohort_day", to_date(min(col("ts")).over(byUser)))
       .withColumn("offset_w",
@@ -891,8 +897,14 @@ object Analytics {
     * count lands per anchor day. Anchors are clipped to observed days
     * so the output range is data-defined on both engines.
     */
-  def eventsRollingActive(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def eventsRollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActive(Tables.load(spark, dir, "events"))
+
+  /** [[eventsRollingActive]]'s core over any (ts, user_id) relation —
+    * split out so RollingActiveProps can drive it with arbitrary
+    * in-memory inputs.
+    */
+  def rollingActive(ev: DataFrame): DataFrame = {
     val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
     val obs = du.select(col("d").as("day")).distinct()
     du.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))

@@ -416,8 +416,14 @@ object Analytics {
     * ambiguity, so engines agree bitwise. One shuffle on the group
     * key; the window never crosses groups.
     */
-  def qMedianPrice(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.load(spark, dir, "orders")
+  def qMedianPrice(spark: SparkSession, dir: String): DataFrame =
+    medianPrice(Tables.load(spark, dir, "orders"))
+
+  /** [[qMedianPrice]]'s core over any (o_orderpriority, o_totalprice,
+    * o_orderkey) relation — split out so MedianProps can drive it
+    * with arbitrary in-memory inputs.
+    */
+  def medianPrice(ord: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val n = Window.partitionBy(col("o_orderpriority"))

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.ChangeFeed
+import graft.ml.{Corpus, Dedup, Similarity}
+import graft.operators.Analytics
+import graft.plans.AsOf
+
+/** Zero-row inputs through every DataFrame-taking core: each must
+  * plan and execute to an empty (or correctly-degenerate) result,
+  * never throw. The oracle harness can't see this class of defect —
+  * every driver table is non-empty — and window/aggregate plans are
+  * where empty-relation edge cases (first/last over nothing, min of
+  * no rows, global agg producing one row) hide.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def emptyEvents =
+    Seq.empty[(Long, Long, Timestamp, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  test("windowed event cores run on zero rows") {
+    assert(Analytics.sessionize(emptyEvents).count() === 0L)
+    assert(Analytics.rollingActive(emptyEvents).count() === 0L)
+    assert(Analytics.retention(emptyEvents).count() === 0L)
+    assert(Analytics.attribution(emptyEvents).count() === 0L)
+    assert(Analytics.attributionFirstTouch(emptyEvents).count() === 0L)
+    assert(Analytics.eventGaps(
+      Seq.empty[(Long, Long)].toDF("user_id", "event_id")).count() === 0L)
+    // global aggregate with no groups: one-row schema contract gives
+    // zero rows only because funnel groups per user first
+    assert(Analytics.funnel(emptyEvents).collect()(0).getLong(0) === 0L)
+  }
+
+  test("median and packing cores run on zero rows") {
+    assert(Analytics.medianPrice(
+      Seq.empty[(String, Double, Long)]
+        .toDF("o_orderpriority", "o_totalprice", "o_orderkey"))
+      .count() === 0L)
+    assert(Corpus.packed(
+      Seq.empty[(String, Long, String)].toDF("source", "doc_id", "text"),
+      budgetTokens = 8).count() === 0L)
+  }
+
+  test("CDC apply cores run on zero rows") {
+    val changes = Seq.empty[(Long, Long, String)].toDF("k", "seq", "op")
+    assert(ChangeFeed.applyChanges(changes, Seq("k"), Seq(col("seq"))).count() === 0L)
+    assert(ChangeFeed.latestPerKey(changes, Seq("k"), Seq(col("seq"))).count() === 0L)
+  }
+
+  test("as-of join with an empty right side keeps all left rows unmatched") {
+    val left = Seq((1L, 5L)).toDF("k", "lts")
+    val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rts", "payload")
+    val out = AsOf.join(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lts"), right("rts")).collect()
+    assert(out.length === 1 && out(0).isNullAt(3))
+    val emptyLeft = right.select(col("rk").as("k2"), col("rts").as("t2"))
+    val noLeft = AsOf.join(emptyLeft, left,
+      Seq(emptyLeft("k2")), Seq(left("k")), emptyLeft("t2"), left("lts"))
+    assert(noLeft.count() === 0L)
+  }
+
+  test("dedup and similarity cores run on zero rows") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(docs).count() === 0L)
+    assert(Dedup.simhashNearPairs(docs).count() === 0L)
+    assert(Similarity.topKBruteForce(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).count() === 0L)
+  }
+}

@@ -2549,8 +2549,9 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = i.d2
          |ORDER BY 1, 2""".stripMargin,
 
-    // TRUE connected components on both sides: Spark runs min-label
-    // propagation + pointer jumping to convergence; DuckDB enumerates
+    // TRUE connected components on both sides: Spark runs the
+    // partition-local union-find "filtering" contraction to
+    // convergence (Dedup.clusterLabels); DuckDB enumerates
     // reachability with a recursive CTE and takes the per-vertex min.
     // Both are exact, so the match is independent of iteration order.
     "dedup_clusters" ->
@@ -2599,7 +2600,8 @@ object SparkEntry {
          |FROM d
          |JOIN norms na ON na.vec_id = d.v1
          |JOIN norms nb ON nb.vec_id = d.v2
-         |WHERE $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)
+         |WHERE na.n2 > 0 AND nb.n2 > 0
+         |  AND $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)
          |ORDER BY 1, 2""".stripMargin,
 
     "sim_topk_bruteforce" ->

@@ -168,26 +168,60 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
 
-  /** Candidate pairs: docs sharing any band bucket. The self-join is
-    * an equi-join on (band, bh) — the only pairs ever materialized.
+  /** The ONE place candidate pairs materialize: self-join a
+    * (id, band-key...) relation on its band key, canonical order
+    * id_a < id_b, distinct. Every candidate generator in the file
+    * (minhash banding, SimHash pigeonhole bands, SRP buckets) is an
+    * instance, so a skew/strategy change lands in all of them at
+    * once.
     */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_id_a"))
-    val b = buckets.select(col("band").as("band_b"), col("bh").as("bh_b"),
-      col("doc_id").as("doc_id_b"))
-    a.join(b, col("band") === col("band_b") && col("bh") === col("bh_b") &&
-        col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"))
+  private[ml] def bucketJoinPairs(
+      buckets: DataFrame, idCol: String, keyCols: Seq[String],
+      outPrefix: String): DataFrame = {
+    val a = buckets.select(
+      keyCols.map(col) :+ col(idCol).as(s"${outPrefix}_a"): _*)
+    val b = buckets.select(
+      keyCols.map(c => col(c).as(s"${c}_b")) :+
+        col(idCol).as(s"${outPrefix}_b"): _*)
+    val cond = keyCols.map(c => col(c) === col(s"${c}_b"))
+      .reduce(_ && _) && col(s"${outPrefix}_a") < col(s"${outPrefix}_b")
+    a.join(b, cond)
+      .select(col(s"${outPrefix}_a"), col(s"${outPrefix}_b"))
       .distinct()
   }
 
-  /** MinHash near-dup pairs with estimated Jaccard = fraction of
-    * agreeing minhashes (computed on candidates only). Multi-consumer
-    * intermediates go through CacheScope.materialize so the caller
-    * can release them once the query result has been consumed.
+  /** Candidate pairs: docs sharing any band bucket. The self-join is
+    * an equi-join on (band, bh) — the only pairs ever materialized.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame =
+    bucketJoinPairs(buckets, "doc_id", Seq("band", "bh"), "doc_id")
+
+  /** Multi-consumer intermediates go through CacheScope.materialize
+    * so the caller can release them once the query result has been
+    * consumed.
     */
   private def materialize(df: DataFrame): DataFrame =
     graft.CacheScope.materialize(df)
+
+  /** Join both endpoints' minhash columns onto candidate pairs and
+    * count agreeing positions as `n_match` — shared by the Jaccard
+    * estimate ([[minhashPairs]]) and the precision curve
+    * ([[lshCalibration]]) so the agreement fold can't desynchronize
+    * between them. `extra` names trailing non-signature columns the
+    * sigs relation carries (renamed per side to <name>_a / <name>_b).
+    */
+  private def withAgreement(
+      cands: DataFrame, sigs: DataFrame, extra: Seq[String]): DataFrame = {
+    val sa = sigs.toDF("doc_id_a" +:
+      (0 until NumHashes).map(i => s"a_mh$i") ++: extra.map(_ + "_a"): _*)
+    val sb = sigs.toDF("doc_id_b" +:
+      (0 until NumHashes).map(i => s"b_mh$i") ++: extra.map(_ + "_b"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .withColumn("n_match", matches)
+  }
 
   /** Distinct shingles + signature/set-size aggregate for the
     * operators that need exact set semantics (n-gram Jaccard).
@@ -201,31 +235,21 @@ object Dedup {
     (sh, graft.CacheScope.register(signaturesWithSize(sh).persist()))
   }
 
+  /** MinHash near-dup pairs with estimated Jaccard = fraction of
+    * agreeing minhashes (computed on candidates only).
+    */
   def minhashPairs(docs: DataFrame): DataFrame = {
     // min-over-shingles is duplicate-insensitive, so the signatures
     // skip the distinct() shuffle the set-semantics operators pay;
     // minhashPairs does not output set sizes
     val sigs = materialize(minhashSignatures(shingles(docs)))
     val cands = candidatePairs(bandBuckets(sigs))
-    val sa = sigs.toDF(
-      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i"): _*)
-    val sb = sigs.toDF(
-      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i"): _*)
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    cands.join(sa, "doc_id_a").join(sb, "doc_id_b")
-      .withColumn("n_match", matches)
+    withAgreement(cands, sigs, Nil)
       .withColumn("est_jaccard",
         col("n_match").cast("double") / lit(NumHashes.toDouble))
       .select(col("doc_id_a"), col("doc_id_b"), col("n_match"), col("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard verification on the LSH candidates: the
-    * verify step of the dedup pipeline. Set sizes and intersections
-    * are computed with joins over the (distinct) shingle relation —
-    * only for candidate docs.
-    */
   /** Exact shingle-set intersection count per candidate pair: two
     * co-keyed joins against the DISTINCT shingle relation. Every LSH
     * candidate shares a band ⇒ shares its argmin shingle, so the
@@ -249,6 +273,11 @@ object Dedup {
       .join(sizes.toDF("doc_id_b", "size_b"), "doc_id_b")
   }
 
+  /** Exact n-gram Jaccard verification on the LSH candidates: the
+    * verify step of the dedup pipeline. Set sizes and intersections
+    * are computed with joins over the (distinct) shingle relation —
+    * only for candidate docs.
+    */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val (sh, sigs) = distinctSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
@@ -321,15 +350,7 @@ object Dedup {
     val (sh, sigs) = distinctSigs(docs)
     val cands = candidatePairs(bandBuckets(sigs))
     val inter = intersections(cands, sh)
-    val sa = sigs.toDF(
-      "doc_id_a" +: (0 until NumHashes).map(i => s"a_mh$i") :+ "size_a": _*)
-    val sb = sigs.toDF(
-      "doc_id_b" +: (0 until NumHashes).map(i => s"b_mh$i") :+ "size_b": _*)
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
-      .withColumn("n_match", matches)
+    withAgreement(inter, sigs, Seq("size"))
       .withColumn("near_dup",
         when(col("n_inter") * 3 >= col("size_a") + col("size_b"), 1L)
           .otherwise(0L))
@@ -428,11 +449,13 @@ object Dedup {
     * per-round products grow without bound); on a real cluster use
     * reliable checkpoint() for lineage fault tolerance.
     */
-  def clusterLabels(edges: DataFrame): DataFrame = {
+  def clusterLabels(
+      edges: DataFrame, knownEdgeCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
     // Size the iterative phase's shuffles by the MEASURED edge count
-    // (the caller hands us a cached candidate relation, so the count
-    // is free): the star relation never grows past the input edge
+    // (callers that already know it — clusters() holds the cached
+    // candidate relation — pass it in so the sizing never re-scans):
+    // the star relation never grows past the input edge
     // list, and full-width shuffles of a few-10k-row graph are pure
     // scheduler overhead — each pass is one job whose fixed cost
     // scales with task count, not data. ~100k edges per partition,
@@ -440,7 +463,7 @@ object Dedup {
     // so a billion-edge graph on a real cluster still fans out fully.
     val conf = edges.sparkSession.sessionState.conf.numShufflePartitions
     val n = math.min(conf.toLong,
-      math.max(2L, edges.count() / 100000L + 1L)).toInt
+      math.max(2L, knownEdgeCount.getOrElse(edges.count()) / 100000L + 1L)).toInt
     def labelSum(stars: DataFrame): java.math.BigDecimal =
       Option(stars.groupBy(col("v")).agg(min(col("label")).as("label"))
         .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
@@ -490,7 +513,9 @@ object Dedup {
     val edges =
       cands.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .union(cands.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-    clusterLabels(edges)
+    // shuffle sizing: one count of the cached pairs, not a re-scan
+    // of the 2-way union
+    clusterLabels(edges, knownEdgeCount = Some(2L * cands.count()))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc_id"))
   }
@@ -574,11 +599,7 @@ object Dedup {
         .bitwiseAND(lit((1L << WideBandBits) - 1))): _*)
     val bands = sigs.select(col("doc_id"),
       posexplode(bandArr).as(Seq("band", "bv")))
-    val cand = bands.toDF("doc_id_a", "band", "bv")
-      .join(bands.toDF("doc_id_b", "band_b", "bv_b"),
-        col("band") === col("band_b") && col("bv") === col("bv_b") &&
-          col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+    val cand = bucketJoinPairs(bands, "doc_id", Seq("band", "bv"), "doc_id")
     cand
       .join(sigs.toDF("doc_id_a", "sig_a"), "doc_id_a")
       .join(sigs.toDF("doc_id_b", "sig_b"), "doc_id_b")
@@ -607,16 +628,16 @@ object Dedup {
       Vectors.quantizedWithBuckets(embs, EmbBands, EmbRowsPerBand, EmbDim))
     val flat = qv.select(col("vec_id"), col("q"), col("n2"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val a = flat.select(col("band"), col("bucket"), col("vec_id").as("vec_id_a"))
-    val b = flat.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-      col("vec_id").as("vec_id_b"))
-    val cands = a.join(b,
-        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("vec_id_a") < col("vec_id_b"))
-      .select(col("vec_id_a"), col("vec_id_b")).distinct()
+    val cands = bucketJoinPairs(flat, "vec_id", Seq("band", "bucket"), "vec_id")
     val va = qv.select(col("vec_id").as("vec_id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
     val vb = qv.select(col("vec_id").as("vec_id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
     cands.join(va, "vec_id_a").join(vb, "vec_id_b")
+      // zero-quantized vectors have no direction: their cosine is
+      // 0/sqrt(0) = NaN, and NaN sorts ABOVE the threshold under both
+      // engines' NaN-greatest semantics — without this guard a
+      // sub-0.0005-magnitude embedding (all-ones SRP buckets, so it
+      // collides everywhere) emits meaningless "near-dup" pairs
+      .filter(col("n2_a") > 0 && col("n2_b") > 0)
       .withColumn("cos_sim",
         Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
       .filter(col("cos_sim") >= CosineTau)

@@ -400,7 +400,7 @@ class MlSpec extends AnyFunSuite {
     val partial = src0.getOrElse(2L, Array.empty).map(_.getLong(0)).toSet
     assert(partial.subsetOf(src0Ids) && partial.size < src0Ids.size)
     // weight 1000 = exactly one unconditional epoch
-    bySrc.filterKeys(k => k != "src0" && k != "src2").values.foreach { rows =>
+    bySrc.view.filterKeys(k => k != "src0" && k != "src2").values.foreach { rows =>
       assert(rows.forall(_.getAs[Long]("epoch") == 0L))
     }
     // deterministic: a second run selects the identical multiset

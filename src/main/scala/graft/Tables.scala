@@ -47,10 +47,20 @@ object Tables {
     * mutated mid-flight (a global conf flip per read would be a
     * hidden side effect and race-prone under concurrent loads).
     */
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** Asserts the reader flag events.parquet needs, with an
+    * actionable message — shared by every reader of the nanos
+    * timestamp column (batch here, the file-stream source in
+    * CdcPipeline.fileRoundtrip) so a session built without
+    * [[sessionConf]] fails with this curated error instead of
+    * Parquet's "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,true))".
+    */
+  def requireNanosAsLong(spark: SparkSession): Unit =
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "graft requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
         "(see Tables.sessionConf)")
+
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    requireNanosAsLong(spark)
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

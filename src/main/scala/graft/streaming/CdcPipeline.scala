@@ -18,7 +18,14 @@ import graft.cdc.{ChangeFeed, Envelope}
   *
   * Scale notes: stateful materialization shuffles once on the
   * (table, key) grouping key and keeps ONE small state row per key —
-  * state size is bounded by live-key cardinality, not stream length.
+  * state size is bounded by the DISTINCT (table, key) cardinality
+  * ever seen, not stream length: delete tombstones are retained
+  * (NoTimeout) so a late earlier update can never resurrect a key,
+  * which is exactly the batch twin's semantics (applyChanges sees
+  * every tombstone in the log). A delete-heavy deployment that can
+  * bound its lateness should trade that invariant for
+  * GroupStateTimeout.EventTimeTimeout ≥ the watermark delay,
+  * evicting tombstones once no in-flight event can predate them.
   * The windowed stats use a watermark so state for closed windows is
   * dropped, and the sink partitions by the Kinesis-style partition
   * key, so downstream consumers read only their shard's files.
@@ -66,6 +73,15 @@ object CdcPipeline {
         updateKey)
   }
 
+  /** Full-precision epoch micros from a Timestamp: getTime() alone
+    * truncates to MILLIS (sub-ms lives only in getNanos), and the
+    * source timestamps carry micros — comparing on getTime would
+    * make two same-millisecond changes tie and fall to event_id,
+    * diverging from the batch twin's full-precision ts ordering.
+    */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   private def updateKey(
       key: (String, Long),
       events: Iterator[Change],
@@ -75,7 +91,7 @@ object CdcPipeline {
     events.foreach { e =>
       val newer = cur == null ||
         Ordering[(Long, Long)].gt(
-          (e.ts.getTime, e.event_id), (cur.ts.getTime, cur.event_id))
+          (micros(e.ts), e.event_id), (micros(cur.ts), cur.event_id))
       if (newer) {
         cur = KeyState(key._1, key._2, e.event_id, e.ts, e.value,
           deleted = e.op == "delete")
@@ -162,45 +178,52 @@ object CdcPipeline {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = hadoopFs(spark, stateDir)
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        // ONE listing per batch serves the staging sweep, the
-        // version resolution, AND the post-publish prune — on an
-        // object store the LIST is the expensive metadata call
-        val entries =
-          if (fs.exists(root)) fs.listStatus(root).toSeq else Nil
-        sweepStaging(fs, entries)
-        // monotonic version (max existing + 1), NOT the batchId: a
-        // fresh-checkpoint restart over existing state restarts
-        // batchId at 0, and a v=0 dir under a v=N state would never
-        // be read — see upsertBucketedBatch
-        val prevVersions = entries.map(_.getPath.getName)
-          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-        val prevV =
-          if (prevVersions.isEmpty) None else Some(prevVersions.max)
-        val prev = prevV.map(v => spark.read.parquet(s"$stateDir/v=$v"))
-        val all = prev match {
-          case Some(p) => p.unionByName(batch.toDF())
-          case None => batch.toDF()
+        // an empty micro-batch (source files filtered to zero rows)
+        // must not rewrite and republish the FULL unchanged state —
+        // O(total state) I/O plus version churn that deletes the dir
+        // a reader may have just resolved (the bucketed twin guards
+        // the same case via its touched-bucket set)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = hadoopFs(spark, stateDir)
+          val root = new org.apache.hadoop.fs.Path(stateDir)
+          // ONE listing per batch serves the staging sweep, the
+          // version resolution, AND the post-publish prune — on an
+          // object store the LIST is the expensive metadata call
+          val entries =
+            if (fs.exists(root)) fs.listStatus(root).toSeq else Nil
+          sweepStaging(fs, entries)
+          // monotonic version (max existing + 1), NOT the batchId: a
+          // fresh-checkpoint restart over existing state restarts
+          // batchId at 0, and a v=0 dir under a v=N state would never
+          // be read — see upsertBucketedBatch
+          val prevVersions = entries.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          val prevV =
+            if (prevVersions.isEmpty) None else Some(prevVersions.max)
+          val prev = prevV.map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          val all = prev match {
+            case Some(p) => p.unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          val newV = prevV.getOrElse(-1L) + 1
+          // stage under .tmp-N, publish with ONE rename: a crash
+          // mid-write leaves only a staging dir the next batch sweeps,
+          // never a partial v=N that latestVersion would read as the
+          // newest complete state
+          val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$newV")
+          ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
+              Seq(col("ts"), col("event_id")))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val dest = new org.apache.hadoop.fs.Path(s"$stateDir/v=$newV")
+          if (fs.exists(dest)) fs.delete(dest, true)
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(s"publish failed: $tmp -> $dest")
+          // prune from the pre-publish listing: retained = newV + the
+          // newest previous version (the keep=2 contract) — no re-LIST
+          prevVersions.sorted.reverse.drop(1).foreach(v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
         }
-        val newV = prevV.getOrElse(-1L) + 1
-        // stage under .tmp-N, publish with ONE rename: a crash
-        // mid-write leaves only a staging dir the next batch sweeps,
-        // never a partial v=N that latestVersion would read as the
-        // newest complete state
-        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$newV")
-        ChangeFeed.latestPerKey(all, Seq("table_name", "user_id"),
-            Seq(col("ts"), col("event_id")))
-          .write.mode("overwrite").parquet(tmp.toString)
-        val dest = new org.apache.hadoop.fs.Path(s"$stateDir/v=$newV")
-        if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(s"publish failed: $tmp -> $dest")
-        // prune from the pre-publish listing: retained = newV + the
-        // newest previous version (the keep=2 contract) — no re-LIST
-        prevVersions.sorted.reverse.drop(1).foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
         (): Unit
       }
 
@@ -219,24 +242,20 @@ object CdcPipeline {
       .filter(_.getName.startsWith(".tmp-"))
       .foreach(p => fs.delete(p, true))
 
-  /** Delete superseded `v=N` dirs, keeping the newest `keep`
-    * versions (latest for readers repointing now, latest-1 for a
-    * reader that resolved the version just before a publish). Without
-    * pruning a steady stream accumulates one full state copy per
-    * batch forever.
+  /** Delete superseded `v=N` dirs from an ALREADY-KNOWN version
+    * list, keeping the newest `keep` (latest for readers repointing
+    * now, latest-1 for a reader that resolved the version just
+    * before a publish). Without pruning a steady stream accumulates
+    * one full state copy per batch forever. The caller supplies the
+    * versions it listed earlier in the same batch — no re-LIST.
     */
   private def pruneVersions(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
-      keep: Int = 2): Unit = {
-    if (!fs.exists(dir)) return
-    val versions = fs.listStatus(dir).iterator
-      .map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .toSeq
-      .sortBy(p => -p.getName.stripPrefix("v=").toLong)
-    versions.drop(keep).foreach(p => fs.delete(p, true))
-  }
+      versions: Seq[Long],
+      keep: Int = 2): Unit =
+    versions.sorted.dropRight(keep).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
 
   // --- bucket-partitioned incremental upsert ----------------------
 
@@ -265,12 +284,43 @@ object CdcPipeline {
       nBuckets: Int = 64): DataStreamWriter[Change] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
-        upsertBucketedBatch(batch.toDF(), stateDir, batchId, nBuckets)
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        upsertBucketedBatch(batch.toDF(), stateDir, nBuckets)
       }
 
   private def bucketCol(nBuckets: Int) =
     pmod(hash(col("table_name"), col("user_id")), lit(nBuckets))
+
+  /** Fail fast if `nBuckets` disagrees with what the state dir was
+    * written with: nothing else persists the bucket count, and a
+    * restart with a different value re-hashes keys into OTHER
+    * buckets — the merge would never see (or supersede) a key's old
+    * row, so the union view returns duplicates and deletes stop
+    * tombstoning the old copy (silent resurrection). First writer
+    * records the count in a `_n_buckets` marker; every batch
+    * validates against it (one tiny read vs the per-bucket LISTs the
+    * batch already pays).
+    */
+  private def checkBucketLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      nBuckets: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, "_n_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(recorded == nBuckets,
+        s"state dir $root was written with nBuckets=$recorded; " +
+          s"restarting with nBuckets=$nBuckets would split keys across " +
+          "bucket layouts (duplicate/resurrected keys)")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   /** One bucket-scoped merge step (exposed for batch-twin testing).
     *
@@ -284,7 +334,7 @@ object CdcPipeline {
     * batch publishes a new version with identical content.
     */
   def upsertBucketedBatch(
-      batch: DataFrame, stateDir: String, batchId: Long, nBuckets: Int): Unit = {
+      batch: DataFrame, stateDir: String, nBuckets: Int): Unit = {
     val spark = batch.sparkSession
     // the batch is consumed twice (touched-bucket collect + merged
     // write) — persist so a real source isn't re-read per consumer
@@ -303,11 +353,15 @@ object CdcPipeline {
       val root = new org.apache.hadoop.fs.Path(stateDir)
       sweepStaging(fs,
         if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
-      val prevVersions = touched
-        .map(b => b -> latestBucketVersion(spark, stateDir, b))
-      val newVersion = (prevVersions.flatMap(_._2) :+ -1L).max + 1
+      checkBucketLayout(fs, root, nBuckets)
+      // ONE listing per touched bucket serves version resolution AND
+      // the post-publish prune
+      val prevVersions = touched.map(b => b -> versionsUnder(fs,
+        new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b")))
+      val newVersion =
+        (prevVersions.flatMap(_._2.lastOption) :+ -1L).max + 1
       val prevDirs = prevVersions.collect {
-        case (b, Some(v)) => s"$stateDir/bucket=$b/v=$v"
+        case (b, vs) if vs.nonEmpty => s"$stateDir/bucket=$b/v=${vs.last}"
       }
       val prev =
         if (prevDirs.isEmpty) None
@@ -323,6 +377,7 @@ object CdcPipeline {
       val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$newVersion")
       merged.write.mode("overwrite").partitionBy("bucket")
         .parquet(tmp.toString)
+      val prevByBucket = prevVersions.toMap
       touched.foreach { b =>
         val from = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
         if (fs.exists(from)) {
@@ -338,7 +393,8 @@ object CdcPipeline {
           // superseded versions of THIS bucket are dead weight now —
           // prune to the newest two so steady streaming cannot
           // accumulate one bucket copy per touching batch forever
-          pruneVersions(fs, toDir)
+          // (from the pre-publish listing, no re-LIST)
+          pruneVersions(fs, toDir, prevByBucket(b) :+ newVersion)
         }
       }
       fs.delete(tmp, true)
@@ -358,8 +414,9 @@ object CdcPipeline {
       else fs.listStatus(root).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toInt)
-        .flatMap(b => latestBucketVersion(spark, stateDir, b)
-          .map(v => s"$stateDir/bucket=$b/v=$v"))
+        .flatMap(b => versionsUnder(fs,
+            new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$b"))
+          .lastOption.map(v => s"$stateDir/bucket=$b/v=$v"))
     if (latest.isEmpty)
       throw new IllegalStateException(s"no state buckets under $stateDir")
     spark.read.option("basePath", stateDir).parquet(latest.toIndexedSeq: _*)
@@ -371,34 +428,28 @@ object CdcPipeline {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def latestBucketVersion(
-      spark: SparkSession, stateDir: String, bucket: Int): Option[Long] = {
-    val fs = hadoopFs(spark, stateDir)
-    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/bucket=$bucket")
-    if (!fs.exists(dir)) None
+  /** Ascending `v=N` versions under `dir` (empty if absent) — the
+    * ONE listing that serves version resolution AND pruning; on an
+    * object store LIST is the expensive metadata call, so every
+    * consumer derives from this list instead of re-listing.
+    */
+  private def versionsUnder(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .sorted.lastOption
-  }
+      .sorted
 
   /** The materialized view: latest state version minus tombstones. */
   def materializedView(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = latestVersion(spark, stateDir).getOrElse(
-      throw new IllegalStateException(s"no state versions under $stateDir"))
+    val fs = hadoopFs(spark, stateDir)
+    val v = versionsUnder(fs, new org.apache.hadoop.fs.Path(stateDir))
+      .lastOption.getOrElse(
+        throw new IllegalStateException(s"no state versions under $stateDir"))
     spark.read.parquet(s"$stateDir/v=$v").filter(col("op") =!= "delete")
-  }
-
-  private def latestVersion(spark: SparkSession, stateDir: String): Option[Long] = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
-      .sorted.lastOption
   }
 
   /** Streaming exact dedup of the change feed: at-least-once sources
@@ -478,6 +529,7 @@ object CdcPipeline {
     // testdata ships one parquet FILE per table and the streaming
     // file source lists a DIRECTORY — so stream the SF dir with a
     // glob pinned to the events file.
+    graft.Tables.requireNanosAsLong(spark)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")

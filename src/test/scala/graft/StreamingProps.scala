@@ -3,12 +3,13 @@ package graft
 import java.sql.Timestamp
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.cdc.ChangeFeed
 import graft.streaming.CdcPipeline
-import graft.streaming.CdcPipeline.RawEvent
+import graft.streaming.CdcPipeline.{KeyState, RawEvent}
 
 /** Property check for the stateful streaming materialization: an
   * arbitrary event log delivered under ARBITRARY micro-batch
@@ -25,18 +26,35 @@ object StreamingProps extends Properties("graft.streaming") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 
-  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+  /** Timestamp at a MICROSECOND offset from the epoch base — the
+    * generator draws many events inside the same millisecond, the
+    * granularity where a getTime()-based recency comparison silently
+    * ties and diverges from the batch twin's full-precision ordering
+    * (the CdcPipeline.micros bug class).
+    */
+  private def ts(us: Long) = {
+    val t = new Timestamp(1700000000000L + us / 1000L)
+    t.setNanos((t.getNanos / 1000000 * 1000000 + (us % 1000L) * 1000L).toInt)
+    t
+  }
 
   private val events: Gen[List[(Long, Long, String)]] =
     Gen.nonEmptyListOf(Gen.zip(
       Gen.chooseNum(0L, 3L),
-      Gen.chooseNum(0L, 10L),
+      // micro offsets spanning sub-ms ties AND minute-scale gaps
+      Gen.frequency(
+        3 -> Gen.chooseNum(0L, 2000L),
+        1 -> Gen.chooseNum(0L, 10L).map(_ * 60000000L)),
       Gen.frequency(3 -> "signup", 4 -> "click", 2 -> "purchase",
         2 -> "error"))) // error = delete tombstone
 
   private val cuts: Gen[List[Int]] = Gen.listOf(Gen.chooseNum(0, 40))
 
   private var runId = 0
+  // fresh root per JVM: a fixed path would resume a PREVIOUS run's
+  // checkpoint against a brand-new MemoryStream
+  private lazy val ckptRoot =
+    java.nio.file.Files.createTempDirectory("stream_props_ckpt").toString
 
   property("any micro-batching converges to the batch-twin state") =
     Prop.forAll(events, cuts) { (evs, rawCuts) =>
@@ -52,24 +70,34 @@ object StreamingProps extends Properties("graft.streaming") {
       }
 
       runId += 1
-      val name = s"stream_props_$runId"
+      // capture (batchId, emitted state) so the final state per key
+      // is the LAST EMISSION, not a ts-window reconstruction over
+      // all updates — a reconstruction would re-derive the right
+      // answer from the full-precision ts column and MASK a state
+      // that kept the wrong row (verified: the getTime-truncation
+      // mutation passes a ts-window readback but fails this one)
+      val emitted =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, KeyState)]
       val mem = MemoryStream[RawEvent]
       val q = CdcPipeline.applyChangesStream(CdcPipeline.annotate(mem.toDF()))
-        .writeStream.format("memory")
-        .queryName(name).outputMode("update").start()
+        .writeStream.outputMode("update")
+        .foreachBatch { (ds: Dataset[KeyState], id: Long) =>
+          emitted.synchronized {
+            emitted ++= ds.collect().map(id -> _)
+          }
+          (): Unit
+        }
+        .option("checkpointLocation", s"$ckptRoot/$runId")
+        .start()
       val got = try {
         batches.foreach { b =>
           mem.addData(b)
           q.processAllAvailable()
         }
-        spark.table(name)
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("table_name", "user_id")
-              .orderBy(col("ts").desc, col("event_id").desc)))
-          .filter(col("rn") === 1 && !col("deleted"))
-          .select("user_id", "event_id", "value")
-          .as[(Long, Long, Double)].collect().toSet
+        emitted.groupBy(e => (e._2.table_name, e._2.user_id))
+          .values.map(_.maxBy(_._1)._2)
+          .filter(!_.deleted)
+          .map(s => (s.user_id, s.event_id, s.value)).toSet
       } finally q.stop()
 
       val expected = ChangeFeed.applyChanges(

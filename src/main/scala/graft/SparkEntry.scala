@@ -1156,7 +1156,8 @@ object SparkEntry {
          |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
          |  FROM bd
          |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
          |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
@@ -1173,7 +1174,8 @@ object SparkEntry {
          |    ${Vectors.duckCosine("ld.dot", "na.n2", "nb.n2")} AS cos_sim
          |  FROM ld
          |  JOIN norms na ON na.vec_id = ld.probe_id
-         |  JOIN norms nb ON nb.vec_id = ld.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = ld.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |lr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ls),
          |lshk AS (SELECT probe_id, neighbor_id FROM lr WHERE rk <= ${Similarity.TopK})
@@ -1362,7 +1364,8 @@ object SparkEntry {
          |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
          |  FROM d
          |  JOIN norms na ON na.vec_id = d.probe_id
-         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored),
          |v AS (SELECT r.probe_id, e.label, count(*) AS votes,
@@ -1410,7 +1413,8 @@ object SparkEntry {
          |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
          |  FROM bd
          |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
          |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
@@ -1425,9 +1429,9 @@ object SparkEntry {
          |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
          |sc AS (SELECT pc.probe_id, pc.label,
          |    CAST(dotpc AS DOUBLE)
-         |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cl.sn2 AS DOUBLE))) AS cell_cos
+         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
          |  FROM pc
-         |  JOIN norms n ON n.vec_id = pc.probe_id
+         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
          |  JOIN cells cl ON cl.label = pc.label),
          |tc AS (SELECT probe_id, label FROM (
          |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
@@ -1444,7 +1448,8 @@ object SparkEntry {
          |    ${Vectors.duckCosine("idd.dot", "na.n2", "nb.n2")} AS cos_sim
          |  FROM idd
          |  JOIN norms na ON na.vec_id = idd.probe_id
-         |  JOIN norms nb ON nb.vec_id = idd.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = idd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |ir AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM iss),
          |ivfk AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= ${Similarity.TopK})
@@ -2467,8 +2472,8 @@ object SparkEntry {
          |scored AS (SELECT d.label, vec_id_a, vec_id_b,
          |    ${Vectors.duckCosine("d.dot", "na.n2", "nb.n2")} AS cos_sim
          |  FROM d
-         |  JOIN norms na ON na.vec_id = vec_id_a
-         |  JOIN norms nb ON nb.vec_id = vec_id_b)
+         |  JOIN norms na ON na.vec_id = vec_id_a AND na.n2 > 0
+         |  JOIN norms nb ON nb.vec_id = vec_id_b AND nb.n2 > 0)
          |SELECT label, vec_id_a, vec_id_b, cos_sim FROM scored
          |WHERE cos_sim >= ${Similarity.PairTau}
          |ORDER BY 1, 2, 3""".stripMargin,
@@ -2488,8 +2493,9 @@ object SparkEntry {
          |      AS err_num
          |  FROM s)
          |SELECT label, count(*) AS n_vecs,
-         |  CAST(sum(err_num) AS DOUBLE) * 1000000.0
-         |    / CAST(sum(127 * 127 * n2) AS DOUBLE) AS err_ppm,
+         |  CASE WHEN sum(127 * 127 * n2) > 0 THEN
+         |    CAST(sum(err_num) AS DOUBLE) * 1000000.0
+         |      / CAST(sum(127 * 127 * n2) AS DOUBLE) ELSE 0.0 END AS err_ppm,
          |  CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_scale
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2615,7 +2621,8 @@ object SparkEntry {
          |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
          |  FROM d
          |  JOIN norms na ON na.vec_id = d.probe_id
-         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
@@ -2636,7 +2643,8 @@ object SparkEntry {
          |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
          |  FROM d
          |  JOIN norms na ON na.vec_id = d.probe_id
-         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
@@ -2655,9 +2663,9 @@ object SparkEntry {
          |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
          |sc AS (SELECT pc.probe_id, pc.label,
          |    CAST(dotpc AS DOUBLE)
-         |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cl.sn2 AS DOUBLE))) AS cell_cos
+         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
          |  FROM pc
-         |  JOIN norms n ON n.vec_id = pc.probe_id
+         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
          |  JOIN cells cl ON cl.label = pc.label),
          |tc AS (SELECT probe_id, label FROM (
          |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
@@ -2673,7 +2681,8 @@ object SparkEntry {
          |scored AS (SELECT d.probe_id, d.neighbor_id, $cosSql AS cos_sim
          |  FROM d
          |  JOIN norms na ON na.vec_id = d.probe_id
-         |  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r

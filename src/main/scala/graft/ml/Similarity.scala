@@ -26,16 +26,32 @@ object Similarity {
   private def materialize(df: DataFrame): DataFrame =
     graft.CacheScope.materialize(df)
 
+  /** Probe-side relation shared by all three top-k rankers (so the
+    * probe contract can't diverge between them): the designated
+    * probes that HAVE a direction — a zero-quantized vector's cosine
+    * is 0/sqrt(0) = NaN, which ranks ABOVE every real neighbor under
+    * both engines' NaN-greatest ordering (same guard class as
+    * Dedup.embeddingPairs); a zero-norm probe has no meaningful
+    * ranking, so it is excluded rather than given an all-NaN one.
+    */
+  private def probeSide(qv: DataFrame): DataFrame =
+    qv.filter(col("vec_id") < NumProbes && col("n2") > 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p"))
+
+  /** Corpus side of the rankers: only vectors with a direction can
+    * be neighbors (see [[probeSide]]).
+    */
+  private def corpusSide(qv: DataFrame): DataFrame =
+    qv.filter(col("n2") > 0).select(col("vec_id"), col("q"), col("n2"))
+
   /** Exact top-k cosine neighbors for probe vectors (vec_id <
     * NumProbes). The probe side broadcasts; ranking is a window per
     * probe with a deterministic (cos desc, vec_id) tiebreak.
     */
   def topKBruteForce(embs: DataFrame): DataFrame = {
     val qv = materialize(Vectors.quantized(embs))
-    val probes = broadcast(
-      qv.filter(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p")))
-    val scored = qv.join(probes, col("vec_id") =!= col("probe_id"))
+    val probes = broadcast(probeSide(qv))
+    val scored = corpusSide(qv).join(probes, col("vec_id") =!= col("probe_id"))
       .withColumn("cos_sim",
         Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
     val w = Window.partitionBy(col("probe_id"))
@@ -83,13 +99,12 @@ object Similarity {
       .agg(sum(col("v") * col("s")).as("dotpc"))
     // probe norms only — the unfiltered corpus relation would shuffle
     // n rows into a join that keeps NumProbes of them
-    val norms = qv.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("n2").as("n2_p"))
+    val norms = probeSide(qv).select(col("probe_id"), col("n2_p"))
     val scoredCells = pc
       .join(norms, "probe_id")
       .join(broadcast(cells), "label")
-      .withColumn("cell_cos", col("dotpc").cast("double") /
-        (sqrt(col("n2_p").cast("double")) * sqrt(col("sn2").cast("double"))))
+      .withColumn("cell_cos",
+        Vectors.cosine(col("dotpc"), col("n2_p"), col("sn2")))
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("cell_cos").desc, col("label"))
     val topCells = scoredCells.withColumn("crk", row_number().over(wc))
@@ -99,11 +114,9 @@ object Similarity {
       .join(lab.toDF("vec_id", "label"), "label")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-    val probes = qv.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p"))
     val scored = cands
-      .join(qv.select(col("vec_id"), col("q"), col("n2")), "vec_id")
-      .join(broadcast(probes), "probe_id")
+      .join(corpusSide(qv), "vec_id")
+      .join(broadcast(probeSide(qv)), "probe_id")
       .withColumn("cos_sim",
         Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
     val w = Window.partitionBy(col("probe_id"))
@@ -126,7 +139,11 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("probe_id"), col("neighbor_id"))
       .join(
-        approx.select(col("probe_id").as("p2"), col("neighbor_id").as("n2")),
+        // defensively distinct: a duplicate (probe, neighbor) in a
+        // future approx producer would multiply matched exact rows
+        // through the join and silently inflate the gauge
+        approx.select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+          .distinct(),
         col("probe_id") === col("p2") && col("neighbor_id") === col("n2"),
         "left")
       .groupBy(col("probe_id"))
@@ -145,7 +162,10 @@ object Similarity {
     * integer dot products; one double division per surviving pair.
     */
   def pairsAboveThreshold(embs: DataFrame, tau: Double = PairTau): DataFrame = {
+    // n2 > 0: a zero-quantized vector's cosine is NaN, which passes
+    // the >= tau filter under NaN-greatest semantics (see probeSide)
     val qv = materialize(Vectors.quantized(embs)
+      .filter(col("n2") > 0)
       .join(embs.select(col("vec_id"), col("label")), "vec_id"))
     val a = qv.select(col("label"), col("vec_id").as("vec_id_a"),
       col("q").as("q_a"), col("n2").as("n2_a"))
@@ -185,12 +205,16 @@ object Similarity {
     // per-row err_num/den reach ~1e12, so an int64 group sum would
     // wrap beyond ~9M rows per label — sum in DECIMAL(38,0) (exact,
     // order-independent, matches DuckDB's int128 sum) and cast once
+    val numD =
+      sum(col("err_num").cast("decimal(38,0)")).cast("double") * lit(1000000.0)
+    val denD = sum(col("den").cast("decimal(38,0)")).cast("double")
     scaled.withColumn("err_num", errNum)
       .withColumn("den", lit(127L * 127L) * col("n2"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        (sum(col("err_num").cast("decimal(38,0)")).cast("double") * lit(1000000.0) /
-          sum(col("den").cast("decimal(38,0)")).cast("double")).as("err_ppm"),
+        // a label whose vectors are ALL zero-quantized has den = 0;
+        // 0/0 would report NaN where "no signal, no error" is 0
+        when(denD > 0, numD / denD).otherwise(lit(0.0)).as("err_ppm"),
         (sum(col("m")).cast("double") /
           count(lit(1)).cast("double")).as("avg_scale"))
   }
@@ -208,7 +232,7 @@ object Similarity {
     * division per (label, dim).
     */
   def labelCentroids(embs: DataFrame): DataFrame = {
-    val summed = embs
+    val summed = Vectors.spread(embs)
       .select(col("label"), Vectors.quantize(col("embedding")).as("q"))
       .groupBy(col("label"))
       .agg(graft.functions.VecSum.vecSum(col("q")).as("sums"),
@@ -248,7 +272,10 @@ object Similarity {
     * relations only.
     */
   def kmeansAssign(embs: DataFrame): DataFrame = {
-    val qv = embs.select(col("vec_id"), col("label"),
+    // spread first: the ×|cells| dot-product fan-out below is the
+    // heaviest per-row math in the file and would otherwise run at
+    // the input-split parallelism (see Vectors.quantized)
+    val qv = Vectors.spread(embs).select(col("vec_id"), col("label"),
       Vectors.quantize(col("embedding")).as("q"))
     val cells = qv.groupBy(col("label").as("cell"))
       .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
@@ -312,11 +339,9 @@ object Similarity {
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    val probes = qv.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("q").as("q_p"), col("n2").as("n2_p"))
     val scored = cands
-      .join(qv.select(col("vec_id"), col("q"), col("n2")), "vec_id")
-      .join(broadcast(probes), "probe_id")
+      .join(corpusSide(qv), "vec_id")
+      .join(broadcast(probeSide(qv)), "probe_id")
       .withColumn("cos_sim",
         Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
     val w = Window.partitionBy(col("probe_id"))

@@ -50,12 +50,19 @@ object Vectors {
   /** Exact integer squared norm. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity from integer dot/norms: one div, one sqrt. */
+  /** Cosine similarity from integer dot/norms: one div, one sqrt.
+    * The norm product multiplies in DOUBLE: an int64 multiply would
+    * silently wrap for ‖q‖² pairs beyond ~3·10⁹ each (DuckDB would
+    * raise instead — a divergence the oracle can't see at bench
+    * norms). Below 2⁵³ the double product rounds the exact value
+    * once, identically to casting an exact int64 product, so values
+    * are unchanged where both are defined.
+    */
   def cosine(dotAB: Column, n2a: Column, n2b: Column): Column =
-    dotAB.cast("double") / sqrt((n2a * n2b).cast("double"))
+    dotAB.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
   def duckCosine(dot: String, n2a: String, n2b: String): String =
-    s"CAST($dot AS DOUBLE) / sqrt(CAST(($n2a) * ($n2b) AS DOUBLE))"
+    s"CAST($dot AS DOUBLE) / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE))"
 
   // --- sign-random-projection LSH ---------------------------------
 
@@ -94,10 +101,18 @@ object Vectors {
     * logical plans, so one operator's persisted copy is reused by the
     * next (CacheManager matches by plan).
     */
+  /** Spread a per-vector relation to full parallelism BEFORE the
+    * CPU-heavy array math (see [[quantized]]'s rationale) — also used
+    * directly by operators that carry extra columns (label) through
+    * the quantization.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("vec_id"))
+
   def quantized(embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    embs.repartition(
-        embs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
+    spread(embs)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", norm2(col("q")))
 

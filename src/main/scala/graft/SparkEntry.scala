@@ -1234,12 +1234,18 @@ object SparkEntry {
          |  WHERE d.source = 'src0'),
          |cs AS (SELECT DISTINCT s.doc_id, s.shingle
          |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
-         |  WHERE d.source <> 'src0')
-         |SELECT c.doc_id, count(*) AS n_shingles,
-         |  count(e.shingle) AS n_overlap,
-         |  CAST(count(e.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
-         |FROM cs c LEFT JOIN ev e ON e.shingle = c.shingle
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  WHERE d.source <> 'src0'),
+         |sc AS (SELECT c.doc_id, count(*) AS n_shingles,
+         |    count(e.shingle) AS n_overlap
+         |  FROM cs c LEFT JOIN ev e ON e.shingle = c.shingle
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.n_shingles, 0) AS n_shingles,
+         |  COALESCE(sc.n_overlap, 0) AS n_overlap,
+         |  COALESCE(CAST(sc.n_overlap AS DOUBLE)
+         |    / CAST(sc.n_shingles AS DOUBLE), 0.0) AS contamination
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin,
 
     // Repetition signals recomputed relationally: per-token term
     // frequencies for top_freq, a lead() window for bigrams — same
@@ -1329,14 +1335,16 @@ object SparkEntry {
          |    ${TextAnalysis.duckTokens("text")} AS toks FROM documents),
          |n AS (SELECT doc_id, source, toks, len(toks) AS n_tokens FROM t
          |  WHERE len(toks) > 0),
-         |c AS (SELECT doc_id, source, toks,
+         |c AS (SELECT doc_id, source, toks, n_tokens,
          |    unnest(range(0, CAST(n_tokens AS BIGINT),
          |      ${Corpus.ChunkStride})) AS start
          |  FROM n),
          |k AS (SELECT doc_id, source,
          |    CAST(start // ${Corpus.ChunkStride} AS BIGINT) AS chunk_id,
          |    list_slice(toks, start + 1, start + ${Corpus.ChunkSize}) AS chunk
-         |  FROM c)
+         |  FROM c
+         |  WHERE start = 0
+         |    OR start + ${Corpus.ChunkSize - Corpus.ChunkStride} < n_tokens)
          |SELECT doc_id, source, chunk_id,
          |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
          |  ${Portable.duckHash("array_to_string(chunk, ' ')")} AS chunk_fp
@@ -1464,7 +1472,7 @@ object SparkEntry {
          |    ${TextAnalysis.duckTokens("text")} AS toks FROM documents),
          |n AS (SELECT doc_id, source, toks, len(toks) AS n_tokens FROM t
          |  WHERE len(toks) > 0),
-         |c AS (SELECT doc_id, source,
+         |c AS (SELECT doc_id, source, n_tokens,
          |    unnest(range(0, CAST(n_tokens AS BIGINT),
          |      ${Corpus.ChunkStride})) AS start, toks
          |  FROM n),
@@ -1472,7 +1480,9 @@ object SparkEntry {
          |    ${Portable.duckHash(
                  s"array_to_string(list_slice(toks, start + 1, " +
                    s"start + ${Corpus.ChunkSize}), ' ')")} AS chunk_fp
-         |  FROM c),
+         |  FROM c
+         |  WHERE start = 0
+         |    OR start + ${Corpus.ChunkSize - Corpus.ChunkStride} < n_tokens),
          |dpf AS (SELECT chunk_fp, doc_id,
          |    count(*) OVER (PARTITION BY chunk_fp) AS docs_with_fp
          |  FROM (SELECT DISTINCT chunk_fp, doc_id FROM k))
@@ -2516,7 +2526,8 @@ object SparkEntry {
          |      AS hb
          |  FROM documents)
          |SELECT source,
-         |  CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+         |  CASE WHEN hb IS NULL THEN NULL
+         |    WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -18,6 +18,14 @@ import graft.functions.Portable
   */
 object Corpus {
 
+  /** Per-source per-mille rate resolution shared by [[sampled]] and
+    * [[mixed]] — one nested-CASE column over a literal map.
+    */
+  private def perSourceRate(rates: Map[String, Int], default: Int): Column =
+    rates.foldLeft(lit(default).cast("long")) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r.toLong)).otherwise(acc)
+    }
+
   /** Deterministic stratified sample: keep a document iff the
     * portable hash of (source, doc_id) falls under the stratum's
     * per-mille rate. Hash-based (not `sample()`): the selection is a
@@ -28,14 +36,6 @@ object Corpus {
     * @param rates per-mille keep-rate per source; sources absent from
     *              the map use `defaultPerMille`
     */
-  /** Per-source per-mille rate resolution shared by [[sampled]] and
-    * [[mixed]] — one nested-CASE column over a literal map.
-    */
-  private def perSourceRate(rates: Map[String, Int], default: Int): Column =
-    rates.foldLeft(lit(default).cast("long")) { case (acc, (src, r)) =>
-      when(col("source") === src, lit(r.toLong)).otherwise(acc)
-    }
-
   def sampled(
       docs: DataFrame,
       rates: Map[String, Int],
@@ -86,8 +86,13 @@ object Corpus {
   def splitAssigned(docs: DataFrame): DataFrame = {
     val h = pmod(Portable.pHash(concat(
       col("source"), lit("#"), col("doc_id"), lit("#split"))), lit(1000))
+    // null-keyed docs get a NULL split, not 'test': a null hash fails
+    // both when() predicates, so otherwise() would herd 100% of them
+    // into the 10% test bucket — inconsistent with the sibling hash
+    // gates (sampled/mixed), whose null predicates DROP such rows
     docs.withColumn("split",
-      when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+      when(h.isNull, lit(null).cast("string"))
+        .when(h < 800, "train").when(h < 900, "val").otherwise("test"))
   }
 
   /** Token-level blocklist gate: a document is blocked iff any of its
@@ -149,14 +154,23 @@ object Corpus {
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))
     val corpusSh = sh
-      .join(docs.filter(isEval).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(evalIds, col("doc_id") === col("eval_id"), "left_anti")
       .distinct()
-    corpusSh
+    val scores = corpusSh
       .join(evalShingles, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-      .withColumn("contamination",
-        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+    // left join from the full non-eval corpus: a doc too short to
+    // shingle (< ShingleN tokens) has no 3-grams to leak, so it
+    // scores an explicit 0 — silently omitting it would make a
+    // threshold consumer treat it as unscored rather than clean
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap").cast("double") /
+          col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
   }
 
   /** Cross-document duplicated n-gram inventory per source: of each
@@ -234,9 +248,14 @@ object Corpus {
     * tokens (so consecutive chunks share `ChunkSize - ChunkStride`
     * tokens of context) — the doc→training-sequence step of a
     * tokenizer pipeline, and the unit passage/chunk dedup and
-    * retrieval indexing operate on.
+    * retrieval indexing operate on. A trailing start whose window
+    * adds NO new tokens (start + ChunkSize − ChunkStride ≥ n: the
+    * previous chunk already reached the end of the document) is
+    * dropped — it would be a strict suffix of its predecessor,
+    * duplicate training content, and inflate every downstream chunk
+    * count.
     *
-    * Scale shape: map-only — the explode fan-out is
+    * Scale shape: map-only — the explode fan-out is at most
     * ⌈n_tokens / stride⌉ per document (bounded by document length,
     * never corpus size), no shuffle, no join; each chunk carries a
     * portable 60-bit fingerprint so downstream exact chunk-dedup is a
@@ -251,6 +270,8 @@ object Corpus {
       .filter(col("n_tokens") > 0)
       .withColumn("start",
         explode(sequence(lit(0), col("n_tokens") - 1, lit(ChunkStride))))
+      .filter(col("start") === 0 ||
+        col("start") + lit(ChunkSize - ChunkStride) < col("n_tokens"))
       .withColumn("chunk",
         slice(col("toks"), col("start") + lit(1), lit(ChunkSize)))
       .select(col("doc_id"), col("source"),
@@ -271,7 +292,10 @@ object Corpus {
     * — and a tiny per-source rollup. Never doc×doc.
     */
   def chunkDupStats(docs: DataFrame): DataFrame = {
-    val ch = chunked(docs)
+    // persisted: ch feeds both join branches, and only the distinct
+    // branch has an exchange — without this the tokenize/slice/hash
+    // pipeline runs twice over the corpus
+    val ch = graft.CacheScope.materialize(chunked(docs))
     val w = Window.partitionBy(col("chunk_fp"))
     val docsPerFp = ch.select(col("chunk_fp"), col("doc_id")).distinct()
       .withColumn("docs_with_fp", count(lit(1)).over(w))

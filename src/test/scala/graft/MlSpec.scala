@@ -622,27 +622,42 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("chunking covers every token with the declared size and stride") {
+    val stride = ml.Corpus.ChunkStride.toLong
+    val size_ = ml.Corpus.ChunkSize.toLong
     val chunks = ml.Corpus.chunked(docs).collect()
-    val nTokens = docs
-      .select(size(TextAnalysis.tokens(col("text"))).as("n"))
-      .filter(col("n") > 0).collect().map(_.getAs[Int]("n").toLong)
-    // chunk count per doc = ceil(n / stride); total tokens covered
-    val expectChunks = nTokens
-      .map(n => (n + ml.Corpus.ChunkStride - 1) / ml.Corpus.ChunkStride).sum
+    val nByDoc = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n").toLong).toMap
+    // kept starts: every stride until a window adds no new tokens
+    val expectChunks = nByDoc.values.map { n =>
+      (0L until n by stride)
+        .count(s => s == 0 || s + size_ - stride < n).toLong
+    }.sum
     assert(chunks.length.toLong == expectChunks)
     chunks.foreach { r =>
       val ct = r.getAs[Long]("chunk_tokens")
-      assert(ct >= 1 && ct <= ml.Corpus.ChunkSize)
+      assert(ct >= 1 && ct <= size_)
     }
-    // last chunk of each doc ends exactly at the doc's last token:
-    // sum over docs of (tokens in chunks) - overlap = total tokens
-    val perDocLast = chunks.groupBy(_.getAs[Long]("doc_id")).values.map { cs =>
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, cs) =>
       val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
-      val n = sorted.init.map(_ => ml.Corpus.ChunkStride.toLong).sum +
-        sorted.last.getAs[Long]("chunk_tokens")
-      n
-    }.sum
-    assert(perDocLast == nTokens.sum)
+      // chunk ids are contiguous from 0 (only trailing starts drop)
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        sorted.indices.map(_.toLong))
+      // the last chunk reaches the doc's final token (full coverage)
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_id") * stride +
+        last.getAs[Long]("chunk_tokens") == nByDoc(doc))
+      // every chunk past the first adds tokens beyond its predecessor
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.getAs[Long]("chunk_id") * stride +
+            b.getAs[Long]("chunk_tokens") >
+            a.getAs[Long]("chunk_id") * stride + a.getAs[Long]("chunk_tokens"))
+        case _ =>
+      }
+    }
   }
 
   test("knn classification votes are consistent with the neighbor list") {

@@ -938,11 +938,14 @@ object SparkEntry {
     */
   private val langPredSql: String = {
     val l0 = TextAnalysis.markers.head._1
-    TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
+    val argmax = TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
       case ((bl, bs), (l, _)) =>
         (s"CASE WHEN score_$l > ($bs) THEN '$l' ELSE ($bl) END",
           s"CASE WHEN score_$l > ($bs) THEN score_$l ELSE ($bs) END")
     }._1
+    val total = TextAnalysis.markers.map { case (l, _) => s"score_$l" }
+      .mkString(" + ")
+    s"CASE WHEN ($total) = 0 THEN 'und' ELSE ($argmax) END"
   }
 
   /** Shingle → minhash → band → candidate CTE chain (the oracle twin
@@ -1265,16 +1268,20 @@ object SparkEntry {
          |bgn AS (SELECT doc_id, CAST(count(bigram) AS BIGINT) AS n_bigrams,
          |    CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
          |  FROM bg GROUP BY 1)
-         |SELECT w.doc_id, w.n_words, w.n_distinct, top.top_freq,
-         |  b.n_bigrams, b.n_distinct_bigrams,
-         |  CAST(w.n_words - w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
-         |    AS dup_word_ratio,
-         |  CAST(top.top_freq AS DOUBLE) / CAST(w.n_words AS DOUBLE)
-         |    AS top_word_ratio,
-         |  CASE WHEN b.n_bigrams = 0 THEN 0.0
+         |SELECT w.doc_id, w.n_words, w.n_distinct,
+         |  COALESCE(top.top_freq, 0) AS top_freq,
+         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         |  CASE WHEN w.n_words = 0 THEN 0.0
+         |    ELSE CAST(w.n_words - w.n_distinct AS DOUBLE)
+         |      / CAST(w.n_words AS DOUBLE) END AS dup_word_ratio,
+         |  CASE WHEN w.n_words = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(top.top_freq, 0) AS DOUBLE)
+         |      / CAST(w.n_words AS DOUBLE) END AS top_word_ratio,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
          |    ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
          |      / CAST(b.n_bigrams AS DOUBLE) END AS dup_bigram_ratio
-         |FROM wc w JOIN top USING (doc_id) JOIN bgn b USING (doc_id)
+         |FROM wc w LEFT JOIN top USING (doc_id) LEFT JOIN bgn b USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     // Duplicated-3-gram census: distinct (doc, shingle) instances,
@@ -1305,9 +1312,10 @@ object SparkEntry {
          |  FROM tf JOIN df USING (tok), n),
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, tf DESC, tok) AS rn FROM sc)
-         |SELECT doc_id, tok AS keyword, CAST(tf AS BIGINT) AS tf,
-         |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+         |SELECT d.doc_id, r.tok AS keyword, CAST(r.tf AS BIGINT) AS tf,
+         |  CAST(r.df AS BIGINT) AS df, CAST(r.score AS BIGINT) AS score
+         |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_histogram" ->
       s"""WITH t AS (SELECT source,
@@ -2324,8 +2332,9 @@ object SparkEntry {
          |  CAST(len(list_distinct($toksT)) AS BIGINT) AS n_distinct_tokens,
          |  CAST(len(regexp_extract_all($normT, '${TextAnalysis.SubtokenPattern}')) AS BIGINT)
          |    AS n_subtokens,
-         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS DOUBLE)
-         |    / CAST(len($toksT) AS DOUBLE) AS avg_token_len
+         |  CASE WHEN len($toksT) > 0 THEN
+         |    CAST(list_sum(list_transform($toksT, x -> length(x))) AS DOUBLE)
+         |      / CAST(len($toksT) AS DOUBLE) ELSE 0.0 END AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" -> {
@@ -2346,12 +2355,15 @@ object SparkEntry {
          |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
          |FROM documents)
          |SELECT doc_id, n_tokens,
-         |  CAST(stop_cnt AS DOUBLE) / $nTok AS stop_ratio,
-         |  CAST(sum_len AS DOUBLE) / $nTok AS avg_token_len,
-         |  CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(stop_cnt AS DOUBLE) / $nTok ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(sum_len AS DOUBLE) / $nTok ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
          |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
          |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
-         |    AS quality_score
+         |    END AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
@@ -2736,17 +2748,24 @@ object SparkEntry {
 
     "text_unigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
-         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1)
-         |SELECT doc_id,
-         |  count(*) AS n_tokens,
-         |  CAST(sum(tf) AS BIGINT) AS sum_tf,
-         |  CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf,
-         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-         |  CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tf,
-         |  CAST(sum(length(bin(tf)) - 1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |    count(*) AS n_tokens,
+         |    CAST(sum(tf) AS BIGINT) AS sum_tf,
+         |    CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf,
+         |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM toks JOIN tf USING (tok)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |  COALESCE(sc.sum_tf, 0) AS sum_tf,
+         |  COALESCE(sc.sum_log2_tf, 0) AS sum_log2_tf,
+         |  COALESCE(sc.n_hapax, 0) AS n_hapax,
+         |  CAST(sc.sum_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE) AS avg_tf,
+         |  CAST(sc.sum_log2_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE)
          |    AS avg_log2_tf
-         |FROM toks JOIN tf USING (tok)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_pii" ->
       s"""WITH p AS (SELECT doc_id, text
@@ -2755,18 +2774,22 @@ object SparkEntry {
          |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
          |  AS pii_text FROM documents),
          |r AS (SELECT doc_id, pii_text,
-         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
-         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-         |    '${TextAnalysis.IdRe}', '<ID>', 'g'),
-         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
-         |FROM p)
+         |  regexp_replace(pii_text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS after_email
+         |FROM p),
+         |r2 AS (SELECT doc_id, pii_text, after_email,
+         |  regexp_replace(after_email,
+         |    '${TextAnalysis.IdRe}', '<ID>', 'g') AS after_id
+         |FROM r)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_ids,
-         |  CAST(length(redacted) AS BIGINT) AS red_len,
-         |  md5(redacted) AS red_md5
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |  CAST(len(regexp_extract_all(after_id, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(after_email, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_ids,
+         |  CAST(length(regexp_replace(after_id,
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS BIGINT) AS red_len,
+         |  md5(regexp_replace(after_id,
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS red_md5
+         |FROM r2 ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH w AS (SELECT doc_id, source,

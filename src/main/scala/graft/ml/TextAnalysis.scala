@@ -11,22 +11,32 @@ import graft.functions.Portable
   * scoring, and a marker-based language-ID heuristic.
   *
   * Everything is a pure column expression over `functions._` — no
-  * UDFs, so every operator stays inside whole-stage codegen and the
-  * DuckDB oracle can recompute it exactly. Ratios are computed as a
-  * single double division over exact integer counts, which is
-  * bit-identical across engines (IEEE-754 division is correctly
-  * rounded everywhere).
+  * UDFs, so the DuckDB oracle can recompute every operator exactly
+  * and the scalar expressions ride whole-stage codegen (the
+  * higher-order array functions — aggregate/filter/transform/
+  * zip_with — evaluate on Catalyst's interpreted path, but stay
+  * per-row column-local: no row-by-row JVM⇄interpreter boundary like
+  * a UDF, and no effect on the shuffle-free plan shape). Ratios are
+  * computed as a single double division over exact integer counts,
+  * which is bit-identical across engines (IEEE-754 division is
+  * correctly rounded everywhere).
   *
   * At 100 TB these are embarrassingly parallel map-only transforms:
   * no shuffle, no state — they scale with input splits.
   */
 object TextAnalysis {
 
-  /** Normalized token array of a text column. */
-  def tokens(text: Column): Column = split(Portable.normText(text), " ")
+  /** Normalized token array of a text column. Empty tokens are
+    * filtered: `split` on empty/whitespace-only text yields `['']`
+    * in both engines, and without the filter every counting operator
+    * reports one phantom token per blank document and the empty
+    * string enters the corpus vocabulary.
+    */
+  def tokens(text: Column): Column =
+    filter(split(Portable.normText(text), " "), t => t =!= "")
 
   def duckTokens(x: String): String =
-    s"string_split(${Portable.duckNormText(x)}, ' ')"
+    s"list_filter(string_split(${Portable.duckNormText(x)}, ' '), t -> t <> '')"
 
   /** BPE-ish subword pattern: greedy runs of up to 4 letters or a
     * digit run — a stand-in for byte-pair pieces that both engines'
@@ -39,6 +49,17 @@ object TextAnalysis {
     * BPE-ish piece count (whitespace tokens alone under-estimate
     * model token budgets).
     */
+  /** Mean token length; 0.0 for a tokenless doc (0/0 would be NaN).
+    * ONE definition shared by [[tokenCounts]] and [[quality]] — the
+    * oracle-parity design needs the two sites bit-identical, so they
+    * must not be separate copies that can drift.
+    */
+  private def avgTokenLen(t: Column): Column =
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+
   def tokenCounts(df: DataFrame, text: Column): DataFrame = {
     val t = tokens(text)
     df.withColumn("n_chars", length(text).cast("long"))
@@ -46,9 +67,7 @@ object TextAnalysis {
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
       .withColumn("n_subtokens",
         regexp_count(Portable.normText(text), lit(SubtokenPattern)).cast("long"))
-      .withColumn("avg_token_len",
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
-          / size(t).cast("double"))
+      .withColumn("avg_token_len", avgTokenLen(t))
   }
 
   /** Document fingerprint: md5 of canonicalized text (exact-dup key)
@@ -93,7 +112,6 @@ object TextAnalysis {
     * sketch only wins when even the vocabulary doesn't fit.
     */
   def topKTerms(docs: DataFrame, group: Column, text: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = docs.select(group.as("group_key"), explode(tokens(text)).as("tok"))
       .groupBy(col("group_key"), col("tok"))
       .agg(count(lit(1)).as("term_freq"))
@@ -125,7 +143,10 @@ object TextAnalysis {
 
   /** Language ID: argmax of marker counts, alphabetical tie-break
     * (langs are pre-sorted in `markers`, so a running strictly-greater
-    * comparison implements it).
+    * comparison implements it). Zero marker hits in EVERY language —
+    * code, an unlisted language, a blank doc — abstains with 'und'
+    * (ISO 639 undetermined) instead of silently labeling the doc
+    * with the alphabetically-first language.
     */
   def langId(df: DataFrame, text: Column): DataFrame = {
     val t = tokens(text)
@@ -140,7 +161,10 @@ object TextAnalysis {
         (when(s > bestScore, lit(lang)).otherwise(bestLang),
           when(s > bestScore, s).otherwise(bestScore))
     }
-    scored.withColumn("pred_lang", pred._1)
+    val total = markers.map { case (lang, _) => col(s"score_$lang") }
+      .reduce(_ + _)
+    scored.withColumn("pred_lang",
+      when(total === 0, lit("und")).otherwise(pred._1))
   }
 
   /** Unigram-LM familiarity scoring — the corpus-level half of a
@@ -167,17 +191,26 @@ object TextAnalysis {
   def unigramLm(docs: DataFrame, text: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    toks.join(tf, "tok")
+    val scores = toks.join(tf, "tok")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("tf")).as("sum_tf"),
         sum((length(bin(col("tf"))) - 1).cast("long")).as("sum_log2_tf"),
         sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    // left join from the corpus: explode emits nothing for a
+    // tokenless doc, and absence reads as "unscored" downstream —
+    // keep the doc with zero counts and NULL (undefined) averages
+    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_tf"), lit(0L)).as("sum_tf"),
+        coalesce(col("sum_log2_tf"), lit(0L)).as("sum_log2_tf"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
       .withColumn("avg_tf",
-        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+        col("sum_tf").cast("double") / nullif(col("n_tokens"), lit(0L)).cast("double"))
       .withColumn("avg_log2_tf",
-        col("sum_log2_tf").cast("double") / col("n_tokens").cast("double"))
+        col("sum_log2_tf").cast("double") / nullif(col("n_tokens"), lit(0L)).cast("double"))
   }
 
   /** Per-document keyword: the term maximizing tf · ⌊log2(N ÷ df)⌋ —
@@ -199,7 +232,7 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tf").desc, col("tok"))
-    tf.join(df, "tok")
+    val best = tf.join(df, "tok")
       .crossJoin(broadcast(n))
       // integer floor division (expr "div"), NOT double /: the double
       // quotient rounds and its truncation can disagree with exact
@@ -211,6 +244,9 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("tok").as("keyword"),
         col("tf"), col("df"), col("score"))
+    // keep tokenless docs with a NULL keyword (absence would read as
+    // "unscored" downstream — same contract as unigramLm)
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
   }
 
   // --- PII scrubbing ----------------------------------------------
@@ -227,22 +263,24 @@ object TextAnalysis {
 
   /** PII scrub: count and redact email / phone / SSN-shaped spans —
     * the compliance pass a corpus pipeline runs before anything else
-    * ships. Counts are taken on the ORIGINAL text; redaction applies
-    * email → id → phone (the digit patterns are mutually exclusive —
-    * 3-2-4 vs 3-3-4 groups — so the order cannot cascade). Pure
-    * codegen'd column expressions: map-only, no shuffle, scales with
-    * input splits.
+    * ships. Redaction applies email → id → phone (the digit patterns
+    * are mutually exclusive — 3-2-4 vs 3-3-4 groups — so the order
+    * cannot cascade between them). Each count runs on the text AS OF
+    * its own redaction stage, so counts equal the markers inserted:
+    * counting on the original text would tally a phone-shaped span
+    * inside an email address that the email replacement then
+    * swallows, and an auditor cross-checking counts against markers
+    * would see a mismatch. Pure codegen'd column expressions:
+    * map-only, no shuffle, scales with input splits.
     */
-  def piiScrub(df: DataFrame, text: Column): DataFrame =
+  def piiScrub(df: DataFrame, text: Column): DataFrame = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterId = regexp_replace(afterEmail, IdRe, "<ID>")
     df.withColumn("n_emails", regexp_count(text, lit(EmailRe)).cast("long"))
-      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)).cast("long"))
-      .withColumn("n_ids", regexp_count(text, lit(IdRe)).cast("long"))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text, EmailRe, "<EMAIL>"),
-            IdRe, "<ID>"),
-          PhoneRe, "<PHONE>"))
+      .withColumn("n_ids", regexp_count(afterEmail, lit(IdRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(afterId, lit(PhoneRe)).cast("long"))
+      .withColumn("redacted", regexp_replace(afterId, PhoneRe, "<PHONE>"))
+  }
 
   // --- Repetition signals ------------------------------------------
 
@@ -271,14 +309,18 @@ object TextAnalysis {
       (a, b) => concat(a, lit(" "), b))
     df.withColumn("n_words", nW)
       .withColumn("n_distinct", nD)
-      .withColumn("top_freq", topF)
+      // coalesce: array_max over a tokenless doc's empty array is
+      // null; the word ratios guard the matching 0/0
+      .withColumn("top_freq", coalesce(topF, lit(0L)))
       .withColumn("n_bigrams", size(bigrams).cast("long"))
       .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)).cast("long"))
       .withColumn("dup_word_ratio",
-        (col("n_words") - col("n_distinct")).cast("double") /
-          col("n_words").cast("double"))
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          (col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words").cast("double")))
       .withColumn("top_word_ratio",
-        col("top_freq").cast("double") / col("n_words").cast("double"))
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          col("top_freq").cast("double") / col("n_words").cast("double")))
       .withColumn("dup_bigram_ratio",
         when(col("n_bigrams") === 0, lit(0.0)).otherwise(
           (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
@@ -294,14 +336,18 @@ object TextAnalysis {
     val t = tokens(text)
     val nTok = size(t).cast("long")
     val stop = markerCount(t, EnStopwords)
-    val avgLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-      nTok.cast("double")
     df.withColumn("n_tokens", nTok)
-      .withColumn("stop_ratio", stop.cast("double") / nTok.cast("double"))
-      .withColumn("avg_token_len", avgLen)
+      .withColumn("stop_ratio",
+        when(nTok > 0, stop.cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      // a tokenless doc is the worst document, not a 0.3-scorer (the
+      // stopword term rewards stop_ratio 0, which an empty doc gets
+      // vacuously)
       .withColumn("quality_score",
-        lit(0.4) * least(nTok.cast("double") / lit(64.0), lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0)))
+        when(nTok === 0, lit(0.0)).otherwise(
+          lit(0.4) * least(nTok.cast("double") / lit(64.0), lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0))))
   }
 }

@@ -179,9 +179,15 @@ class MlSpec extends AnyFunSuite {
       val s = r.getAs[Double]("quality_score")
       assert(s >= 0.0 && s <= 1.0)
     }
-    val langs = TextAnalysis.markers.map(_._1).toSet
-    TextAnalysis.langId(docs, col("text")).collect()
-      .foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+    // 'und' = zero marker hits in every language (the abstention)
+    val langs = TextAnalysis.markers.map(_._1).toSet + "und"
+    val preds = TextAnalysis.langId(docs, col("text")).collect()
+      .map(r => (r.getAs[String]("pred_lang"),
+        TextAnalysis.markers.map { case (l, _) => r.getAs[Long](s"score_$l") }))
+    preds.foreach { case (p, scores) =>
+      assert(langs.contains(p))
+      assert((p == "und") == scores.forall(_ == 0L))
+    }
     val fps = TextAnalysis.fingerprint(docs, col("text")).collect()
     fps.foreach(r => assert(r.getAs[String]("fp").length == 32))
   }

@@ -27,13 +27,17 @@ import graft.functions.Portable
 object TextAnalysis {
 
   /** Normalized token array of a text column. Empty tokens are
-    * filtered: `split` on empty/whitespace-only text yields `['']`
-    * in both engines, and without the filter every counting operator
-    * reports one phantom token per blank document and the empty
-    * string enters the corpus vocabulary.
+    * removed: `split` on empty/whitespace-only text yields `['']`
+    * in both engines, and without the removal every counting
+    * operator reports one phantom token per blank document and the
+    * empty string enters the corpus vocabulary. `array_remove` (a
+    * codegen'd collection expression), NOT a `filter` lambda — the
+    * interpreted-lambda variant measured +60% on the
+    * quality-gate query (tokens() is the hottest expression in the
+    * text family).
     */
   def tokens(text: Column): Column =
-    filter(split(Portable.normText(text), " "), t => t =!= "")
+    array_remove(split(Portable.normText(text), " "), "")
 
   def duckTokens(x: String): String =
     s"list_filter(string_split(${Portable.duckNormText(x)}, ' '), t -> t <> '')"
@@ -61,13 +65,16 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   def tokenCounts(df: DataFrame, text: Column): DataFrame = {
-    val t = tokens(text)
-    df.withColumn("n_chars", length(text).cast("long"))
+    // tokenize once into a real column (see quality's rationale)
+    val t = col("_toks")
+    df.withColumn("_toks", tokens(text))
+      .withColumn("n_chars", length(text).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
       .withColumn("n_subtokens",
         regexp_count(Portable.normText(text), lit(SubtokenPattern)).cast("long"))
       .withColumn("avg_token_len", avgTokenLen(t))
+      .drop("_toks")
   }
 
   /** Document fingerprint: md5 of canonicalized text (exact-dup key)
@@ -298,7 +305,8 @@ object TextAnalysis {
     * integers once in double, which both engines round identically.
     */
   def repetition(df: DataFrame, text: Column): DataFrame = {
-    val t = tokens(text)
+    // tokenize once into a real column (see quality's rationale)
+    val t = col("_toks")
     val nW = size(t).cast("long")
     val nD = size(array_distinct(t)).cast("long")
     val topF = array_max(transform(array_distinct(t),
@@ -307,7 +315,8 @@ object TextAnalysis {
       slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    df.withColumn("n_words", nW)
+    df.withColumn("_toks", tokens(text))
+      .withColumn("n_words", nW)
       .withColumn("n_distinct", nD)
       // coalesce: array_max over a tokenless doc's empty array is
       // null; the word ratios guard the matching 0/0
@@ -325,6 +334,7 @@ object TextAnalysis {
         when(col("n_bigrams") === 0, lit(0.0)).otherwise(
           (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
             col("n_bigrams").cast("double")))
+      .drop("_toks")
   }
 
   /** Quality score: the usual cheap corpus-filter features — doc
@@ -333,10 +343,16 @@ object TextAnalysis {
     * the expression tree shape is identical so doubles agree bitwise.
     */
   def quality(df: DataFrame, text: Column): DataFrame = {
-    val t = tokens(text)
+    // tokenize ONCE into a real column: every ratio below references
+    // the array several times, and as an inline expression each
+    // reference would re-run normalize+split+filter per row
+    // (CollapseProject keeps a multiply-referenced non-cheap alias
+    // in its own projection, so this evaluates once)
+    val t = col("_toks")
     val nTok = size(t).cast("long")
     val stop = markerCount(t, EnStopwords)
-    df.withColumn("n_tokens", nTok)
+    df.withColumn("_toks", tokens(text))
+      .withColumn("n_tokens", nTok)
       .withColumn("stop_ratio",
         when(nTok > 0, stop.cast("double") / nTok.cast("double"))
           .otherwise(lit(0.0)))
@@ -349,5 +365,6 @@ object TextAnalysis {
           lit(0.4) * least(nTok.cast("double") / lit(64.0), lit(1.0)) +
             lit(0.3) * (lit(1.0) - col("stop_ratio")) +
             lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0))))
+      .drop("_toks")
   }
 }

@@ -1572,19 +1572,19 @@ object SparkEntry {
          |  WHERE o_orderkey % 997 <> 0),
          |a1 AS (SELECT 'orders_custkey_fk' AS constraint_name,
          |    count(*) AS child_rows,
-         |    CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    CAST(count(CASE WHEN fk IS NULL THEN 1 END) AS BIGINT)
          |      AS null_fk_rows,
-         |    CAST(sum(CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+         |    CAST(count(CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
+         |      THEN 1 END) AS BIGINT) AS orphan_rows,
          |    count(DISTINCT CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
          |      THEN fk END) AS orphan_keys
          |  FROM oc LEFT JOIN cust ON oc.fk = cust.c_custkey),
          |a2 AS (SELECT 'lineitem_orderkey_fk' AS constraint_name,
          |    count(*) AS child_rows,
-         |    CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+         |    CAST(count(CASE WHEN l.l_orderkey IS NULL THEN 1 END)
          |      AS BIGINT) AS null_fk_rows,
-         |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
-         |      AND op.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    CAST(count(CASE WHEN l.l_orderkey IS NOT NULL
+         |      AND op.o_orderkey IS NULL THEN 1 END) AS BIGINT)
          |      AS orphan_rows,
          |    count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
          |      AND op.o_orderkey IS NULL THEN l.l_orderkey END) AS orphan_keys
@@ -1617,8 +1617,8 @@ object SparkEntry {
          |    CAST(sum(1 - bef) AS BIGINT) AS n_after
          |  FROM r GROUP BY 1),
          |l(shard_id, parent_shard) AS (VALUES
-         |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT)),
-         |  (1, -1), (2, -1), (3, -1), (4, 1), (5, 1))
+         |  (CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+         |  (0, -1), (1, -1), (2, -1), (3, -1), (4, 1), (5, 1))
          |SELECT l.shard_id, l.parent_shard,
          |  coalesce(c.n_before, CAST(0 AS BIGINT)) AS n_before,
          |  coalesce(c.n_after, CAST(0 AS BIGINT)) AS n_after

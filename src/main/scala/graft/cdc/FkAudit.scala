@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit over materialized state — the check a
@@ -45,18 +45,22 @@ object FkAudit {
     // shuffle partition — a straggler no matching row will ever pay
     // off. They are counted in a map-only pre-aggregate instead; the
     // join shuffles only keys that can match.
+    // count(when), NOT sum(when): sum over an EMPTY aggregate input
+    // is NULL, and the non-null key relation is empty exactly in the
+    // null-heavy disabled-FK load this audit exists for — the report
+    // must say 0 orphans, not NULL
     val base = keys.agg(
       count(lit(1)).as("child_rows"),
-      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("null_fk_rows"))
+      count(when(col(childKey).isNull, lit(1))).as("null_fk_rows"))
     val orphan = col("_present").isNull
     val joined = keys.filter(col(childKey).isNotNull)
       .join(pk, Seq(childKey), "left")
       .agg(
-        sum(when(orphan, 1L).otherwise(0L)).as("orphan_rows"),
+        count(when(orphan, lit(1))).as("orphan_rows"),
         countDistinct(when(orphan, col(childKey))).as("orphan_keys"))
-    // two single-row aggregates — the 1-row-broadcast idiom, not a
-    // real cartesian (same shape as the global-threshold queries)
-    base.crossJoin(joined)
+    // two single-row aggregates — the 1-row-broadcast idiom, same
+    // shape as the global-threshold queries
+    base.crossJoin(broadcast(joined))
       .select(lit(name).as("constraint_name"), col("child_rows"),
         col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"))
   }
@@ -66,7 +70,9 @@ object FkAudit {
     * joins as separate stages, nothing cross-joins.
     */
   def report(
-      constraints: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+      constraints: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(constraints.nonEmpty, "FkAudit.report needs at least one constraint")
     constraints.map { case (n, c, ck, p, pk) => audit(n, c, ck, p, pk) }
       .reduce(_ unionByName _)
+  }
 }

@@ -54,6 +54,10 @@ object Resharding {
   def routeWithSplit(
       key: Column, ts: Column, nShards: Int, splitShard: Int,
       cutover: Column): Column = {
+    require(splitShard >= 0 && splitShard < nShards,
+      s"splitShard must be in [0, $nShards), got $splitShard — " +
+        "auditing a split of a shard outside the layout would report " +
+        "zero-count children for a shard that doesn't exist")
     val bits = rangeBits(nShards)
     val h = Portable.pHash(key)
     val parent = shiftright(h, bits)
@@ -66,24 +70,35 @@ object Resharding {
   /** Per-shard split audit: one row per shard in the FINAL layout
     * (originals with parent_shard = -1, the two children with
     * parent_shard = splitShard), with pre- and post-cutover event
-    * counts. Continuity is visible in the data: the closed parent's
+    * counts, plus one fixed `shard_id = -1` row counting events whose
+    * routing key is NULL (routable to no shard — zero on a healthy
+    * feed, and the row every "nothing lost" total must include).
+    * Continuity is visible in the data: the closed parent's
     * `n_after` is 0, and the children's `n_after` sum to the
     * post-cutover traffic of the parent's hash range — the audit a
     * consumer checks before retiring the parent iterator.
+    * `ts` names the event-time column (default `ts`).
     */
   def splitAudit(
       events: DataFrame, key: Column, nShards: Int, splitShard: Int,
-      cutover: Column): DataFrame = {
+      cutover: Column, ts: Column = col("ts")): DataFrame = {
     val spark = events.sparkSession
+    // null routing keys hash to a null shard_id (pHash is
+    // null-in/null-out) — route them to the explicit -1 row below
+    // instead: a left join from the real-shard layout would DROP the
+    // null-count row and the audit would claim "nothing lost" while
+    // null-key events vanished from the report
     val routed = events.select(
-      routeWithSplit(key, col("ts"), nShards, splitShard, cutover)
+      coalesce(
+        routeWithSplit(key, ts, nShards, splitShard, cutover), lit(-1L))
         .as("shard_id"),
-      when(col("ts") < cutover, 1L).otherwise(0L).as("bef"))
+      when(ts < cutover, 1L).otherwise(0L).as("bef"))
     val counts = routed.groupBy(col("shard_id"))
       .agg(sum(col("bef")).as("n_before"),
         sum(lit(1L) - col("bef")).as("n_after"))
     val layout = spark.createDataFrame(
-        (0 until nShards).map(i => (i.toLong, -1L)) ++
+        Seq((-1L, -1L)) ++ // null-key events: routable to no shard
+          (0 until nShards).map(i => (i.toLong, -1L)) ++
           Seq((nShards.toLong, splitShard.toLong),
             ((nShards + 1).toLong, splitShard.toLong)))
       .toDF("shard_id", "parent_shard")

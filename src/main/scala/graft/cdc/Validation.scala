@@ -53,7 +53,14 @@ object Validation {
 
   /** @param checksum integer-exact per-row content checksum, present
     *                  under the same expression on both inputs
-    * @param group     reporting dimension (table name, status, shard)
+    * @param group     reporting dimension (table name, status, shard).
+    *                  Must be FUNCTIONALLY DEPENDENT on `key` and
+    *                  replicated consistently: a key's group collapses
+    *                  to max(g) per side and the report attributes the
+    *                  key to coalesce(source, target) — rows of one
+    *                  key disagreeing on group (or a group value that
+    *                  itself drifted between sides) are misattributed
+    *                  to one group's counts, not split
     */
   def report(
       source: DataFrame,

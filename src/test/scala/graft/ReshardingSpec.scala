@@ -15,9 +15,12 @@ class ReshardingSpec extends AnyFunSuite {
     val rows = Resharding.splitAudit(ev, col("user_id").cast("string"),
         nShards = 4, splitShard = 1, cutover)
       .orderBy(col("shard_id")).collect()
-    assert(rows.map(_.getAs[Long]("shard_id")).toSeq === (0L to 5L))
+    // -1 is the fixed null-routing-key row (zero on this feed)
+    assert(rows.map(_.getAs[Long]("shard_id")).toSeq === (-1L to 5L))
     assert(rows.map(_.getAs[Long]("parent_shard")).toSeq ===
-      Seq(-1L, -1L, -1L, -1L, 1L, 1L))
+      Seq(-1L, -1L, -1L, -1L, -1L, 1L, 1L))
+    assert(rows.head.getAs[Long]("n_before") === 0L &&
+      rows.head.getAs[Long]("n_after") === 0L)
     val byShard = rows.map(r =>
       r.getAs[Long]("shard_id") ->
         (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))).toMap
@@ -36,6 +39,24 @@ class ReshardingSpec extends AnyFunSuite {
       .count()
     assert(byShard(4L)._2 + byShard(5L)._2 === parentRangeAfter)
     assert(parentRangeAfter > 0L) // the split actually exercised
+  }
+
+  test("null routing keys land in the -1 audit row, not dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (Option("u1"), "2024-01-10 00:00:00"),
+      (Option.empty[String], "2024-01-01 00:00:00"),
+      (Option.empty[String], "2024-01-20 00:00:00"))
+      .toDF("k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val rows = Resharding.splitAudit(ev, col("k"), nShards = 4,
+        splitShard = 1, cutover)
+      .collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))).toMap
+    assert(rows(-1L) === ((1L, 1L)))
+    // nothing lost: the -1 row keeps the totals honest
+    assert(rows.values.map(p => p._1 + p._2).sum === 3L)
   }
 
   test("untouched shards route identically before and after the split") {

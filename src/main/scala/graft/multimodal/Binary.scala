@@ -31,7 +31,10 @@ object Binary {
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("kind",
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")))
+          // pmod, not %: a negative doc_id's truncating remainder
+          // yields index 0 (a runtime error) or a negative index
+          // (element_at counts from the END — the wrong modality)
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
 
   /** Typed metadata over the opaque payload: size + content digest.
     * Pure column math — no decode needed, runs at scan speed.
@@ -64,7 +67,11 @@ object Binary {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // a real decoder would open its native context here, once
-        rows.map { case (docId, kind, payload) =>
+        rows.map { case (docId, kind, rawPayload) =>
+          // null payload (a null source text cast to binary) decodes
+          // like empty media instead of NPE-ing the whole task
+          val payload =
+            if (rawPayload == null) Array.emptyByteArray else rawPayload
           // --- stub: replace with a real decode --------------------
           val feats = (0 until FeatureDim).map { i =>
             if (payload.isEmpty) 0.0f // empty media ⇒ zero features
@@ -92,7 +99,10 @@ object Binary {
     df.select(col("doc_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { case (docId, kind, payload) =>
+        rows.flatMap { case (docId, kind, rawPayload) =>
+          // null payload ⇒ empty media (see decodeStub)
+          val payload =
+            if (rawPayload == null) Array.emptyByteArray else rawPayload
           val n = if (kind == "video") FramesPerVideo else 1
           (0 until n).iterator.map { i =>
             // --- stub: replace with a real seek+decode -------------

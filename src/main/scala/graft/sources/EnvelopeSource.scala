@@ -22,12 +22,19 @@ object EnvelopeSource {
     StructField("partition_key", StringType),
     StructField("message", StringType)))
 
-  /** Batch-read the sink directory into (partition_key, message). */
+  /** Batch-read the sink directory into (partition_key, message).
+    * Reads the sink ROOT, not a wildcard glob: the streaming sink's
+    * exactly-once guarantee lives in its `_spark_metadata` commit
+    * log, and a root read uses it (MetadataLogFileIndex) so
+    * uncommitted part files from a crashed/retried sink task stay
+    * invisible — a glob would trust the raw directory listing and
+    * double-count retried batches. Partition discovery still yields
+    * `partition_key` from the directory names.
+    */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(fileSchema)
-      .option("basePath", path)
-      .json(s"$path/*")
+      .json(path)
 
   /** Batch change feed: parse every message against the replicated
     * table's row schema; metadata fields are flattened for consumers.
@@ -36,12 +43,20 @@ object EnvelopeSource {
     flatten(Envelope.parse(readRaw(spark, path), "message", dataSchema))
 
   /** Streaming change feed over the same directory layout — a file
-    * stream source, so late-arriving shard files keep flowing.
+    * stream source reading the sink ROOT (the stream reader then
+    * follows the sink's commit log — see [[readRaw]]), so
+    * late-arriving shard files keep flowing. The directory is
+    * created if absent: the Kinesis-consumer ordering legitimately
+    * starts the consumer before the producer has written anything,
+    * and path resolution must wait for data, not throw.
     */
-  def changeFeedStream(spark: SparkSession, path: String, dataSchema: StructType): DataFrame =
+  def changeFeedStream(spark: SparkSession, path: String, dataSchema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     flatten(Envelope.parse(
-      spark.readStream.schema(fileSchema).option("basePath", path).json(s"$path/*"),
+      spark.readStream.schema(fileSchema).json(path),
       "message", dataSchema))
+  }
 
   private def flatten(parsed: DataFrame): DataFrame =
     parsed.select(

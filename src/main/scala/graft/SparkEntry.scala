@@ -693,6 +693,19 @@ object SparkEntry {
       TableStatistics.lagMonitor(ChangeFeed.fromEvents(s, dir))
         .orderBy(col("table_name"))),
 
+    // Hot-key skew monitor: top-5 most-changed keys per table via the
+    // sharded two-level tournament (no whole-table window partition).
+    "cdc_hot_keys" -> ((s, dir) =>
+      TableStatistics.hotKeys(ChangeFeed.fromEvents(s, dir), 5)
+        .orderBy(col("table_name"), col("rk"))),
+
+    // Snapshot diff between two replay points: single-scan,
+    // conditional-max-struct per key (never two replays joined).
+    "cdc_snapshot_diff" -> ((s, dir) =>
+      ChangeFeed.snapshotDiff(ChangeFeed.fromEvents(s, dir),
+          lit("2024-01-10 00:00:00"), lit("2024-01-20 00:00:00"))
+        .orderBy(col("table_name"))),
+
     // Referential-integrity audit after apply: orphans are PLANTED
     // deterministically (parents c_custkey%13==0 dropped from
     // customer; o_orderkey%997==0 dropped from orders; child FK
@@ -1562,6 +1575,45 @@ object SparkEntry {
          |SELECT table_name, n_events, max_ts_us,
          |  head_us - max_ts_us AS lag_us
          |FROM pt, g ORDER BY 1""".stripMargin,
+
+    "cdc_hot_keys" ->
+      s"""$C,
+         |pk AS (SELECT table_name, user_id, count(*) AS n_changes
+         |  FROM c GROUP BY 1, 2),
+         |tt AS (SELECT table_name, sum(n_changes) AS table_total
+         |  FROM pk GROUP BY 1),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY table_name
+         |    ORDER BY n_changes DESC, user_id) AS BIGINT) AS rk FROM pk)
+         |SELECT r.table_name, r.user_id, r.n_changes, r.rk,
+         |  CAST(r.n_changes AS DOUBLE) / CAST(tt.table_total AS DOUBLE)
+         |    AS share
+         |FROM r JOIN tt ON tt.table_name = r.table_name
+         |WHERE r.rk <= 5 ORDER BY r.table_name, r.rk""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      s"""$C,
+         |f AS (SELECT * FROM c WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM f
+         |  WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM f),
+         |s1 AS (SELECT user_id, table_name, event_id, op FROM r1 WHERE rn = 1),
+         |s2 AS (SELECT user_id, table_name, event_id, op FROM r2 WHERE rn = 1),
+         |j AS (SELECT coalesce(s2.table_name, s1.table_name) AS table_name,
+         |    (s1.op IS NOT NULL AND s1.op <> 'delete') AS live1,
+         |    (s2.op IS NOT NULL AND s2.op <> 'delete') AS live2,
+         |    s1.event_id AS e1, s2.event_id AS e2
+         |  FROM s1 FULL OUTER JOIN s2 ON s2.user_id = s1.user_id)
+         |SELECT table_name,
+         |  CAST(sum(CASE WHEN NOT live1 AND live2 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN live1 AND NOT live2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN live1 AND live2 AND e1 <> e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN live1 AND live2 AND e1 = e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  CAST(sum(CASE WHEN live1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_t1,
+         |  CAST(sum(CASE WHEN live2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_t2
+         |FROM j WHERE live1 OR live2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_fk_audit" ->
       s"""WITH cust AS (SELECT DISTINCT c_custkey FROM customer

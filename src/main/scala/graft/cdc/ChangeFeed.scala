@@ -126,6 +126,52 @@ object ChangeFeed {
           .as("compaction_ratio"))
   }
 
+  /** Snapshot diff: how the materialized state changed between two
+    * replay points t1 ≤ t2 — per table, the keys added, removed,
+    * changed (live at both points but with a different last change),
+    * and unchanged, plus the live-key counts at each point. The
+    * audit a DMS operator runs after a resume-from-timestamp: "what
+    * did the last week of CDC actually do to the target".
+    *
+    * Scale shape: NOT two replays joined (two scans + two shuffles +
+    * a join). One scan with the t2 cutoff pushed into it, ONE shuffle
+    * on the key, and per key two conditional max-of-struct aggregates
+    * — latest-at-t1 and latest-at-t2 — which combine map-side.
+    * Struct comparison is lexicographic on (ts, event_id), the feed's
+    * unique change order, so max IS latest-per-key. Classification
+    * and the per-table rollup are post-aggregate column math over
+    * |keys| rows.
+    */
+  def snapshotDiff(changes: DataFrame, t1: Column, t2: Column): DataFrame = {
+    val sel = struct(col("ts"), col("event_id"), col("op"))
+    val perKey = changes.filter(col("ts") <= t2)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts") <= t1, sel)).as("s1"),
+        max(sel).as("s2"),
+        // table_name is keyed by user_id (annotate), so any row's
+        // value is THE value; max() just picks one without a join.
+        max(col("table_name")).as("table_name"))
+    val live1 = col("s1").isNotNull && col("s1.op") =!= "delete"
+    val live2 = col("s2").isNotNull && col("s2.op") =!= "delete"
+    perKey
+      .withColumn("status",
+        when(!live1 && live2, "added")
+          .when(live1 && !live2, "removed")
+          .when(live1 && live2 &&
+            col("s1.event_id") =!= col("s2.event_id"), "changed")
+          .when(live1 && live2, "unchanged"))
+      .filter(col("status").isNotNull) // dead at both points: no-op
+      .groupBy(col("table_name"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(live1, 1L).otherwise(0L)).as("n_keys_t1"),
+        sum(when(live2, 1L).otherwise(0L)).as("n_keys_t2"))
+  }
+
   /** Before-image per change (reference: BeforeImageSettings with
     * ColumnFilter=all, stack.py:341-346): previous values of the
     * tracked columns for every non-insert change.

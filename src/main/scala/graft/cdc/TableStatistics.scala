@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-table replication statistics (reference: run.py:188-196
@@ -47,5 +47,46 @@ object TableStatistics {
         max(col("max_ts_us")).over(Window.partitionBy()))
       .select(col("table_name"), col("n_events"), col("max_ts_us"),
         (col("head_us") - col("max_ts_us")).as("lag_us"))
+  }
+
+  /** Hot-key monitor: the top-`k` most-changed keys per table, with
+    * each key's share of its table's change volume — the skew report
+    * that tells an operator which keys need salting (and DMS users
+    * which rows thrash replication).
+    *
+    * Scale shape: a window `rank() OVER (PARTITION BY table)` would
+    * funnel EVERY distinct key of a table through one partition — the
+    * exact skew this operator exists to find. Instead: per-key counts
+    * (one shuffle, map-side combined), then a two-level tournament —
+    * top-k per (table, key-shard) via a bounded sort_array/slice
+    * aggregate, then top-k of the ≤ shards·k survivors per table. No
+    * per-table partition ever holds more than its shard's keys; the
+    * final merge handles shards·k rows per table. Table totals ride a
+    * tiny |tables|-row broadcast join.
+    *
+    * Ties break toward the smaller key id (the struct packs a negated
+    * key so one descending sort orders by count DESC, key ASC).
+    */
+  def hotKeys(changes: DataFrame, k: Int, shards: Int = 64): DataFrame = {
+    val perKey = changes.groupBy(col("table_name"), col("user_id"))
+      .agg(count(lit(1)).as("n_changes"))
+    val packed = struct(col("n_changes"), (-col("user_id")).as("neg_id"))
+    val topk: Column => Column =
+      c => slice(reverse(array_sort(c)), 1, k)
+    val top = perKey
+      .withColumn("_shard", pmod(col("user_id"), lit(shards)))
+      .groupBy(col("table_name"), col("_shard"))
+      .agg(topk(collect_list(packed)).as("top"))
+      .groupBy(col("table_name"))
+      .agg(topk(flatten(collect_list(col("top")))).as("top"))
+    val totals = perKey.groupBy(col("table_name"))
+      .agg(sum(col("n_changes")).as("table_total"))
+    top.select(col("table_name"), posexplode(col("top")).as(Seq("pos", "t")))
+      .join(broadcast(totals), "table_name")
+      .select(col("table_name"), (-col("t.neg_id")).as("user_id"),
+        col("t.n_changes").as("n_changes"),
+        (col("pos") + 1).cast("long").as("rk"),
+        (col("t.n_changes").cast("double") / col("table_total").cast("double"))
+          .as("share"))
   }
 }

@@ -318,4 +318,71 @@ class CdcSpec extends AnyFunSuite {
       assert(ratio > 0.0 && ratio <= 1.0)
     }
   }
+
+  test("hot keys: sharded tournament equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val k = 7
+    val got = TableStatistics.hotKeys(c, k, shards = 8)
+      .orderBy(col("table_name"), col("rk")).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_changes"), r.getAs[Long]("rk")))
+    val w = Window.partitionBy("table_name")
+      .orderBy(col("n_changes").desc, col("user_id"))
+    val expect = c.groupBy(col("table_name"), col("user_id"))
+      .agg(count(lit(1)).as("n_changes"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("table_name"), col("rk")).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_changes"), r.getAs[Long]("rk")))
+    assert(got.toSeq == expect.toSeq)
+    // shares within a table sum to at most 1 and are ordered
+    val shares = TableStatistics.hotKeys(c, k, shards = 8).collect()
+      .groupBy(_.getAs[String]("table_name"))
+    shares.values.foreach { rs =>
+      assert(rs.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+      val ordered = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("n_changes"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("snapshot diff equals the two-replay reference join") {
+    val c = ChangeFeed.fromEvents(spark, sf)
+    val (t1, t2) = (lit("2024-01-10 00:00:00"), lit("2024-01-20 00:00:00"))
+    val got = ChangeFeed.snapshotDiff(c, t1, t2).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"),
+          r.getAs[Long]("n_keys_t1"), r.getAs[Long]("n_keys_t2"))).toMap
+    // reference: two independent replays, full-outer-joined per key
+    val ord = Seq(col("ts"), col("event_id"))
+    def live(cut: org.apache.spark.sql.Column) =
+      ChangeFeed.replayAt(c, cut, Seq("user_id"), ord)
+        .select(col("user_id"), col("table_name"), col("event_id"))
+    val j = live(t1).as("a").join(live(t2).as("b"),
+      col("a.user_id") === col("b.user_id"), "full_outer")
+    val expect = j.select(
+        coalesce(col("b.table_name"), col("a.table_name")).as("table_name"),
+        col("a.event_id").as("e1"), col("b.event_id").as("e2"))
+      .groupBy(col("table_name"))
+      .agg(
+        sum(when(col("e1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("e2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("e1").isNotNull && col("e2").isNotNull &&
+          col("e1") =!= col("e2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("e1") === col("e2"), 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("e1").isNotNull, 1L).otherwise(0L)).as("n_keys_t1"),
+        sum(when(col("e2").isNotNull, 1L).otherwise(0L)).as("n_keys_t2"))
+      .collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"),
+          r.getAs[Long]("n_keys_t1"), r.getAs[Long]("n_keys_t2"))).toMap
+    assert(got == expect)
+    got.values.foreach { case (add, rm, chg, same, k1, k2) =>
+      assert(k2 == k1 + add - rm)
+      assert(chg + same + rm == k1)
+    }
+  }
 }

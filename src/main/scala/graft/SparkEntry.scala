@@ -97,6 +97,8 @@ object SparkEntry {
     "q_above_avg_orders"   -> ((s, dir) => Analytics.qAboveAvgOrders(s, dir)),
     "events_dwell_time"    -> ((s, dir) => Analytics.eventsDwellTime(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
+    "events_markov"        -> ((s, dir) => Analytics.eventsMarkov(s, dir)),
+    "events_cooccurrence"  -> ((s, dir) => Analytics.eventsCooccurrence(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
@@ -2075,6 +2077,41 @@ object SparkEntry {
         |    AS avg_gap_sec
         |FROM g WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_markov" ->
+      """WITH g AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT *,
+        |    sum(n_trans) OVER (PARTITION BY from_type) AS n_from,
+        |    sum(n_trans) OVER (PARTITION BY to_type) AS n_to,
+        |    sum(n_trans) OVER () AS n_all
+        |  FROM t)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_trans,
+        |  (CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)) /
+        |    (CAST(n_to AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift
+        |FROM x ORDER BY 1, 2""".stripMargin,
+
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  ta.n_users AS n_a, tb.n_users AS n_b,
+        |  CAST(p.n_both AS DOUBLE) /
+        |    CAST(ta.n_users + tb.n_users - p.n_both AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN tot ta ON ta.event_type = p.type_a
+        |JOIN tot tb ON tb.event_type = p.type_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_rolling_active" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

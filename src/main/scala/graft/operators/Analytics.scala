@@ -1072,4 +1072,76 @@ object Analytics {
           count(lit(1)).over(w3).cast("double")).as("moving_avg_3"))
       .orderBy(col("o_custkey"), col("order_seq"))
   }
+
+  /** First-order Markov view of user timelines: for each observed
+    * transition, its conditional probability P(to | from) and its
+    * lift over the base rate P(to) across ALL transitions — lift far
+    * from 1 marks genuine sequence dependence (what distinguishes a
+    * funnel from independent traffic). Complements [[eventsDwellTime]]
+    * (which reports the same matrix's timing, not its probabilities).
+    *
+    * One lag window per user timeline (single user_id shuffle, the
+    * same exchange every sequence operator here reuses), then the
+    * transition matrix is |event_type|² rows — the windows computing
+    * row totals and the grand total run over that POST-AGGREGATE
+    * relation, never over the stream.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(lag(col("event_type"), 1).over(w).as("from_type"),
+        col("event_type").as("to_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    val byTo = Window.partitionBy(col("to_type"))
+    val all = Window.partitionBy()
+    trans
+      .withColumn("n_from", sum(col("n_trans")).over(byFrom))
+      .withColumn("n_to", sum(col("n_trans")).over(byTo))
+      .withColumn("n_all", sum(col("n_trans")).over(all))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p_trans"),
+        ((col("n_trans").cast("double") / col("n_from").cast("double")) /
+          (col("n_to").cast("double") / col("n_all").cast("double")))
+          .as("lift"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Event-type co-occurrence (market-basket over user histories):
+    * for each unordered type pair, how many users exhibit both, with
+    * the Jaccard overlap of the two user sets. The "which behaviors
+    * travel together" view segmentation starts from.
+    *
+    * Scale shape: the stream reduces to DISTINCT (user, type) first —
+    * at most |types| rows per user survive — so the self-join fan-out
+    * is bounded at C(|types|,2) pairs per user, never events².
+    * Per-type totals are a |types|-row broadcast joined twice.
+    */
+  def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_users", "n_a")), "type_a")
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_users", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -471,4 +471,54 @@ class AnalyticsSpec extends AnyFunSuite {
         col("l_shipdate") < lit("1998-01-01")).count()
     assert(total == expected)
   }
+
+  test("markov rows are a probability matrix over all observed transitions") {
+    val rows = SparkEntry.queries("events_markov")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every user timeline of k events contributes k-1 transitions
+    val ev = Tables.load(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers)
+    // conditional probabilities sum to 1 within each from_type
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, g) =>
+      val s = g.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"P(.|$ft) sums to $s")
+    }
+    // lift is p_trans over the destination's base rate
+    val nAll = (nEvents - nUsers).toDouble
+    val nTo = rows.groupBy(_.getAs[String]("to_type"))
+      .map { case (t, g) => t -> g.map(_.getAs[Long]("n_trans")).sum }
+    rows.foreach { r =>
+      val expect = r.getAs[Double]("p_trans") /
+        (nTo(r.getAs[String]("to_type")) / nAll)
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-9)
+    }
+  }
+
+  test("co-occurrence pairs match driver-side user-set intersections") {
+    val rows = SparkEntry.queries("events_cooccurrence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ev.groupBy(_._2).map { case (t, g) => t -> g.map(_._1).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b, s"pair ($a,$b) not in canonical order")
+      val (sa, sb) = (byType(a), byType(b))
+      val both = (sa & sb).size.toLong
+      assert(r.getAs[Long]("n_both") == both)
+      assert(r.getAs[Long]("n_a") == sa.size && r.getAs[Long]("n_b") == sb.size)
+      val jac = both.toDouble / (sa.size + sb.size - both)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-12)
+    }
+    // every pair with at least one shared user is present
+    val types = byType.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+      if (byType(types(i)) & byType(types(j))).nonEmpty
+    } yield (types(i), types(j))
+    assert(rows.length == expectPairs.length)
+  }
 }

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_window_running"     -> ((s, dir) => Analytics.qWindowRunning(s, dir)),
     "q_pivot"              -> ((s, dir) => Analytics.qPivot(s, dir)),
     "q_median_price"       -> ((s, dir) => Analytics.qMedianPrice(s, dir)),
+    "q_profile_table"      -> ((s, dir) => Analytics.qProfileTable(s, dir)),
     "events_retention"     -> ((s, dir) => Analytics.eventsRetention(s, dir)),
 
     "cdc_apply_changes" -> ((s, dir) => {
@@ -509,6 +510,12 @@ object SparkEntry {
       Similarity.int8QuantStats(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"))),
 
+    // Per-label norm/dimension sanity profile — the encoder-drift
+    // gate run before any similarity math.
+    "embed_norm_profile" -> ((s, dir) =>
+      Similarity.normProfile(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
     // Token-level blocklist cleaning gate, per-source removal stats.
     "corpus_blocklist" -> ((s, dir) =>
       Corpus.blocklistSummary(Tables.load(s, dir, "documents"),
@@ -834,6 +841,12 @@ object SparkEntry {
       TextAnalysis.unigramLm(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // Bigram LM: per-doc word-order surprise under the corpus MLE —
+    // the sequence-level fluency score next to text_unigram_lm.
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // PII scrub. The synthetic corpus carries no PII-shaped spans, so
     // the query plants doc_id-derived email/ssn/phone spans (same
     // derivation in the oracle) and the operator must count and
@@ -873,6 +886,12 @@ object SparkEntry {
     "corpus_dup_ngrams" -> ((s, dir) =>
       Corpus.dupNgramStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
+
+    // Cross-source shingle overlap: which source pairs share 3-gram
+    // boilerplate, with set Jaccard (the contamination map next to
+    // corpus_dup_ngrams' per-source census).
+    "corpus_source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(Tables.load(s, dir, "documents"))),
 
     // Per-doc TF-IDF argmax keyword with exact integer idf — document
     // tagging with engine-identical scoring and tie-breaks.
@@ -1313,6 +1332,34 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE) AS shared_ratio
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Cross-source overlap: distinct (source, shingle) sets pair-
+    // joined in SQL (the oracle may self-join; the Spark plan
+    // collects per-shingle source sets instead — values must agree).
+    "corpus_source_overlap" ->
+      s"""WITH shs AS (SELECT DISTINCT source, shingle FROM (
+         |    SELECT source,
+         |      tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         |    FROM (
+         |      SELECT doc_id, source, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+         |      FROM (SELECT doc_id, source, ${TextAnalysis.duckTokens("text")} AS l
+         |            FROM documents))
+         |    WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+         |  WHERE shingle IS NOT NULL),
+         |tot AS (SELECT source, count(*) AS n FROM shs GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_shared
+         |  FROM shs a JOIN shs b ON a.shingle = b.shingle
+         |    AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.source_a, p.source_b, p.n_shared,
+         |  ta.n AS n_a, tb.n AS n_b,
+         |  CAST(p.n_shared AS DOUBLE) /
+         |    CAST(ta.n + tb.n - p.n_shared AS DOUBLE) AS jaccard
+         |FROM p
+         |JOIN tot ta ON ta.source = p.source_a
+         |JOIN tot tb ON tb.source = p.source_b
+         |ORDER BY 1, 2""".stripMargin,
 
     // TF-IDF argmax with the same integer idf (bin-length log2 of the
     // floor quotient) and the same three-way tie-break.
@@ -2326,6 +2373,43 @@ object SparkEntry {
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Column profile: per-column stats UNIONed (the oracle may scan
+    // six times; the Spark plan is ONE aggregate over one Expand).
+    // Timestamp extremes as epoch micros — no string formatting.
+    "q_profile_table" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
+
     "cdc_control_events" ->
       s"""$C, agg AS (
          |  SELECT table_name,
@@ -2610,6 +2694,22 @@ object SparkEntry {
          |  CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_scale
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Norm profile: same quantized-int norms; the rms is the one
+    // double op (sqrt of exact-sum / count) per label.
+    "embed_norm_profile" ->
+      s"""WITH q AS (SELECT label,
+         |    CAST(len(embedding) AS BIGINT) AS dim,
+         |    CAST(list_aggregate(list_transform(
+         |      ${Vectors.duckQuantize("embedding")}, x -> x*x), 'sum') AS BIGINT)
+         |      AS n2
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(dim) AS dim_lo, max(dim) AS dim_hi,
+         |  CAST(count(*) FILTER (WHERE n2 = 0) AS BIGINT) AS n_zero,
+         |  min(n2) AS min_n2, max(n2) AS max_n2,
+         |  sqrt(CAST(sum(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms_norm
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "corpus_blocklist" ->
       s"""WITH b AS (SELECT source, n_chars,
          |    list_has_any($toksT, ['dup', 'slow']) AS blocked
@@ -2853,6 +2953,39 @@ object SparkEntry {
          |  CAST(sc.sum_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE) AS avg_tf,
          |  CAST(sc.sum_log2_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE)
          |    AS avg_log2_tf
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Bigram surprise with the same exact-integer floor-log2 of the
+    // floor quotient; the w2 IS NOT NULL filter drops the doc-final
+    // lead() row (Spark builds bigrams by array transform instead).
+    "text_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+         |  FROM (SELECT doc_id, $toksT AS l FROM documents)),
+         |bi AS (SELECT doc_id, w1, w2 FROM (
+         |    SELECT doc_id, tok AS w1,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+         |    FROM toks)
+         |  WHERE w2 IS NOT NULL),
+         |uf AS (SELECT tok AS w1, count(*) AS uf FROM toks GROUP BY 1),
+         |bf AS (SELECT w1, w2, count(*) AS bf FROM bi GROUP BY 1, 2),
+         |e AS (SELECT bf.w1, bf.w2, bf.bf, uf.uf,
+         |    CAST(length(bin(uf.uf // bf.bf)) - 1 AS BIGINT) AS surprise
+         |  FROM bf JOIN uf USING (w1)),
+         |sc AS (SELECT bi.doc_id,
+         |    count(*) AS n_bigrams,
+         |    CAST(count(*) FILTER (WHERE e.bf = 1) AS BIGINT) AS n_novel,
+         |    CAST(sum(e.bf) AS BIGINT) AS sum_bf,
+         |    CAST(sum(e.surprise) AS BIGINT) AS sum_surprise
+         |  FROM bi JOIN e USING (w1, w2)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(sc.n_novel, 0) AS n_novel,
+         |  COALESCE(sc.sum_bf, 0) AS sum_bf,
+         |  COALESCE(sc.sum_surprise, 0) AS sum_surprise,
+         |  CAST(sc.sum_surprise AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+         |    AS avg_surprise
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 

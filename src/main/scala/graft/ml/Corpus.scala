@@ -316,4 +316,55 @@ object Corpus {
         sum(col("n_tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  /** Cross-source shingle overlap: for every source pair, how many
+    * distinct word 3-grams the two shingle sets share, with the
+    * Jaccard of those sets. The training-mix view of cross-source
+    * contamination — which "independent" sources actually carry the
+    * same boilerplate (and would double-count under a per-source
+    * dedup budget). Complements [[dupNgramStats]] (corpus-wide
+    * duplication per source) with WHO shares WITH WHOM.
+    *
+    * Scale shape: the stream reduces to DISTINCT (source, shingle)
+    * first; then ONE shuffle keyed on shingle collects each shingle's
+    * source set (bounded at |sources| elements — never a row-pair
+    * fan-out on a hot shingle), pairs explode map-side from that
+    * array at ≤ C(|sources|,2) each, and the final rollup is
+    * |sources|²-row tiny. Per-source totals ride a |sources|-row
+    * broadcast twice. No shingle self-join anywhere.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // tokenize below a doc-keyed exchange (spread over CPUs; a
+    // source-keyed spread would cap parallelism at |sources|)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(shufN, col("doc_id"))
+    val sh = toks
+      .select(col("source"), explode(Dedup.shingleArray(col("toks"))).as("shingle"))
+      .distinct()
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val srcSets = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    val pairArr = flatten(transform(sequence(lit(0), size(col("srcs")) - 2), i =>
+      transform(sequence(i + 1, size(col("srcs")) - 1), j =>
+        struct(element_at(col("srcs"), i + 1).as("source_a"),
+          element_at(col("srcs"), j + 1).as("source_b")))))
+    val pairs = srcSets.select(explode(pairArr).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a"))),
+        "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

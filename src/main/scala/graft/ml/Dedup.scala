@@ -101,15 +101,21 @@ object Dedup {
     val toks = spread(
       docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")),
       col("doc_id"))
-    // sequence() needs a guard: docs with < ShingleN tokens would get
-    // a DESCENDING sequence (negative stop), not an empty one
-    val shingleArr = when(size(col("toks")) >= ShingleN,
-      transform(sequence(lit(0), size(col("toks")) - ShingleN), i =>
-        concat_ws(" ",
-          (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
-      .otherwise(array())
-    toks.select(col("doc_id"), explode(shingleArr).as("shingle"))
+    toks.select(col("doc_id"), explode(shingleArray(col("toks"))).as("shingle"))
   }
+
+  /** The `ShingleN`-gram array over a materialized token array —
+    * shared by [[shingles]] and Corpus.sourceOverlap (which carries a
+    * different key through the explode). sequence() needs the size
+    * guard: docs with < ShingleN tokens would get a DESCENDING
+    * sequence (negative stop), not an empty one.
+    */
+  def shingleArray(toks: Column): Column =
+    when(size(toks) >= ShingleN,
+      transform(sequence(lit(0), size(toks) - ShingleN), i =>
+        concat_ws(" ",
+          (0 until ShingleN).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
 
   /** DuckDB twin of `shingles` as a CTE body over `documents`. */
   def duckShingles: String =

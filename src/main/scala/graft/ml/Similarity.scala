@@ -351,4 +351,32 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("cos_sim"), col("rk"))
   }
+
+  /** Per-label norm/shape profile of the embedding corpus — the
+    * sanity gate run before any similarity math: dimension agreement
+    * (dim_lo = dim_hi or the corpus is mixed-model), zero-norm count
+    * (vectors cosine can't score), and the quantized-L2 spread. A
+    * drifted encoder shows up here as an rms_norm shift per label
+    * long before recall@k degrades.
+    *
+    * All stats up to the final rms are EXACT integer math in the
+    * quantized space (norms summed in decimal(38,0), so group order
+    * can't move the result); ONE scan, ONE shuffle on label with
+    * map-side partials, |labels|-row output.
+    */
+  def normProfile(embs: DataFrame): DataFrame = {
+    val qv = Vectors.spread(embs)
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        Vectors.norm2(Vectors.quantize(col("embedding"))).as("n2"))
+    qv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_lo"),
+        max(col("dim")).as("dim_hi"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        sqrt(sum(col("n2").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("rms_norm"))
+  }
 }

@@ -367,4 +367,54 @@ object TextAnalysis {
             lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0))))
       .drop("_toks")
   }
+
+  /** Bigram language-model score per document: each in-doc bigram's
+    * "surprise" under the corpus MLE P(w2|w1) = bf(w1w2)/uf(w1),
+    * carried as the EXACT integer ⌊log2(uf div bf)⌋ (bin-length
+    * trick, same as [[keywords]]' idf) so both engines sum the same
+    * longs — the double division happens once per doc at the end. A
+    * high avg_surprise marks text whose word order the corpus can't
+    * predict (gibberish or genuinely novel prose); n_novel counts
+    * corpus-unique bigrams, the [[unigramLm]] hapax notion one order
+    * up.
+    *
+    * Scale shape: unigram and bigram frequency tables are vocabulary-
+    * bounded aggregates of the token stream; bf joins uf on w1 BEFORE
+    * the stream-side join, so the big bigram relation joins once
+    * against one (w1,w2)-keyed table co-partitioned with its own
+    * grouping. Tokenless/1-token docs survive via the final left join
+    * with zero counts and NULL (undefined) avg — same contract as
+    * [[unigramLm]].
+    */
+  def bigramLm(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(text).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val bi = toks.select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))
+          .otherwise(array())).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uf = uni.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("uf"))
+    val bf = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+      .join(uf, "w1")
+      .withColumn("surprise",
+        (length(bin(expr("uf div bf"))) - 1).cast("long"))
+    val scores = bi.join(bf, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bf") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(col("bf")).as("sum_bf"),
+        sum(col("surprise")).as("sum_surprise"))
+    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("sum_bf"), lit(0L)).as("sum_bf"),
+        coalesce(col("sum_surprise"), lit(0L)).as("sum_surprise"))
+      .withColumn("avg_surprise",
+        col("sum_surprise").cast("double") /
+          nullif(col("n_bigrams"), lit(0L)).cast("double"))
+  }
 }

@@ -1144,4 +1144,60 @@ object Analytics {
           .as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** One-scan column profile of `orders` — the schema-drift /
+    * data-quality census (row count, null count, exact distinct
+    * cardinality, typed min/max per column) a replication target is
+    * audited with. Numeric and timestamp extremes land in `min_num`/
+    * `max_num` (timestamps as epoch micros — no engine-specific
+    * string formatting in the output), string extremes in `min_str`/
+    * `max_str`.
+    *
+    * Scale shape: ONE aggregate node over ONE scan; the six exact
+    * `countDistinct`s compile to a single Expand (×|cols| row
+    * multiply) with map-side partials — still one pass, no joins, and
+    * the result is |cols| rows exploded from a 1-row aggregate. At
+    * 100 TB the exact distincts are the expensive honest choice; the
+    * drop-in relaxation is `approx_count_distinct` (HLL) per column,
+    * which removes the Expand entirely.
+    */
+  def qProfileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val numExpr: Map[String, Column] = Map(
+      "o_orderkey" -> col("o_orderkey").cast("double"),
+      "o_custkey" -> col("o_custkey").cast("double"),
+      "o_totalprice" -> col("o_totalprice").cast("double"),
+      // orders carries TIMESTAMP_NTZ; the session runs UTC, so the
+      // cast is a pure reinterpretation and epoch micros match
+      // DuckDB's epoch_us over the same parquet values
+      "o_orderdate" -> unix_micros(col("o_orderdate").cast("timestamp"))
+        .cast("double"))
+    val allCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = allCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (numExpr.contains(c))
+          Seq(min(numExpr(c)).as(s"mn_$c"), max(numExpr(c)).as(s"mx_$c"))
+        else
+          Seq(min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c")))
+    } :+ count(lit(1)).as("n_rows")
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val rows = allCols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nulls_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+        (if (numExpr.contains(c)) col(s"mn_$c")
+         else lit(null).cast("double")).as("min_num"),
+        (if (numExpr.contains(c)) col(s"mx_$c")
+         else lit(null).cast("double")).as("max_num"),
+        (if (numExpr.contains(c)) lit(null).cast("string")
+         else col(s"mns_$c")).as("min_str"),
+        (if (numExpr.contains(c)) lit(null).cast("string")
+         else col(s"mxs_$c")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
 }

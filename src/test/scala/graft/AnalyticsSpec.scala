@@ -472,6 +472,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("table profile matches per-column driver-side recomputation") {
+    val rows = SparkEntry.queries("q_profile_table")(spark, sf).collect()
+    assert(rows.length == 6)
+    val o = Tables.load(spark, sf, "orders")
+    val n = o.count()
+    rows.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    // spot-check one numeric, one string, and the timestamp column
+    assert(byCol("o_custkey").getAs[Long]("n_distinct") ==
+      o.select("o_custkey").distinct().count())
+    assert(byCol("o_orderstatus").getAs[String]("min_str") ==
+      o.agg(org.apache.spark.sql.functions.min("o_orderstatus"))
+        .collect()(0).getString(0))
+    assert(byCol("o_orderstatus").isNullAt(
+      byCol("o_orderstatus").fieldIndex("min_num")))
+    val tsMin = byCol("o_orderdate").getAs[Double]("min_num")
+    val expectTs = o.agg(org.apache.spark.sql.functions
+        .min(org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions.col("o_orderdate")
+            .cast("timestamp")))).collect()(0).getLong(0)
+    assert(tsMin == expectTs.toDouble)
+  }
+
+  test("table profile plan is one scan (Expand, no join, no reused scan)") {
+    val df = SparkEntry.queries("q_profile_table")(spark, sf)
+    // string-count the scans: the un-executed plan is wrapped in
+    // AdaptiveSparkPlan, so collectLeaves would only see the wrapper
+    val plan = df.queryExecution.executedPlan.toString()
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single parquet scan:\n$plan")
+    assert(plan.contains("Expand"), "exact multi-column distincts should Expand")
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+  }
+
   test("markov rows are a probability matrix over all observed transitions") {
     val rows = SparkEntry.queries("events_markov")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -372,6 +372,33 @@ class MlSpec extends AnyFunSuite {
     assert(got(1).getAs[Double]("avg_log2_tf") == 0.5)
   }
 
+  test("bigram LM surprise matches a hand-computed table; empty docs kept") {
+    import spark.implicits._
+    // uf: a=4 b=2 c=1; bf: (a,a)=1 (a,b)=2 (b,a)=1
+    // surprise ⌊log2(uf//bf)⌋: (a,a)=2 (a,b)=1 (b,a)=1
+    val df = Seq((1L, "a a b a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(df, col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+      r.getAs[Long]("n_novel"), r.getAs[Long]("sum_bf"),
+      r.getAs[Long]("sum_surprise"))).toSeq ==
+      Seq((1L, 3L, 2L, 4L, 4L), (2L, 1L, 0L, 2L, 1L), (3L, 0L, 0L, 0L, 0L)))
+    assert(math.abs(got(0).getAs[Double]("avg_surprise") - 4.0 / 3) < 1e-12)
+    assert(got(1).getAs[Double]("avg_surprise") == 1.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("avg_surprise")))
+    // corpus-level invariant on the real table: n_bigrams = max(n_tokens-1, 0)
+    val docs = Tables.load(spark, sf, "documents")
+    val uni = TextAnalysis.unigramLm(docs, col("text"))
+      .select(col("doc_id"), col("n_tokens"))
+    val bad = TextAnalysis.bigramLm(docs, col("text"))
+      .join(uni, "doc_id")
+      .filter(col("n_bigrams") =!=
+        greatest(col("n_tokens") - 1L, org.apache.spark.sql.functions.lit(0L)))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("PII scrub counts and redacts exactly the planted spans") {
     import spark.implicits._
     val df = Seq(
@@ -790,6 +817,51 @@ class MlSpec extends AnyFunSuite {
     m.foreach { r =>
       val k = (r.getAs[Int]("label"), r.getAs[Int]("assigned_cell"))
       assert(expect(k) == r.getAs[Long]("n_vecs"), s"mismatch at $k")
+    }
+  }
+
+  test("source overlap matches driver-side shingle-set intersections") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = ml.Corpus.sourceOverlap(docs).collect()
+    assert(rows.nonEmpty)
+    // ground truth: per-source shingle sets built from Dedup.shingles
+    val shingleRows = ml.Dedup.shingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = shingleRows.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val shared = (sa & sb).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared)
+      assert(r.getAs[Long]("n_a") == sa.size && r.getAs[Long]("n_b") == sb.size)
+      val jac = shared.toDouble / (sa.size + sb.size - shared)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-12)
+    }
+    // completeness: every overlapping pair is reported
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      if (bySrc(srcs(i)) & bySrc(srcs(j))).nonEmpty
+    } yield (srcs(i), srcs(j))
+    assert(rows.length == expect.length)
+  }
+
+  test("norm profile: totals, dim agreement, rms bounded by extremes") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val rows = ml.Similarity.normProfile(embs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == embs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim_lo") == r.getAs[Long]("dim_hi"))
+      val (lo, hi) = (r.getAs[Long]("min_n2"), r.getAs[Long]("max_n2"))
+      assert(lo <= hi)
+      val rms = r.getAs[Double]("rms_norm")
+      assert(rms >= math.sqrt(lo.toDouble) - 1e-9 &&
+        rms <= math.sqrt(hi.toDouble) + 1e-9)
+      assert(r.getAs[Long]("n_zero") == 0L) // synthetic corpus has no zero vecs
     }
   }
 

@@ -1086,8 +1086,14 @@ object Analytics {
     * row totals and the grand total run over that POST-AGGREGATE
     * relation, never over the stream.
     */
-  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    markovTransitions(Tables.load(spark, dir, "events"))
+
+  /** Core of [[eventsMarkov]] over any (user_id, ts, event_id,
+    * event_type) relation — split out so the property suite can
+    * drive it with generated timelines.
+    */
+  def markovTransitions(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = ev
       .select(lag(col("event_type"), 1).over(w).as("from_type"),
@@ -1121,8 +1127,14 @@ object Analytics {
     * is bounded at C(|types|,2) pairs per user, never events².
     * Per-type totals are a |types|-row broadcast joined twice.
     */
-  def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.load(spark, dir, "events")
+  def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    typeCooccurrence(Tables.load(spark, dir, "events"))
+
+  /** Core of [[eventsCooccurrence]] over any (user_id, event_type)
+    * relation — split out for the property suite.
+    */
+  def typeCooccurrence(events: DataFrame): DataFrame = {
+    val ut = events
       .select(col("user_id"), col("event_type")).distinct()
     val totals = ut.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))

@@ -58,4 +58,17 @@ object CacheScope {
     p.count()
     p
   }
+
+  /** Persist WITHOUT the up-front count, registered for release.
+    * Safe when one consumer reaches the others only through a
+    * broadcast exchange: the broadcast subtree runs as its own job
+    * first and fully populates the cache, so the main job reads it —
+    * no barrier job, no race. If concurrent stage materialization
+    * (AQE) does overlap the consumers, partitions racing into the
+    * cache recompute — the worst case degrades to the uncached cost,
+    * never to a wrong result. Use [[materialize]] when consumers
+    * share one job tree and the recompute must be prevented.
+    */
+  def lazyPersist(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    register(df.persist())
 }

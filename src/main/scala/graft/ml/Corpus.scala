@@ -325,13 +325,16 @@ object Corpus {
     * dedup budget). Complements [[dupNgramStats]] (corpus-wide
     * duplication per source) with WHO shares WITH WHOM.
     *
-    * Scale shape: the stream reduces to DISTINCT (source, shingle)
-    * first; then ONE shuffle keyed on shingle collects each shingle's
-    * source set (bounded at |sources| elements — never a row-pair
-    * fan-out on a hot shingle), pairs explode map-side from that
-    * array at ≤ C(|sources|,2) each, and the final rollup is
-    * |sources|²-row tiny. Per-source totals ride a |sources|-row
-    * broadcast twice. No shingle self-join anywhere.
+    * Scale shape: ONE scan, ONE shuffle. The raw shingle stream goes
+    * straight into groupBy(shingle).collect_set(source) — collect_set
+    * dedups during the map-side partial, so no separate DISTINCT
+    * exchange exists, and each shingle's set is bounded at |sources|
+    * elements (never a row-pair fan-out on a hot shingle). Everything
+    * downstream derives from that vocabulary-bounded relation
+    * (materialized, two consumers): per-source totals by re-exploding
+    * it, pairs map-side at ≤ C(|sources|,2) each, final rollup
+    * |sources|²-row tiny. Totals ride a |sources|-row broadcast
+    * twice. No shingle self-join anywhere.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -343,16 +346,16 @@ object Corpus {
       .repartition(shufN, col("doc_id"))
     val sh = toks
       .select(col("source"), explode(Dedup.shingleArray(col("toks"))).as("shingle"))
-      .distinct()
-    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val srcSets = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) >= 2)
+    val srcSets = graft.CacheScope.lazyPersist(sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs")))
+    val totals = srcSets.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val multi = srcSets.filter(size(col("srcs")) >= 2)
     val pairArr = flatten(transform(sequence(lit(0), size(col("srcs")) - 2), i =>
       transform(sequence(i + 1, size(col("srcs")) - 1), j =>
         struct(element_at(col("srcs"), i + 1).as("source_a"),
           element_at(col("srcs"), j + 1).as("source_b")))))
-    val pairs = srcSets.select(explode(pairArr).as("p"))
+    val pairs = multi.select(explode(pairArr).as("p"))
       .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs

@@ -387,6 +387,14 @@ object TextAnalysis {
     * [[unigramLm]].
     */
   def bigramLm(docs: DataFrame, text: Column): DataFrame = {
+    // the token arrays feed three consumers (unigram table, bigram
+    // grouping, bigram join side) — deliberately NOT materialized:
+    // the stream is corpus-sized, caching it writes a corpus-sized
+    // store while avoiding no shuffle (each consumer shuffles on its
+    // own key regardless), and re-tokenizing is map-only CPU on the
+    // scan. Measured locally: caching was +83% (0.51 vs 0.28 s at
+    // sf0.1). Contrast sourceOverlap/typeCooccurrence, which cache
+    // REDUCED relations to avoid repeating a distinct shuffle.
     val toks = docs.select(col("doc_id"), tokens(text).as("toks"))
     val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val bi = toks.select(col("doc_id"), explode(

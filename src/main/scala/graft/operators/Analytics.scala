@@ -1122,10 +1122,14 @@ object Analytics {
     * the Jaccard overlap of the two user sets. The "which behaviors
     * travel together" view segmentation starts from.
     *
-    * Scale shape: the stream reduces to DISTINCT (user, type) first —
-    * at most |types| rows per user survive — so the self-join fan-out
-    * is bounded at C(|types|,2) pairs per user, never events².
-    * Per-type totals are a |types|-row broadcast joined twice.
+    * Scale shape: ONE scan, ONE shuffle. The raw stream goes straight
+    * into groupBy(user_id).collect_set(event_type) — collect_set
+    * dedups during the map-side partial (set bounded at |types|), so
+    * no separate DISTINCT exchange and no self-join exist. Per-type
+    * user totals and the C(|types|,2)-bounded pair fan-out both
+    * derive map-side from that one-row-per-user relation
+    * (materialized, two consumers); totals ride a |types|-row
+    * broadcast twice.
     */
   def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame =
     typeCooccurrence(Tables.load(spark, dir, "events"))
@@ -1134,15 +1138,18 @@ object Analytics {
     * relation — split out for the property suite.
     */
   def typeCooccurrence(events: DataFrame): DataFrame = {
-    val ut = events
-      .select(col("user_id"), col("event_type")).distinct()
-    val totals = ut.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-    val pairs = ut.as("a")
-      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    val sets = graft.CacheScope.lazyPersist(events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types")))
+    val totals = sets.select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val pairArr = flatten(transform(sequence(lit(0), size(col("types")) - 2), i =>
+      transform(sequence(i + 1, size(col("types")) - 1), j =>
+        struct(element_at(col("types"), i + 1).as("type_a"),
+          element_at(col("types"), j + 1).as("type_b")))))
+    val pairs = sets.filter(size(col("types")) >= 2)
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs
       .join(broadcast(totals.withColumnRenamed("event_type", "type_a")

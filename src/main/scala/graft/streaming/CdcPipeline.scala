@@ -104,6 +104,50 @@ object CdcPipeline {
     } else Iterator.empty
   }
 
+  /** One observed timeline transition (streaming twin output). */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Last event seen for a user — the O(1) per-key transition state. */
+  case class LastSeen(ts: Timestamp, event_id: Long, event_type: String)
+
+  /** Streaming transition extraction — the streaming twin of
+    * Analytics.markovTransitions' lag window (the Markov matrix is a
+    * tiny downstream aggregate of these pairs). Per-user state keeps
+    * only the LAST (ts, event_id, event_type); each arriving event
+    * appends one (from, to) fact.
+    *
+    * Ordering contract: within a micro-batch, events sort on the
+    * full-precision (micros, event_id) key before folding, so
+    * intra-batch arrival order is irrelevant; ACROSS batches the
+    * stream must deliver each user's events in timeline order — the
+    * per-partition-key ordering a Kinesis-style shard guarantees
+    * (same assumption the reference's consumer makes). A cross-batch
+    * straggler would need retractions, which transition FACTS (an
+    * append-only output) deliberately do not model.
+    */
+  def transitionsStream(events: Dataset[RawEvent]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        emitTransitions)
+  }
+
+  private def emitTransitions(
+      user: Long,
+      events: Iterator[RawEvent],
+      state: GroupState[LastSeen]): Iterator[Transition] = {
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var last = state.getOption.orNull
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      if (last != null) out += Transition(user, last.event_type, e.event_type)
+      last = LastSeen(e.ts, e.event_id, e.event_type)
+    }
+    if (last != null) state.update(last)
+    out.result().iterator
+  }
+
   /** Watermarked tumbling-window op counts — the streaming twin of
     * ChangeFeed.windowedStats. The watermark bounds state: windows
     * older than (max event time - delay) are finalized and dropped.

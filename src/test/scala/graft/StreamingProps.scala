@@ -108,4 +108,52 @@ object StreamingProps extends Properties("graft.streaming") {
 
       got == expected
     }
+
+  property("streamed transitions under any batching == batch Markov counts") =
+    Prop.forAll(events, cuts) { (evs, rawCuts) =>
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      // the twin's contract is per-user IN-ORDER delivery across
+      // batches (the Kinesis shard guarantee): sort the log globally
+      // before cutting; each batch is REVERSED on delivery so the
+      // intra-batch sort (which the contract does NOT delegate to
+      // the transport) is actually exercised
+      val raw = evs.zipWithIndex.map { case ((u, m, ty), i) =>
+        RawEvent(i.toLong, ts(m), u, ty, 0.0, "{}")
+      }.sortBy(e => (e.ts.getTime * 1000000L + e.ts.getNanos / 1000L, e.event_id))
+      val batches = {
+        val pts = (rawCuts.map(_ % (raw.size + 1)) :+ 0 :+ raw.size)
+          .distinct.sorted
+        pts.zip(pts.tail).map { case (a, b) => raw.slice(a, b).reverse }
+      }
+
+      runId += 1
+      val emitted =
+        scala.collection.mutable.ArrayBuffer.empty[CdcPipeline.Transition]
+      val mem = MemoryStream[RawEvent]
+      val q = CdcPipeline.transitionsStream(mem.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (ds: Dataset[CdcPipeline.Transition], _: Long) =>
+          emitted.synchronized { emitted ++= ds.collect() }
+          (): Unit
+        }
+        .option("checkpointLocation", s"$ckptRoot/$runId")
+        .start()
+      val got = try {
+        batches.foreach { b =>
+          mem.addData(b)
+          q.processAllAvailable()
+        }
+        emitted.groupBy(t => (t.from_type, t.to_type)).view
+          .mapValues(_.size.toLong).toMap
+      } finally q.stop()
+
+      val expected = graft.operators.Analytics.markovTransitions(
+          raw.toDF().withColumn("ts", col("ts").cast("timestamp")))
+        .select("from_type", "to_type", "n_trans")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+
+      got == expected
+    }
 }

@@ -26,9 +26,11 @@ object SparkEntry {
     * surfaces together.
     *
     * Built over the orders table (plain micro timestamps) so it runs
-    * on ANY caller-supplied session — the events table needs the
-    * nanosAsLong reader flag from Tables.sessionConf, which a vanilla
-    * smoke-check session may not carry.
+    * on ANY caller-supplied session — the events table's
+    * TIMESTAMP(NANOS) column reads differently across Spark versions
+    * (Tables.withEventTime absorbs that, but a vanilla smoke-check
+    * session may also lack the UTC timezone pin the ts comparisons
+    * assume).
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"

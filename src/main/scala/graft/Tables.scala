@@ -21,8 +21,13 @@ object Tables {
   /** Session settings every graft entrypoint applies once at build
     * time (Verify/Bench/tests). Kept here so the requirements live
     * next to the readers that need them:
-    *  - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which
-    *    Spark's vectorized reader rejects; read as long + truncate.
+    *  - nanosAsLong: events.parquet carries TIMESTAMP(NANOS). Spark
+    *    ≤4.0 rejects it in the vectorized reader unless this flag
+    *    reads it as a raw long; Spark 4.1+ IGNORES the flag and reads
+    *    the column natively as timestamp_ntz (micros-truncated).
+    *    [[withEventTime]] dispatches on whichever schema arrives, so
+    *    the catalog works on both — the flag stays set to keep the
+    *    legacy branch alive on older runtimes.
     *  - aggregatePushdown: count-star over parquet (FullLoad.summary)
     *    answers from footer metadata instead of scanning pages.
     *  - maxPartitionBytes 16 MB: the testdata layout is ONE parquet
@@ -40,28 +45,39 @@ object Tables {
     "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.files.maxPartitionBytes" -> String.valueOf(16 << 20))
 
-  /** Read nanos as long and floor-divide to micros — the same
-    * truncation DuckDB applies reading ns→µs — so both engines see
-    * identical timestamps. Requires `sessionConf` (nanosAsLong) to
-    * have been applied at session build; asserted here rather than
-    * mutated mid-flight (a global conf flip per read would be a
-    * hidden side effect and race-prone under concurrent loads).
+  /** Normalize the events `ts` column — parquet TIMESTAMP(NANOS) —
+    * to a session-zoned TimestampType, whatever shape the runtime's
+    * parquet reader delivered it in. Dispatching on the LOADED schema
+    * (not a Spark-version sniff) is the one place the engine absorbs
+    * the reader difference; a future runtime that produces a third
+    * shape fails loudly here instead of 39 queries deep:
+    *
+    *  - `LongType` (Spark ≤4.0 with nanosAsLong): raw nanos —
+    *    `timestamp_micros(ts div 1000)`. Truncate-toward-zero `div`
+    *    matches DuckDB's ns→µs read for the post-epoch data this
+    *    engine carries; [[graft.plans.DerivedTimeBound]] restores
+    *    scan pushdown for predicates on the computed column.
+    *  - `TimestampNTZType` (Spark 4.1+ native nanos read, already
+    *    micros-truncated): cast to TimestampType. Under the UTC
+    *    session the instant is bit-identical, and Catalyst unwraps
+    *    the cast in comparisons, so filters still reach the scan as
+    *    `PushedFilters` on the ntz column — no extra rule needed.
+    *  - `TimestampType`: already there (e.g. a re-written feed).
     */
-  /** Asserts the reader flag events.parquet needs, with an
-    * actionable message — shared by every reader of the nanos
-    * timestamp column (batch here, the file-stream source in
-    * CdcPipeline.fileRoundtrip) so a session built without
-    * [[sessionConf]] fails with this curated error instead of
-    * Parquet's "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,true))".
-    */
-  def requireNanosAsLong(spark: SparkSession): Unit =
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "graft requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(see Tables.sessionConf)")
-
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosAsLong(spark)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def withEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — expected raw nanos LONG " +
+          "(legacy nanosAsLong read), TIMESTAMP_NTZ (native nanos read), or TIMESTAMP")
+    }
   }
+
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(spark.read.parquet(s"$dir/events.parquet"))
 }

@@ -8,9 +8,15 @@ import org.apache.spark.sql.types.TimestampType
 /** Derived-predicate pushdown for timestamps computed from raw
   * integer nanos.
   *
-  * The events feed carries TIMESTAMP(NANOS), which graft reads as a
-  * long and converts with `timestamp_micros(nanos div 1000)`
-  * (Tables.loadEvents). Because the timestamp column is COMPUTED,
+  * The events feed carries TIMESTAMP(NANOS). On runtimes that honor
+  * the legacy nanosAsLong read (Spark ≤4.0) graft reads it as a long
+  * and converts with `timestamp_micros(nanos div 1000)`
+  * (Tables.withEventTime); this rule exists for THAT branch. Spark
+  * 4.1+ reads the column natively as timestamp_ntz and Catalyst
+  * unwraps the ntz→ltz cast in comparisons, so predicates push to the
+  * scan without this rule (DerivedTimeBoundSpec asserts the pushed
+  * filter on whichever branch is active) — the rule simply never
+  * matches there. Because the legacy timestamp column is COMPUTED,
   * Catalyst cannot push any predicate on it into the parquet scan —
   * a point-in-time replay (`ChangeFeed.replayAt`) or a consumer
   * threshold filter would read the whole feed and filter afterwards.

@@ -568,17 +568,17 @@ object CdcPipeline {
   def fileRoundtrip(spark: SparkSession, dir: String, tmpRoot: String): DataFrame = {
     val sink = s"$tmpRoot/sink"
     val ckpt = s"$tmpRoot/ckpt"
-    // same nanos→micros truncation as Tables.loadEvents, on a file
-    // STREAM source (schema comes from the batch footer read). The
-    // testdata ships one parquet FILE per table and the streaming
-    // file source lists a DIRECTORY — so stream the SF dir with a
-    // glob pinned to the events file.
-    graft.Tables.requireNanosAsLong(spark)
+    // same ts normalization as Tables.loadEvents (schema-dispatched:
+    // raw-nanos long on legacy readers, timestamp_ntz on Spark 4.1+),
+    // on a file STREAM source (schema comes from the batch footer
+    // read). The testdata ships one parquet FILE per table and the
+    // streaming file source lists a DIRECTORY — so stream the SF dir
+    // with a glob pinned to the events file.
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .filter(col("user_id") % 4 === 0)
     val q = kinesisLikeSink(envelopeStream(annotate(raw)), sink, ckpt).start()
     try { q.processAllAvailable() } finally { q.stop() }

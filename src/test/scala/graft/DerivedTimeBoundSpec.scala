@@ -5,16 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.ChangeFeed
 
-/** The DerivedTimeBound optimizer rule: predicates on the COMPUTED
-  * events timestamp (`timestamp_micros(nanos div 1000)`) must reach
-  * the parquet scan as raw-nanos bounds, and the widened bounds must
-  * never change results — including at truncation boundaries and for
+/** Scan pushdown of replay/threshold predicates on the events
+  * timestamp, whichever reader branch is active (Tables.withEventTime):
+  * under the legacy raw-nanos long read the DerivedTimeBound rule must
+  * add a pushable raw-nanos bound; under the Spark 4.1+ native
+  * timestamp_ntz read Catalyst itself unwraps the ntz→ltz cast, so the
+  * SAME assertion (a LessThanOrEqual(ts,…) entry in PushedFilters)
+  * holds with no rule involved. The rule's widened bounds must never
+  * change results — including at truncation boundaries and for
   * negative epochs, where toward-zero `div` differs from floor.
   */
 class DerivedTimeBoundSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("replayAt cutoff reaches the events parquet scan as a raw nanos bound") {
+  test("replayAt cutoff reaches the events parquet scan as a pushed ts bound") {
     val c = ChangeFeed.fromEvents(spark, sf)
     val state = ChangeFeed.replayAt(c, lit("2024-01-15 00:00:00"),
       Seq("user_id"), Seq(col("ts"), col("event_id")))

@@ -824,16 +824,15 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // Exercises the stubbed decoder's mapPartitions plumbing
-    // end-to-end — oracle-checked (the stub features are value-exact
-    // in SQL). The feature vector is projected to one scalar column
-    // per dimension so the harness's row sort never sees an
-    // array-typed column.
+    // REAL per-partition media decoder end-to-end: payloads are
+    // structurally-valid BMP / PCM-WAV / Y4M files, the decoder
+    // sniffs the container from magic bytes and parses headers +
+    // content (stride walk, RIFF chunk walk, frame scan) with nothing
+    // but the bytes. Oracle-checked because the synthesized content
+    // is a pure function of doc_id — a mis-parse (wrong stride,
+    // mis-walked chunk, off-by-one frame size) changes payload_sum.
     "multimodal_decode" -> ((s, dir) =>
-      Binary.decodeStub(Binary.withPayload(Tables.load(s, dir, "documents")))
-        .select(col("doc_id") +: col("kind") +: col("n_bytes") +:
-          (0 until Binary.FeatureDim)
-            .map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+      Binary.decodeMedia(Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
     // Unigram-LM familiarity: token frequencies trained on the corpus
@@ -1224,25 +1223,42 @@ object SparkEntry {
          |  ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // The decode stub's fake features are a pure function of the
-    // payload bytes (ASCII text ⇒ byte == code point), and Java float
-    // division b/255.0f equals DuckDB's double-divide-then-cast-REAL
-    // for every byte value 0..255 (verified exhaustively), so even the
-    // stubbed decoder is value-exact against SQL.
-    "multimodal_decode" -> {
-      val fs = (0 until Binary.FeatureDim).map { i =>
-        s"CASE WHEN n_bytes = 0 THEN CAST(0.0 AS REAL) ELSE " +
-          s"CAST(CAST(unicode(substr(text, CAST(($i*7) % n_bytes AS INT) + 1, 1)) AS REAL)/255.0 AS REAL) END AS f$i"
-      }.mkString(",\n|  ")
-      s"""WITH p AS (SELECT doc_id,
+    // The real decoder's parse results are recomputable in SQL
+    // because the synthesized media content is a pure function of
+    // doc_id: dimensions from the per-kind formulas, payload_sum as
+    // the sum of (doc_id*31+k) mod 256 over the content-byte count n
+    // (pixels w·h·3, samples, or frames·w·h·3/2 — row padding and
+    // container structure excluded, exactly what a correct parse
+    // sums). The decoder itself never sees these formulas — it must
+    // rediscover the values from the bytes.
+    "multimodal_decode" ->
+      s"""WITH d AS (SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 4 + doc_id % 13
+         |      WHEN 1 THEN 8000 + (doc_id % 5) * 2000
+         |      ELSE 4 + 2 * (doc_id % 6) END AS f0,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 3 + doc_id % 7
+         |      WHEN 1 THEN 8
+         |      ELSE 2 + 2 * (doc_id % 4) END AS f1,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 24
+         |      WHEN 1 THEN 64 + doc_id % 101
+         |      ELSE 1 + doc_id % 3 END AS f2,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN (4 + doc_id % 13) * (3 + doc_id % 7) * 3
+         |      WHEN 1 THEN 64 + doc_id % 101
+         |      ELSE (1 + doc_id % 3) *
+         |        ((4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) * 3 // 2)
+         |      END AS n
          |  FROM documents)
-         |SELECT doc_id, kind, n_bytes,
-         |  $fs
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, kind, CAST(f0 AS BIGINT) AS f0,
+         |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+         |  CAST(list_sum(list_transform(range(0, n),
+         |    k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS payload_sum
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""WITH p AS (SELECT doc_id,

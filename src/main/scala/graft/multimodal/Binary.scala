@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * (lib/query.py:11 `cover BLOB`) maps to Spark BinaryType the same
   * way (SURVEY.md §5).
   *
-  * The *decode* step (image decode, audio resample, frame sampling)
-  * needs native libraries that are intentionally not in this
-  * container, so `decodeStub` is a clearly-marked deterministic fake
-  * — but the Spark-side plumbing around it (binary schema, batch
-  * iterator shape, per-partition execution, typed output schema) is
-  * the real thing a production decoder would drop into.
+  * Two decode seams live here:
+  *  - [[decodeMedia]] is a REAL per-partition decoder over three real
+  *    container formats — BMP (24-bpp DIB), canonical-header PCM WAV,
+  *    and YUV4MPEG2 — sniffing the format from magic bytes and
+  *    parsing headers + payload with nothing but the bytes
+  *    ([[mediaPayload]] synthesizes valid files deterministically, so
+  *    the DuckDB oracle can recompute every parsed value).
+  *  - [[frameSampleStub]] keeps the declared 1→N stub shape for
+  *    codec-backed frame seeking (video codecs beyond raw Y4M need
+  *    native libraries this container doesn't ship).
   *
   * Scale notes: metadata extraction is map-only codegen'd math; the
-  * decode path is `mapPartitions` (one JVM-side batch iterator per
+  * decode paths are `mapPartitions` (one JVM-side batch iterator per
   * partition — the Scala analogue of `mapInPandas` batches), so
   * decoder setup cost amortizes per partition, not per row.
   */
@@ -43,45 +47,226 @@ object Binary {
     df.withColumn("n_bytes", length(col("payload")).cast("long"))
       .withColumn("digest", md5(col("payload")))
 
-  /** Typed output row of the decoder. */
-  case class DecodedDoc(
-      doc_id: Long, kind: String, n_bytes: Long, features: Array[Float])
-
   /** Typed output row of the frame sampler (1→N decode shape). */
   case class SampledFrame(
       doc_id: Long, kind: String, frame_idx: Int, frame_off: Long, n_bytes: Long)
 
-  val FeatureDim = 4
+  // ===== real media encode/decode ==========================================
+  //
+  // The synthetic corpus has no real media files, so mediaPayload
+  // SYNTHESIZES them — as structurally-valid files in three real
+  // container formats whose content bytes are a pure function of
+  // doc_id (so the DuckDB oracle can recompute what a correct parse
+  // must find). decodeMedia then does the honest inverse: it sees
+  // ONLY the bytes — sniffs the container from its magic, parses the
+  // real header layout (little-endian DIB fields, RIFF chunk walk,
+  // Y4M ASCII tokens), and folds the payload bytes it locates through
+  // stride/chunk/frame arithmetic. A wrong stride, a mis-walked
+  // chunk, or an off-by-one in the frame size changes payload_sum and
+  // fails the oracle.
 
-  /** STUB decoder: a real implementation would decode the payload
-    * (image/audio/video) and emit feature vectors; this container has
-    * no media libraries, so features are a deterministic fake derived
-    * from the payload bytes. The per-partition iterator (decoder
-    * setup amortized per partition), input (doc_id, kind, payload)
-    * and typed output schema are production-shaped.
+  /** Content byte k of doc `id` — the shared encoder/oracle formula.
+    * (The decoder never uses it; it must find these bytes by parsing.)
     */
-  def decodeStub(df: DataFrame): DataFrame = {
+  private def contentByte(id: Long, k: Long): Byte =
+    java.lang.Math.floorMod(id * 31 + k, 256L).toByte
+
+  /** Typed output row of the real decoder. Field meaning is per kind:
+    * image (width, height, bpp), audio (sample_rate, bits_per_sample,
+    * n_samples), video (width, height, n_frames); `payload_sum` is
+    * the sum of all located content bytes (pixels / samples / frame
+    * planes), excluding structural bytes such as row padding.
+    */
+  case class MediaInfo(
+      doc_id: Long, kind: String, f0: Long, f1: Long, f2: Long,
+      payload_sum: Long)
+
+  /** Synthesize one valid media file per document, modality by
+    * doc_id mod 3 (same mapping as [[withPayload]]): BMP image, PCM
+    * WAV audio, or Y4M video. Opaque binary out — consumers must
+    * parse.
+    */
+  def mediaPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeMedia(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def encodeMedia(id: Long): Array[Byte] =
+    java.lang.Math.floorMod(id, 3L) match {
+      case 0L => encodeBmp(id)
+      case 1L => encodeWav(id)
+      case _  => encodeY4m(id)
+    }
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  /** 24-bpp bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER):
+    * width 4+id%13, height 3+id%7, rows padded to 4-byte boundaries
+    * as the format requires. Pixel byte c of image row r carries
+    * contentByte(r*w*3 + c).
+    */
+  private def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(id, 13L)).toInt
+    val h = (3 + java.lang.Math.floorMod(id, 7L)).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var rs = 0
+    while (rs < h) {
+      val r = h - 1 - rs // bottom-up storage order
+      var c = 0
+      while (c < w * 3) { bb.put(contentByte(id, r.toLong * w * 3 + c)); c += 1 }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      rs += 1
+    }
+    bb.array()
+  }
+
+  /** Canonical 44-byte-header mono 8-bit PCM WAV: sample rate
+    * 8000+(id%5)*2000, 64+id%101 samples, sample k = contentByte(k).
+    */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val rate = (8000 + java.lang.Math.floorMod(id, 5L) * 2000).toInt
+    val n = (64 + java.lang.Math.floorMod(id, 101L)).toInt
+    val bb = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate) // PCM, mono, byteRate=rate·1·1
+      .putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    var k = 0
+    while (k < n) { bb.put(contentByte(id, k)); k += 1 }
+    bb.array()
+  }
+
+  /** YUV4MPEG2 (C420): even dims w=4+2·(id%6), h=2+2·(id%4),
+    * 1+id%3 frames of w·h·3/2 planar bytes each; content byte index
+    * runs continuously across frames.
+    */
+  private def encodeY4m(id: Long): Array[Byte] = {
+    val w = (4 + 2 * java.lang.Math.floorMod(id, 6L)).toInt
+    val h = (2 + 2 * java.lang.Math.floorMod(id, 4L)).toInt
+    val frames = (1 + java.lang.Math.floorMod(id, 3L)).toInt
+    val frameBytes = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(header.length + frames * (marker.length + frameBytes))
+    out.put(header)
+    var k = 0L
+    var f = 0
+    while (f < frames) {
+      out.put(marker)
+      var b = 0
+      while (b < frameBytes) { out.put(contentByte(id, k)); k += 1; b += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL per-partition media decoder: sniffs BMP / RIFF-WAVE /
+    * YUV4MPEG2 from magic bytes and parses each for its typed
+    * dimensions and content-byte sum — see [[MediaInfo]] for the
+    * field meanings. Unknown or truncated payloads fail loudly with
+    * the doc id (a production decoder would route these to the
+    * exception channel, cdc/Exceptions).
+    */
+  def decodeMedia(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("kind"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // a real decoder would open its native context here, once
-        rows.map { case (docId, kind, rawPayload) =>
-          // null payload (a null source text cast to binary) decodes
-          // like empty media instead of NPE-ing the whole task
-          val payload =
-            if (rawPayload == null) Array.emptyByteArray else rawPayload
-          // --- stub: replace with a real decode --------------------
-          val feats = (0 until FeatureDim).map { i =>
-            if (payload.isEmpty) 0.0f // empty media ⇒ zero features
-            else (payload((i * 7) % payload.length) & 0xff) / 255.0f
-          }.toArray
-          // ---------------------------------------------------------
-          DecodedDoc(docId, kind, payload.length.toLong, feats)
-        }
+        // a codec-backed decoder would open its native context here, once
+        rows.map { case (id, p) => parseMedia(id, p) }
       }
       .toDF()
+  }
+
+  private[graft] def parseMedia(id: Long, p: Array[Byte]): MediaInfo = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 2) == "BM") parseBmp(id, p)
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") parseWav(id, p)
+    else if (ascii(0, 9) == "YUV4MPEG2") parseY4m(id, p)
+    else throw new IllegalStateException(
+      s"doc $id: unrecognized media container (${p.length} bytes)")
+  }
+
+  private def parseBmp(id: Long, p: Array[Byte]): MediaInfo = {
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22) // positive ⇒ bottom-up, the only form emitted here
+    val bpp = bb.getShort(28).toInt
+    require(bpp == 24 && h > 0, s"doc $id: unsupported BMP variant (bpp=$bpp h=$h)")
+    val stride = ((w * (bpp / 8) + 3) / 4) * 4
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val rowStart = dataOff + r * stride
+      var c = 0
+      while (c < w * 3) { sum += (p(rowStart + c) & 0xff); c += 1 } // padding excluded
+      r += 1
+    }
+    MediaInfo(id, "image", w.toLong, h.toLong, bpp.toLong, sum)
+  }
+
+  private def parseWav(id: Long, p: Array[Byte]): MediaInfo = {
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12 // past RIFF<size>WAVE
+    var rate = -1L; var bits = -1L; var n = -1L; var sum = 0L
+    while (off + 8 <= p.length) {
+      val cid = new String(p, off, 4, "US-ASCII")
+      val csz = bb.getInt(off + 4)
+      cid match {
+        case "fmt " =>
+          rate = bb.getInt(off + 12).toLong
+          bits = bb.getShort(off + 22).toLong
+        case "data" =>
+          n = csz.toLong
+          var k = off + 8
+          val end = off + 8 + csz
+          while (k < end) { sum += (p(k) & 0xff); k += 1 }
+        case _ => () // a real parser skips unknown chunks; so does this one
+      }
+      off += 8 + csz + (csz & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && n >= 0, s"doc $id: WAV missing fmt/data chunk")
+    MediaInfo(id, "audio", rate, bits, n, sum)
+  }
+
+  private def parseY4m(id: Long, p: Array[Byte]): MediaInfo = {
+    val headerEnd = p.indexOf('\n'.toByte)
+    require(headerEnd > 0, s"doc $id: Y4M header unterminated")
+    val tokens = new String(p, 0, headerEnd, "US-ASCII").split(' ')
+    def param(tag: Char): Int = tokens.collectFirst {
+      case t if t.length > 1 && t.head == tag => t.tail.toInt
+    }.getOrElse(throw new IllegalStateException(s"doc $id: Y4M missing $tag"))
+    val w = param('W'); val h = param('H')
+    val frameBytes = w * h * 3 / 2 // C420: Y plane + quarter-size Cb/Cr
+    var off = headerEnd + 1
+    var frames = 0L; var sum = 0L
+    while (off < p.length) {
+      val fe = p.indexOf('\n'.toByte, off)
+      require(fe > off && new String(p, off, 5, "US-ASCII") == "FRAME",
+        s"doc $id: Y4M frame marker expected at $off")
+      var k = fe + 1
+      val end = fe + 1 + frameBytes
+      while (k < end) { sum += (p(k) & 0xff); k += 1 }
+      frames += 1
+      off = end
+    }
+    MediaInfo(id, "video", w.toLong, h.toLong, frames, sum)
   }
 
   val FramesPerVideo = 3

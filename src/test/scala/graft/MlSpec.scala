@@ -346,14 +346,78 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("decode stub emits one typed row per document") {
-    val out = Binary.decodeStub(Binary.withPayload(docs)).collect()
+  test("media decoder emits one parsed row per document") {
+    val out = Binary.decodeMedia(Binary.mediaPayload(docs)).collect()
     assert(out.length == docs.count())
     out.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length ==
-        Binary.FeatureDim)
       assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
-      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[Long]("f0") > 0 && r.getAs[Long]("payload_sum") > 0)
+    }
+  }
+
+  test("media decoder parses hand-authored canonical files, not just its own") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2x2 24-bpp BMP authored from the spec: stride 8 (2 padding
+    // bytes/row), rows stored bottom-up, pixel bytes sum to 780.
+    val bmp = ByteBuffer.allocate(70).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(70)
+      .putShort(0).putShort(0).putInt(54)
+    bmp.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    Seq(70, 80, 90, 100, 110, 120, 0, 0, // image row 1 (stored first)
+      10, 20, 30, 40, 50, 60, 0, 0)      // image row 0
+      .foreach(b => bmp.put(b.toByte))
+    val gotBmp = Binary.parseMedia(7L, bmp.array())
+    assert((gotBmp.kind, gotBmp.f0, gotBmp.f1, gotBmp.f2, gotBmp.payload_sum)
+      == (("image", 2L, 2L, 24L, 780L)))
+
+    // canonical 44-byte-header WAV, 44100 Hz mono 8-bit, 4 samples
+    val wav = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+    wav.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(44100)
+      .putShort(1).putShort(8)
+    wav.put("data".getBytes("US-ASCII")).putInt(4)
+    Seq(1, 2, 3, 250).foreach(b => wav.put(b.toByte))
+    val gotWav = Binary.parseMedia(8L, wav.array())
+    assert((gotWav.kind, gotWav.f0, gotWav.f1, gotWav.f2, gotWav.payload_sum)
+      == (("audio", 44100L, 8L, 4L, 256L)))
+
+    // one-frame 2x2 C420 Y4M: 6 plane bytes (4 Y + 1 Cb + 1 Cr)
+    val y4m = ("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array[Byte](5, 6, 7, 8, 9, 10))
+    val gotY4m = Binary.parseMedia(9L, y4m)
+    assert((gotY4m.kind, gotY4m.f0, gotY4m.f1, gotY4m.f2, gotY4m.payload_sum)
+      == (("video", 2L, 2L, 1L, 45L)))
+
+    // unknown container fails loudly with the doc id
+    val e = intercept[org.apache.spark.SparkException] {
+      Binary.decodeMedia(spark.createDataFrame(Seq(
+        (99L, Array[Byte](0, 1, 2, 3)))).toDF("doc_id", "payload")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("media encode/decode roundtrip matches the oracle formulas") {
+    for (id <- 0L to 60L) {
+      val info = Binary.parseMedia(id, Binary.encodeMedia(id))
+      val m = (id % 3).toInt
+      val n = m match {
+        case 0 => (4 + id % 13) * (3 + id % 7) * 3
+        case 1 => 64 + id % 101
+        case _ => (1 + id % 3) * ((4 + 2 * (id % 6)) * (2 + 2 * (id % 4)) * 3 / 2)
+      }
+      val expSum = (0L until n).map(k => (id * 31 + k) % 256).sum
+      assert(info.payload_sum == expSum, s"id=$id")
+      m match {
+        case 0 => assert((info.kind, info.f0, info.f1, info.f2)
+          == (("image", 4 + id % 13, 3 + id % 7, 24L)), s"id=$id")
+        case 1 => assert((info.kind, info.f0, info.f1, info.f2)
+          == (("audio", 8000 + (id % 5) * 2000, 8L, 64 + id % 101)), s"id=$id")
+        case _ => assert((info.kind, info.f0, info.f1, info.f2)
+          == (("video", 4 + 2 * (id % 6), 2 + 2 * (id % 4), 1 + id % 3)), s"id=$id")
+      }
     }
   }
 

@@ -917,6 +917,33 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"), col("epoch"))),
+
+    // Gaps-and-islands: longest consecutive-day streak per user
+    // (distinct-day reduce FIRST, then one per-user window chain).
+    "events_streak" -> ((s, dir) => Analytics.eventsStreak(s, dir)),
+
+    // Entry/exit transition matrix: first/last event type per user as
+    // map-side min/max of ordering structs — no window over the stream.
+    "events_entry_exit" -> ((s, dir) => Analytics.eventsEntryExit(s, dir)),
+
+    // Recency buckets against the feed head (1-row broadcast of the
+    // per-user aggregate's own max — the stream is scanned once).
+    "events_churn" -> ((s, dir) => Analytics.eventsChurn(s, dir)),
+
+    // Day-over-day change-rate drift per table: the first derivative
+    // of cdc_table_statistics, lag window over the tiny post-aggregate.
+    "cdc_rate_drift" -> ((s, dir) =>
+      TableStatistics.rateDrift(ChangeFeed.fromEvents(s, dir))),
+
+    // Exact per-source token-length percentiles by deterministic rank
+    // selection (q_median_price's tie-break, widened to a profile).
+    "corpus_percentiles" -> ((s, dir) =>
+      Corpus.lengthPercentiles(Tables.load(s, dir, "documents"))),
+
+    // Per-doc first-appearance 3-gram novelty: the marginal-diversity
+    // curve over ingestion order.
+    "corpus_novelty" -> ((s, dir) =>
+      Corpus.ngramNovelty(Tables.load(s, dir, "documents"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3045,5 +3072,115 @@ object SparkEntry {
          |SELECT source, epoch, weight_pm, count(*) AS n_docs,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "events_streak" ->
+      s"""WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |isl AS (SELECT user_id, day, n_events,
+         |    CASE WHEN day - LAG(day) OVER
+         |        (PARTITION BY user_id ORDER BY day) = 1
+         |      THEN 0 ELSE 1 END AS gap
+         |  FROM days),
+         |isl2 AS (SELECT user_id, day, n_events,
+         |    SUM(gap) OVER (PARTITION BY user_id ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl),
+         |runs AS (SELECT user_id, island, count(*) AS len,
+         |    min(day) AS start_day, sum(n_events) AS n_ev
+         |  FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+         |    count(*) AS n_streaks, CAST(sum(n_ev) AS BIGINT) AS n_events,
+         |    CAST(max(len) AS BIGINT) AS best_streak
+         |  FROM runs GROUP BY 1)
+         |SELECT a.user_id, a.active_days, a.n_streaks, a.n_events,
+         |  a.best_streak, min(r.start_day) AS best_start
+         |FROM agg a JOIN runs r
+         |  ON r.user_id = a.user_id AND r.len = a.best_streak
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
+
+    "events_entry_exit" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rf,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rl,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE ts IS NOT NULL)
+         |SELECT f.event_type AS entry_type, l.event_type AS exit_type,
+         |  count(*) AS n_users, CAST(sum(f.n) AS BIGINT) AS n_events
+         |FROM (SELECT * FROM r WHERE rf = 1) f
+         |JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_churn" ->
+      s"""WITH ls AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_ev
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |h AS (SELECT max(last_ts) AS head_ts FROM ls),
+         |b AS (SELECT user_id, n_ev,
+         |    CAST(CAST(h.head_ts AS DATE) - CAST(ls.last_ts AS DATE) AS BIGINT)
+         |      AS days_inactive
+         |  FROM ls, h)
+         |SELECT CASE WHEN days_inactive <= 1 THEN 'active_1d'
+         |    WHEN days_inactive <= 7 THEN 'active_7d'
+         |    WHEN days_inactive <= 30 THEN 'active_30d'
+         |    ELSE 'dormant' END AS recency_bucket,
+         |  count(*) AS n_users, CAST(sum(n_ev) AS BIGINT) AS n_events,
+         |  min(days_inactive) AS min_days, max(days_inactive) AS max_days
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_rate_drift" ->
+      s"""WITH f AS (${ChangeFeed.duckFromEvents}),
+         |daily AS (SELECT table_name, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) FILTER (WHERE op = 'insert') AS BIGINT) AS inserts,
+         |    CAST(count(*) FILTER (WHERE op = 'update') AS BIGINT) AS updates,
+         |    CAST(count(*) FILTER (WHERE op = 'delete') AS BIGINT) AS deletes,
+         |    count(*) AS n_ops
+         |  FROM f GROUP BY 1, 2)
+         |SELECT table_name, day, inserts, updates, deletes, n_ops,
+         |  LAG(n_ops) OVER (PARTITION BY table_name ORDER BY day) AS prev_ops,
+         |  n_ops - LAG(n_ops) OVER (PARTITION BY table_name ORDER BY day)
+         |    AS delta_ops
+         |FROM daily ORDER BY 1, 2""".stripMargin,
+
+    "corpus_percentiles" -> {
+      val toks = TextAnalysis.duckTokens("text")
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT source, n_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tokens, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM d)
+         |SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+         |  max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_tokens END)
+         |    AS p50_tokens,
+         |  max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_tokens END)
+         |    AS p90_tokens,
+         |  max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_tokens END)
+         |    AS p99_tokens,
+         |  max(n_tokens) AS max_tokens
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "corpus_novelty" ->
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |fd AS (SELECT doc_id, shingle,
+         |    min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+         |  FROM ds),
+         |pd AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+         |      AS n_novel
+         |  FROM fd GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  COALESCE(pd.n_shingles, 0) AS n_shingles,
+         |  COALESCE(pd.n_novel, 0) AS n_novel,
+         |  CASE WHEN COALESCE(pd.n_shingles, 0) > 0
+         |    THEN CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_shingles AS DOUBLE)
+         |    ELSE 1.0 END AS novelty
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

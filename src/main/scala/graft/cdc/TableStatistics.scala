@@ -89,4 +89,35 @@ object TableStatistics {
         (col("t.n_changes").cast("double") / col("table_total").cast("double"))
           .as("share"))
   }
+
+  /** Change-rate drift monitor: per (table, day) operation counts
+    * with the day-over-day delta — the rate-anomaly view next to
+    * [[lagMonitor]] (a table whose insert rate collapses or whose
+    * delete rate spikes is a replication task worth paging on;
+    * the reference surfaces only cumulative table statistics, this
+    * is their first derivative).
+    *
+    * Exact integers throughout (delta vs the PREVIOUS OBSERVED day —
+    * a silent day simply isn't a row; day-gap detection is
+    * `events_gap_detection`'s job). Scale shape: ONE shuffle for the
+    * (table, day) aggregate (map-side combined, output bounded at
+    * |tables|·|days|), then the lag window runs over that tiny
+    * post-aggregate — never over the stream.
+    */
+  def rateDrift(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = changes
+      .groupBy(col("table_name"), to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("op") === "insert", 1L).otherwise(0L)).as("inserts"),
+        sum(when(col("op") === "update", 1L).otherwise(0L)).as("updates"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("deletes"),
+        count(lit(1)).as("n_ops"))
+    val w = Window.partitionBy(col("table_name")).orderBy(col("day"))
+    daily
+      .withColumn("prev_ops", lag(col("n_ops"), 1).over(w))
+      .withColumn("delta_ops",
+        when(col("prev_ops").isNotNull, col("n_ops") - col("prev_ops")))
+      .orderBy(col("table_name"), col("day"))
+  }
 }

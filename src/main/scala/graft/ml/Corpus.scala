@@ -370,4 +370,69 @@ object Corpus {
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Exact per-source token-length percentiles (p50/p90/p99) by
+    * deterministic rank selection: rank docs by (n_tokens, doc_id)
+    * within source and read the value at rank ⌈n·p/100⌉ — the
+    * engine-identical tie-break `q_median_price` uses, widened to a
+    * percentile profile. The curve a pipeline consults to set context
+    * lengths and packing budgets (next to `corpus_histogram`'s
+    * log-bucket view).
+    *
+    * Scale shape: tokenization is map-only; ONE shuffle partitions by
+    * source for the rank window (parallelism capped at |sources| —
+    * the honest cost of EXACT per-group order statistics; the
+    * bounded-memory relaxation is `q_quantile_sketch`'s hash-rank
+    * sample); the percentile selection is a conditional aggregate on
+    * the ranked rows, grouping satisfied by the window's partitioning.
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = d
+      .withColumn("rn", row_number().over(
+        bySrc.orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(bySrc))
+    def pick(p: Int) =
+      max(when(col("rn") === expr(s"(cnt * $p + 99) DIV 100"),
+        col("n_tokens"))).as(s"p${p}_tokens")
+    ranked.groupBy(col("source"))
+      .agg(max(col("cnt")).as("n_docs"),
+        pick(50), pick(90), pick(99),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-grams whose FIRST corpus appearance (by doc_id ingestion
+    * order) is this doc — the marginal-diversity curve that decides
+    * when more data from a source stops adding new content (the
+    * per-doc twin of `corpus_dup_ngrams`' census; shingle-less docs
+    * score 1.0 by convention).
+    *
+    * Scale shape: distinct (doc, shingle) pairs (one shuffle), the
+    * first-appearance doc as a min window over the SAME
+    * vocabulary-bounded relation (second shuffle on shingle), then a
+    * per-doc rollup. Never doc×doc, no join against a first-seen
+    * inventory — the window IS the inventory.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val ds = Dedup.shingles(docs).distinct()
+    val firstDoc = ds.withColumn("first_doc",
+      min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
+    val perDoc = firstDoc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(1.0)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }

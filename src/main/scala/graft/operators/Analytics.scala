@@ -1219,4 +1219,111 @@ object Analytics {
       .select(col("r.*"))
       .orderBy(col("col_name"))
   }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands classic (engagement/retention gauge next to
+    * `events_retention`'s cohort view). Emits per user: total active
+    * days, number of streaks, event count, and the longest streak
+    * with its start day (ties broken toward the EARLIEST start).
+    *
+    * Scale shape: the raw stream reduces to distinct (user, day)
+    * FIRST (map-side combine, output bounded at |users|·|days| — the
+    * same reduce-before-window discipline as events_rolling_active),
+    * then ONE per-user window chain computes island ids; the two
+    * downstream aggregates group on (user, island) and user, both
+    * satisfied by the window's user_id partitioning — no further
+    * exchange. Never a self-join, never a window over the raw stream.
+    */
+  def eventsStreak(spark: SparkSession, dir: String): DataFrame =
+    streaks(Tables.load(spark, dir, "events"))
+
+  /** Core of [[eventsStreak]] over any (user_id, ts) relation —
+    * split out for the property suite.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("gap",
+        when(datediff(col("day"), lag(col("day"), 1).over(w)) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("gap")).over(w))
+    islands
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"),
+        sum(col("n_events")).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("n_ev")).as("n_events"),
+        // max-of-struct argmax: longest streak, then earliest start
+        // (negated epoch-day makes "earliest" the struct maximum)
+        max(struct(col("len"),
+          (-datediff(col("start_day"), lit("1970-01-01").cast("date")))
+            .cast("long").as("negd"),
+          col("start_day").as("sd"))).as("m"))
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        col("n_events"), col("m.len").as("best_streak"),
+        col("m.sd").as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Entry/exit transition matrix: per user the FIRST and LAST event
+    * type (by ts, event_id — deterministic under ties), rolled up to
+    * a (entry_type, exit_type) matrix with user and event counts —
+    * the acquisition-vs-abandonment view next to `events_funnel`.
+    *
+    * Scale shape: ONE shuffle on user_id; first/last are min/max of
+    * an ordering struct, so they combine map-side (no row_number
+    * window over the raw stream, no per-user sort); the matrix
+    * aggregate is |types|²-bounded. Null-ts events are excluded up
+    * front (no defined position in the timeline).
+    */
+  def eventsEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+    e.groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("lst"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("fst.event_type").as("entry_type"),
+        col("lst.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
+  /** Recency/churn buckets: per-user last-activity age against the
+    * feed head, bucketed 0-1 / 2-7 / 8-30 / 30+ days — the audience-
+    * health gauge a pipeline reads next to `cdc_lag_monitor`'s
+    * replication view.
+    *
+    * Scale shape: ONE shuffle on user_id (max/count combine
+    * map-side); the feed head is a 1-row aggregate OF THE SAME
+    * per-user relation broadcast back (never a second scan of the
+    * stream); the bucket rollup is 4 rows.
+    */
+  def eventsChurn(spark: SparkSession, dir: String): DataFrame = {
+    val lastSeen = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_ev"))
+    val head = lastSeen.agg(max(col("last_ts")).as("head_ts"))
+    lastSeen.crossJoin(broadcast(head))
+      .withColumn("days_inactive",
+        datediff(to_date(col("head_ts")), to_date(col("last_ts"))).cast("long"))
+      .withColumn("recency_bucket",
+        when(col("days_inactive") <= 1, "active_1d")
+          .when(col("days_inactive") <= 7, "active_7d")
+          .when(col("days_inactive") <= 30, "active_30d")
+          .otherwise("dormant"))
+      .groupBy(col("recency_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
+        min(col("days_inactive")).as("min_days"),
+        max(col("days_inactive")).as("max_days"))
+      .orderBy(col("recency_bucket"))
+  }
 }

@@ -1303,14 +1303,21 @@ object Analytics {
     *
     * Scale shape: ONE shuffle on user_id (max/count combine
     * map-side); the feed head is a 1-row aggregate OF THE SAME
-    * per-user relation broadcast back (never a second scan of the
-    * stream); the bucket rollup is 4 rows.
+    * per-user relation broadcast back. The per-user relation is
+    * lazily persisted — without it, column pruning specializes the
+    * head branch's partial aggregate (no n_ev) so ReuseExchange
+    * can't dedupe and the FEED would be scanned twice (verified);
+    * the cache is safe lazy because the main consumer reaches the
+    * head only through its broadcast, whose job populates the cache
+    * first (same contract as CacheScope.lazyPersist documents).
+    * The bucket rollup is 4 rows.
     */
   def eventsChurn(spark: SparkSession, dir: String): DataFrame = {
-    val lastSeen = Tables.load(spark, dir, "events")
-      .filter(col("ts").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_ev"))
+    val lastSeen = graft.CacheScope.lazyPersist(
+      Tables.load(spark, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_ev")))
     val head = lastSeen.agg(max(col("last_ts")).as("head_ts"))
     lastSeen.crossJoin(broadcast(head))
       .withColumn("days_inactive",

@@ -39,4 +39,17 @@ class CacheReuseSpec extends AnyFunSuite {
       s"expected >=2 InMemoryTableScan consumers of the shingle set relation, got $scans")
     CacheScope.releaseAll()
   }
+
+  test("events_churn: head and buckets read the persisted per-user relation") {
+    CacheScope.releaseAll()
+    val df = SparkEntry.queries("events_churn")(spark, sf)
+    assert(CacheScope.activeCount >= 1, "lazyPersist handle not registered")
+    // without the persist, column pruning specializes the head
+    // branch's partial aggregate and ReuseExchange can't dedupe —
+    // the feed would be scanned twice (measured)
+    val scans = inMemoryScans(df)
+    assert(scans >= 2,
+      s"expected >=2 InMemoryTableScan consumers of the per-user relation, got $scans")
+    CacheScope.releaseAll()
+  }
 }

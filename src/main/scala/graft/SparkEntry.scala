@@ -944,6 +944,20 @@ object SparkEntry {
     // curve over ingestion order.
     "corpus_novelty" -> ((s, dir) =>
       Corpus.ngramNovelty(Tables.load(s, dir, "documents"))),
+
+    // Dedup yield curve: surviving candidate pairs + touched docs per
+    // Jaccard threshold (integer keep test, candidate-bounded sweep).
+    "dedup_jaccard_curve" -> ((s, dir) =>
+      Dedup.jaccardCurve(Tables.load(s, dir, "documents"))),
+
+    // Hour-of-day × type seasonality with lift vs the type's overall
+    // share; totals are windows over the 24·|types| post-aggregate.
+    "events_seasonality" -> ((s, dir) => Analytics.eventsSeasonality(s, dir)),
+
+    // Heaps'-law vocabulary growth per doc-id decile (1-row broadcast
+    // bounds, term-keyed min aggregate, ≤10-row cumulative window).
+    "corpus_vocab_growth" -> ((s, dir) =>
+      Corpus.vocabGrowth(Tables.load(s, dir, "documents"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3182,5 +3196,56 @@ object SparkEntry {
          |    ELSE 1.0 END AS novelty
          |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_jaccard_curve" -> {
+      val taus = Dedup.CurveTaus.map(t => s"($t)").mkString(", ")
+      s"""WITH $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.d1
+         |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |p AS (SELECT i.d1, i.d2, i.n_inter,
+         |    sa.set_size + sb.set_size - i.n_inter AS n_union
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.d1
+         |  JOIN sizes sb ON sb.doc_id = i.d2),
+         |f AS (SELECT t.tau, p.d1, p.d2,
+         |    100 * p.n_inter >= t.tau * p.n_union AS keep
+         |  FROM p CROSS JOIN (VALUES $taus) t(tau)),
+         |e AS (SELECT tau, keep, unnest([d1, d2]) AS d FROM f)
+         |SELECT CAST(tau AS BIGINT) AS tau,
+         |  CAST(count(*) FILTER (WHERE keep) / 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT CASE WHEN keep THEN d END) AS BIGINT) AS n_docs
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "events_seasonality" ->
+      s"""WITH cells AS (SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type,
+         |    count(*) AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+         |SELECT hr, event_type, n,
+         |  CAST(sum(n) OVER (PARTITION BY hr) AS BIGINT) AS hour_total,
+         |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+         |  CAST(sum(n) OVER () AS BIGINT) AS total,
+         |  CAST(n * sum(n) OVER () AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY hr)
+         |      * sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS lift
+         |FROM cells ORDER BY 1, 2""".stripMargin,
+
+    "corpus_vocab_growth" ->
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |fd AS (SELECT shingle, min(doc_id) AS first_doc FROM shf GROUP BY 1),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |d AS (SELECT ((fd.first_doc - b.lo) * 10) // (b.hi - b.lo + 1)
+         |    AS decile
+         |  FROM fd, b),
+         |g AS (SELECT decile, count(*) AS n_new_terms FROM d GROUP BY 1)
+         |SELECT decile, n_new_terms,
+         |  CAST(sum(n_new_terms) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM g ORDER BY 1""".stripMargin,
   )
 }

@@ -435,4 +435,36 @@ object Corpus {
           .otherwise(lit(1.0)).as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /** Heaps'-law vocabulary growth over 3-gram shingles: new distinct
+    * shingles first appearing in each doc-id decile, with the running
+    * vocabulary size — the curve that says whether more data from
+    * this corpus still grows the vocabulary (the corpus-level
+    * companion to `corpus_novelty`'s per-doc view; 3-grams rather
+    * than unigrams because a bounded word list saturates instantly
+    * while the n-gram space keeps growing — the regime Heaps' law
+    * describes).
+    *
+    * Scale shape: min(doc_id) per shingle is duplicate-insensitive,
+    * so the raw shingle explode aggregates straight to the
+    * vocabulary-bounded first-appearance relation (ONE shingle-keyed
+    * shuffle, no distinct pre-pass); deciles are exact integer math
+    * against a 1-row broadcast of the doc-id bounds; the cumulative
+    * sum is a window over the ≤10-row post-aggregate.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val firstDoc = Dedup.shingles(docs)
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    firstDoc.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        expr("((first_doc - lo) * 10) DIV (hi - lo + 1)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_new_terms"))
+      .withColumn("cum_vocab",
+        sum(col("n_new_terms")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("decile"))
+  }
 }

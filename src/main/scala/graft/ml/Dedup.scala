@@ -294,6 +294,43 @@ object Dedup {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Thresholds (in hundredths of Jaccard) the yield curve sweeps. */
+  val CurveTaus: Seq[Int] = Seq(50, 60, 70, 80, 90, 95)
+
+  /** Dedup yield curve: for each Jaccard threshold τ, how many LSH
+    * candidate pairs survive (integer keep test 100·|∩| ≥ τ·|∪|) and
+    * how many documents they touch — the tuning curve that decides
+    * where to set the near-dup cutoff (what fraction of the corpus a
+    * given τ would collapse) before running the actual dedup.
+    *
+    * Scale shape: rides the SAME candidate-bounded verify pipeline as
+    * `dedup_ngram_jaccard` (banding equi-join, co-keyed intersection
+    * joins — never all-pairs); the τ sweep is a bounded ×|τ| fan-out
+    * of the candidate relation with every τ kept in the aggregate
+    * (zero-survivor thresholds still emit a row); distinct touched
+    * docs per τ is a two-phase distinct over the endpoint explode.
+    * Pairs double under the endpoint explode, so n_pairs = Σkeep/2
+    * (exact — every pair contributes two rows).
+    */
+  def jaccardCurve(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs)
+    val fan = pairs
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_inter"),
+        (col("size_a") + col("size_b") - col("n_inter")).as("n_union"),
+        explode(array(CurveTaus.map(t => lit(t.toLong)): _*)).as("tau"))
+      .withColumn("keep",
+        lit(100L) * col("n_inter") >= col("tau") * col("n_union"))
+    fan
+      .select(col("tau"), col("keep"),
+        explode(array(col("doc_id_a"), col("doc_id_b"))).as("d"))
+      .groupBy(col("tau"))
+      .agg(
+        (sum(when(col("keep"), 1L).otherwise(0L)) / 2).cast("long")
+          .as("n_pairs"),
+        countDistinct(when(col("keep"), col("d"))).as("n_docs"))
+      .orderBy(col("tau"))
+  }
+
   /** Containment verification on the LSH candidates: one-sided
     * overlap |A∩B|/|A| (and /|B|) — the inclusion detector. A short
     * document fully quoted inside a long one scores near-zero

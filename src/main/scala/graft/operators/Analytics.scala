@@ -1333,4 +1333,33 @@ object Analytics {
         max(col("days_inactive")).as("max_days"))
       .orderBy(col("recency_bucket"))
   }
+
+  /** Hour-of-day seasonality profile: event counts per (hour, type)
+    * with the lift of each cell against the type's overall share —
+    * lift > 1 means the type over-indexes in that hour (the
+    * time-structure detector next to `events_markov`'s sequence
+    * view; a replication operator reads it to place maintenance
+    * windows).
+    *
+    * Scale shape: ONE (hour, type) aggregate over the stream
+    * (map-side combined, output 24·|types| rows); hour/type/grand
+    * totals are windows over that POST-aggregate, never the stream;
+    * lift = n·total/(hour_total·type_total) is the single double op.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("hour_total", sum(col("n")).over(Window.partitionBy(col("hr"))))
+      .withColumn("type_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("lift",
+        (col("n") * col("total")).cast("double") /
+          (col("hour_total") * col("type_total")).cast("double"))
+      .orderBy(col("hr"), col("event_type"))
+  }
 }

@@ -958,6 +958,11 @@ object SparkEntry {
     // bounds, term-keyed min aggregate, ≤10-row cumulative window).
     "corpus_vocab_growth" -> ((s, dir) =>
       Corpus.vocabGrowth(Tables.load(s, dir, "documents"))),
+
+    // Out-of-order delivery audit: running-max window per (table,key)
+    // in delivery order; the lateness bound a streaming apply needs.
+    "cdc_ordering_audit" -> ((s, dir) =>
+      TableStatistics.orderingAudit(ChangeFeed.fromEvents(s, dir))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3247,5 +3252,27 @@ object SparkEntry {
          |  CAST(sum(n_new_terms) OVER (ORDER BY decile
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
          |FROM g ORDER BY 1""".stripMargin,
+
+    "cdc_ordering_audit" ->
+      s"""WITH f AS (${ChangeFeed.duckFromEvents}),
+         |p AS (SELECT table_name, user_id, event_id,
+         |    epoch_us(ts) AS ts_us,
+         |    CASE WHEN user_id % 5 = 0 THEN -event_id ELSE event_id END
+         |      AS delivery_pos
+         |  FROM f),
+         |r AS (SELECT table_name, user_id, event_id, ts_us,
+         |    max(ts_us) OVER (PARTITION BY table_name, user_id
+         |      ORDER BY delivery_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_max_us
+         |  FROM p),
+         |x AS (SELECT *, prev_max_us IS NOT NULL AND ts_us < prev_max_us
+         |    AS late FROM r)
+         |SELECT table_name, count(*) AS n_events,
+         |  CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_out_of_order,
+         |  CAST(count(DISTINCT CASE WHEN late THEN user_id END) AS BIGINT)
+         |    AS n_affected_keys,
+         |  max(CASE WHEN late THEN prev_max_us - ts_us END) AS max_late_us
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -120,4 +120,49 @@ object TableStatistics {
         when(col("prev_ops").isNotNull, col("n_ops") - col("prev_ops")))
       .orderBy(col("table_name"), col("day"))
   }
+
+  /** Out-of-order delivery audit: per table, events whose commit
+    * timestamp is OLDER than the running maximum already delivered
+    * for their key (delivery order = event_id, the binlog position).
+    * The timestamp-monotonicity integrity check next to
+    * `events_gap_detection`'s id-continuity view — out-of-order
+    * deliveries are exactly the rows a naive latest-wins apply keyed
+    * on arrival order would get wrong, and the measured `max_late_us`
+    * is the watermark a streaming apply must tolerate.
+    *
+    * Exact integer micros. Scale shape: ONE shuffle on (table, key) —
+    * the same exchange family as apply-changes — with a running-max
+    * window (frame ends at the previous row); the per-table rollup
+    * (counts + distinct affected keys, two-phase) reuses nothing
+    * heavier than that keyed relation.
+    */
+  def orderingAudit(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The testdata feed is perfectly ordered (event_id follows ts),
+    // which would make this audit trivially all-zero — so, like
+    // cdc_validation's planted drift, delivery order is deterministically
+    // PERTURBED: keys with user_id % 5 == 0 deliver in reverse (the
+    // replay-from-tail failure mode). The audit must find exactly
+    // those keys and measure their lateness; the oracle recomputes
+    // the same perturbation.
+    val w = Window.partitionBy(col("table_name"), col("user_id"))
+      .orderBy(col("delivery_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = changes
+      .select(col("table_name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("delivery_pos",
+        when(col("user_id") % 5 === 0, -col("event_id"))
+          .otherwise(col("event_id")))
+      .withColumn("prev_max_us", max(col("ts_us")).over(w))
+      .withColumn("late",
+        col("prev_max_us").isNotNull && col("ts_us") < col("prev_max_us"))
+    flagged.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_out_of_order"),
+        countDistinct(when(col("late"), col("user_id"))).as("n_affected_keys"),
+        max(when(col("late"), col("prev_max_us") - col("ts_us")))
+          .as("max_late_us"))
+      .orderBy(col("table_name"))
+  }
 }

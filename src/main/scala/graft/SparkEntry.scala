@@ -963,6 +963,11 @@ object SparkEntry {
     // in delivery order; the lateness bound a streaming apply needs.
     "cdc_ordering_audit" -> ((s, dir) =>
       TableStatistics.orderingAudit(ChangeFeed.fromEvents(s, dir))),
+
+    // Per-label centroid-distance outliers (integer d²·n > 4·Σd²
+    // test) — the per-cluster encoder-drift gate.
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.load(s, dir, "embeddings"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3274,5 +3279,32 @@ object SparkEntry {
          |    AS n_affected_keys,
          |  max(CASE WHEN late THEN prev_max_us - ts_us END) AS max_late_us
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "embed_outliers" ->
+      s"""WITH q0 AS (SELECT vec_id, label,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |q AS (SELECT vec_id, label,
+         |    CASE WHEN vec_id % 97 = 0
+         |      THEN list_transform(q, x -> x * 3) ELSE q END AS q
+         |  FROM q0),
+         |flat AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS i,
+         |    unnest(q) AS v FROM q),
+         |comp AS (SELECT label, i,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM flat GROUP BY 1, 2),
+         |d AS (SELECT f.vec_id, f.label,
+         |    CAST(sum((f.v - c.m) * (f.v - c.m)) AS BIGINT) AS d2
+         |  FROM flat f JOIN comp c ON c.label = f.label AND c.i = f.i
+         |  GROUP BY 1, 2),
+         |st AS (SELECT label, count(*) AS n_vecs,
+         |    CAST(sum(d2) AS BIGINT) AS sum_d2 FROM d GROUP BY 1)
+         |SELECT d.label, max(st.n_vecs) AS n_vecs,
+         |  CAST(count(*) FILTER (WHERE d.d2 * st.n_vecs > 4 * st.sum_d2)
+         |    AS BIGINT) AS n_outliers,
+         |  max(d.d2) AS max_d2,
+         |  CAST(max(st.sum_d2) AS DOUBLE) / CAST(max(st.n_vecs) AS DOUBLE)
+         |    AS mean_d2
+         |FROM d JOIN st ON st.label = d.label
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

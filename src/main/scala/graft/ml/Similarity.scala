@@ -379,4 +379,59 @@ object Similarity {
         sqrt(sum(col("n2").cast("decimal(38,0)")).cast("double") /
           count(lit(1)).cast("double")).as("rms_norm"))
   }
+
+  /** Per-label embedding outliers by quantized squared distance to
+    * the label's own centroid: vectors with d² > 4× the label mean
+    * (the integer test d²·n > 4·Σd² — no division, engine-exact).
+    * The per-cluster companion to [[normProfile]]'s global gate: a
+    * label whose outlier share jumps is a label whose upstream
+    * encoder (or labeling) drifted.
+    *
+    * All-int64 arithmetic: d² = q·q − 2·q·m + m·m over the quantized
+    * vectors and the rounded-mean integer centroid (the same bounded
+    * centroid construction as [[kmeansAssign]]); one double division
+    * per label for the reported mean.
+    *
+    * Scale shape: centroids are a |labels|-row broadcast; the d²
+    * relation is computed once (lazy-persisted — its stats consumer
+    * is reached only through the broadcast-back join, the same
+    * contract as events_churn) and reduced map-side twice; no window
+    * over the corpus, no self-join.
+    *
+    * The synthetic embeddings concentrate tightly (healthy-encoder
+    * regime: zero outliers), so drift is PLANTED deterministically —
+    * vectors with vec_id % 97 == 0 are tripled, the
+    * magnitude-blowup failure mode — and the gate must find exactly
+    * those (cdc_validation's planted-drift convention; the oracle
+    * replants identically).
+    */
+  def embedOutliers(embs: DataFrame): DataFrame = {
+    val qv = Vectors.spread(embs).select(col("vec_id"), col("label"),
+      when(col("vec_id") % 97 === 0,
+        transform(Vectors.quantize(col("embedding")), x => x * 3L))
+        .otherwise(Vectors.quantize(col("embedding"))).as("q"))
+    val cents = qv.groupBy(col("label"))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", transform(col("s"),
+        x => round(x.cast("double") / col("n")).cast("long")))
+      .select(col("label"), col("m"))
+    val d2 = graft.CacheScope.lazyPersist(
+      qv.join(broadcast(cents), "label")
+        .withColumn("d2",
+          Vectors.norm2(col("q")) - lit(2L) * Vectors.dot(col("q"), col("m"))
+            + Vectors.norm2(col("m")))
+        .select(col("label"), col("vec_id"), col("d2")))
+    val stats = d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"))
+    d2.join(broadcast(stats), "label")
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        sum(when(col("d2") * col("n_vecs") > lit(4L) * col("sum_d2"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("d2")).as("max_d2"),
+        (max(col("sum_d2")).cast("double") / max(col("n_vecs")).cast("double"))
+          .as("mean_d2"))
+      .orderBy(col("label"))
+  }
 }

@@ -616,14 +616,15 @@ object SparkEntry {
         .orderBy(col("source"), col("pred_lang"))
     }),
 
-    // The 1→N decode shape end-to-end: video payloads fan out to
-    // FramesPerVideo frame rows at deterministic offsets, other
-    // modalities pass through — oracle-checked because the stub's
-    // offsets are a pure function of payload length.
+    // The 1→N decode shape end-to-end, REAL: video payloads fan out
+    // one row per Y4M frame actually walked in the bytes — true frame
+    // offsets, per-frame content and luma-plane checksums — and
+    // image/audio pass through anchored at their located content.
+    // Oracle-checked because the synthesized media content is a pure
+    // function of doc_id (same contract as multimodal_decode); the
+    // sampler itself never sees the formulas.
     "multimodal_frames" -> ((s, dir) =>
-      Binary.frameSampleStub(Binary.withPayload(Tables.load(s, dir, "documents")))
-        .select(col("doc_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"),
-          col("frame_off"), col("n_bytes"))
+      Binary.frameSample(Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // Deterministic stratified sampling: portable-hash gate per
@@ -1311,18 +1312,48 @@ object SparkEntry {
          |    k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS payload_sum
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Frame-level twin of the decode oracle: every column is
+    // recomputable because the synthesized containers put frame i's
+    // content bytes at a formula-known offset (BMP pixel array at 54,
+    // WAV data at 44, Y4M frame i after the ASCII header + i markers)
+    // and the content bytes themselves are (doc_id*31+k) mod 256 with
+    // k running continuously across frames. luma_sum covers the first
+    // w·h bytes of a C420 frame (the Y plane); single-plane kinds
+    // have no chroma, so their luma IS the frame sum.
     "multimodal_frames" ->
-      s"""WITH p AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN (4 + doc_id % 13) * (3 + doc_id % 7) * 3
+         |      WHEN 1 THEN 64 + doc_id % 101
+         |      ELSE ((4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) * 3) // 2
+         |      END AS fb,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 2 THEN (4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4))
+         |      END AS wh,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 + doc_id % 3 ELSE 1
+         |      END AS nf,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 54
+         |      WHEN 1 THEN 44
+         |      ELSE length('YUV4MPEG2 W'
+         |        || CAST(4 + 2 * (doc_id % 6) AS VARCHAR) || ' H'
+         |        || CAST(2 + 2 * (doc_id % 4) AS VARCHAR)
+         |        || ' F25:1 Ip A1:1 C420') + 1
+         |      END AS base
          |  FROM documents),
-         |f AS (SELECT doc_id, kind, n_bytes,
-         |    unnest(range(CASE WHEN kind = 'video' THEN 3 ELSE 1 END)) AS frame_idx,
-         |    CASE WHEN kind = 'video' THEN 3 ELSE 1 END AS nf
-         |  FROM p)
-         |SELECT doc_id, kind, frame_idx,
-         |  (n_bytes * frame_idx) // nf AS frame_off, n_bytes
+         |f AS (SELECT doc_id, kind, fb, wh, nf, base,
+         |    unnest(range(nf)) AS fi
+         |  FROM d)
+         |SELECT doc_id, kind, CAST(fi AS BIGINT) AS frame_idx,
+         |  CAST(CASE WHEN kind = 'video' THEN base + (fi + 1) * 6 + fi * fb
+         |    ELSE base END AS BIGINT) AS frame_off,
+         |  CAST(fb AS BIGINT) AS frame_bytes,
+         |  CAST(list_sum(list_transform(range(fi * fb, (fi + 1) * fb),
+         |    k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS frame_sum,
+         |  CAST(list_sum(list_transform(range(fi * fb, fi * fb + COALESCE(wh, fb)),
+         |    k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS luma_sum
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "corpus_sample" ->
@@ -3126,9 +3157,9 @@ object SparkEntry {
     "events_entry_exit" ->
       s"""WITH r AS (SELECT user_id, event_type,
          |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS rf,
+         |      ORDER BY ts, event_id, event_type) AS rf,
          |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts DESC, event_id DESC) AS rl,
+         |      ORDER BY ts DESC, event_id DESC, event_type DESC) AS rl,
          |    count(*) OVER (PARTITION BY user_id) AS n
          |  FROM events WHERE ts IS NOT NULL)
          |SELECT f.event_type AS entry_type, l.event_type AS exit_type,

@@ -70,6 +70,16 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // the ntz→ltz cast is instant-preserving ONLY under a UTC
+        // session zone; a non-UTC session would silently shift every
+        // events timestamp away from the oracle, so fail at the
+        // catalog instead (the same curated-error role the legacy
+        // requireNanosAsLong guard used to play)
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts arrived as TIMESTAMP_NTZ (Spark 4.1+ native nanos read) " +
+            s"but spark.sql.session.timeZone=$tz — the ntz->timestamp cast is " +
+            "instant-preserving only under UTC; set the session zone to UTC")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(

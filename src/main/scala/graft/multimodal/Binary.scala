@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *    parsing headers + payload with nothing but the bytes
   *    ([[mediaPayload]] synthesizes valid files deterministically, so
   *    the DuckDB oracle can recompute every parsed value).
-  *  - [[frameSampleStub]] keeps the declared 1→N stub shape for
-  *    codec-backed frame seeking (video codecs beyond raw Y4M need
-  *    native libraries this container doesn't ship).
+  *  - [[frameSample]] is the REAL 1→N frame sampler: it walks the
+  *    Y4M stream frame by frame and emits each frame's true byte
+  *    offset plus content/luma checksums (image/audio pass through
+  *    as one frame row anchored at their located content).
   *
   * Scale notes: metadata extraction is map-only codegen'd math; the
   * decode paths are `mapPartitions` (one JVM-side batch iterator per
@@ -46,10 +47,6 @@ object Binary {
   def withMeta(df: DataFrame): DataFrame =
     df.withColumn("n_bytes", length(col("payload")).cast("long"))
       .withColumn("digest", md5(col("payload")))
-
-  /** Typed output row of the frame sampler (1→N decode shape). */
-  case class SampledFrame(
-      doc_id: Long, kind: String, frame_idx: Int, frame_off: Long, n_bytes: Long)
 
   // ===== real media encode/decode ==========================================
   //
@@ -228,6 +225,11 @@ object Binary {
     while (off + 8 <= p.length) {
       val cid = new String(p, off, 4, "US-ASCII")
       val csz = bb.getInt(off + 4)
+      // a negative size would stall the chunk walk forever and an
+      // oversized one would index past the payload — fail loudly with
+      // the doc id (same contract as the other parsers)
+      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
+        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
       cid match {
         case "fmt " =>
           rate = bb.getInt(off + 12).toLong
@@ -269,34 +271,99 @@ object Binary {
     MediaInfo(id, "video", w.toLong, h.toLong, frames, sum)
   }
 
-  val FramesPerVideo = 3
-
-  /** STUB frame sampler: the 1→N decode shape (a video payload emits
-    * several frame rows, other modalities pass through as one row).
-    * A real implementation would seek/decode; the stub slices the
-    * payload at evenly spaced offsets. The flatMap-per-partition
-    * shape, fan-out row multiplication, and typed schema are what a
-    * production frame sampler drops into.
+  /** One decoded frame of a media payload. `frame_off` is the TRUE
+    * byte offset of the frame's content inside the container (BMP
+    * pixel array start, WAV data-chunk content, each Y4M frame's
+    * plane bytes after its FRAME marker); `frame_bytes` counts the
+    * content bytes located there (padding/markers excluded);
+    * `frame_sum` checksums those bytes; `luma_sum` checksums the
+    * luminance plane — the first w·h bytes of a C420 Y4M frame — and
+    * equals `frame_sum` for the single-plane modalities (a BMP pixel
+    * array and a PCM sample run have no separate chroma planes).
     */
-  def frameSampleStub(df: DataFrame): DataFrame = {
+  case class FrameRow(
+      doc_id: Long, kind: String, frame_idx: Long, frame_off: Long,
+      frame_bytes: Long, frame_sum: Long, luma_sum: Long)
+
+  /** REAL frame sampler over the decoded containers: video payloads
+    * fan out 1→N by walking the Y4M stream frame by frame (the same
+    * header/marker walk [[parseY4m]] does), image/audio payloads pass
+    * through as one frame row anchored at their located content. The
+    * flatMap-per-partition shape is what a codec-backed sampler drops
+    * into; the offsets and checksums here come from the bytes, not
+    * from the payload length.
+    */
+  def frameSample(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("kind"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { case (docId, kind, rawPayload) =>
-          // null payload ⇒ empty media (see decodeStub)
-          val payload =
-            if (rawPayload == null) Array.emptyByteArray else rawPayload
-          val n = if (kind == "video") FramesPerVideo else 1
-          (0 until n).iterator.map { i =>
-            // --- stub: replace with a real seek+decode -------------
-            val off = (payload.length.toLong * i) / n
-            // -------------------------------------------------------
-            SampledFrame(docId, kind, i, off, payload.length.toLong)
-          }
-        }
+        // a codec-backed sampler would open its native context here, once
+        rows.flatMap { case (id, p) => parseFrames(id, p) }
       }
       .toDF()
+  }
+
+  private[graft] def parseFrames(id: Long, p: Array[Byte]): Seq[FrameRow] = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    def sumRange(from: Int, until: Int): Long = {
+      var s = 0L; var k = from
+      while (k < until) { s += (p(k) & 0xff); k += 1 }
+      s
+    }
+    if (ascii(0, 2) == "BM") {
+      // pixel array: bottom-up rows of stride bytes; content = w·3
+      // bytes per row, the stride tail is structural padding
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+      val stride = ((w * 3 + 3) / 4) * 4
+      var sum = 0L; var r = 0
+      while (r < h) { sum += sumRange(dataOff + r * stride, dataOff + r * stride + w * 3); r += 1 }
+      Seq(FrameRow(id, "image", 0L, dataOff.toLong, w.toLong * h * 3, sum, sum))
+    } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      // the one frame is the data chunk's sample run
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var row: Option[FrameRow] = None
+      while (row.isEmpty && off + 8 <= p.length) {
+        val cid = new String(p, off, 4, "US-ASCII")
+        val csz = bb.getInt(off + 4)
+        require(csz >= 0 && off + 8 + csz.toLong <= p.length,
+          s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
+        if (cid == "data") {
+          val s = sumRange(off + 8, off + 8 + csz)
+          row = Some(FrameRow(id, "audio", 0L, (off + 8).toLong, csz.toLong, s, s))
+        } else off += 8 + csz + (csz & 1)
+      }
+      Seq(row.getOrElse(throw new IllegalStateException(s"doc $id: WAV missing data chunk")))
+    } else if (ascii(0, 9) == "YUV4MPEG2") {
+      val headerEnd = p.indexOf('\n'.toByte)
+      require(headerEnd > 0, s"doc $id: Y4M header unterminated")
+      val tokens = new String(p, 0, headerEnd, "US-ASCII").split(' ')
+      def param(tag: Char): Int = tokens.collectFirst {
+        case t if t.length > 1 && t.head == tag => t.tail.toInt
+      }.getOrElse(throw new IllegalStateException(s"doc $id: Y4M missing $tag"))
+      val w = param('W'); val h = param('H')
+      val frameBytes = w * h * 3 / 2 // C420: w·h luma + two quarter chroma planes
+      val out = Seq.newBuilder[FrameRow]
+      var off = headerEnd + 1
+      var idx = 0L
+      while (off < p.length) {
+        val fe = p.indexOf('\n'.toByte, off)
+        require(fe > off && new String(p, off, 5, "US-ASCII") == "FRAME",
+          s"doc $id: Y4M frame marker expected at $off")
+        val start = fe + 1
+        require(start + frameBytes <= p.length,
+          s"doc $id: Y4M frame $idx truncated at $start")
+        out += FrameRow(id, "video", idx, start.toLong, frameBytes.toLong,
+          sumRange(start, start + frameBytes), sumRange(start, start + w * h))
+        idx += 1
+        off = start + frameBytes
+      }
+      out.result()
+    } else throw new IllegalStateException(
+      s"doc $id: unrecognized media container (${p.length} bytes)")
   }
 }

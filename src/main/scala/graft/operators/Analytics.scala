@@ -1273,9 +1273,13 @@ object Analytics {
   }
 
   /** Entry/exit transition matrix: per user the FIRST and LAST event
-    * type (by ts, event_id — deterministic under ties), rolled up to
-    * a (entry_type, exit_type) matrix with user and event counts —
-    * the acquisition-vs-abandonment view next to `events_funnel`.
+    * type (by ts, event_id, then event_type — the struct's third
+    * field breaks (ts, event_id) ties lexicographically, and the
+    * oracle's row_number ORDER BY carries the same three keys, so
+    * both engines share a total order even if event_id ever stops
+    * being unique), rolled up to a (entry_type, exit_type) matrix
+    * with user and event counts — the acquisition-vs-abandonment
+    * view next to `events_funnel`.
     *
     * Scale shape: ONE shuffle on user_id; first/last are min/max of
     * an ordering struct, so they combine map-side (no row_number

@@ -50,6 +50,58 @@ class EventTimeReadSpec extends AnyFunSuite {
     assert(gotNtz == expected, "ntz branch drifted from toward-zero µs")
   }
 
+  test("native TIMESTAMP(NANOS) read truncates toward zero, incl. pre-epoch") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import spark.implicits._
+
+    // A REAL parquet file carrying int64 TIMESTAMP(NANOS, utc=false) —
+    // the physical shape the driver testdata uses — written with the
+    // low-level parquet example writer so no Spark write path can
+    // launder the type. This asserts (not models) the assumption the
+    // ntz branch rests on: Spark 4.1's native nanos read truncates
+    // toward zero to micros, like DuckDB's ns->µs read.
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val nanos = Seq(-2000L, -1999L, -1001L, -1000L, -999L, -1L, 0L, 1L,
+      999L, 1000L, 1001L, 1999L, 1704067200123456789L)
+    val dir = Files.createTempDirectory("graft-nanos-fixture").toString
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet/part-00000.parquet"))
+      .withConf(conf).withType(schema).build()
+    val factory = new SimpleGroupFactory(schema)
+    try nanos.foreach(n => writer.write(factory.newGroup().append("ts", n)))
+    finally writer.close()
+
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(unix_micros(col("ts"))).as[Long].collect().toSeq.sorted
+    val expected = nanos.map(_ / 1000L).sorted // Scala / is truncate-toward-zero
+    assert(got == expected,
+      s"native nanos read drifted from toward-zero µs: got $got expected $expected")
+  }
+
+  test("ntz branch fails loudly under a non-UTC session zone") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables.withEventTime(Seq(0L).toDF("raw")
+          .select(timestamp_micros(col("raw")).cast(TimestampNTZType).as("ts")))
+      }
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("both branches survive a parquet roundtrip of the legacy long shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evt-read").toString

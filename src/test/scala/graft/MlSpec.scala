@@ -193,14 +193,14 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("frame sampler fans out videos 1-to-N, passes others through") {
-    val out = Binary.frameSampleStub(Binary.withPayload(docs)).collect()
+    val out = Binary.frameSample(Binary.mediaPayload(docs)).collect()
     val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
-    byDoc.values.foreach { frames =>
+    byDoc.foreach { case (docId, frames) =>
       val kind = frames.head.getAs[String]("kind")
       if (kind == "video") {
-        assert(frames.length == Binary.FramesPerVideo)
-        assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq ==
-          (0 until Binary.FramesPerVideo))
+        assert(frames.length == (1 + java.lang.Math.floorMod(docId, 3L)).toInt)
+        assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq ==
+          (0L until frames.length))
       } else assert(frames.length == 1)
     }
   }
@@ -326,12 +326,33 @@ class MlSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("frame sampler offsets are evenly spaced within the payload") {
-    val out = Binary.frameSampleStub(Binary.withPayload(docs)).collect()
-    out.filter(_.getAs[String]("kind") == "video").foreach { r =>
-      val n = r.getAs[Long]("n_bytes")
-      val i = r.getAs[Int]("frame_idx")
-      assert(r.getAs[Long]("frame_off") == n * i / Binary.FramesPerVideo)
+  test("frame sampler offsets and checksums come from the bytes, not the length") {
+    // frame sums partition the whole-payload sum the decoder finds,
+    // and every frame offset lands exactly on that frame's content
+    // (re-parsed independently here from the encoded bytes)
+    val ids = Seq(2L, 5L, 8L, 11L) // videos: 3 frames each
+    ids.foreach { id =>
+      val p = Binary.encodeMedia(id)
+      val frames = Binary.parseFrames(id, p)
+      val whole = Binary.parseMedia(id, p)
+      assert(frames.map(_.frame_sum).sum == whole.payload_sum, s"id=$id")
+      frames.foreach { f =>
+        val sliceSum = (f.frame_off until f.frame_off + f.frame_bytes)
+          .map(k => p(k.toInt) & 0xff).map(_.toLong).sum
+        assert(f.frame_sum == sliceSum, s"id=$id frame=${f.frame_idx}")
+        assert(f.luma_sum <= f.frame_sum && f.luma_sum > 0, s"id=$id")
+      }
+      // offsets strictly increase and stay within the payload
+      val offs = frames.map(_.frame_off)
+      assert(offs == offs.sorted && offs.last + frames.last.frame_bytes <= p.length)
+    }
+    // single-plane kinds: one frame, luma == frame sum == decoder sum
+    Seq(0L, 3L, 1L, 4L).foreach { id =>
+      val p = Binary.encodeMedia(id)
+      val fs = Binary.parseFrames(id, p)
+      assert(fs.length == 1)
+      assert(fs.head.frame_sum == Binary.parseMedia(id, p).payload_sum)
+      assert(fs.head.luma_sum == fs.head.frame_sum)
     }
   }
 

@@ -116,6 +116,17 @@ object SparkEntry {
         .orderBy(col("table_name"))
     }),
 
+    // Retention-horizon audit: which replay points are still reachable
+    // under the 24 h Kinesis retention (stack.py:356)? The Jan-15
+    // point is cdc_replay_at's own cutoff — aged out past
+    // TRIM_HORIZON at the feed head, so a resume from it would lose
+    // records; the Jan-30 point sits inside the window.
+    "cdc_retention_audit" -> ((s, dir) =>
+      cdc.Retention.audit(ChangeFeed.fromEvents(s, dir),
+          retentionHours = 24,
+          replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
+        .orderBy(col("table_name"), col("replay_ts"))),
+
     // Log-compaction summary: raw feed vs latest-per-key changelog
     // (tombstones retained), per table.
     "cdc_compacted_log" -> ((s, dir) =>
@@ -346,6 +357,16 @@ object SparkEntry {
         .orderBy(col("partition_key"))
     }),
 
+    // Bounded-paging consumption (run.py:182-192): get_records pages
+    // of 50, early-stop once 600 post-threshold records accumulated —
+    // the consumed set is a page-aligned prefix per shard, not the
+    // whole stream.
+    "cdc_consume_paged" -> ((s, dir) =>
+      graft.sources.EnvelopeSource.consumePaged(
+          ChangeFeed.fromEvents(s, dir), consumeThreshold,
+          expectedCount = 600L)
+        .orderBy(col("partition_key"))),
+
     // Full MariaDB type palette through the envelope: every type the
     // reference replicates survives wrap → JSON → parse value-exactly
     // (the *_ok columns count roundtrip equality row by row; the
@@ -358,6 +379,14 @@ object SparkEntry {
       parsed.agg(
         count(lit(1)).as("n"),
         sum(col("data.tiny").cast("long")).as("sum_tiny"),
+        // UNSIGNED palette: sums only reconcile if values above the
+        // signed range of the declared MariaDB width survived intact
+        sum(col("data.utiny").cast("long")).as("sum_utiny"),
+        sum(col("data.usmall").cast("long")).as("sum_usmall"),
+        sum(col("data.uint")).as("sum_uint"),
+        count(when(col("data.utiny") === col("utiny") &&
+          col("data.usmall") === col("usmall") &&
+          col("data.uint") === col("uint"), 1)).as("n_unsigned_ok"),
         sum(col("data.dec")).cast("double").as("sum_dec"),
         count(when(col("data.flag"), 1)).as("n_flag"),
         countDistinct(col("data.enum_v")).as("n_enum"),
@@ -1148,6 +1177,23 @@ object SparkEntry {
          |  max(ts) AS max_ts
          |FROM r WHERE rn = 1 AND op <> 'delete'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_retention_audit" ->
+      s"""$C, h AS (SELECT max(ts) - INTERVAL 24 HOUR AS horizon_ts FROM c),
+         |p AS (SELECT unnest([TIMESTAMP '2024-01-15 00:00:00',
+         |  TIMESTAMP '2024-01-30 12:00:00']) AS replay_ts)
+         |SELECT c.table_name, p.replay_ts, h.horizon_ts,
+         |  count(*) AS n_events,
+         |  CAST(count(*) FILTER (WHERE c.ts < h.horizon_ts) AS BIGINT)
+         |    AS n_aged_out,
+         |  min(c.ts) FILTER (WHERE c.ts >= h.horizon_ts)
+         |    AS oldest_reachable_ts,
+         |  CAST(count(*) FILTER (WHERE c.ts > p.replay_ts
+         |    AND c.ts < h.horizon_ts) AS BIGINT) AS n_lost_for_replay,
+         |  count(*) FILTER (WHERE c.ts > p.replay_ts
+         |    AND c.ts < h.horizon_ts) = 0 AS reachable
+         |FROM c, h, p
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
     "cdc_compacted_log" ->
       s"""$C, r AS (SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2581,9 +2627,35 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    "cdc_consume_paged" ->
+      s"""$C, r AS (SELECT partition_key, ts,
+         |    (row_number() OVER (PARTITION BY partition_key
+         |      ORDER BY ts, event_id) - 1) // 50 AS page
+         |  FROM c),
+         |pp AS (SELECT partition_key, page, count(*) AS n_scanned,
+         |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+         |      AS n_kept,
+         |    max(ts) AS page_max_ts
+         |  FROM r GROUP BY 1, 2),
+         |cum AS (SELECT *, sum(n_kept) OVER (PARTITION BY partition_key
+         |    ORDER BY page) AS cum_kept FROM pp),
+         |sp AS (SELECT *, min(CASE WHEN cum_kept >= 600 THEN page END)
+         |    OVER (PARTITION BY partition_key) AS stop_page FROM cum)
+         |SELECT partition_key, count(*) AS n_pages_read,
+         |  CAST(sum(n_scanned) AS BIGINT) AS n_records_scanned,
+         |  CAST(sum(n_kept) AS BIGINT) AS n_consumed,
+         |  count(stop_page) > 0 AS stopped_early,
+         |  max(page_max_ts) AS consumed_through_ts
+         |FROM sp WHERE stop_page IS NULL OR page <= stop_page
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_envelope_types" ->
       s"""SELECT count(*) AS n,
          |  CAST(sum(p_partkey % 128) AS BIGINT) AS sum_tiny,
+         |  CAST(sum(p_partkey % 128 + 128) AS BIGINT) AS sum_utiny,
+         |  CAST(sum(p_partkey % 32768 + 32768) AS BIGINT) AS sum_usmall,
+         |  CAST(sum(p_partkey + 2147483648) AS BIGINT) AS sum_uint,
+         |  count(*) AS n_unsigned_ok,
          |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
          |  CAST(sum(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
          |  count(DISTINCT p_brand) AS n_enum,

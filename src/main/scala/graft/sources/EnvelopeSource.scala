@@ -79,4 +79,55 @@ object EnvelopeSource {
       .agg(count(lit(1)).as("n_messages"),
         min(col("event_ts")).as("first_ts"),
         max(col("event_ts")).as("last_ts"))
+
+  /** Bounded-paging consumption (run.py:182-192): the reference's
+    * consumer reads a shard in get_records pages of `pageSize` (=50),
+    * keeps records past the arrival threshold, and STOPS after the
+    * first full page at which the kept count reaches
+    * `expectedCount` — so what it consumes is a page-aligned PREFIX
+    * of the shard, not the whole stream. This re-expresses that
+    * early-stop shape as a query: per shard, which pages would be
+    * read, how many records scanned vs kept, whether the stop
+    * tripped, and the consumed prefix's high-water mark.
+    *
+    * Scale shape: ONE shuffle on partition_key (the row_number page
+    * assignment and the per-page aggregate share it); the cumulative
+    * -count and stop-page windows run over the pages-per-shard
+    * POST-aggregate (|shard|·⌈rows/pageSize⌉ rows, pageSize-bounded
+    * reduction), never the raw stream. Output = |shards| rows.
+    *
+    * `feed` needs partition_key, ts, event_id (arrival order).
+    */
+  def consumePaged(
+      feed: DataFrame,
+      thresholdTs: String,
+      expectedCount: Long,
+      pageSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byArrival = Window.partitionBy(col("partition_key"))
+      .orderBy(col("ts"), col("event_id"))
+    val perPage = feed
+      .withColumn("page",
+        ((row_number().over(byArrival) - 1) / pageSize).cast("long"))
+      .groupBy(col("partition_key"), col("page"))
+      .agg(count(lit(1)).as("n_scanned"),
+        sum(when(col("ts") >= lit(thresholdTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        max(col("ts")).as("page_max_ts"))
+    val byPage = Window.partitionBy(col("partition_key")).orderBy(col("page"))
+    val shardAll = Window.partitionBy(col("partition_key"))
+    perPage
+      .withColumn("cum_kept", sum(col("n_kept")).over(byPage))
+      // first page whose cumulative kept count satisfies the stop —
+      // absent (null) means the consumer drains every page
+      .withColumn("stop_page",
+        min(when(col("cum_kept") >= expectedCount, col("page"))).over(shardAll))
+      .filter(col("stop_page").isNull || col("page") <= col("stop_page"))
+      .groupBy(col("partition_key"))
+      .agg(count(lit(1)).as("n_pages_read"),
+        sum(col("n_scanned")).as("n_records_scanned"),
+        sum(col("n_kept")).as("n_consumed"),
+        (count(col("stop_page")) > 0L).as("stopped_early"),
+        max(col("page_max_ts")).as("consumed_through_ts"))
+  }
 }

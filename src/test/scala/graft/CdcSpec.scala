@@ -19,6 +19,61 @@ class CdcSpec extends AnyFunSuite {
     assert(msg.contains("\"b\":\"\""))
   }
 
+  test("UNSIGNED palette values above the signed range survive the roundtrip") {
+    // MariaDB `age TINYINT UNSIGNED` (lib/query.py:4) carries 128-255
+    // — values a signed-Byte mapping would overflow. The palette
+    // widens each UNSIGNED width one step; prove the envelope
+    // roundtrip keeps the above-signed-range values bit-exact.
+    val pal = TypePalette.palette(Tables.load(spark, sf, "part"))
+    assert(pal.schema("utiny").dataType ==
+      org.apache.spark.sql.types.ShortType)
+    assert(pal.schema("usmall").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(pal.schema("uint").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val wrapped = Envelope.wrap(pal, lit("insert"), lit("graft"),
+      lit("palette"), col("ts"), col("id"), TypePalette.paletteCols)
+    val parsed = Envelope.parse(wrapped, "message", TypePalette.paletteSchema)
+    val bad = parsed.filter(
+      col("data.utiny") =!= col("utiny") ||
+      col("data.usmall") =!= col("usmall") ||
+      col("data.uint") =!= col("uint") ||
+      col("data.utiny") < 128 || col("data.utiny") > 255 ||
+      col("data.usmall") < 32768 ||
+      col("data.uint") < 2147483648L).count()
+    assert(bad == 0L)
+  }
+
+  test("retention audit: planted aged-out replay point is flagged, in-window point clears") {
+    import spark.implicits._
+    // feed head 2024-03-03 00:00 ⇒ 24h horizon at 2024-03-02 00:00.
+    // Two records sit below the horizon (aged out past TRIM_HORIZON);
+    // the 18:00 one is strictly between the first replay point and
+    // the horizon, so a resume from 03-01 12:00 would LOSE it.
+    val feed = Seq(
+      ("users_0", "2024-03-01 00:00:00"),
+      ("users_0", "2024-03-01 18:00:00"),
+      ("users_0", "2024-03-02 12:00:00"),
+      ("users_0", "2024-03-03 00:00:00"))
+      .toDF("table_name", "ts_s")
+      .select(col("table_name"), col("ts_s").cast("timestamp").as("ts"))
+    val out = Retention.audit(feed, 24,
+        Seq("2024-03-01 12:00:00", "2024-03-02 06:00:00"))
+      .orderBy(col("replay_ts"))
+      .collect()
+    assert(out.length == 2)
+    val aged = out(0); val ok = out(1)
+    assert(aged.getAs[Long]("n_aged_out") == 2L)
+    assert(aged.getAs[Long]("n_lost_for_replay") == 1L)
+    assert(!aged.getAs[Boolean]("reachable"))
+    assert(ok.getAs[Long]("n_lost_for_replay") == 0L)
+    assert(ok.getAs[Boolean]("reachable"))
+    assert(ok.getAs[java.sql.Timestamp]("oldest_reachable_ts").toString
+      .startsWith("2024-03-02 12:00:00"))
+    assert(ok.getAs[java.sql.Timestamp]("horizon_ts").toString
+      .startsWith("2024-03-02 00:00:00"))
+  }
+
   test("table mapping: include wildcard + exclude exact (DMS a% pattern)") {
     val m = TableMapping.Mapping(Seq(
       TableMapping.SelectionRule("db", "a%"),

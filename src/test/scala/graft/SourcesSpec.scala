@@ -63,6 +63,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("consumePaged: 50-record pages, early-stop at the expected count") {
+    import spark.implicits._
+    // shard A: 120 arrival-ordered records, all past the threshold —
+    // page 0 holds 50 (< 60), page 1 reaches 100 (>= 60) so the
+    // consumer stops after TWO pages and never reads page 2.
+    // shard B: 30 records — drained without tripping the stop.
+    val rows =
+      (1 to 120).map(i => ("shardA", s"2024-06-01 00:${f"${i / 60}%02d"}:${f"${i % 60}%02d"}", i.toLong)) ++
+      (1 to 30).map(i => ("shardB", s"2024-06-01 01:00:${f"$i%02d"}", (1000 + i).toLong))
+    val feed = rows.toDF("partition_key", "ts_s", "event_id")
+      .select(col("partition_key"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_id"))
+    val out = EnvelopeSource.consumePaged(feed,
+        "2024-01-01T00:00:00.000000Z", expectedCount = 60L)
+      .orderBy(col("partition_key")).collect()
+    assert(out.length == 2)
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_pages_read") == 2L)
+    assert(a.getAs[Long]("n_records_scanned") == 100L)
+    assert(a.getAs[Long]("n_consumed") == 100L)
+    assert(a.getAs[Boolean]("stopped_early"))
+    assert(b.getAs[Long]("n_pages_read") == 1L)
+    assert(b.getAs[Long]("n_records_scanned") == 30L)
+    assert(!b.getAs[Boolean]("stopped_early"))
+
+    // a threshold past every record keeps counts at zero but still
+    // drains all pages (the reference loop would spin on the shard)
+    val none = EnvelopeSource.consumePaged(feed,
+        "2999-01-01T00:00:00.000000Z", expectedCount = 60L)
+      .orderBy(col("partition_key")).collect()
+    assert(none.map(_.getAs[Long]("n_consumed")).toSeq == Seq(0L, 0L))
+    assert(none.map(_.getAs[Long]("n_records_scanned")).toSeq == Seq(120L, 30L))
+  }
+
   test("streaming consumer tails the shard directory") {
     val path = writeSink()
     val stream = EnvelopeSource.changeFeedStream(spark, path, dataSchema)

@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the full 137-query bench in one 32-thread
+  // JVM at 8g ran full GCs whose 200-500 ms pauses landed inside
+  // random sub-second queries — the per-run "flag roulette" where a
+  // different handful of queries measured 1.5-2x slow in every run
+  // with steady CPU sentinels. More headroom + a 50 ms G1 pause
+  // target bound the per-query noise tail instead of the throughput.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=50",
 )

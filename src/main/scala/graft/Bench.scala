@@ -45,7 +45,14 @@ import org.apache.spark.sql.SparkSession
   *    commit surface, steady sentinel both times).
   */
 object Bench {
-  val Reps = 2
+  // 3 interleaved passes (was 2): the per-query gate fires only when
+  // ALL reps exceed 1.5x, so a third pass makes a GC-pause/scheduler
+  // hiccup landing on the same query every pass — the way phantom
+  // flags were minted in rounds 6-8 — quadratically less likely,
+  // while the min-of-reps headline only gets more stable. Costs one
+  // extra suite pass (~1-2 min at sf0.1): cheap against another
+  // round spent adjudicating environmental flags.
+  val Reps = 3
 
   /** Fixed integer spin (~0.1-0.2 s cold) timing the CPU itself:
     * immune to Spark scheduling, GC, and I/O, so consecutive
@@ -63,6 +70,35 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     if (x == 42L) Console.err.println("sentinel fixpoint") // keep x live
     dt
+  }
+
+  /** The same spin on 32 concurrent threads (the local[32] width),
+    * wall-clock until ALL finish. The single-thread sentinel bounds
+    * CLOCK SPEED; this one bounds AGGREGATE THROUGHPUT — a cgroup CPU
+    * quota, noisy neighbors, or core-count loss slow every 32-wide
+    * Spark stage while leaving the single spin untouched. A round-8
+    * driver run flagged 9 queries 1.5-3.9x with a steady single
+    * sentinel; this is the instrument that would have separated
+    * "machine has fewer effective cores right now" from "plans
+    * regressed" without an old-commit A/B.
+    */
+  private def parSentinelSecs(): Double = {
+    val n = 32
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { seed =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + seed
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) Console.err.println("sentinel fixpoint")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Minimal flat-JSON reader for {"name": seconds, ...} — the
@@ -83,9 +119,11 @@ object Bench {
     // the "_sentinel" row of BASELINE_QUERIES.json on a cold machine
     if (args.contains("--sentinel")) {
       val s = (1 to 3).map(_ => sentinelSecs())
-      println(s"""{"metric":"sentinel","runs":[${s.map(v =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
-        .mkString(",")}]}""")
+      val p = (1 to 3).map(_ => parSentinelSecs())
+      def j(v: Seq[Double]) = v.map(x =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
+        .mkString(",")
+      println(s"""{"metric":"sentinel","runs":[${j(s)}],"par_runs":[${j(p)}]}""")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,8 +145,10 @@ object Bench {
     // total drops, the >1.5x gate can't fire on a small number).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sentinels = Vector.newBuilder[Double]
+    val parSentinels = Vector.newBuilder[Double]
     for (_ <- 1 to Reps) {
       sentinels += sentinelSecs()
+      parSentinels += parSentinelSecs()
       qs.foreach { case (name, fn) =>
         CacheScope.releaseAll()
         spark.catalog.clearCache()
@@ -147,14 +187,23 @@ object Bench {
     // code — publish the flags but mark the session thermally invalid
     // so a regression verdict isn't minted from a hot box.
     val sentinelObs = sentinels.result()
-    val thermalInvalid = baseline.get("_sentinel").exists(cold =>
-      sentinelObs.nonEmpty && sentinelObs.min > cold * 1.25)
+    val parSentinelObs = parSentinels.result()
+    // EITHER sentinel running hot invalidates the session: the single
+    // spin catches clock-speed drift, the 32-wide spin catches
+    // effective-core loss (CPU quota / neighbors) — local[32] query
+    // times track the LATTER even when the single spin is steady.
+    val thermalInvalid =
+      baseline.get("_sentinel").exists(cold =>
+        sentinelObs.nonEmpty && sentinelObs.min > cold * 1.25) ||
+      baseline.get("_sentinel_par").exists(cold =>
+        parSentinelObs.nonEmpty && parSentinelObs.min > cold * 1.25)
     val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail = times.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sentinelJson = sentinelObs.map(fmt).mkString("[", ",", "]")
+    val parSentinelJson = parSentinelObs.map(fmt).mkString("[", ",", "]")
     val flaggedJson = flagged.map { case (k, r) =>
       s"\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
@@ -173,7 +222,7 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}"""
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(detailLine)
     if (errors.nonEmpty)
       Console.err.println(
@@ -202,17 +251,19 @@ object Bench {
     if (flagged.nonEmpty) {
       val verdict =
         if (thermalInvalid)
-          "machine is thermally clocked down (sentinel > 1.25x cold " +
-            "calibration) — flags measure heat, re-run cooled before " +
-            "reading them as regressions"
-        else "sentinel steady — these are regression candidates, profile them"
+          "machine is degraded (a sentinel > 1.25x its cold calibration: " +
+            "single spin = clock speed, 32-wide spin = effective cores) — " +
+            "flags measure the machine, re-run cooled before reading them " +
+            "as regressions"
+        else "sentinels steady — these are regression candidates, profile them"
       Console.err.println(
         s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline: " +
           flagged.map { case (k, r) =>
             s"$k (" + String.format(java.util.Locale.ROOT, "%.2f",
               Double.box(r)) + "x)"
           }.mkString(", ") +
-          s"; sentinel ${sentinelObs.map(fmt).mkString("->")}; $verdict")
+          s"; sentinel ${sentinelObs.map(fmt).mkString("->")}" +
+          s"; sentinel_par ${parSentinelObs.map(fmt).mkString("->")}; $verdict")
     }
     if (headline.length <= 1800) println(headline)
     else {

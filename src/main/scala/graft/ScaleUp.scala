@@ -38,13 +38,15 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val plantSkew = if (args.length > 3) args(3).toInt else 0
     val spark = Sessions.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-scaleup")
-    generate(spark, src, dst, factor)
+    generate(spark, src, dst, factor, plantSkew)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int,
+      plantSkew: Int = 0): Unit = {
     // fail BEFORE any table is written — a partial dst (fixed dims
     // only) looks like a valid dataset to a later consumer
     require(factor >= 1, s"factor must be >= 1, got $factor")
@@ -118,7 +120,7 @@ object ScaleUp {
         "source corpus has tokens matching the per-copy prefix " +
           "'c<k>' — pick a different tag before scaling this corpus")
     }
-    write(copies("documents") { (d, k) =>
+    val scaledDocs = copies("documents") { (d, k) =>
       val tagged =
         if (k == 0) d
         else d.withColumn("text",
@@ -126,7 +128,33 @@ object ScaleUp {
             t => concat(lit(s"c$k"), t))))
           .withColumn("n_chars", length(col("text")))
       shift(tagged, k, "doc_id")
-    }, "documents")
+    }
+    // --plant-skew N: append one boilerplate near-dup cluster — N
+    // VERBATIM-identical docs (think license headers / scraped nav
+    // chrome), which share every minhash band and therefore land in
+    // ONE LSH band bucket. The rehearsal then exercises the AQE
+    // skew-join path of the dedup family at bench scale instead of
+    // leaving the hot-bucket story to configuration (SkewSpec proves
+    // the split mechanism at test size; this makes the sf1 rehearsal
+    // carry the same adversarial shape). doc_ids sit above every
+    // copy's shifted range; source tag marks them for inspection.
+    val withSkew =
+      if (plantSkew <= 0) scaledDocs
+      else {
+        import spark.implicits._
+        val boiler = "this content is provided as is without warranty " +
+          "of any kind either express or implied including without " +
+          "limitation the implied warranties of merchantability and " +
+          "fitness for a particular purpose"
+        scaledDocs.unionByName(
+          spark.range(plantSkew.toLong).select(
+            (col("id") + lit(factor.toLong * KeyOffset)).as("doc_id"),
+            lit(boiler).as("text"),
+            lit("en").as("lang"),
+            lit("boilerplate").as("source"),
+            lit(boiler.length.toLong).as("n_chars")))
+      }
+    write(withSkew, "documents")
     write(copies("embeddings") { (d, k) =>
       shift(d, k, "vec_id")
         .withColumn("label", (col("label") + lit(k * 1000)).cast("int"))

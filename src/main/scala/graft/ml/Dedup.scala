@@ -262,14 +262,29 @@ object Dedup {
     * intersection is never empty and an inner join is exact; sh is
     * distinct, so a plain count is the set intersection. Shared by
     * the Jaccard / containment / calibration verifies.
+    *
+    * Both join sides are first semi-joined down to CANDIDATE docs:
+    * only docs that survived banding can contribute to an
+    * intersection, so the (doc_id, shingle)-keyed join shuffles the
+    * candidates' shingles instead of the whole corpus vocabulary — a
+    * strict volume reduction at any scale (AQE broadcasts the reduced
+    * sides locally; at 100 TB they shuffle co-partitioned, still
+    * candidate-bounded, never corpus-bounded).
     */
-  private def intersections(cands: DataFrame, sh: DataFrame): DataFrame =
+  private def intersections(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val candA = cands.select(col("doc_id_a"))
+    val candB = cands.select(col("doc_id_b"))
+    val shA = sh.toDF("doc_id_a", "shingle")
+      .join(candA.distinct(), Seq("doc_id_a"), "left_semi")
+    val shB = sh.toDF("id_b2", "shingle_b")
+      .join(candB.distinct().toDF("id_b2"), Seq("id_b2"), "left_semi")
     cands
-      .join(sh.toDF("doc_id_a", "shingle"), "doc_id_a")
-      .join(sh.toDF("id_b2", "shingle_b"),
+      .join(shA, "doc_id_a")
+      .join(shB,
         col("doc_id_b") === col("id_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("n_inter"))
+  }
 
   /** Join both endpoints' set sizes onto the intersection counts. */
   private def withSizes(inter: DataFrame, sigs: DataFrame): DataFrame = {

@@ -148,6 +148,30 @@ object CdcPipeline {
     out.result().iterator
   }
 
+  /** Watermark delay derived from the ordering audit
+    * (cdc/TableStatistics.orderingAudit): the measured max per-key
+    * lateness, rounded up to whole seconds plus a 1 s guard. Closes
+    * the loop the audit exists for — measure how late the feed
+    * actually delivers, then configure the streaming apply to
+    * tolerate exactly that (plus guard) instead of guessing a delay.
+    *
+    * Scope: per-key lateness bounds the needed watermark when the
+    * disorder is within-key reversal at the stream head (the
+    * audit's planted failure mode, and the Kinesis partition-key
+    * contract's: a key rides one shard, so its reversal happens
+    * against its own delivered prefix). Cross-shard skew beyond the
+    * key's own head is a multi-source watermark problem the audit
+    * does not claim to bound.
+    *
+    * The audit result is |tables| rows, so the driver-side max is a
+    * bounded collect (same class as the roundtrip summary).
+    */
+  def auditWatermarkDelay(audit: DataFrame): String = {
+    val m = audit.agg(max(col("max_late_us"))).head()
+    val us = if (m.isNullAt(0)) 0L else m.getLong(0)
+    s"${us / 1000000L + 1} seconds"
+  }
+
   /** Watermarked tumbling-window op counts — the streaming twin of
     * ChangeFeed.windowedStats. The watermark bounds state: windows
     * older than (max event time - delay) are finalized and dropped.

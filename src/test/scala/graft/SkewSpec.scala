@@ -63,6 +63,75 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("skew split divides the hot bucket's runtime reads across tasks") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // Runtime evidence, not just the plan marker: with the skew split
+    // ON, no single task may read the whole hot bucket's shuffle
+    // output — max per-task shuffle-read bytes must drop well below
+    // the skew-OFF run, and more tasks must participate. This is the
+    // partition-size half of the 100 TB claim (the marker alone could
+    // coexist with one straggler chewing the bucket serially).
+    val n = 1000
+    val docs = (0 until n)
+      .map(i => (i.toLong,
+        "common boilerplate header repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+
+    final class ShuffleStats extends SparkListener {
+      @volatile var maxRead = 0L
+      @volatile var readerTasks = 0
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.totalBytesRead
+          if (r > maxRead) maxRead = r
+          if (r > 0) readerTasks += 1
+        }
+      }
+    }
+
+    def run(skewOn: Boolean): (Long, Int) = {
+      val stats = new ShuffleStats
+      spark.sparkContext.addSparkListener(stats)
+      try withConfs(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> skewOn.toString,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> skewOn.toString) {
+        // the RAW bucket self-join, no downstream distinct: the only
+        // big shuffle read in the query is the SMJ's input — exactly
+        // the read the skew split divides. (candidatePairs' distinct
+        // would add a pair-sized exchange identical in both runs,
+        // drowning the signal.)
+        val buckets = Dedup.bandBuckets(
+          Dedup.minhashSignatures(Dedup.shingles(docs)))
+        val a = buckets.toDF("ida", "band", "bh")
+        val b = buckets.toDF("idb", "band_b", "bh_b")
+        val joined = a.join(b,
+          col("band") === col("band_b") && col("bh") === col("bh_b") &&
+            col("ida") < col("idb"))
+        // identical docs ⇒ every band holds ALL n docs in one bucket
+        assert(joined.count() ==
+          Dedup.Bands.toLong * n * (n - 1) / 2)
+        // listener bus is async — give the tail task events a moment
+        Thread.sleep(1500)
+        (stats.maxRead, stats.readerTasks)
+      } finally spark.sparkContext.removeSparkListener(stats)
+    }
+
+    val (maxOff, tasksOff) = run(skewOn = false)
+    val (maxOn, tasksOn) = run(skewOn = true)
+    assert(maxOn * 2 <= maxOff,
+      s"skew split did not divide the hot bucket: max task read " +
+        s"$maxOn bytes with split vs $maxOff without")
+    assert(tasksOn > tasksOff,
+      s"skew split did not widen participation: $tasksOn reader tasks " +
+        s"with split vs $tasksOff without")
+  }
+
   test("skewed pipeline result matches the unskewed run exactly") {
     import spark.implicits._
     // mixed corpus: one hot bucket + distinct background docs; the

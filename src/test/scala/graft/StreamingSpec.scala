@@ -104,6 +104,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("audit-derived watermark keeps every planted late row; zero delay drops them") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // Reversed-delivery key (user 10, user_id % 5 == 0 — the audit's
+    // planted perturbation model): events at T0, T0+90min, T0+120min
+    // DELIVERED newest-first, so the two tails arrive 30 and 120
+    // minutes behind their key's delivered head. On-time users ride
+    // along in the head batch. The audit measures max_late_us = 2 h
+    // on exactly this relation; the watermark the helper derives from
+    // it must admit every planted row on replay, and a zero-delay
+    // watermark must NOT (proving the loop bites).
+    val lateA = RawEvent(1, ts(0), 10, "click", 1.0, "{}")
+    val lateB = RawEvent(2, ts(90), 10, "click", 2.0, "{}")
+    val head = RawEvent(3, ts(120), 10, "click", 3.0, "{}")
+    val onTime = Seq(
+      RawEvent(4, ts(110), 1, "click", 4.0, "{}"),
+      RawEvent(5, ts(115), 2, "click", 5.0, "{}"))
+    val feed = Seq(lateA, lateB, head) ++ onTime
+
+    val audit = cdc.TableStatistics.orderingAudit(
+      ChangeFeed.annotate(feed.toDF()))
+    val delay = CdcPipeline.auditWatermarkDelay(audit)
+    assert(delay == "7201 seconds") // 120 min measured + 1 s guard
+
+    // replay in the audited delivery order: head batch first (sets
+    // the watermark), then the late tail, then a far-future flush so
+    // every data window finalizes and emits in append mode
+    def keptWith(d: String): Long = {
+      val mem = MemoryStream[RawEvent]
+      val agg = CdcPipeline.windowedStatsStream(
+        CdcPipeline.annotate(mem.toDF()), d)
+      val name = s"wmclose_${d.replace(' ', '_')}"
+      val q = agg.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        mem.addData(head +: onTime)
+        q.processAllAvailable()
+        mem.addData(Seq(lateB, lateA))
+        q.processAllAvailable()
+        mem.addData(Seq(RawEvent(6, ts(600), 99, "click", 0.0, "{}")))
+        q.processAllAvailable()
+        spark.table(name).agg(sum(col("n_ops"))).head().getLong(0)
+      } finally q.stop()
+    }
+    assert(keptWith(delay) == feed.length.toLong,
+      "audit-derived watermark must admit every planted late row")
+    assert(keptWith("0 seconds") == (1 + onTime.length).toLong,
+      "zero-delay watermark must drop the planted late tail")
+  }
+
   test("streaming lag monitor matches the batch high-water marks") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

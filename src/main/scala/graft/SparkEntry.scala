@@ -998,6 +998,27 @@ object SparkEntry {
     // test) — the per-cluster encoder-drift gate.
     "embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Tables.load(s, dir, "embeddings"))),
+
+    // Watermark sizing plan: the ordering audit's lateness mass
+    // turned into the zero-drop withWatermark recommendation plus
+    // the drop cost of each tighter candidate. Same single (table,
+    // key) exchange as the audit; candidates fold into the rollup.
+    "cdc_watermark_plan" -> ((s, dir) =>
+      TableStatistics.watermarkPlan(ChangeFeed.fromEvents(s, dir))),
+
+    // Bloom-filter decontamination: the broadcast-bitmap scale path
+    // of corpus_decontaminate, with exact-join FP accounting so the
+    // filter's false-positive yield is measured, not assumed.
+    "corpus_bloom_decontaminate" -> ((s, dir) =>
+      Corpus.bloomDecontaminationScores(Tables.load(s, dir, "documents"),
+          col("source") === "src0")
+        .orderBy(col("doc_id"))),
+
+    // Product-quantization codebook report: deterministic SRP-seeded
+    // sub-codebooks, rounded-mean integer centroids, one refine
+    // E-step; per (subspace, code) population + reconstruction error.
+    "embed_pq" -> ((s, dir) =>
+      Similarity.pqReport(Tables.load(s, dir, "embeddings"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3409,5 +3430,107 @@ object SparkEntry {
          |    AS mean_d2
          |FROM d JOIN st ON st.label = d.label
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_watermark_plan" ->
+      s"""WITH f AS (${ChangeFeed.duckFromEvents}),
+         |p AS (SELECT table_name, user_id, event_id,
+         |    epoch_us(ts) AS ts_us,
+         |    CASE WHEN user_id % 5 = 0 THEN -event_id ELSE event_id END
+         |      AS delivery_pos
+         |  FROM f),
+         |r AS (SELECT table_name, user_id, ts_us,
+         |    max(ts_us) OVER (PARTITION BY table_name, user_id
+         |      ORDER BY delivery_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_max_us
+         |  FROM p),
+         |x AS (SELECT table_name,
+         |    CASE WHEN prev_max_us IS NOT NULL AND ts_us < prev_max_us
+         |      THEN prev_max_us - ts_us END AS late_us
+         |  FROM r)
+         |SELECT table_name, count(*) AS n_events,
+         |  CAST(count(late_us) AS BIGINT) AS n_late,
+         |  COALESCE(CAST(sum(late_us) AS BIGINT), 0) AS sum_late_us,
+         |  COALESCE(max(late_us), 0) AS max_late_us,
+         |  CAST(count(*) FILTER (WHERE late_us > 1000000) AS BIGINT)
+         |    AS n_drop_w1s,
+         |  CAST(count(*) FILTER (WHERE late_us > 5000000) AS BIGINT)
+         |    AS n_drop_w5s,
+         |  COALESCE(max(late_us), 0) AS recommended_watermark_us
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_bloom_decontaminate" ->
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ev AS (SELECT DISTINCT s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source = 'src0'),
+         |fpos AS (SELECT DISTINCT pos FROM (
+         |  SELECT ${Portable.duckHash("shingle", 0)} % 8192 AS pos FROM ev
+         |  UNION ALL
+         |  SELECT ${Portable.duckHash("shingle", 1)} % 8192 FROM ev
+         |  UNION ALL
+         |  SELECT ${Portable.duckHash("shingle", 2)} % 8192 FROM ev)),
+         |cs AS (SELECT DISTINCT s.doc_id, s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source <> 'src0'),
+         |h AS (SELECT doc_id, shingle,
+         |    (${Portable.duckHash("shingle", 0)} % 8192 IN (SELECT pos FROM fpos)
+         |     AND ${Portable.duckHash("shingle", 1)} % 8192 IN (SELECT pos FROM fpos)
+         |     AND ${Portable.duckHash("shingle", 2)} % 8192 IN (SELECT pos FROM fpos))
+         |      AS bloom_hit,
+         |    shingle IN (SELECT shingle FROM ev) AS exact_hit
+         |  FROM cs),
+         |sc AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_bloom_hits,
+         |    CAST(count(*) FILTER (WHERE exact_hit) AS BIGINT) AS n_exact_hits
+         |  FROM h GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.n_shingles, 0) AS n_shingles,
+         |  COALESCE(sc.n_bloom_hits, 0) AS n_bloom_hits,
+         |  COALESCE(sc.n_exact_hits, 0) AS n_exact_hits,
+         |  COALESCE(sc.n_bloom_hits, 0) - COALESCE(sc.n_exact_hits, 0)
+         |    AS n_false_positives,
+         |  COALESCE(sc.n_bloom_hits, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin,
+
+    "embed_pq" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i,
+         |    unnest(q) AS v FROM q),
+         |f AS (SELECT vec_id, i // ${Similarity.PqWidth} AS sub,
+         |    i % ${Similarity.PqWidth} AS il, v FROM flat),
+         |pl AS (SELECT j, p, i,
+         |    CAST(('0x' || substr(md5('pq#' || j || '#' || p || '#' || i),
+         |      1, 15)) AS BIGINT) % 2001 - 1000 AS w
+         |  FROM range(${Similarity.PqSub}) tj(j),
+         |    range(${Similarity.PqBits}) tp(p),
+         |    range(${Similarity.PqWidth}) ti(i)),
+         |dots AS (SELECT f.vec_id, f.sub, pl.p,
+         |    CAST(sum(pl.w * f.v) AS BIGINT) AS d
+         |  FROM f JOIN pl ON pl.j = f.sub AND pl.i = f.il
+         |  GROUP BY 1, 2, 3),
+         |code0 AS (SELECT vec_id, sub,
+         |    CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p
+         |      ELSE 0 END) AS BIGINT) AS c
+         |  FROM dots GROUP BY 1, 2),
+         |comp AS (SELECT f.sub, c0.c AS code, f.il,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM f JOIN code0 c0 ON c0.vec_id = f.vec_id AND c0.sub = f.sub
+         |  GROUP BY 1, 2, 3),
+         |d2 AS (SELECT f.vec_id, f.sub, comp.code,
+         |    CAST(sum((f.v - comp.m) * (f.v - comp.m)) AS BIGINT) AS d2
+         |  FROM f JOIN comp ON comp.sub = f.sub AND comp.il = f.il
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT vec_id, sub, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, code) AS rk
+         |  FROM d2)
+         |SELECT CAST(sub AS BIGINT) AS subspace, code,
+         |  count(*) AS n_vecs,
+         |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+         |  CAST(sum(d2) AS DOUBLE) / count(*) AS avg_d2
+         |FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -137,18 +137,31 @@ object TableStatistics {
     * heavier than that keyed relation.
     */
   def orderingAudit(changes: DataFrame): DataFrame = {
+    latenessRelation(changes).groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_out_of_order"),
+        countDistinct(when(col("late"), col("user_id"))).as("n_affected_keys"),
+        max(when(col("late"), col("prev_max_us") - col("ts_us")))
+          .as("max_late_us"))
+      .orderBy(col("table_name"))
+  }
+
+  /** Shared lateness relation under the audit's PERTURBED delivery
+    * order. The testdata feed is perfectly ordered (event_id follows
+    * ts), which would make the audit trivially all-zero — so, like
+    * cdc_validation's planted drift, delivery is deterministically
+    * perturbed: keys with user_id % 5 == 0 deliver in reverse (the
+    * replay-from-tail failure mode). The audit must find exactly
+    * those keys and measure their lateness; the oracle recomputes the
+    * same perturbation. ONE shuffle on (table, key) with a running-max
+    * window whose frame ends at the previous row.
+    */
+  private def latenessRelation(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The testdata feed is perfectly ordered (event_id follows ts),
-    // which would make this audit trivially all-zero — so, like
-    // cdc_validation's planted drift, delivery order is deterministically
-    // PERTURBED: keys with user_id % 5 == 0 deliver in reverse (the
-    // replay-from-tail failure mode). The audit must find exactly
-    // those keys and measure their lateness; the oracle recomputes
-    // the same perturbation.
     val w = Window.partitionBy(col("table_name"), col("user_id"))
       .orderBy(col("delivery_pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = changes
+    changes
       .select(col("table_name"), col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"))
       .withColumn("delivery_pos",
@@ -157,12 +170,42 @@ object TableStatistics {
       .withColumn("prev_max_us", max(col("ts_us")).over(w))
       .withColumn("late",
         col("prev_max_us").isNotNull && col("ts_us") < col("prev_max_us"))
-    flagged.groupBy(col("table_name"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_out_of_order"),
-        countDistinct(when(col("late"), col("user_id"))).as("n_affected_keys"),
-        max(when(col("late"), col("prev_max_us") - col("ts_us")))
-          .as("max_late_us"))
+  }
+
+  /** Watermark sizing plan: turns [[orderingAudit]]'s lateness
+    * measurements into the decision a streaming apply actually makes —
+    * how much event-time slack (`withWatermark` delay) buys zero
+    * dropped rows, and what each tighter candidate would cost. Per
+    * table: total/late counts, the exact lateness mass (sum + max,
+    * integer micros), the drop count under each candidate watermark
+    * (late events whose lateness EXCEEDS the candidate — the rows a
+    * stateful apply configured that tight would discard), and the
+    * zero-drop recommendation (max observed lateness; 0 for a table
+    * with no late rows). CdcPipeline's watermark spec (StreamingSpec)
+    * closes the loop: a replay configured at the recommendation drops
+    * nothing.
+    *
+    * Scale shape: rides [[latenessRelation]]'s single (table, key)
+    * exchange; candidates are literal columns, so the ×|candidates|
+    * fan-out is per-ROW arithmetic folded into the same map-side
+    * combined per-table aggregate — the feed is scanned once no
+    * matter how many candidates are audited.
+    */
+  def watermarkPlan(
+      changes: DataFrame,
+      candidatesUs: Seq[Long] = Seq(1000000L, 5000000L)): DataFrame = {
+    val lateUs = when(col("late"), col("prev_max_us") - col("ts_us"))
+    val dropCols = candidatesUs.map(c =>
+      sum(when(lateUs > c, 1L).otherwise(0L)).as(s"n_drop_w${c / 1000000L}s"))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+      coalesce(sum(lateUs), lit(0L)).as("sum_late_us"),
+      coalesce(max(lateUs), lit(0L)).as("max_late_us")) ++ dropCols
+    latenessRelation(changes)
+      .groupBy(col("table_name"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("recommended_watermark_us", col("max_late_us"))
       .orderBy(col("table_name"))
   }
 }

@@ -467,4 +467,70 @@ object Corpus {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("decile"))
   }
+
+  /** Bloom-filter decontamination: the broadcast-bitmap scale path of
+    * [[decontaminationScores]]. The eval set's shingle inventory is
+    * folded into an `m`-position Bloom filter (each shingle sets `k`
+    * positions, `pos_i = pHash(shingle, seed=i) mod m`); a training
+    * shingle is bloom-positive iff ALL `k` of its positions are
+    * occupied. The per-doc report carries both the bloom verdict and
+    * the exact-join verdict, so the filter's false-positive yield is
+    * measured, not assumed — the calibration a pipeline runs at small
+    * scale before trusting the bloom-only path at full scale.
+    *
+    * Scale shape: the filter is a DISTINCT of at most `m` integer
+    * positions — broadcast by construction no matter how large the
+    * eval set grows (the whole point vs the exact join, whose
+    * build side grows with the eval corpus). Scoring fans each
+    * distinct (doc, shingle) out ×k against the broadcast, then one
+    * (doc, shingle) reduce and one doc reduce. The exact-hit column
+    * reuses [[decontaminationScores]]'s left join purely as the
+    * FP-accounting cross-check; a production bloom-only run drops
+    * that join and keeps the broadcast.
+    */
+  def bloomDecontaminationScores(
+      docs: DataFrame,
+      isEval: Column,
+      m: Int = 8192,
+      k: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val evalIds = docs.filter(isEval).select(col("doc_id").as("eval_id"))
+    val evalShingles = sh
+      .join(evalIds, col("doc_id") === col("eval_id"), "left_semi")
+      .select(col("shingle")).distinct()
+    def positions(c: Column): Seq[Column] =
+      (0 until k).map(s => pmod(Portable.pHash(c, s), lit(m.toLong)))
+    val filterPos = evalShingles
+      .select(explode(array(positions(col("shingle")): _*)).as("pos"))
+      .distinct()
+      .withColumn("occupied", lit(1))
+    val corpusSh = sh
+      .join(evalIds, col("doc_id") === col("eval_id"), "left_anti")
+      .distinct()
+    val perShingle = corpusSh
+      .select(col("doc_id"), col("shingle"),
+        explode(array(positions(col("shingle")): _*)).as("pos"))
+      .join(broadcast(filterPos), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("shingle"))
+      // all k probe rows matched ⇒ every position occupied. Seed
+      // collisions (two seeds, same position) still yield k probe
+      // rows with a consistent verdict, so count==k stays exact.
+      .agg((count(col("occupied")) === k).as("bloom_hit"))
+    val exact = evalShingles.withColumn("exact", lit(1))
+    val scores = perShingle
+      .join(exact, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        count(col("exact")).as("n_exact_hits"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) -
+          coalesce(col("n_exact_hits"), lit(0L))).as("n_false_positives"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) > 0L).as("flagged"))
+  }
 }

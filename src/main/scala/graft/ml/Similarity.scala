@@ -434,4 +434,82 @@ object Similarity {
           .as("mean_d2"))
       .orderBy(col("label"))
   }
+
+  // --- product quantization --------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into `PqSub` contiguous
+    * sub-vectors of `PqWidth` components; each subspace's codebook
+    * has 2^`PqBits` entries. A stored code is PqSub·PqBits = 16 bits
+    * vs 64 float32s — the 128× memory cut that lets a 100 TB ANN
+    * index hold its quantized corpus in executor memory.
+    */
+  val PqSub = 4
+  val PqBits = 4
+  val PqWidth: Int = Dedup.EmbDim / PqSub
+
+  /** Deterministic per-subspace SRP hyperplane (seed family "pq", one
+    * plane per (subspace, bit)); same [-1000,1000] weight law as
+    * [[Vectors.srpPlanes]], regenerated identically by the oracle.
+    */
+  def pqPlane(j: Int, p: Int): Seq[Long] =
+    (0 until PqWidth).map(i =>
+      Vectors.jvmPHash(s"pq#$j#$p#$i") % 2001 - 1000)
+
+  /** Product-quantization codebook report. Codebooks are built
+    * deterministically, not by iterative k-means: sub-vectors get an
+    * initial cell from PqBits SRP sign bits (data-dependent,
+    * reproducible), each cell takes the ROUNDED-MEAN integer
+    * sub-centroid (bounded by the quantization scale at any cell
+    * size — the [[topKAnnIvf]] overflow argument), and one refine
+    * E-step reassigns every sub-vector to its nearest centroid by
+    * exact integer d². The report grades the codebook: per (subspace,
+    * code) the population and reconstruction error — the
+    * calibration a pipeline reads before replacing floats with codes.
+    *
+    * Scale shape: sign bits and slices are per-row codegen math (the
+    * planes are literals); centroids are ONE (sub, code, component)
+    * shuffle of the flattened corpus; the refine fan-out joins the
+    * ≤ PqSub·2^PqBits·PqWidth-row centroid relation BROADCAST, then
+    * one (vec, sub) reduce. The corpus never self-joins, and output
+    * is bounded at PqSub·2^PqBits rows.
+    */
+  def pqReport(embs: DataFrame): DataFrame = {
+    val qv = Vectors.quantized(embs).select(col("vec_id"), col("q"))
+    // initial code per subspace: PqBits sign bits over the sub-slice
+    val codeCols = (0 until PqSub).map { j =>
+      val sub = slice(col("q"), j * PqWidth + 1, PqWidth)
+      (0 until PqBits).map { p =>
+        when(Vectors.dot(sub, typedlit(pqPlane(j, p))) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$j")
+    }
+    val coded = qv.select(col("vec_id") +: col("q") +: codeCols: _*)
+    val flat = coded
+      .select(col("vec_id"),
+        array((0 until PqSub).map(j => col(s"c$j")): _*).as("codes"),
+        posexplode(col("q")).as(Seq("i", "v")))
+      .select(col("vec_id"),
+        (col("i") / PqWidth).cast("int").as("sub"),
+        (col("i") % PqWidth).as("il"),
+        element_at(col("codes"), (col("i") / PqWidth).cast("int") + 1)
+          .as("code0"),
+        col("v"))
+    val comp = flat
+      .groupBy(col("sub"), col("code0").as("code"), col("il"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+    val d2 = flat
+      .join(broadcast(comp), Seq("sub", "il"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d2"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    d2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("sub").cast("long").as("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2")).as("sum_d2"),
+        (sum(col("d2")).cast("double") / count(lit(1))).as("avg_d2"))
+      .orderBy(col("subspace"), col("code"))
+  }
 }

@@ -74,6 +74,47 @@ class CdcSpec extends AnyFunSuite {
       .startsWith("2024-03-02 00:00:00"))
   }
 
+  test("watermark plan: planted lateness sets the zero-drop recommendation and drop costs") {
+    import spark.implicits._
+    // user 5 (% 5 == 0) delivers in reverse under the audit's
+    // perturbation: its events arrive newest-first, so every event
+    // after the first is late by its distance to the key's max ts.
+    // Events sit 3 s apart ⇒ lateness 3 s, 6 s, 9 s: the 1 s candidate
+    // drops all three, the 5 s candidate drops two (6 s and 9 s), and
+    // the zero-drop recommendation is 9 s. User 7 is in order ⇒ its
+    // table contributes zero lateness.
+    val feed = Seq(
+      (5L, 1L, "2024-03-01 00:00:00"), (5L, 2L, "2024-03-01 00:00:03"),
+      (5L, 3L, "2024-03-01 00:00:06"), (5L, 4L, "2024-03-01 00:00:09"),
+      (7L, 5L, "2024-03-01 00:00:00"), (7L, 6L, "2024-03-01 00:00:05"))
+      .toDF("user_id", "event_id", "ts_s")
+      .select(lit("users_0").as("table_name"), col("user_id"),
+        col("event_id"), col("ts_s").cast("timestamp").as("ts"))
+    val out = TableStatistics.watermarkPlan(feed).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("n_late") == 3L)
+    assert(r.getAs[Long]("max_late_us") == 9000000L)
+    assert(r.getAs[Long]("sum_late_us") == 18000000L)
+    assert(r.getAs[Long]("n_drop_w1s") == 3L)
+    assert(r.getAs[Long]("n_drop_w5s") == 2L)
+    assert(r.getAs[Long]("recommended_watermark_us") == 9000000L)
+  }
+
+  test("watermark plan: an in-order feed recommends zero slack") {
+    import spark.implicits._
+    val feed = Seq((1L, 1L, "2024-03-01 00:00:00"),
+        (1L, 2L, "2024-03-01 00:00:05"))
+      .toDF("user_id", "event_id", "ts_s")
+      .select(lit("t").as("table_name"), col("user_id"), col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val r = TableStatistics.watermarkPlan(feed).collect()(0)
+    assert(r.getAs[Long]("n_late") == 0L)
+    assert(r.getAs[Long]("recommended_watermark_us") == 0L)
+    assert(r.getAs[Long]("n_drop_w1s") == 0L)
+  }
+
   test("table mapping: include wildcard + exclude exact (DMS a% pattern)") {
     val m = TableMapping.Mapping(Seq(
       TableMapping.SelectionRule("db", "a%"),

@@ -326,6 +326,90 @@ class MlSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bloom decontamination matches a driver-side filter recomputation") {
+    import graft.ml.Corpus
+    val m = 512 // small enough that FPs actually occur at this corpus size
+    def shingleSet(text: String): Set[String] = {
+      val toks = graft.functions.Portable.normTextJvm(text).split(" ")
+      if (toks.length < Dedup.ShingleN) Set.empty
+      else toks.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+    }
+    def positions(sh: String): Seq[Long] =
+      (0 until 3).map(s => Vectors.jvmPHash(sh + "#" + s) % m)
+    val all = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalSh = all.filter(_._2 == "src0").flatMap(t => shingleSet(t._3)).toSet
+    val filter = evalSh.flatMap(positions)
+    val expected = all.filter(_._2 != "src0").map { case (id, _, text) =>
+      val sh = shingleSet(text)
+      val bloom = sh.count(s => positions(s).forall(filter))
+      val exact = sh.count(evalSh)
+      id -> (sh.size.toLong, bloom.toLong, exact.toLong)
+    }.toMap
+    val got = Corpus.bloomDecontaminationScores(
+        docs, col("source") === "src0", m = m)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_bloom_hits"),
+          r.getAs[Long]("n_exact_hits"))).toMap
+    assert(got == expected)
+    // the exact hits are always a subset of the bloom hits, and at
+    // m=512 the filter is saturated enough that false positives exist
+    // — the FP-accounting column is exercised, not vacuous
+    assert(got.values.forall { case (_, b, e) => b >= e })
+    assert(got.values.exists { case (_, b, e) => b > e },
+      "expected at least one bloom false positive at m=512")
+  }
+
+  test("PQ codebook report matches a driver-side recomputation") {
+    import graft.ml.Similarity
+    // Spark's round(double) rounds ties away from zero over the
+    // canonical decimal rendering — mirror it exactly
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val embs = Tables.load(spark, sf, "embeddings")
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => rnd(x.toDouble * 1000)).toArray)
+    val W = Similarity.PqWidth
+    val planes = Array.tabulate(Similarity.PqSub, Similarity.PqBits)(
+      (j, p) => Similarity.pqPlane(j, p).toArray)
+    def code0(q: Array[Long], j: Int): Long =
+      (0 until Similarity.PqBits).map { p =>
+        val d = (0 until W).map(i => q(j * W + i) * planes(j)(p)(i)).sum
+        if (d >= 0) 1L << p else 0L
+      }.sum
+    // rounded-mean centroids per (sub, code0, component)
+    val members = vecs.flatMap { case (_, q) =>
+      (0 until Similarity.PqSub).map(j => ((j, code0(q, j)), q)) }
+    val comp = members.groupBy(_._1).map { case ((j, c), vs) =>
+      (j, c) -> Array.tabulate(W)(i =>
+        rnd(vs.map(_._2(j * W + i)).sum.toDouble / vs.length))
+    }
+    // refine: nearest centroid within the subspace by (d2, code)
+    val chosen = vecs.flatMap { case (_, q) =>
+      (0 until Similarity.PqSub).map { j =>
+        comp.collect { case ((`j`, c), m) =>
+          (c, (0 until W).map(i =>
+            { val d = q(j * W + i) - m(i); d * d }).sum)
+        }.minBy { case (c, d2) => (d2, c) } match {
+          case (c, d2) => ((j.toLong, c), d2)
+        }
+      }
+    }
+    val expected = chosen.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).sum) }
+    val got = Similarity.pqReport(embs).collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_d2"))).toMap
+    assert(got == expected)
+    // every vector contributes exactly one code per subspace
+    (0 until Similarity.PqSub).foreach { j =>
+      assert(got.collect { case ((s, _), (n, _)) if s == j => n }.sum
+        == vecs.length.toLong)
+    }
+  }
+
   test("frame sampler offsets and checksums come from the bytes, not the length") {
     // frame sums partition the whole-payload sum the decoder finds,
     // and every frame offset lands exactly on that frame's content

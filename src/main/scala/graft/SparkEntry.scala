@@ -1019,6 +1019,13 @@ object SparkEntry {
     // E-step; per (subspace, code) population + reconstruction error.
     "embed_pq" -> ((s, dir) =>
       Similarity.pqReport(Tables.load(s, dir, "embeddings"))),
+
+    // Semantic dedup clusters: exact connected components over the
+    // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
+    // step; embedding twin of dedup_clusters).
+    "dedup_embedding_clusters" -> ((s, dir) =>
+      Dedup.embeddingClusters(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("cluster_id"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3532,5 +3539,31 @@ object SparkEntry {
          |  CAST(sum(d2) AS BIGINT) AS sum_d2,
          |  CAST(sum(d2) AS DOUBLE) / count(*) AS avg_d2
          |FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.v1
+         |  JOIN flat fb ON fb.vec_id = c.v2 AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT d.v1, d.v2 FROM d
+         |  JOIN norms na ON na.vec_id = d.v1
+         |  JOIN norms nb ON nb.vec_id = d.v2
+         |  WHERE na.n2 > 0 AND nb.n2 > 0
+         |    AND $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)),
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+         |  UNION ALL SELECT v2 AS src, v1 AS dst FROM pairs),
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v)
+         |SELECT label AS cluster_id, count(*) AS n_vecs, max(v) AS max_vec_id
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

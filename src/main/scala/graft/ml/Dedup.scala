@@ -701,4 +701,30 @@ object Dedup {
       .filter(col("cos_sim") >= CosineTau)
       .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
   }
+
+  /** Semantic duplicate clusters: connected components over the
+    * embedding near-dup graph ([[embeddingPairs]]) — the embedding
+    * twin of [[clusters]], and the grouping step of SemDeDup-style
+    * semantic deduplication (cluster near-identical meanings, keep
+    * one representative per component). Exact CC via the same
+    * convergence-checked [[clusterLabels]] contraction; the oracle
+    * recomputes components by recursive reachability, independent of
+    * iteration order.
+    *
+    * Scale shape: candidate edges are SRP-bucketed (never all-pairs);
+    * the CC loop shuffles only the measured edge relation with
+    * checkpoint-truncated lineage — same 100 TB story as the MinHash
+    * cluster path, swapping the shingle pipeline for per-row
+    * quantized-cosine math.
+    */
+  def embeddingClusters(embs: DataFrame): DataFrame = {
+    val pairs = materialize(
+      embeddingPairs(embs).select(col("vec_id_a"), col("vec_id_b")))
+    val edges =
+      pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
+        .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
+    clusterLabels(edges, knownEdgeCount = Some(2L * pairs.count()))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec_id"))
+  }
 }

@@ -361,6 +361,32 @@ class MlSpec extends AnyFunSuite {
       "expected at least one bloom false positive at m=512")
   }
 
+  test("embedding clusters are the exact components of the near-dup graph") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val pairs = Dedup.embeddingPairs(embs)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find with min-root unions: the component
+    // root is always the component's minimum vertex
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = verts.groupBy(find).map { case (root, vs) =>
+      root -> (vs.size.toLong, vs.max) }
+    val got = Dedup.embeddingClusters(embs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("max_vec_id"))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "test corpus should contain embedding near-dups")
+  }
+
   test("PQ codebook report matches a driver-side recomputation") {
     import graft.ml.Similarity
     // Spark's round(double) rounds ties away from zero over the

@@ -1026,6 +1026,13 @@ object SparkEntry {
     "dedup_embedding_clusters" -> ((s, dir) =>
       Dedup.embeddingClusters(Tables.load(s, dir, "embeddings"))
         .orderBy(col("cluster_id"))),
+
+    // End-to-end training-data funnel: quality gate → exact-dup
+    // canonical → decontamination as per-source stage yields + the
+    // surviving token mass — one pass, all gates as conditional sums.
+    "corpus_funnel" -> ((s, dir) =>
+      Corpus.pipelineFunnel(Tables.load(s, dir, "documents"),
+        col("source") === "src0")),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3565,5 +3572,46 @@ object SparkEntry {
          |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v)
          |SELECT label AS cluster_id, count(*) AS n_vecs, max(v) AS max_vec_id
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_funnel" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ev AS (SELECT DISTINCT s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source = 'src0'),
+         |cs AS (SELECT DISTINCT s.doc_id, s.shingle
+         |  FROM shf s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source <> 'src0'),
+         |ovl AS (SELECT c.doc_id, count(e.shingle) AS n_overlap
+         |  FROM cs c LEFT JOIN ev e ON e.shingle = c.shingle
+         |  GROUP BY 1),
+         |s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len,
+         |  md5($normT) AS fp
+         |FROM documents WHERE source <> 'src0'),
+         |q AS (SELECT *,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |  END AS quality_score,
+         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |FROM s),
+         |j AS (SELECT q.*, COALESCE(ovl.n_overlap, 0) AS n_overlap,
+         |    q.quality_score >= CAST(0.5 AS DOUBLE) AS kq,
+         |    q.quality_score >= CAST(0.5 AS DOUBLE) AND q.rn = 1 AS kc,
+         |    q.quality_score >= CAST(0.5 AS DOUBLE) AND q.rn = 1
+         |      AND COALESCE(ovl.n_overlap, 0) = 0 AS kd
+         |  FROM q LEFT JOIN ovl ON ovl.doc_id = q.doc_id)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(count(*) FILTER (WHERE kq) AS BIGINT) AS n_quality,
+         |  CAST(count(*) FILTER (WHERE kc) AS BIGINT) AS n_canonical,
+         |  CAST(count(*) FILTER (WHERE kd) AS BIGINT) AS n_final,
+         |  COALESCE(CAST(sum(n_tokens) FILTER (WHERE kd) AS BIGINT), 0)
+         |    AS tokens_final
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -468,6 +468,47 @@ object Corpus {
       .orderBy(col("decile"))
   }
 
+  /** End-to-end training-data funnel: the composed pipeline a corpus
+    * actually runs — quality gate → exact-dup canonicalization →
+    * decontamination — reported as per-source surviving counts at
+    * each stage plus the token mass that reaches training. This is
+    * the yield report a data team reads before launching a run:
+    * where documents die, and how many tokens the corpus actually
+    * contributes after every gate.
+    *
+    * Stage semantics reuse the shipped operators verbatim
+    * (TextAnalysis.quality's score + threshold 0.5, corpus_clean's
+    * keep-first-doc_id canonical rule, decontaminationScores' 3-gram
+    * overlap with zero-tolerance), so the funnel IS the composition,
+    * not a re-implementation.
+    *
+    * Scale shape: quality is map-only; the canonical rule is one fp
+    * window; decontamination is the eval-shingle join (broadcast at
+    * real eval:corpus ratios). All gates collapse into conditional
+    * sums in ONE per-source aggregate — the funnel costs one pass
+    * over the scored relation, not a pass per stage.
+    */
+  def pipelineFunnel(docs: DataFrame, isEval: Column): DataFrame = {
+    val train = docs.filter(!isEval)
+    val scored = TextAnalysis.quality(train, col("text"))
+      .withColumn("fp", md5(Portable.normText(col("text"))))
+    val canonical = scored.withColumn("rn",
+      row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+    val decon = decontaminationScores(docs, isEval)
+      .select(col("doc_id"), col("n_overlap"))
+    val keepQ = col("quality_score") >= 0.5
+    val keepC = keepQ && col("rn") === 1
+    val keepD = keepC && col("n_overlap") === 0L
+    canonical.join(decon, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(keepQ, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(keepC, 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(keepD, 1L).otherwise(0L)).as("n_final"),
+        sum(when(keepD, col("n_tokens")).otherwise(0L)).as("tokens_final"))
+      .orderBy(col("source"))
+  }
+
   /** Bloom-filter decontamination: the broadcast-bitmap scale path of
     * [[decontaminationScores]]. The eval set's shingle inventory is
     * folded into an `m`-position Bloom filter (each shingle sets `k`

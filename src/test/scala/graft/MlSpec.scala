@@ -361,6 +361,42 @@ class MlSpec extends AnyFunSuite {
       "expected at least one bloom false positive at m=512")
   }
 
+  test("pipeline funnel stages are monotone and tie out against the stage operators") {
+    import graft.ml.Corpus
+    val funnel = Corpus.pipelineFunnel(docs, col("source") === "src0")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+          r.getAs[Long]("n_canonical"), r.getAs[Long]("n_final"),
+          r.getAs[Long]("tokens_final"))).toMap
+    // monotone: each gate only removes documents
+    funnel.values.foreach { case (raw, q, c, f, toks) =>
+      assert(raw >= q && q >= c && c >= f)
+      assert(f > 0 || toks == 0)
+    }
+    // n_raw ties out against the raw per-source counts
+    val raw = docs.filter(col("source") =!= "src0")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.view.mapValues(_._1).toMap == raw)
+    // the decontamination stage agrees with decontaminationScores:
+    // per-source zero-overlap canonical keepers == n_final
+    val keptByDecon = Corpus.decontaminationScores(
+        docs, col("source") === "src0")
+      .filter(col("n_overlap") === 0L).select("doc_id")
+    val scored = graft.ml.TextAnalysis.quality(
+        docs.filter(col("source") =!= "src0"), col("text"))
+      .withColumn("fp", md5(graft.functions.Portable.normText(col("text"))))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col("doc_id"))))
+      .filter(col("quality_score") >= 0.5 && col("rn") === 1)
+    val expectedFinal = scored.join(keptByDecon, "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.collect { case (s, (_, _, _, f, _)) if f > 0 => s -> f }
+      == expectedFinal)
+  }
+
   test("embedding clusters are the exact components of the near-dup graph") {
     val embs = Tables.load(spark, sf, "embeddings")
     val pairs = Dedup.embeddingPairs(embs)

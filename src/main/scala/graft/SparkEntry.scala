@@ -1033,6 +1033,21 @@ object SparkEntry {
     "corpus_funnel" -> ((s, dir) =>
       Corpus.pipelineFunnel(Tables.load(s, dir, "documents"),
         col("source") === "src0")),
+
+    // Per-sample audio features from the REAL PCM parse: energy,
+    // zero crossings, peak, integer duration — the audio stratum's
+    // content profile (silence/tone discrimination before training).
+    "multimodal_audio_features" -> ((s, dir) =>
+      Binary.audioFeatures(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
+    // Shot-boundary detection over the real frame walk: per video the
+    // inter-frame luma deltas — where a sampling pipeline densifies.
+    "multimodal_scene_cuts" -> ((s, dir) =>
+      Binary.sceneCuts(Binary.frameSample(
+          Binary.mediaPayload(Tables.load(s, dir, "documents"))))
+        .orderBy(col("doc_id"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3613,5 +3628,53 @@ object SparkEntry {
          |    AS tokens_final
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // The audio-features oracle recomputes what a correct PCM parse
+    // must find: sample k of audio doc id is (id·31+k) mod 256 (the
+    // synthesized-content formula, see multimodal_decode), centered
+    // at the unsigned midpoint 128.
+    "multimodal_audio_features" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    8000 + (doc_id % 5) * 2000 AS rate,
+         |    64 + doc_id % 101 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (SELECT doc_id, rate, n, unnest(range(0, n)) AS k FROM a),
+         |d AS (SELECT doc_id, rate, n, k,
+         |    (doc_id * 31 + k) % 256 - 128 AS dev FROM s),
+         |x AS (SELECT *, lag(dev) OVER (PARTITION BY doc_id ORDER BY k)
+         |    AS prev FROM d)
+         |SELECT doc_id,
+         |  CAST(max(rate) AS BIGINT) AS sample_rate,
+         |  CAST(max(n) AS BIGINT) AS n_samples,
+         |  CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+         |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+         |    AND (dev < 0) <> (prev < 0)) AS BIGINT) AS n_zero_cross,
+         |  CAST(max(abs(dev)) AS BIGINT) AS peak_dev,
+         |  CAST(max(n) * 1000000 // max(rate) AS BIGINT) AS duration_us
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Scene-cut oracle: frame i's luma plane covers content bytes
+    // [i·(w·h·3/2), i·(w·h·3/2)+w·h) of the C420 stream (the frame
+    // walk's luma_sum definition); diffs via lag, same as the engine.
+    "multimodal_scene_cuts" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    4 + 2 * (doc_id % 6) AS w,
+         |    2 + 2 * (doc_id % 4) AS h,
+         |    1 + doc_id % 3 AS frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, w, h, frames, w * h * 3 // 2 AS fb,
+         |    unnest(range(0, frames)) AS i FROM v),
+         |luma AS (SELECT doc_id, frames, i,
+         |    CAST(list_sum(list_transform(range(i * fb, i * fb + w * h),
+         |      k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS ls
+         |  FROM fr),
+         |d AS (SELECT doc_id, frames, ls,
+         |    abs(ls - lag(ls) OVER (PARTITION BY doc_id ORDER BY i)) AS diff
+         |  FROM luma)
+         |SELECT doc_id, CAST(max(frames) AS BIGINT) AS n_frames,
+         |  COALESCE(CAST(sum(diff) AS BIGINT), 0) AS sum_abs_diff,
+         |  CAST(count(*) FILTER (WHERE diff > 100) AS BIGINT) AS n_cuts,
+         |  COALESCE(CAST(max(diff) AS BIGINT), 0) AS max_diff
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -366,4 +366,99 @@ object Binary {
     } else throw new IllegalStateException(
       s"doc $id: unrecognized media container (${p.length} bytes)")
   }
+
+  // ===== content feature extraction ========================================
+
+  /** Per-document audio features from the REAL sample parse. Devs
+    * are 8-bit PCM samples centered at the unsigned midpoint
+    * (`dev = sample − 128`): `sum_sq_dev` is the exact integer
+    * energy, `n_zero_cross` counts sign flips between consecutive
+    * samples (silence/tone discriminator), `peak_dev` the absolute
+    * peak, `duration_us` the integer microsecond length from the
+    * parsed sample rate.
+    */
+  case class AudioFeatures(
+      doc_id: Long, sample_rate: Long, n_samples: Long, sum_sq_dev: Long,
+      n_zero_cross: Long, peak_dev: Long, duration_us: Long)
+
+  /** Audio-stratum feature extractor: payloads whose magic bytes say
+    * RIFF/WAVE parse for per-sample features; other modalities emit
+    * no row (the op IS the audio stratum's profile — same flatMap-
+    * per-partition seam as [[frameSample]], so a codec-backed
+    * feature extractor drops in unchanged).
+    */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) => parseAudioFeatures(id, p) }
+      }
+      .toDF()
+  }
+
+  private[graft] def parseAudioFeatures(
+      id: Long, p: Array[Byte]): Option[AudioFeatures] = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1L
+    var feats: Option[(Long, Long, Long, Long)] = None
+    while (off + 8 <= p.length) {
+      val cid = new String(p, off, 4, "US-ASCII")
+      val csz = bb.getInt(off + 4)
+      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
+        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
+      cid match {
+        case "fmt " => rate = bb.getInt(off + 12).toLong
+        case "data" =>
+          var ssq = 0L; var cross = 0L; var peak = 0L
+          var prevNeg = false
+          var k = off + 8
+          val end = off + 8 + csz
+          while (k < end) {
+            val dev = (p(k) & 0xff) - 128
+            ssq += dev.toLong * dev
+            val neg = dev < 0
+            if (k > off + 8 && neg != prevNeg) cross += 1
+            prevNeg = neg
+            if (math.abs(dev) > peak) peak = math.abs(dev)
+            k += 1
+          }
+          feats = Some((csz.toLong, ssq, cross, peak))
+        case _ => ()
+      }
+      off += 8 + csz + (csz & 1)
+    }
+    val (n, ssq, cross, peak) = feats.getOrElse(
+      throw new IllegalStateException(s"doc $id: WAV missing data chunk"))
+    require(rate > 0, s"doc $id: WAV missing fmt chunk")
+    Some(AudioFeatures(id, rate, n, ssq, cross, peak, n * 1000000L / rate))
+  }
+
+  /** Scene-cut detection over the REAL frame walk: per video, the
+    * absolute luma-sum difference between consecutive frames — the
+    * shot-boundary signal a frame-sampling pipeline keys on (sample
+    * densely around cuts, sparsely inside still shots). `n_cuts`
+    * counts diffs above `threshold`.
+    *
+    * Scale shape: rides [[frameSample]]'s fan-out; ONE (doc) window
+    * over the per-frame relation (frames-per-video-bounded), then the
+    * per-doc rollup in the same exchange.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.filter(col("kind") === "video")
+      .withColumn("prev_luma", lag(col("luma_sum"), 1).over(w))
+      .withColumn("diff", abs(col("luma_sum") - col("prev_luma")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(col("diff")), lit(0L)).as("sum_abs_diff"),
+        sum(when(col("diff") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("diff")), lit(0L)).as("max_diff"))
+  }
 }

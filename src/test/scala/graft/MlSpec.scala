@@ -566,6 +566,56 @@ class MlSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("audio features parse a hand-authored WAV and tie out per-sample") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 4 samples 128,130,126,128 → devs 0,+2,-2,0: energy 8, two sign
+    // flips (+2→-2 and -2→0 with 0 counted non-negative), peak 2.
+    val wav = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+    wav.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    wav.put("data".getBytes("US-ASCII")).putInt(4)
+    Seq(128, 130, 126, 128).foreach(b => wav.put(b.toByte))
+    val f = Binary.parseAudioFeatures(5L, wav.array()).get
+    assert((f.sample_rate, f.n_samples, f.sum_sq_dev, f.n_zero_cross,
+      f.peak_dev, f.duration_us) == ((8000L, 4L, 8L, 2L, 2L, 500L)))
+    // non-audio payloads contribute no row
+    assert(Binary.parseAudioFeatures(6L, Binary.encodeMedia(0L)).isEmpty)
+    // features recomputed from the synthesized content formula
+    val id = 7L // 7 % 3 == 1 → audio
+    val n = (64 + id % 101).toInt
+    val devs = (0 until n).map(k => ((id * 31 + k) % 256 - 128).toInt)
+    val g = Binary.parseAudioFeatures(id, Binary.encodeMedia(id)).get
+    assert(g.sum_sq_dev == devs.map(d => d.toLong * d).sum)
+    assert(g.n_zero_cross ==
+      devs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    assert(g.peak_dev == devs.map(math.abs).max.toLong)
+  }
+
+  test("scene cuts tie out against the frame walk's luma sums") {
+    val docs = Tables.load(spark, sf, "documents")
+    val frames = Binary.frameSample(Binary.mediaPayload(docs))
+    val lumas = frames.filter(col("kind") === "video")
+      .select("doc_id", "frame_idx", "luma_sum").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val expected = lumas.map { case (id, ls) =>
+      val diffs = ls.sliding(2).filter(_.size == 2).map(p => math.abs(p(1) - p(0))).toSeq
+      id -> (ls.size.toLong, diffs.sum, diffs.count(_ > 100L).toLong,
+        if (diffs.isEmpty) 0L else diffs.max)
+    }
+    val got = Binary.sceneCuts(frames).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("sum_abs_diff"), r.getAs[Long]("n_cuts"),
+        r.getAs[Long]("max_diff"))).toMap
+    assert(got == expected)
+    // multi-frame videos exist, so the diff path is exercised
+    assert(got.values.exists(_._1 > 1L))
+  }
+
   test("media encode/decode roundtrip matches the oracle formulas") {
     for (id <- 0L to 60L) {
       val info = Binary.parseMedia(id, Binary.encodeMedia(id))

@@ -1048,6 +1048,13 @@ object SparkEntry {
       Binary.sceneCuts(Binary.frameSample(
           Binary.mediaPayload(Tables.load(s, dir, "documents"))))
         .orderBy(col("doc_id"))),
+
+    // Per-channel image statistics from the real BGR pixel parse —
+    // completes the per-modality content-feature triple.
+    "multimodal_image_features" -> ((s, dir) =>
+      Binary.imageFeatures(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3676,5 +3683,28 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE diff > 100) AS BIGINT) AS n_cuts,
          |  COALESCE(CAST(max(diff) AS BIGINT), 0) AS max_diff
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Image-features oracle: pixel content byte j of image doc id is
+    // (id·31+j) mod 256 with j running row-major over w·3-byte pixel
+    // rows (padding excluded by construction); BMP stores BGR, and
+    // since w·3 ≡ 0 (mod 3) the channel of byte j is j mod 3.
+    "multimodal_image_features" ->
+      s"""WITH im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |b AS (SELECT doc_id, w, h,
+         |    unnest(range(0, w * h * 3)) AS j FROM im),
+         |v AS (SELECT doc_id, w, h, j % 3 AS ch,
+         |    (doc_id * 31 + j) % 256 AS byte FROM b)
+         |SELECT doc_id,
+         |  CAST(max(w) AS BIGINT) AS width,
+         |  CAST(max(h) AS BIGINT) AS height,
+         |  CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+         |  CAST(sum(byte) FILTER (WHERE ch = 0) AS BIGINT) AS sum_b,
+         |  CAST(sum(byte) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g,
+         |  CAST(sum(byte) FILTER (WHERE ch = 2) AS BIGINT) AS sum_r,
+         |  CAST(sum(byte) AS DOUBLE) / (CAST(3 AS DOUBLE) * max(w) * max(h))
+         |    AS mean_brightness
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

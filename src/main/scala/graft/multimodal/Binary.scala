@@ -439,6 +439,54 @@ object Binary {
     Some(AudioFeatures(id, rate, n, ssq, cross, peak, n * 1000000L / rate))
   }
 
+  /** Per-image channel statistics from the REAL pixel parse. BMP
+    * stores pixels as BGR triplets, so channel sums come from the
+    * byte's position mod 3 within its row's pixel run; padding bytes
+    * are structural and excluded. `mean_brightness` is the one
+    * double op over the exact integer channel sums.
+    */
+  case class ImageFeatures(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long, mean_brightness: Double)
+
+  /** Image-stratum feature extractor: payloads whose magic bytes say
+    * BM parse for per-channel statistics; other modalities emit no
+    * row (same flatMap-per-partition seam as [[audioFeatures]]).
+    */
+  def imageFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) => parseImageFeatures(id, p) }
+      }
+      .toDF()
+  }
+
+  private[graft] def parseImageFeatures(
+      id: Long, p: Array[Byte]): Option[ImageFeatures] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    require(bpp == 24 && h > 0, s"doc $id: unsupported BMP variant (bpp=$bpp h=$h)")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val sums = new Array[Long](3)
+    var r = 0
+    while (r < h) {
+      val rowStart = dataOff + r * stride
+      var c = 0
+      while (c < w * 3) { sums(c % 3) += (p(rowStart + c) & 0xff); c += 1 }
+      r += 1
+    }
+    val n = w.toLong * h
+    Some(ImageFeatures(id, w.toLong, h.toLong, n, sums(0), sums(1), sums(2),
+      (sums(0) + sums(1) + sums(2)).toDouble / (3.0 * n)))
+  }
+
   /** Scene-cut detection over the REAL frame walk: per video, the
     * absolute luma-sum difference between consecutive frames — the
     * shot-boundary signal a frame-sampling pipeline keys on (sample

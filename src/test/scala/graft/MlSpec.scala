@@ -594,6 +594,28 @@ class MlSpec extends AnyFunSuite {
     assert(g.peak_dev == devs.map(math.abs).max.toLong)
   }
 
+  test("image features parse a hand-authored BMP and tie out per-channel") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // same hand-authored 2x2 BMP as the decoder test: channel sums
+    // B=10+40+70+100, G=20+50+80+110, R=30+60+90+120; mean 780/12
+    val bmp = ByteBuffer.allocate(70).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(70)
+      .putShort(0).putShort(0).putInt(54)
+    bmp.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    Seq(70, 80, 90, 100, 110, 120, 0, 0,
+      10, 20, 30, 40, 50, 60, 0, 0)
+      .foreach(b => bmp.put(b.toByte))
+    val f = Binary.parseImageFeatures(7L, bmp.array()).get
+    assert((f.width, f.height, f.n_pixels, f.sum_b, f.sum_g, f.sum_r)
+      == ((2L, 2L, 4L, 220L, 260L, 300L)))
+    assert(f.mean_brightness == 65.0)
+    // padding bytes are structural, not pixel data: they're excluded
+    assert(f.sum_b + f.sum_g + f.sum_r == 780L)
+    // non-image payloads contribute no row
+    assert(Binary.parseImageFeatures(8L, Binary.encodeMedia(1L)).isEmpty)
+  }
+
   test("scene cuts tie out against the frame walk's luma sums") {
     val docs = Tables.load(spark, sf, "documents")
     val frames = Binary.frameSample(Binary.mediaPayload(docs))

@@ -1055,6 +1055,13 @@ object SparkEntry {
       Binary.imageFeatures(
           Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
+
+    // PQ-ADC approximate top-k: per-probe exact-integer lookup table
+    // to every codebook centroid; candidates rank by 4 table lookups
+    // over their stored codes — the memory-budget ANN scan path.
+    "sim_ann_pq" -> ((s, dir) =>
+      Similarity.topKAnnPq(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -1191,6 +1198,46 @@ object SparkEntry {
 
   private val cosSql =
     Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
+
+  /** PQ model CTE chain (twin of Similarity.pqParts): quantize →
+    * flatten into (sub, il) sub-components → SRP sign-bit initial
+    * codes → rounded-mean codebook → refine E-step ranked by
+    * (d2, code). Ends at `best` (rk=1 = the chosen assignment);
+    * `f` and `comp` remain visible for the ADC consumers.
+    */
+  private val pqCtes: String =
+    s"""q AS (SELECT vec_id,
+       |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+       |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i,
+       |    unnest(q) AS v FROM q),
+       |f AS (SELECT vec_id, i // ${Similarity.PqWidth} AS sub,
+       |    i % ${Similarity.PqWidth} AS il, v FROM flat),
+       |pl AS (SELECT j, p, i,
+       |    CAST(('0x' || substr(md5('pq#' || j || '#' || p || '#' || i),
+       |      1, 15)) AS BIGINT) % 2001 - 1000 AS w
+       |  FROM range(${Similarity.PqSub}) tj(j),
+       |    range(${Similarity.PqBits}) tp(p),
+       |    range(${Similarity.PqWidth}) ti(i)),
+       |dots AS (SELECT f.vec_id, f.sub, pl.p,
+       |    CAST(sum(pl.w * f.v) AS BIGINT) AS d
+       |  FROM f JOIN pl ON pl.j = f.sub AND pl.i = f.il
+       |  GROUP BY 1, 2, 3),
+       |code0 AS (SELECT vec_id, sub,
+       |    CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p
+       |      ELSE 0 END) AS BIGINT) AS c
+       |  FROM dots GROUP BY 1, 2),
+       |comp AS (SELECT f.sub, c0.c AS code, f.il,
+       |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM f JOIN code0 c0 ON c0.vec_id = f.vec_id AND c0.sub = f.sub
+       |  GROUP BY 1, 2, 3),
+       |d2 AS (SELECT f.vec_id, f.sub, comp.code,
+       |    CAST(sum((f.v - comp.m) * (f.v - comp.m)) AS BIGINT) AS d2
+       |  FROM f JOIN comp ON comp.sub = f.sub AND comp.il = f.il
+       |  GROUP BY 1, 2, 3),
+       |best AS (SELECT vec_id, sub, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2, code) AS rk
+       |  FROM d2)""".stripMargin
 
   /** ONE template for both attribution twins — they differ only in
     * the window function that picks the credited touch
@@ -3531,43 +3578,31 @@ object SparkEntry {
          |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin,
 
     "embed_pq" ->
-      s"""WITH q AS (SELECT vec_id,
-         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
-         |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i,
-         |    unnest(q) AS v FROM q),
-         |f AS (SELECT vec_id, i // ${Similarity.PqWidth} AS sub,
-         |    i % ${Similarity.PqWidth} AS il, v FROM flat),
-         |pl AS (SELECT j, p, i,
-         |    CAST(('0x' || substr(md5('pq#' || j || '#' || p || '#' || i),
-         |      1, 15)) AS BIGINT) % 2001 - 1000 AS w
-         |  FROM range(${Similarity.PqSub}) tj(j),
-         |    range(${Similarity.PqBits}) tp(p),
-         |    range(${Similarity.PqWidth}) ti(i)),
-         |dots AS (SELECT f.vec_id, f.sub, pl.p,
-         |    CAST(sum(pl.w * f.v) AS BIGINT) AS d
-         |  FROM f JOIN pl ON pl.j = f.sub AND pl.i = f.il
-         |  GROUP BY 1, 2, 3),
-         |code0 AS (SELECT vec_id, sub,
-         |    CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p
-         |      ELSE 0 END) AS BIGINT) AS c
-         |  FROM dots GROUP BY 1, 2),
-         |comp AS (SELECT f.sub, c0.c AS code, f.il,
-         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS m
-         |  FROM f JOIN code0 c0 ON c0.vec_id = f.vec_id AND c0.sub = f.sub
-         |  GROUP BY 1, 2, 3),
-         |d2 AS (SELECT f.vec_id, f.sub, comp.code,
-         |    CAST(sum((f.v - comp.m) * (f.v - comp.m)) AS BIGINT) AS d2
-         |  FROM f JOIN comp ON comp.sub = f.sub AND comp.il = f.il
-         |  GROUP BY 1, 2, 3),
-         |best AS (SELECT vec_id, sub, code, d2,
-         |    row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY d2, code) AS rk
-         |  FROM d2)
+      s"""WITH $pqCtes
          |SELECT CAST(sub AS BIGINT) AS subspace, code,
          |  count(*) AS n_vecs,
          |  CAST(sum(d2) AS BIGINT) AS sum_d2,
          |  CAST(sum(d2) AS DOUBLE) / count(*) AS avg_d2
          |FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sim_ann_pq" ->
+      s"""WITH $pqCtes,
+         |codes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
+         |pflat AS (SELECT vec_id AS probe_id, sub, il, v FROM f
+         |  WHERE vec_id < ${Similarity.NumProbes}),
+         |lut AS (SELECT p.probe_id, c.sub, c.code,
+         |    CAST(sum((p.v - c.m) * (p.v - c.m)) AS BIGINT) AS pd2
+         |  FROM pflat p JOIN comp c ON c.sub = p.sub AND c.il = p.il
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT l.probe_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum(l.pd2) AS BIGINT) AS approx_d2
+         |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |  WHERE cd.vec_id <> l.probe_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY approx_d2, neighbor_id) AS BIGINT) AS rk FROM sc)
+         |SELECT probe_id, neighbor_id, approx_d2, rk FROM r
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embCtes,

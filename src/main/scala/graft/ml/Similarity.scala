@@ -474,6 +474,23 @@ object Similarity {
     * is bounded at PqSub·2^PqBits rows.
     */
   def pqReport(embs: DataFrame): DataFrame = {
+    val (_, _, chosen) = pqParts(embs)
+    chosen
+      .groupBy(col("sub").cast("long").as("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2")).as("sum_d2"),
+        (sum(col("d2")).cast("double") / count(lit(1))).as("avg_d2"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  /** Shared PQ model builder: (flat sub-components, codebook,
+    * chosen assignment). `flat` is (vec_id, sub, il, v); `comp` the
+    * rounded-mean codebook (sub, code, il, m), ≤ PqSub·2^PqBits·
+    * PqWidth rows; `chosen` the refined per-(vec, sub) assignment
+    * with its reconstruction d². comp and chosen are materialized —
+    * [[pqReport]] reads chosen once, [[topKAnnPq]] reads all three.
+    */
+  private def pqParts(embs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val qv = Vectors.quantized(embs).select(col("vec_id"), col("q"))
     // initial code per subspace: PqBits sign bits over the sub-slice
     val codeCols = (0 until PqSub).map { j =>
@@ -494,22 +511,53 @@ object Similarity {
         element_at(col("codes"), (col("i") / PqWidth).cast("int") + 1)
           .as("code0"),
         col("v"))
-    val comp = flat
+    val comp = materialize(flat
       .groupBy(col("sub"), col("code0").as("code"), col("il"))
       .agg(round(sum(col("v")).cast("double") / count(lit(1)))
-        .cast("long").as("m"))
+        .cast("long").as("m")))
     val d2 = flat
       .join(broadcast(comp), Seq("sub", "il"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d2"))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("code"))
-    d2.withColumn("rk", row_number().over(w))
+    val chosen = materialize(d2.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .groupBy(col("sub").cast("long").as("subspace"), col("code"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("d2")).as("sum_d2"),
-        (sum(col("d2")).cast("double") / count(lit(1))).as("avg_d2"))
-      .orderBy(col("subspace"), col("code"))
+      .select(col("vec_id"), col("sub"), col("code"), col("d2")))
+    (flat, comp, chosen)
+  }
+
+  /** PQ-ADC approximate top-k: the payoff of [[pqReport]]'s codebook.
+    * Each probe precomputes an asymmetric-distance lookup table —
+    * exact integer d² from its own sub-vector to EVERY codebook
+    * centroid (≤ PqSub·2^PqBits entries per probe) — and a
+    * candidate's approximate distance is then the SUM of 4 table
+    * lookups keyed by its stored codes, never a touch of its floats.
+    * This is how a 100 TB corpus ranks under a per-node memory
+    * budget: the scan reads 16-bit codes (the 128× cut), the LUT
+    * rides broadcast, and only the emitted top-k would ever fetch
+    * full vectors for re-ranking.
+    *
+    * Approximation note: ADC ranks by reconstructed L2 — a recall
+    * gauge against the exact cosine ranking belongs to the
+    * `sim_ann_recall` pattern; this operator IS the scan.
+    */
+  def topKAnnPq(embs: DataFrame): DataFrame = {
+    val (flat, comp, chosen) = pqParts(embs)
+    val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
+    val pflat = flat.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
+    val lut = pflat.join(broadcast(comp), Seq("sub", "il"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), col("approx_d2"), col("rk"))
   }
 }

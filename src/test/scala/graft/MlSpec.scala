@@ -472,6 +472,55 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ-ADC top-k matches a driver-side lookup-table ranking") {
+    import graft.ml.Similarity
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val embs = Tables.load(spark, sf, "embeddings")
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => rnd(x.toDouble * 1000)).toArray)
+    val W = Similarity.PqWidth
+    val planes = Array.tabulate(Similarity.PqSub, Similarity.PqBits)(
+      (j, p) => Similarity.pqPlane(j, p).toArray)
+    def code0(q: Array[Long], j: Int): Long =
+      (0 until Similarity.PqBits).map { p =>
+        val d = (0 until W).map(i => q(j * W + i) * planes(j)(p)(i)).sum
+        if (d >= 0) 1L << p else 0L
+      }.sum
+    val members = vecs.flatMap { case (_, q) =>
+      (0 until Similarity.PqSub).map(j => ((j, code0(q, j)), q)) }
+    val comp = members.groupBy(_._1).map { case ((j, c), vs) =>
+      (j, c) -> Array.tabulate(W)(i =>
+        rnd(vs.map(_._2(j * W + i)).sum.toDouble / vs.length))
+    }
+    def subD2(q: Array[Long], j: Int, m: Array[Long]): Long =
+      (0 until W).map { i => val d = q(j * W + i) - m(i); d * d }.sum
+    // chosen code per (vec, sub): nearest centroid, ties by code
+    val codes = vecs.map { case (id, q) =>
+      id -> (0 until Similarity.PqSub).map { j =>
+        comp.collect { case ((`j`, c), m) => (c, subD2(q, j, m)) }
+          .minBy { case (c, d2) => (d2, c) }._1
+      }
+    }.toMap
+    val probes = vecs.filter(_._1 < Similarity.NumProbes)
+    val expected = probes.flatMap { case (pid, pq) =>
+      val scoredC = vecs.filter(_._1 != pid).map { case (nid, _) =>
+        val d = (0 until Similarity.PqSub).map { j =>
+          val m = comp((j, codes(nid)(j)))
+          subD2(pq, j, m)
+        }.sum
+        (nid, d)
+      }.sortBy { case (nid, d) => (d, nid) }.take(Similarity.TopK)
+      scoredC.zipWithIndex.map { case ((nid, d), k) =>
+        (pid, nid) -> (d, (k + 1).toLong) }
+    }.toMap
+    val got = Similarity.topKAnnPq(embs).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        (r.getAs[Long]("approx_d2"), r.getAs[Long]("rk"))).toMap
+    assert(got == expected)
+  }
+
   test("frame sampler offsets and checksums come from the bytes, not the length") {
     // frame sums partition the whole-payload sum the decoder finds,
     // and every frame offset lands exactly on that frame's content

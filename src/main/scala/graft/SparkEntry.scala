@@ -1062,6 +1062,17 @@ object SparkEntry {
     "sim_ann_pq" -> ((s, dir) =>
       Similarity.topKAnnPq(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
+
+    // Recall gauge for the PQ-ADC scan vs the exact cosine ranking —
+    // the measured cost of ranking by 16-bit codes instead of floats
+    // (the number that decides how deep the re-rank fetch must go).
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnPq(embs))
+        .orderBy(col("probe_id"))
+    }),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -1199,19 +1210,43 @@ object SparkEntry {
   private val cosSql =
     Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
 
-  /** PQ model CTE chain (twin of Similarity.pqParts): quantize →
-    * flatten into (sub, il) sub-components → SRP sign-bit initial
-    * codes → rounded-mean codebook → refine E-step ranked by
-    * (d2, code). Ends at `best` (rk=1 = the chosen assignment);
-    * `f` and `comp` remain visible for the ADC consumers.
+  /** Raw-quantized PQ head CTE: (vec_id, q) straight from the
+    * quantizer — what [[pqCtes]] consumes for the codebook report.
     */
-  private val pqCtes: String =
-    s"""q AS (SELECT vec_id,
+  private val pqRawHead: String =
+    s"""pq_q AS (SELECT vec_id,
+       |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings)""".stripMargin
+
+  /** Normalized-quantized PQ head (twin of
+    * Vectors.quantizedNormalized): components re-scaled onto the
+    * unit sphere at Scale, zero-norm vectors dropped — the storage
+    * form of a cosine-serving ADC index.
+    */
+  private val pqNormHead: String =
+    s"""pq_q0 AS (SELECT vec_id,
        |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
-       |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i,
-       |    unnest(q) AS v FROM q),
+       |pq_n0 AS (SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |  FROM pq_q0),
+       |pq_q AS (SELECT vec_id, list_transform(q, x ->
+       |    CAST(round(CAST(x AS DOUBLE) * ${Vectors.Scale}
+       |      / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)) AS q
+       |  FROM pq_n0 WHERE n2 > 0)""".stripMargin
+
+  /** PQ model CTE chain (twin of Similarity.pqParts): `head` ends in
+    * a `pq_q` (vec_id, q) CTE — raw for the codebook report,
+    * normalized for the cosine-serving ADC scan — then flatten into
+    * (sub, il) sub-components → SRP sign-bit initial codes →
+    * rounded-mean codebook → refine E-step ranked by (d2, code).
+    * Ends at `best` (rk=1 = the chosen assignment); `f` and `comp`
+    * remain visible for the ADC consumers.
+    */
+  private def pqCtes(head: String): String =
+    s"""$head,
+       |pq_flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i,
+       |    unnest(q) AS v FROM pq_q),
        |f AS (SELECT vec_id, i // ${Similarity.PqWidth} AS sub,
-       |    i % ${Similarity.PqWidth} AS il, v FROM flat),
+       |    i % ${Similarity.PqWidth} AS il, v FROM pq_flat),
        |pl AS (SELECT j, p, i,
        |    CAST(('0x' || substr(md5('pq#' || j || '#' || p || '#' || i),
        |      1, 15)) AS BIGINT) % 2001 - 1000 AS w
@@ -3578,7 +3613,7 @@ object SparkEntry {
          |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin,
 
     "embed_pq" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes(pqRawHead)}
          |SELECT CAST(sub AS BIGINT) AS subspace, code,
          |  count(*) AS n_vecs,
          |  CAST(sum(d2) AS BIGINT) AS sum_d2,
@@ -3586,7 +3621,7 @@ object SparkEntry {
          |FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sim_ann_pq" ->
-      s"""WITH $pqCtes,
+      s"""WITH ${pqCtes(pqNormHead)},
          |codes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
          |pflat AS (SELECT vec_id AS probe_id, sub, il, v FROM f
          |  WHERE vec_id < ${Similarity.NumProbes}),
@@ -3603,6 +3638,50 @@ object SparkEntry {
          |    ORDER BY approx_d2, neighbor_id) AS BIGINT) AS rk FROM sc)
          |SELECT probe_id, neighbor_id, approx_d2, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    // Exact baseline from the RAW quantized chain (embCtes — the
+    // same relation sim_topk_bruteforce ranks); the ADC side runs on
+    // the normalized chain it actually stores. Disjoint CTE names.
+    "sim_ann_pq_recall" ->
+      s"""WITH $embCtes,
+         |${pqCtes(pqNormHead)},
+         |bd AS (SELECT fp.vec_id AS probe_id, f2.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f2.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f2 ON f2.i = fp.i AND f2.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br
+         |  WHERE rk <= ${Similarity.TopK}),
+         |codes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
+         |pflat AS (SELECT vec_id AS probe_id, sub, il, v FROM f
+         |  WHERE vec_id < ${Similarity.NumProbes}),
+         |lut AS (SELECT p.probe_id, c.sub, c.code,
+         |    CAST(sum((p.v - c.m) * (p.v - c.m)) AS BIGINT) AS pd2
+         |  FROM pflat p JOIN comp c ON c.sub = p.sub AND c.il = p.il
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT l.probe_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum(l.pd2) AS BIGINT) AS approx_d2
+         |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |  WHERE cd.vec_id <> l.probe_id
+         |  GROUP BY 1, 2),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY approx_d2, neighbor_id) AS rk FROM sc),
+         |ak AS (SELECT probe_id, neighbor_id FROM ar
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+         |FROM bfk b LEFT JOIN ak a ON a.probe_id = b.probe_id
+         |  AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embCtes,

@@ -490,8 +490,15 @@ object Similarity {
     * with its reconstruction d². comp and chosen are materialized —
     * [[pqReport]] reads chosen once, [[topKAnnPq]] reads all three.
     */
-  private def pqParts(embs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val qv = Vectors.quantized(embs).select(col("vec_id"), col("q"))
+  private def pqParts(embs: DataFrame,
+      normalized: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    // materialized: the 16 sign-bit dots + the flatten each reference
+    // `q`, and CollapseProject would otherwise inline the (for the
+    // normalized path, sqrt-per-element) quantize transform into
+    // EVERY reference — measured 12× on the ADC scan
+    val qv = materialize(
+      if (normalized) Vectors.quantizedNormalized(embs)
+      else Vectors.quantized(embs).select(col("vec_id"), col("q")))
     // initial code per subspace: PqBits sign bits over the sub-slice
     val codeCols = (0 until PqSub).map { j =>
       val sub = slice(col("q"), j * PqWidth + 1, PqWidth)
@@ -538,12 +545,15 @@ object Similarity {
     * rides broadcast, and only the emitted top-k would ever fetch
     * full vectors for re-ranking.
     *
-    * Approximation note: ADC ranks by reconstructed L2 — a recall
-    * gauge against the exact cosine ranking belongs to the
-    * `sim_ann_recall` pattern; this operator IS the scan.
+    * The scan runs on NORMALIZED-quantized vectors
+    * ([[Vectors.quantizedNormalized]]): on the unit sphere L2 is a
+    * monotone proxy for cosine (‖a−b‖² = 2−2cosθ), so the ADC
+    * ranking targets the same order the exact cosine baseline
+    * produces — `sim_ann_pq_recall` measures what the 16-bit
+    * compression still loses.
     */
   def topKAnnPq(embs: DataFrame): DataFrame = {
-    val (flat, comp, chosen) = pqParts(embs)
+    val (flat, comp, chosen) = pqParts(embs, normalized = true)
     val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
     val pflat = flat.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))

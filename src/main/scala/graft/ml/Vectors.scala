@@ -116,6 +116,24 @@ object Vectors {
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", norm2(col("q")))
 
+  /** Normalized-quantized relation: each component re-scaled onto
+    * the unit sphere at `Scale` (qn_i = round(Scale·q_i/√n2)), so
+    * L2 distance becomes a monotone proxy for cosine (‖a−b‖² =
+    * 2−2cosθ on unit vectors) — what a PQ/ADC index must store to
+    * answer cosine queries. Reproducible across engines: the
+    * integer-quantized component and exact n2 feed ONE double
+    * multiply, ONE sqrt, ONE division, ONE round — all IEEE
+    * correctly-rounded. Zero-norm vectors have no direction and are
+    * dropped (the brute-force baseline excludes them identically).
+    */
+  def quantizedNormalized(embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    quantized(embs)
+      .filter(col("n2") > 0)
+      .select(col("vec_id"),
+        transform(col("q"), x =>
+          round(x.cast("double") * Scale / sqrt(col("n2").cast("double")))
+            .cast("long")).as("q"))
+
   /** quantized() + SRP band buckets — the candidate-generation view. */
   def quantizedWithBuckets(
       embs: org.apache.spark.sql.DataFrame,

@@ -477,9 +477,16 @@ class MlSpec extends AnyFunSuite {
     def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     val embs = Tables.load(spark, sf, "embeddings")
+    // the ADC scan stores NORMALIZED-quantized vectors (unit-sphere
+    // L2 ≡ cosine order); mirror quantize → n2 → rescale → round
     val vecs = embs.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(x => rnd(x.toDouble * 1000)).toArray)
+      .filter { case (_, q) => q.exists(_ != 0L) }
+      .map { case (id, q) =>
+        val n2 = q.map(x => x * x).sum
+        id -> q.map(x => rnd(x.toDouble * 1000 / math.sqrt(n2.toDouble)))
+      }
     val W = Similarity.PqWidth
     val planes = Array.tabulate(Similarity.PqSub, Similarity.PqBits)(
       (j, p) => Similarity.pqPlane(j, p).toArray)

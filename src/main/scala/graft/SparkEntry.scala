@@ -74,6 +74,7 @@ object SparkEntry {
     "q_top_parts_per_brand" -> ((s, dir) => Analytics.qTopPartsPerBrand(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Analytics.qSemiAnti(s, dir)),
     "q_rollup"             -> ((s, dir) => Analytics.qRollup(s, dir)),
+    "q_cube"               -> ((s, dir) => Analytics.qCube(s, dir)),
     "q13_custdist"         -> ((s, dir) => Analytics.q13CustDist(s, dir)),
     "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
     "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
@@ -2578,6 +2579,18 @@ object SparkEntry {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      s"""WITH o AS (SELECT o_orderstatus,
+         |    CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+         |    o_totalprice FROM orders)
+         |SELECT o_orderstatus, o_quarter,
+         |  CAST(GROUPING(o_orderstatus, o_quarter) AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+         |FROM o GROUP BY CUBE (o_orderstatus, o_quarter)
+         |ORDER BY gid, o_orderstatus NULLS FIRST,
+         |  o_quarter NULLS FIRST""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH g AS (

@@ -168,6 +168,25 @@ object Analytics {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Full CUBE over (status, order quarter) with the grouping_id
+    * bitmask — the 2²-subtotal lattice a BI layer asks for in one
+    * pass ([[qRollup]] covers the hierarchy prefix case). gid
+    * disambiguates a NULL group key from a subtotal row, which the
+    * rollup shape gets away without only because its NULLs nest.
+    * One shuffle: Spark expands the lattice map-side and aggregates
+    * all 4 grouping sets in a single partial+final pair.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
+    ord.cube(col("o_orderstatus"), col("o_quarter"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_quarter").asc_nulls_first)
+  }
+
   /** TPC-H Q13-style: customer distribution by order count. Left
     * join so customers with zero orders land in the c_count=0 bucket;
     * two cheap aggregations (per-customer, then per-count).

@@ -92,6 +92,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == total)
   }
 
+  test("cube lattice: every gid stratum re-partitions the orders count") {
+    val rows = SparkEntry.queries("q_cube")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    // all four grouping sets present; each stratum sums to the total
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    byGid.foreach { case (gid, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == total, s"gid $gid")
+    }
+    // gid bit convention: 3 = grand total (both keys null), exactly once
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
+  }
+
   test("sessionize: session event counts sum to total events") {
     val rows = SparkEntry.queries("events_sessionize")(spark, sf).collect()
     val total = Tables.load(spark, sf, "events").count()

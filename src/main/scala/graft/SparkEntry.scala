@@ -186,6 +186,14 @@ object SparkEntry {
     "cdc_windowed_stats" -> ((s, dir) =>
       ChangeFeed.windowedStats(ChangeFeed.fromEvents(s, dir))),
 
+    // The same hourly stats executed THROUGH the streaming engine:
+    // file-stream source → watermarked stateful window aggregate →
+    // complete-mode sink; the final table must equal the batch
+    // formula. Proves the stateful-operator path end-to-end (the
+    // envelope roundtrip proves the stateless one).
+    "cdc_stream_windowed" -> ((s, dir) =>
+      streaming.CdcPipeline.windowedRoundtrip(s, dir)),
+
     "cdc_transactions" -> ((s, dir) =>
       ChangeFeed.commitSeq(ChangeFeed.fromEvents(s, dir))
         .select(col("table_name"), col("event_id"), col("commit_seq"))
@@ -1398,6 +1406,15 @@ object SparkEntry {
     },
 
     "cdc_windowed_stats" ->
+      s"""$C
+         |SELECT date_trunc('hour', ts) AS window_start, op,
+         |  count(*) AS n_ops,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming execution, batch formula: the oracle IS the batch
+    // windowed-stats query — stream-vs-batch equality is the check
+    "cdc_stream_windowed" ->
       s"""$C
          |SELECT date_trunc('hour', ts) AS window_start, op,
          |  count(*) AS n_ops,

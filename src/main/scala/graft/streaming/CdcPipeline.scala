@@ -623,6 +623,37 @@ object CdcPipeline {
           .as("sum_value"))
   }
 
+  /** Driver-checkable run of [[windowedStatsStream]] over the real
+    * file-stream source: the watermarked stateful window aggregate
+    * executes through the streaming engine (incremental state, one
+    * micro-batch per source split) into a complete-mode memory sink,
+    * and the final table must equal ChangeFeed.windowedStats' batch
+    * formula — which is exactly what the DuckDB oracle recomputes.
+    * cdc_stream_roundtrip proves the stateless envelope path;
+    * this proves the STATEFUL operator path end-to-end.
+    */
+  def windowedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val agg = windowedStatsStream(annotate(raw))
+    val name = s"graft_windowed_${System.nanoTime}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    // copy out of the transient memory-sink table: the bench drops
+    // caches between queries, which would empty the sink view under
+    // a later consumer (same pattern as fileRoundtrip's collect)
+    val t = spark.table(name)
+    val rows = t.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), t.schema)
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("window_start"), col("op"))
+  }
+
   /** Kinesis-like sink: JSON files partitioned by the schema.table
     * partition key (the exact partition_include_schema_table layout,
     * stack.py:196-211). Consumers tail one partition directory per

@@ -194,6 +194,12 @@ object SparkEntry {
     "cdc_stream_windowed" -> ((s, dir) =>
       streaming.CdcPipeline.windowedRoundtrip(s, dir)),
 
+    // Multi-source conflict resolution: planted diverged replica,
+    // latest-commit-wins with priority tie-break — per table the
+    // conflicted keys and who won them.
+    "cdc_conflict_resolution" -> ((s, dir) =>
+      ChangeFeed.conflictResolution(ChangeFeed.fromEvents(s, dir))),
+
     "cdc_transactions" -> ((s, dir) =>
       ChangeFeed.commitSeq(ChangeFeed.fromEvents(s, dir))
         .select(col("table_name"), col("event_id"), col("commit_seq"))
@@ -1420,6 +1426,32 @@ object SparkEntry {
          |  count(*) AS n_ops,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_conflict_resolution" ->
+      s"""$C,
+         |m AS (
+         |  SELECT table_name, user_id, event_id, ts, value,
+         |    'primary' AS src, 1 AS priority FROM c
+         |  UNION ALL
+         |  SELECT table_name, user_id, event_id,
+         |    ts + INTERVAL 1 SECOND AS ts, value + 100 AS value,
+         |    'replica' AS src, 2 AS priority FROM c
+         |  WHERE user_id % 7 = 0),
+         |k AS (SELECT *,
+         |    max(CASE WHEN src = 'primary' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY table_name, user_id)
+         |    + max(CASE WHEN src = 'replica' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY table_name, user_id) AS n_src,
+         |    row_number() OVER (PARTITION BY table_name, user_id
+         |      ORDER BY ts DESC, priority DESC, event_id DESC) AS rn
+         |  FROM m)
+         |SELECT table_name, count(*) AS n_keys,
+         |  CAST(count(*) FILTER (WHERE n_src = 2) AS BIGINT) AS n_conflicted,
+         |  CAST(count(*) FILTER (WHERE src = 'replica') AS BIGINT)
+         |    AS n_replica_wins,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_winning_value
+         |FROM k WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_transactions" ->
       s"""$C

@@ -253,4 +253,54 @@ object ChangeFeed {
       .agg(count(lit(1)).as("n_ops"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy(col("window_start"), col("op"))
+
+  /** Multi-source conflict resolution: two replicas of the change
+    * feed merged under the bidirectional-replication policy "latest
+    * commit wins; source priority breaks timestamp ties; position
+    * breaks the rest" — per (table, key) ONE winning change survives.
+    * The testdata has a single feed, so the second source is
+    * deterministically DIVERGED (cdc_validation's planting pattern):
+    * the replica re-commits every user_id%7==0 change one second
+    * later with a +100 value — those keys' latest changes conflict
+    * and the replica must win exactly where its re-commit IS the
+    * key's newest position. Per table: keys, conflicted keys (both
+    * sources supplied changes), replica wins, and the exact winning
+    * value mass.
+    *
+    * Scale shape: union is map-side; ONE (table, key) exchange
+    * carries both the winner window and (reused partitioning) the
+    * per-key source-count reduce; the per-table rollup is tiny. Same
+    * exchange family as apply-changes — resolution co-locates with
+    * the apply it gates.
+    */
+  def conflictResolution(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("table_name", "user_id", "event_id", "ts", "value")
+      .map(col)
+    val primary = changes.select(cols: _*)
+      .withColumn("src", lit("primary"))
+    val replica = changes.filter(col("user_id") % 7 === 0)
+      .select(cols: _*)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+      .withColumn("value", col("value") + 100.0)
+      .withColumn("src", lit("replica"))
+    val merged = primary.unionByName(replica)
+      .withColumn("priority",
+        when(col("src") === "replica", 2).otherwise(1))
+    val w = Window.partitionBy(col("table_name"), col("user_id"))
+      .orderBy(col("ts").desc, col("priority").desc, col("event_id").desc)
+    val perKey = Window.partitionBy(col("table_name"), col("user_id"))
+    merged
+      .withColumn("n_src", size(collect_set(col("src")).over(perKey)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("n_conflicted"),
+        sum(when(col("src") === "replica", 1L).otherwise(0L))
+          .as("n_replica_wins"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_winning_value"))
+      .orderBy(col("table_name"))
+  }
 }

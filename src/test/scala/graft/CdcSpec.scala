@@ -115,6 +115,40 @@ class CdcSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_drop_w1s") == 0L)
   }
 
+  test("conflict resolution: replica re-commits win exactly where they are newest") {
+    import spark.implicits._
+    // key 3: primary only → primary's latest (e2, v=20) wins.
+    // key 7 (diverged): replica re-commits e4 at +1s → replica wins
+    //   with v=140 (40+100) and the key counts as conflicted.
+    // key 14 (diverged): the replica re-commits BOTH events one
+    //   second later, so its copy of e6 (v=160) is strictly newest —
+    //   with this planting the replica's newest re-commit always
+    //   outranks every primary position (the ts/priority tie-break
+    //   never has to fire; it exists for real two-master feeds).
+    val feed = Seq(
+      (3L, 1L, "2024-03-01 00:00:00", 10.0),
+      (3L, 2L, "2024-03-01 00:00:05", 20.0),
+      (7L, 3L, "2024-03-01 00:00:00", 30.0),
+      (7L, 4L, "2024-03-01 00:00:05", 40.0),
+      (14L, 5L, "2024-03-01 00:00:04", 50.0),
+      (14L, 6L, "2024-03-01 00:00:05", 60.0))
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .select(col("user_id"), col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"), col("value"),
+        concat(lit("users_"), (col("user_id") % 4).cast("string"))
+          .as("table_name"))
+    val out = ChangeFeed.conflictResolution(feed).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_conflicted"),
+          r.getAs[Long]("n_replica_wins"),
+          r.getAs[Double]("sum_winning_value"))).toMap
+    // users_3 holds keys 3 (7%4==3 too): key 3 resolves to primary's
+    // latest (20), key 7 to the replica re-commit (140) — one of the
+    // two keys conflicted, one replica win, winning mass 160
+    assert(out("users_3") == ((2L, 1L, 1L, 160.0)))
+    assert(out("users_2") == ((1L, 1L, 1L, 160.0)))  // key 14: newest re-commit
+  }
+
   test("table mapping: include wildcard + exclude exact (DMS a% pattern)") {
     val m = TableMapping.Mapping(Seq(
       TableMapping.SelectionRule("db", "a%"),

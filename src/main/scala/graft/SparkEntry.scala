@@ -200,6 +200,12 @@ object SparkEntry {
     "cdc_conflict_resolution" -> ((s, dir) =>
       ChangeFeed.conflictResolution(ChangeFeed.fromEvents(s, dir))),
 
+    // Deterministic global training order (hash-rank shuffle) with
+    // the per-source interleaving audit — the data-order step after
+    // corpus_mix, reproducible across retries and partitioning.
+    "corpus_shuffle" -> ((s, dir) =>
+      Corpus.shuffleAudit(Tables.load(s, dir, "documents"))),
+
     "cdc_transactions" -> ((s, dir) =>
       ChangeFeed.commitSeq(ChangeFeed.fromEvents(s, dir))
         .select(col("table_name"), col("event_id"), col("commit_seq"))
@@ -1452,6 +1458,17 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_winning_value
          |FROM k WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""WITH p AS (SELECT source, doc_id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR))")},
+         |      source, doc_id) AS BIGINT) AS pos
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  min(pos) AS first_pos, max(pos) AS last_pos,
+         |  CAST(sum(pos) AS DOUBLE) / count(*) AS mean_pos
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_transactions" ->
       s"""$C

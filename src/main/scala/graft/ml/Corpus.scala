@@ -468,6 +468,57 @@ object Corpus {
       .orderBy(col("decile"))
   }
 
+  /** Deterministic global training order + interleaving audit. After
+    * mixing, a corpus needs a reproducible shuffle (the data-order
+    * step: identical across retries and partitioning, no RNG state) —
+    * position = rank of the portable hash of (source, doc_id), the
+    * same key law the sampler gates on. The audit reports, per
+    * source, its positions' spread in the global order: a healthy
+    * shuffle interleaves every source across the whole range (each
+    * source's mean position ≈ the global mean; min/max near the
+    * ends for any non-tiny source), while a degenerate order
+    * (sorted-by-source ingestion) shows disjoint [min,max] bands.
+    *
+    * Scale shape: a naive global-rank window collapses to ONE
+    * partition — so ranks are computed two-phase: range-partition by
+    * the hash key (the distributed total sort a training-manifest
+    * write pays anyway), per-partition row_number, plus each
+    * partition's start offset from a |partitions|-row prefix-sum
+    * relation joined back broadcast. The only global window runs
+    * over that tiny offsets relation, never over the corpus.
+    */
+  def shuffleAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keyed = docs.select(col("source"), col("doc_id"),
+      Portable.pHash(concat(col("source"), lit("#"), col("doc_id"))).as("h"))
+    // pid must be captured on the RANGED relation (before any later
+    // exchange renumbers partitions); ties broken by the full key so
+    // the order is total and retry-stable. MATERIALIZED: range
+    // partitioning samples its bounds, so the offsets pass and the
+    // rank pass must read one computed partitioning, not two
+    // re-samples that could bucket rows differently
+    val ranged = graft.CacheScope.materialize(keyed
+      .repartitionByRange(n, col("h"), col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("h"), col("source"), col("doc_id"))
+    ranged.join(broadcast(offs), "pid")
+      .withColumn("pos",
+        (col("offset") + row_number().over(wp)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        (sum(col("pos")).cast("double") / count(lit(1))).as("mean_pos"))
+      .orderBy(col("source"))
+  }
+
   /** End-to-end training-data funnel: the composed pipeline a corpus
     * actually runs — quality gate → exact-dup canonicalization →
     * decontamination — reported as per-source surviving counts at

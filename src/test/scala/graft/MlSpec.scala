@@ -361,6 +361,24 @@ class MlSpec extends AnyFunSuite {
       "expected at least one bloom false positive at m=512")
   }
 
+  test("shuffle audit positions are a permutation and sources interleave") {
+    import graft.ml.Corpus
+    val rows = Corpus.shuffleAudit(docs).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("first_pos"),
+        r.getAs[Long]("last_pos"), r.getAs[Double]("mean_pos")))
+    val n = rows.map(_._1).sum
+    assert(n == docs.count())
+    // positions are exactly 1..N: ends reached, rank mass exact
+    assert(rows.map(_._2).min == 1L && rows.map(_._3).max == n)
+    val sumPos = rows.map { case (nd, _, _, m) => m * nd }.sum
+    assert(math.abs(sumPos - n.toDouble * (n + 1) / 2) < 1e-6 * n * n)
+    // interleaving: every non-tiny source's mean sits near the global
+    // center, not in a band of its own (hash-uniform order)
+    rows.filter(_._1 > 50).foreach { case (_, _, _, m) =>
+      assert(math.abs(m - (n + 1) / 2.0) < n / 4.0)
+    }
+  }
+
   test("pipeline funnel stages are monotone and tie out against the stage operators") {
     import graft.ml.Corpus
     val funnel = Corpus.pipelineFunnel(docs, col("source") === "src0")

@@ -1094,6 +1094,31 @@ object SparkEntry {
           Similarity.topKAnnPq(embs))
         .orderBy(col("probe_id"))
     }),
+
+    // Inter-arrival ⌊log2 µs⌋ histogram per event type — the arrival
+    // cadence/burstiness profile; bounded |types|·64 output grid.
+    "events_interarrival" -> ((s, dir) =>
+      Analytics.eventsInterarrival(s, dir)),
+
+    // Exactly-once apply from an at-least-once feed: planted
+    // redeliveries deduped on the record identity before the apply;
+    // per-table delivered/unique/dropped ledger + applied live state.
+    "cdc_idempotent_apply" -> ((s, dir) =>
+      cdc.ChangeFeed.idempotentApply(ChangeFeed.fromEvents(s, dir))),
+
+    // CCNet-style perplexity gate over the unigram-LM familiarity
+    // score: two-phase distributed rank, drop the bottom 25% by
+    // exact rank cut (no float threshold anywhere).
+    "text_perplexity_filter" -> ((s, dir) =>
+      TextAnalysis.perplexityFilter(Tables.load(s, dir, "documents"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
+    // One-pass embedding covariance (upper triangle) from native
+    // vec_sum/vec_outer_sum sufficient statistics — exact integer
+    // matrix entries, one fixed double expression per cell.
+    "embed_covariance" -> ((s, dir) =>
+      Similarity.covariance(Tables.load(s, dir, "embeddings"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -3899,5 +3924,89 @@ object SparkEntry {
          |  CAST(sum(byte) AS DOUBLE) / (CAST(3 AS DOUBLE) * max(w) * max(h))
          |    AS mean_brightness
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_interarrival" ->
+      s"""WITH g AS (SELECT event_type,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM events WHERE ts IS NOT NULL)
+         |SELECT event_type,
+         |  CAST(CASE WHEN gap_us = 0 THEN -1
+         |    ELSE length(bin(gap_us)) - 1 END AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+         |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The planted copies are full-row identical, so the oracle counts
+    // them arithmetically (1 + %7 + %21) instead of materializing the
+    // redelivered union the Spark side dedups.
+    "cdc_idempotent_apply" ->
+      s"""$C,
+         |d AS (SELECT table_name, user_id, event_id, ts, op, value,
+         |    1 + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN event_id % 21 = 0 THEN 1 ELSE 0 END AS n_copies
+         |  FROM c),
+         |led AS (SELECT table_name,
+         |    CAST(sum(n_copies) AS BIGINT) AS n_delivered,
+         |    count(*) AS n_unique,
+         |    CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_dropped
+         |  FROM d GROUP BY 1),
+         |latest AS (SELECT * FROM (SELECT d.*, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |live AS (SELECT table_name, count(*) AS n_keys_live,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_live_value
+         |  FROM latest WHERE op <> 'delete' GROUP BY 1)
+         |SELECT l.table_name, l.n_delivered, l.n_unique, l.n_dup_dropped,
+         |  v.n_keys_live, v.sum_live_value
+         |FROM led l LEFT JOIN live v ON v.table_name = l.table_name
+         |ORDER BY 1""".stripMargin,
+
+    // Same exact-integer LM CTEs as text_unigram_lm; the gate is a
+    // pure rank cut over (score, doc_id) with tokenless docs scored
+    // -1.0 so "unscored" sorts into the dropped band on both engines.
+    "text_perplexity_filter" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf
+         |  FROM toks JOIN tf USING (tok) GROUP BY doc_id),
+         |lm AS (SELECT d.doc_id,
+         |    COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |    CAST(sc.sum_log2_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE)
+         |      AS avg_log2_tf
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |r AS (SELECT *, COALESCE(avg_log2_tf, CAST(-1.0 AS DOUBLE)) AS score
+         |  FROM lm),
+         |k AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS pos,
+         |    count(*) OVER () AS n_docs FROM r)
+         |SELECT doc_id, n_tokens, avg_log2_tf, CAST(pos AS BIGINT) AS pos,
+         |  pos > (n_docs * 25 + 99) // 100 AS kept
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Relational twin of the one-pass sufficient-statistic aggregate:
+    // the component self-join the custom vec_outer_sum avoids.
+    "embed_covariance" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |e AS (SELECT vec_id,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+         |    unnest(q) AS x FROM q),
+         |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sum_x FROM e GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(sum(a.x * b.x) AS BIGINT) AS sum_ij
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n FROM q)
+         |SELECT p.i, p.j, n.n, sa.sum_x AS sum_i, sb.sum_x AS sum_j,
+         |  p.sum_ij,
+         |  (CAST(n.n AS DOUBLE) * CAST(p.sum_ij AS DOUBLE)
+         |      - CAST(sa.sum_x AS DOUBLE) * CAST(sb.sum_x AS DOUBLE))
+         |    / (CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)) AS cov
+         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+         |  CROSS JOIN n
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -570,4 +570,46 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("neighbor_id"), col("approx_d2"), col("rk"))
   }
+
+  /** Embedding covariance matrix (upper triangle) in ONE pass: the
+    * d×d second-moment statistic every whitening / PCA / Mahalanobis
+    * step downstream of an embedding corpus starts from. Sufficient
+    * statistics — n, Σx (native vec_sum) and Σxxᵀ (native
+    * vec_outer_sum) — aggregate over the int64-quantized vectors, so
+    * every matrix entry is EXACT and order-independent; the sample
+    * covariance is then ONE fixed double expression per entry
+    * ((n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / (n·(n−1)), in quantized units²),
+    * bit-identical cross-engine.
+    *
+    * Scale shape: one scan, no shuffle of row-sized data at all —
+    * map-side partials carry a d(d+1)/2 long buffer (16 KB at d=64)
+    * and merge pairwise to a 1-row relation; the (i,j) grid explode
+    * runs on that single row. The relational twin (self-join of the
+    * component explode) would shuffle n·d²/2 rows — this is the
+    * aggregate-pushdown the custom TypedImperativeAggregate exists
+    * for.
+    */
+  def covariance(embs: DataFrame): DataFrame = {
+    val q = embs.select(Vectors.quantize(col("embedding")).as("q"))
+    val agg = q.agg(count(lit(1)).as("n"),
+      graft.functions.VecSum.vecSum(col("q")).as("s"),
+      graft.functions.VecOuterSum.vecOuterSum(col("q")).as("oo"))
+    agg
+      .select(col("n"), col("s"), col("oo"),
+        explode(sequence(lit(0L), size(col("s")).cast("long") - 1L)).as("i"))
+      .select(col("n"), col("s"), col("oo"), col("i"),
+        explode(sequence(col("i"), size(col("s")).cast("long") - 1L)).as("j"))
+      .withColumn("sum_i", element_at(col("s"), (col("i") + 1).cast("int")))
+      .withColumn("sum_j", element_at(col("s"), (col("j") + 1).cast("int")))
+      .withColumn("sum_ij", element_at(col("oo"),
+        (col("i") * size(col("s")).cast("long")
+          - expr("(i * (i - 1)) DIV 2") + col("j") - col("i") + 1L).cast("int")))
+      .withColumn("cov",
+        (col("n").cast("double") * col("sum_ij").cast("double")
+          - col("sum_i").cast("double") * col("sum_j").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double")))
+      .select(col("i"), col("j"), col("n"), col("sum_i"), col("sum_j"),
+        col("sum_ij"), col("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 }

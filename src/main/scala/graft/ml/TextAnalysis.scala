@@ -425,4 +425,49 @@ object TextAnalysis {
         col("sum_surprise").cast("double") /
           nullif(col("n_bigrams"), lit(0L)).cast("double"))
   }
+
+  /** The CCNet-style perplexity gate [[unigramLm]] exists to feed:
+    * rank every doc by LM familiarity (avg_log2_tf — one double
+    * division of exact integer aggregates, so the score and therefore
+    * the order is bit-identical cross-engine) and drop the least
+    * familiar `dropPct` percent. Tokenless docs score -1.0 (< any
+    * real score ≥ 0) so "unscored" deterministically sorts into the
+    * dropped band instead of riding an engine-specific NULL order.
+    * `kept = pos > ⌈n·dropPct/100⌉` — a pure rank cut, no float
+    * threshold comparison anywhere.
+    *
+    * Scale shape: scoring is [[unigramLm]]'s two shuffles; the global
+    * rank is the same two-phase scheme as `corpus_shuffle` (range-
+    * partition by (score, doc_id), per-partition row_number, start
+    * offsets from a |partitions|-row broadcast prefix sum) — the only
+    * global window runs over the tiny offsets relation, never the
+    * corpus; the cut rank comes from a 1-row broadcast total.
+    */
+  def perplexityFilter(docs: DataFrame, text: Column, dropPct: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val lm = unigramLm(docs, text)
+      .withColumn("score", coalesce(col("avg_log2_tf"), lit(-1.0)))
+      .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"), col("score"))
+    // pid captured on the RANGED relation, materialized so the
+    // offsets pass and the rank pass read ONE sampled partitioning
+    // (same contract as Corpus.shuffleAudit)
+    val ranged = graft.CacheScope.materialize(
+      lm.repartitionByRange(n, col("score"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offs = cnts
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val total = cnts.agg(sum(col("cnt")).as("n_docs"))
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("score"), col("doc_id"))
+    ranged.join(broadcast(offs), "pid")
+      .withColumn("pos", (col("offset") + row_number().over(wp)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"), col("pos"),
+        (col("pos") > expr(s"(n_docs * $dropPct + 99) DIV 100")).as("kept"))
+  }
 }

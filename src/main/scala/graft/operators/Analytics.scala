@@ -1385,4 +1385,36 @@ object Analytics {
           (col("hour_total") * col("type_total")).cast("double"))
       .orderBy(col("hr"), col("event_type"))
   }
+
+  /** Inter-arrival time distribution: ⌊log2 gap_µs⌋ histogram of the
+    * gap to the user's previous event, attributed to the later
+    * event's type — the latency/burstiness profile a capacity planner
+    * reads next to `events_dwell_time`'s per-user averages and
+    * `cdc_rate_drift`'s trend (reference surface: the stream's
+    * arrival cadence, run.py:255-318). Exact integer micros and the
+    * length(bin(·))-1 floor-log2 keep the buckets engine-identical;
+    * a zero gap (same-µs burst) takes bucket -1 by convention.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window, then a
+    * partial-aggregating rollup on the ≤|types|·64 bucket grid —
+    * output is bounded by the grid, not the stream. The window's
+    * (ts, event_id) sort key is the same total order every other
+    * per-user operator here uses.
+    */
+  def eventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_us") === 0, lit(-1L))
+          .otherwise((length(bin(col("gap_us"))) - 1).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

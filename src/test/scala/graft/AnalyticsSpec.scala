@@ -569,4 +569,24 @@ class AnalyticsSpec extends AnyFunSuite {
     } yield (types(i), types(j))
     assert(rows.length == expectPairs.length)
   }
+
+  test("interarrival histogram: mass = events - users, buckets bound gaps") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, sf, "events").filter(col("ts").isNotNull)
+    val rows = operators.Analytics.eventsInterarrival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each user's first event has no gap; every other event lands in
+    // exactly one bucket
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == ev.count() - nUsers)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_gap_us"), r.getAs[Long]("max_gap_us"))
+      assert(lo <= hi)
+      if (b == -1L) assert(lo == 0L && hi == 0L)
+      else {
+        assert(lo >= (1L << b.toInt) && hi < (1L << (b.toInt + 1)))
+      }
+    }
+  }
 }

@@ -515,4 +515,35 @@ class CdcSpec extends AnyFunSuite {
       assert(chg + same + rm == k1)
     }
   }
+
+  test("idempotent apply: ledger balances and the applied state equals " +
+    "the exactly-once apply") {
+    val c = ChangeFeed.fromEvents(SparkTestSession.spark, SparkTestSession.sf)
+    val rows = ChangeFeed.idempotentApply(c).collect()
+    assert(rows.nonEmpty)
+    // ledger identity per table
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_delivered") ==
+        r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_dropped"))
+    }
+    // planted redelivery count: one extra copy per %7 event, one more per %21
+    val extra = c.filter(col("event_id") % 7 === 0).count() +
+      c.filter(col("event_id") % 21 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_dup_dropped")).sum == extra)
+    assert(rows.map(_.getAs[Long]("n_unique")).sum == c.count())
+    // the deduped apply must equal the exactly-once apply of the raw feed
+    val expectLive = ChangeFeed.applyChanges(c, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+    rows.foreach { r =>
+      val (n, sv) = expectLive(r.getAs[String]("table_name"))
+      assert(r.getAs[Long]("n_keys_live") == n)
+      assert(r.getAs[Double]("sum_live_value") == sv)
+    }
+  }
 }

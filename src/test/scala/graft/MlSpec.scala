@@ -1253,4 +1253,50 @@ class MlSpec extends AnyFunSuite {
     assert(bySplit.getOrElse("train", 0L) / n > 0.6)
     assert(bySplit.getOrElse("train", 0L) / n < 0.95)
   }
+
+  test("perplexity filter: pos is a permutation, exactly ceil(25%) dropped, " +
+    "and the cut respects the (score, doc_id) order") {
+    val rows = TextAnalysis.perplexityFilter(docs, col("text")).collect()
+    val n = docs.count()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq)
+    val cut = (n * 25 + 99) / 100
+    val (dropped, kept) = rows.partition(r => !r.getAs[Boolean]("kept"))
+    assert(dropped.length == cut && kept.length == n - cut)
+    // every dropped pos ≤ cut < every kept pos, and the score at any
+    // kept pos is ≥ the score at any dropped pos (ranks follow score)
+    assert(dropped.forall(_.getAs[Long]("pos") <= cut))
+    def score(r: org.apache.spark.sql.Row): Double =
+      Option(r.getAs[java.lang.Double]("avg_log2_tf"))
+        .map(_.doubleValue).getOrElse(-1.0)
+    if (dropped.nonEmpty && kept.nonEmpty)
+      assert(kept.map(score).min >= dropped.map(score).max - 1e-12)
+  }
+
+  test("embed covariance equals a driver-side exact computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 6
+    val vecs = Seq.fill(40)(Seq.fill(d)(rnd.nextFloat() * 2f - 1f))
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val got = Similarity.covariance(df).collect()
+    assert(got.length == d * (d + 1) / 2)
+    // quantize exactly as Vectors.quantize (HALF_UP on the double)
+    val q = vecs.map(_.map(x =>
+      BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val nn = q.length.toLong
+    got.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      val sij = q.map(v => v(i) * v(j)).sum
+      assert(r.getAs[Long]("sum_i") == si)
+      assert(r.getAs[Long]("sum_j") == sj)
+      assert(r.getAs[Long]("sum_ij") == sij)
+      val cov = (nn.toDouble * sij.toDouble - si.toDouble * sj.toDouble) /
+        (nn.toDouble * (nn - 1).toDouble)
+      assert(r.getAs[Double]("cov") == cov)
+    }
+  }
 }

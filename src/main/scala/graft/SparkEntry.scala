@@ -1119,6 +1119,25 @@ object SparkEntry {
     // matrix entries, one fixed double expression per cell.
     "embed_covariance" -> ((s, dir) =>
       Similarity.covariance(Tables.load(s, dir, "embeddings"))),
+
+    // Dominant-eigenvector power iteration over the second-moment
+    // matrix — all-integer arithmetic (truncating-div renormalize,
+    // int64 Rayleigh pair), corpus touched once.
+    "embed_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.load(s, dir, "embeddings"))),
+
+    // Tombstone GC audit on the compacted changelog: GC-eligible
+    // tombstones past the retention horizon + the keys a replay
+    // could resurrect once their tombstone is dropped.
+    "cdc_tombstone_gc" -> ((s, dir) =>
+      ChangeFeed.tombstoneGc(ChangeFeed.fromEvents(s, dir))),
+
+    // Streaming twin of cdc_idempotent_apply's delivery dedup:
+    // planted redelivery union → watermarked
+    // dropDuplicatesWithinWatermark → per-table summary equal to the
+    // batch aggregate over the raw feed.
+    "cdc_stream_dedup" -> ((s, dir) =>
+      streaming.CdcPipeline.dedupRoundtrip(s, dir)),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4008,5 +4027,75 @@ object SparkEntry {
          |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
          |  CROSS JOIN n
          |ORDER BY 1, 2""".stripMargin,
+
+    // Unrolled 3-iteration power method — every step exact integer
+    // (truncating //, matching Spark's div toward-zero semantics);
+    // lambda is the single long->double division both engines share.
+    "embed_pca_power" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |e AS (SELECT vec_id,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+         |    unnest(q) AS x FROM q),
+         |m AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS m
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM e),
+         |u1 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+         |  FROM m JOIN v0 v ON v.i = m.j GROUP BY 1),
+         |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
+         |v1 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+         |  FROM u1, x1),
+         |u2 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+         |  FROM m JOIN v1 v ON v.i = m.j GROUP BY 1),
+         |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
+         |v2 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+         |  FROM u2, x2),
+         |u3 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+         |  FROM m JOIN v2 v ON v.i = m.j GROUP BY 1),
+         |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
+         |v3 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+         |  FROM u3, x3),
+         |ul AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+         |  FROM m JOIN v3 v ON v.i = m.j GROUP BY 1),
+         |ray AS (SELECT CAST(sum(v.v * u.u) AS BIGINT) AS ray_num,
+         |    CAST(sum(v.v * v.v) AS BIGINT) AS ray_den
+         |  FROM v3 v JOIN ul u ON u.i = v.i)
+         |SELECT v.i, v.v, ray.ray_num, ray.ray_den,
+         |  CAST(ray.ray_num AS DOUBLE) / CAST(ray.ray_den AS DOUBLE)
+         |    AS lambda
+         |FROM v3 v, ray ORDER BY v.i""".stripMargin,
+
+    "cdc_tombstone_gc" ->
+      s"""$C,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+         |nd AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nondelete
+         |  FROM c GROUP BY 1),
+         |k AS (SELECT r.user_id, r.table_name, r.op AS last_op,
+         |    r.ts AS last_ts, nd.n_nondelete
+         |  FROM r JOIN nd ON nd.user_id = r.user_id WHERE r.rn = 1),
+         |h AS (SELECT max(last_ts) AS head_ts FROM k)
+         |SELECT table_name, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN last_op = 'delete' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_tombstones,
+         |  CAST(sum(CASE WHEN last_op = 'delete'
+         |      AND last_ts < h.head_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_gc_eligible,
+         |  CAST(sum(CASE WHEN last_op = 'delete'
+         |      AND last_ts < h.head_ts - INTERVAL 7 DAY
+         |      AND n_nondelete > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_resurrect_risk
+         |FROM k, h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The streaming dedup restores exactly-once, so the oracle is
+    // simply the per-table aggregate over the raw (single-delivery)
+    // feed.
+    "cdc_stream_dedup" ->
+      s"""$C
+         |SELECT table_name, count(*) AS n_unique,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

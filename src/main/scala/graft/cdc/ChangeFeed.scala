@@ -346,4 +346,50 @@ object ChangeFeed {
     ledger.join(live, Seq("table_name"), "left")
       .orderBy(col("table_name"))
   }
+
+  /** Tombstone garbage collection audit for the compacted changelog
+    * ([[latestPerKey]] keeps delete tombstones so late updates can't
+    * resurrect a key). Tombstones can't be kept forever — a GC
+    * horizon (Kafka's delete.retention.ms; the same bounded-retention
+    * family as `cdc_retention_audit`) eventually drops them, and any
+    * key whose tombstone is GC'd while OLDER non-delete changes still
+    * exist in the retained feed becomes resurrectable by a
+    * from-scratch replay — the classic compaction hazard. Per table:
+    * key census, tombstones, GC-eligible tombstones (older than
+    * `gcDays` before the feed head), and the resurrection-risk count.
+    *
+    * Scale shape: ONE key exchange computing the per-key latest
+    * (max-of-struct, map-side partial) AND the pre-delete change
+    * count in the same aggregate — no window, no second scan; the
+    * feed head is a 1-row broadcast of the aggregate's own max; the
+    * per-table rollup is |tables|-sized.
+    */
+  def tombstoneGc(changes: DataFrame, gcDays: Int = 7): DataFrame = {
+    val perKey = changes
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("op"), col("table_name")))
+          .as("last"),
+        sum(when(col("op") =!= "delete", 1L).otherwise(0L)).as("n_nondelete"))
+      .select(col("user_id"),
+        col("last.table_name").as("table_name"),
+        col("last.op").as("last_op"),
+        col("last.ts").as("last_ts"),
+        col("n_nondelete"))
+    val head = perKey.agg(max(col("last_ts")).as("head_ts"))
+    perKey.crossJoin(broadcast(head))
+      .withColumn("is_tombstone", col("last_op") === "delete")
+      .withColumn("gc_eligible", col("is_tombstone") &&
+        col("last_ts") < col("head_ts") - expr(s"INTERVAL $gcDays DAYS"))
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("n_tombstones"),
+        sum(when(col("gc_eligible"), 1L).otherwise(0L)).as("n_gc_eligible"),
+        // resurrection risk: the GC'd tombstone key still has at
+        // least one non-delete change in the feed that a
+        // from-scratch replay would reapply as live state
+        sum(when(col("gc_eligible") && col("n_nondelete") > 0, 1L).otherwise(0L))
+          .as("n_resurrect_risk"))
+      .orderBy(col("table_name"))
+  }
 }

@@ -623,6 +623,55 @@ object CdcPipeline {
           .as("sum_value"))
   }
 
+  /** Driver-checkable STREAMING twin of ChangeFeed.idempotentApply's
+    * delivery dedup: two file-stream sources (the feed plus a planted
+    * redelivery of every event_id%7==0 record — at-least-once
+    * arrival) union into one stream, and
+    * `dropDuplicatesWithinWatermark` on the delivery identity
+    * restores exactly-once downstream. The append-mode sink is then
+    * reduced per table and must equal the batch aggregate over the
+    * raw feed — which is what the DuckDB oracle recomputes.
+    *
+    * The watermark delay is sized past the feed's replay span (the
+    * whole history arrives in one burst when a file source replays
+    * it), which is the honest general rule: delay ≥ the maximum
+    * redelivery lag, here bounded by the replay itself. A live
+    * deployment feeds the measured bound from `cdc_watermark_plan`
+    * instead, and state stays proportional to the in-flight window
+    * rather than the stream's history — the reason this operator
+    * exists over plain dropDuplicates.
+    */
+  def dedupRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val planted = src.unionByName(src.filter(col("event_id") % 7 === 0))
+    val deduped = ChangeFeed.annotate(planted)
+      .withWatermark("ts", "35 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("table_name"), col("event_id"), col("value"))
+    val name = s"graft_dedup_${System.nanoTime}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    // reduce INSIDE the sink view, then copy only the |tables|-row
+    // aggregate out of it (the transient view dies with the session
+    // cache; collecting the raw deduped feed would drag the whole
+    // stream through the driver)
+    val agg = spark.table(name)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    val rows = agg.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema)
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("table_name"))
+  }
+
   /** Driver-checkable run of [[windowedStatsStream]] over the real
     * file-stream source: the watermarked stateful window aggregate
     * executes through the streaming engine (incremental state, one

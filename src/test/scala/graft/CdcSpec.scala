@@ -546,4 +546,33 @@ class CdcSpec extends AnyFunSuite {
       assert(r.getAs[Double]("sum_live_value") == sv)
     }
   }
+
+  test("tombstone GC audit: counts nest and match a window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val c = ChangeFeed.fromEvents(SparkTestSession.spark, SparkTestSession.sf)
+    val rows = ChangeFeed.tombstoneGc(c, gcDays = 7).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, t, g, rr) = (r.getAs[Long]("n_keys"), r.getAs[Long]("n_tombstones"),
+        r.getAs[Long]("n_gc_eligible"), r.getAs[Long]("n_resurrect_risk"))
+      assert(t <= k && g <= t && rr <= g)
+    }
+    // independent recompute through latestPerKey + an explicit horizon
+    val latest = ChangeFeed.latestPerKey(c, Seq("user_id"),
+      Seq(col("ts"), col("event_id")))
+    val head = c.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val horizon = java.sql.Timestamp.from(
+      head.toInstant.minus(java.time.Duration.ofDays(7)))
+    val tombs = latest.filter(col("op") === "delete")
+    val expTomb = tombs.groupBy(col("table_name")).count().collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("count")).toMap
+    val expGc = tombs.filter(col("ts") < lit(horizon))
+      .groupBy(col("table_name")).count().collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val tn = r.getAs[String]("table_name")
+      assert(r.getAs[Long]("n_tombstones") == expTomb.getOrElse(tn, 0L))
+      assert(r.getAs[Long]("n_gc_eligible") == expGc.getOrElse(tn, 0L))
+    }
+  }
 }

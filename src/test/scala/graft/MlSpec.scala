@@ -1299,4 +1299,35 @@ class MlSpec extends AnyFunSuite {
       assert(r.getAs[Double]("cov") == cov)
     }
   }
+
+  test("pca power iteration equals an exact driver-side replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val d = 5
+    val vecs = Seq.fill(30)(Seq.fill(d)(rnd.nextFloat() * 2f - 1f))
+    val got = Similarity.pcaPower(vecs.map(Tuple1(_)).toDF("embedding"))
+      .collect().sortBy(_.getAs[Long]("i"))
+    assert(got.length == d)
+    // replay: quantize, M = sum qq', three integer power steps
+    val q = vecs.map(_.map(x => BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val m = Array.tabulate(d, d)((i, j) => q.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mx = u.map(math.abs).max
+      v = u.map(x => if (mx == 0) 0L else (x * 1000) / mx)
+    }
+    val ul = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => v(i) * ul(i)).sum
+    val den = v.map(x => x * x).sum
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("v") == v(i), s"component $i")
+      assert(r.getAs[Long]("ray_num") == num)
+      assert(r.getAs[Long]("ray_den") == den)
+      assert(r.getAs[Double]("lambda") == num.toDouble / den.toDouble)
+    }
+    // normalization pins the argmax component at exactly ±1000
+    assert(got.map(r => math.abs(r.getAs[Long]("v"))).max == 1000L)
+  }
 }

@@ -497,4 +497,20 @@ class StreamingSpec extends AnyFunSuite {
     val parsed = spark.read.json(msgs.select("message").as[String])
     assert(parsed.select("metadata.operation").distinct().count() >= 2)
   }
+
+  test("streaming delivery dedup restores the exactly-once aggregate") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val got = CdcPipeline.dedupRoundtrip(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_unique"), r.getAs[Double]("sum_value"))).toMap
+    val expect = graft.cdc.ChangeFeed.fromEvents(spark, sf)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+    assert(got == expect)
+  }
 }

@@ -1138,6 +1138,13 @@ object SparkEntry {
     // batch aggregate over the raw feed.
     "cdc_stream_dedup" -> ((s, dir) =>
       streaming.CdcPipeline.dedupRoundtrip(s, dir)),
+
+    // Image near-dup census by perceptual hash over the REAL BMP
+    // parse: 4x4 aHash clusters (exact cross-multiplied bit test),
+    // then hamming<=2 neighbors over the 2^16-bounded DISTINCT-hash
+    // relation via 4-bit LSH banding — corpus-size-bounded output.
+    "multimodal_phash" -> ((s, dir) =>
+      Binary.phashClusters(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4097,5 +4104,45 @@ object SparkEntry {
          |SELECT table_name, count(*) AS n_unique,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Pixel-content replay of the 4x4 aHash (byte k of image id is
+    // (id*31+k)%256, image row k/(3w), pixel (k%(3w))/3); the oracle
+    // joins ALL distinct-hash pairs — banding is the Spark-side scale
+    // path and hamming<=2 survives it by pigeonhole, so both sides
+    // agree exactly.
+    "multimodal_phash" ->
+      s"""WITH im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |b AS (SELECT doc_id, w, h,
+         |    unnest(range(0, w * h * 3)) AS k FROM im),
+         |v AS (SELECT doc_id,
+         |    ((k // (w * 3)) * 4) // h AS gr,
+         |    (((k % (w * 3)) // 3) * 4) // w AS gc,
+         |    (doc_id * 31 + k) % 256 AS byte FROM b),
+         |cell AS (SELECT doc_id, gr, gc,
+         |    CAST(sum(byte) AS BIGINT) AS cs, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2, 3),
+         |g AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS ts,
+         |    count(*) AS tc FROM v GROUP BY 1),
+         |ph AS (SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN c.cs * g.tc > g.ts * c.cnt
+         |      THEN CAST(1 AS BIGINT) << (c.gr * 4 + c.gc)
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM cell c JOIN g ON g.doc_id = c.doc_id
+         |  GROUP BY 1),
+         |grp AS (SELECT phash, count(*) AS n_images,
+         |    min(doc_id) AS min_doc FROM ph GROUP BY 1),
+         |near AS (SELECT a.phash,
+         |    count(*) AS n_near_hashes,
+         |    CAST(sum(b.n_images) AS BIGINT) AS n_near_images
+         |  FROM grp a JOIN grp b ON a.phash <> b.phash
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2
+         |  GROUP BY 1)
+         |SELECT g2.phash, g2.n_images, g2.min_doc,
+         |  COALESCE(n.n_near_hashes, 0) AS n_near_hashes,
+         |  COALESCE(n.n_near_images, 0) AS n_near_images
+         |FROM grp g2 LEFT JOIN near n ON n.phash = g2.phash
+         |ORDER BY 1""".stripMargin,
   )
 }

@@ -509,4 +509,102 @@ object Binary {
         sum(when(col("diff") > threshold, 1L).otherwise(0L)).as("n_cuts"),
         coalesce(max(col("diff")), lit(0L)).as("max_diff"))
   }
+
+  // --- perceptual hash / image near-dup ---------------------------
+
+  /** 16-bit average-hash of one BMP from the REAL pixel parse: map
+    * every pixel to a 4×4 grid cell ((r·4) div h, (c·4) div w), bit
+    * = cell luma mean > image luma mean — tested EXACTLY by
+    * cross-multiplication (cellSum·totalBytes > totalSum·cellBytes),
+    * so no division ever rounds. Cells with no pixels (h or w < 4)
+    * stay 0 by the same inequality. This is classic aHash at 4×4
+    * (the corpus images are ≤16×9; an 8×8 grid would be mostly
+    * empty), the representation image-dedup pipelines band on.
+    */
+  private[graft] def parsePhash(id: Long, p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    require(bpp == 24 && h > 0, s"doc $id: unsupported BMP variant (bpp=$bpp h=$h)")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val cellSum = new Array[Long](16)
+    val cellCnt = new Array[Long](16)
+    var total = 0L
+    var r = 0
+    while (r < h) {
+      // stored bottom-up: storage row r is image row h-1-r; the grid
+      // is defined over IMAGE rows so the hash is orientation-true
+      val row = h - 1 - r
+      val rowStart = dataOff + r * stride
+      val gr = row * 4 / h
+      var c = 0
+      while (c < w * 3) {
+        val gc = (c / 3) * 4 / w
+        val v = (p(rowStart + c) & 0xff).toLong
+        cellSum(gr * 4 + gc) += v
+        cellCnt(gr * 4 + gc) += 1
+        total += v
+        c += 1
+      }
+      r += 1
+    }
+    val totalCnt = 3L * w * h
+    var hash = 0L
+    var k = 0
+    while (k < 16) {
+      if (cellSum(k) * totalCnt > total * cellCnt(k)) hash |= (1L << k)
+      k += 1
+    }
+    Some((id, hash))
+  }
+
+  /** Image near-duplicate census by perceptual hash: aHash every BMP
+    * ([[parsePhash]]), collapse identical hashes into clusters (the
+    * exact-dup reduce), then find near clusters (hamming ≤ 2) by
+    * 4-bit LSH banding over the DISTINCT hashes (≥ 2 of 4 bands
+    * intact by pigeonhole — `dedup_simhash`'s scheme) with an exact
+    * `bit_count(xor)` verify. Per cluster: size, canonical doc, and
+    * the near-cluster/near-image mass a semantic image-dedup pass
+    * would merge.
+    *
+    * Scale design: a PAIR relation over near-dup images is
+    * inherently quadratic when the corpus is self-similar (the first
+    * cut measured 78× for 10× data on exactly that blowup) — but the
+    * distinct-hash relation is bounded by the 2¹⁶ hash space no
+    * matter the corpus, so clustering FIRST makes the banded join's
+    * input, output, and the final census all corpus-size-bounded;
+    * multiplicities ride along as counts. One identity shuffle on
+    * phash + the bounded band join.
+    */
+  def phashClusters(df: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parsePhash(id, p) })
+      .toDF("doc_id", "phash")
+    val groups = hashes.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+    val bands = groups.select(col("phash"), col("n_images"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, band * 4) & 15L"))
+    val near = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.phash") =!= col("b.phash"))
+      .select(col("a.phash").as("phash"), col("b.phash").as("pb"),
+        col("b.n_images").as("nb"))
+      .distinct()
+      .filter(expr(s"bit_count(phash ^ pb) <= $maxHamming"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_near_hashes"),
+        sum(col("nb")).as("n_near_images"))
+    groups.join(near, Seq("phash"), "left")
+      .select(col("phash"), col("n_images"), col("min_doc"),
+        coalesce(col("n_near_hashes"), lit(0L)).as("n_near_hashes"),
+        coalesce(col("n_near_images"), lit(0L)).as("n_near_images"))
+      .orderBy(col("phash"))
+  }
 }

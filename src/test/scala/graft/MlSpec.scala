@@ -1330,4 +1330,28 @@ class MlSpec extends AnyFunSuite {
     // normalization pins the argmax component at exactly ±1000
     assert(got.map(r => math.abs(r.getAs[Long]("v"))).max == 1000L)
   }
+
+  test("phash clusters + banded neighbors equal an all-pairs replay") {
+    val payload = Binary.mediaPayload(docs)
+    val got = Binary.phashClusters(payload).collect()
+      .map(r => r.getAs[Long]("phash") ->
+        (r.getAs[Long]("n_images"), r.getAs[Long]("min_doc"),
+          r.getAs[Long]("n_near_hashes"), r.getAs[Long]("n_near_images")))
+      .toMap
+    // ground truth: parse every image hash on the driver
+    val hashes = payload.collect()
+      .flatMap(r => Binary.parsePhash(
+        r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload")))
+    assert(hashes.nonEmpty)
+    // hashes use only 16 bits
+    assert(hashes.forall { case (_, h) => (h & ~0xffffL) == 0L })
+    val byHash = hashes.groupBy(_._2)
+    val expect = byHash.map { case (h, members) =>
+      val near = byHash.keys.filter(o =>
+        o != h && java.lang.Long.bitCount(h ^ o) <= 2).toSeq
+      h -> (members.length.toLong, members.map(_._1).min,
+        near.length.toLong, near.map(o => byHash(o).length.toLong).sum)
+    }
+    assert(got == expect)
+  }
 }

@@ -1145,6 +1145,18 @@ object SparkEntry {
     // relation via 4-bit LSH banding — corpus-size-bounded output.
     "multimodal_phash" -> ((s, dir) =>
       Binary.phashClusters(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
+
+    // Per-source Spearman agreement between the heuristic quality
+    // score and the LM familiarity signal — exact integer rank
+    // statistic, both windows on one source exchange.
+    "corpus_signal_agreement" -> ((s, dir) =>
+      Corpus.signalAgreement(Tables.load(s, dir, "documents"))),
+
+    // Transaction-atomicity audit: commit markers (seq + declared
+    // size) ride each op; planted torn commits must be detected and
+    // their delivered remainder held back by an atomic consumer.
+    "cdc_txn_atomicity" -> ((s, dir) =>
+      ChangeFeed.txnAtomicity(ChangeFeed.fromEvents(s, dir))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4144,5 +4156,73 @@ object SparkEntry {
          |  COALESCE(n.n_near_images, 0) AS n_near_images
          |FROM grp g2 LEFT JOIN near n ON n.phash = g2.phash
          |ORDER BY 1""".stripMargin,
+
+    // Spearman between the heuristic quality gate and the LM
+    // familiarity gate: both ranks (score, doc_id)-tie-broken, sum of
+    // squared rank gaps exact, one double rho expression with the
+    // denominator multiplied in doubles.
+    "corpus_signal_agreement" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |      + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    END AS quality_score
+         |FROM s),
+         |toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf
+         |  FROM toks JOIN tf USING (tok) GROUP BY doc_id),
+         |f AS (SELECT d.doc_id,
+         |    COALESCE(CAST(sc.sum_log2_tf AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE),
+         |      CAST(-1.0 AS DOUBLE)) AS fam
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |j AS (SELECT q.source, q.doc_id, q.quality_score, f.fam
+         |  FROM q JOIN f ON f.doc_id = q.doc_id),
+         |r AS (SELECT source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score, doc_id) AS BIGINT) AS rq,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY fam, doc_id) AS BIGINT) AS rf
+         |  FROM j),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum((rq - rf) * (rq - rf)) AS BIGINT) AS sum_d2
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_docs, sum_d2,
+         |  CASE WHEN n_docs > 1 THEN
+         |    CAST(1.0 AS DOUBLE) - (CAST(6.0 AS DOUBLE) * CAST(sum_d2 AS DOUBLE))
+         |      / (CAST(n_docs AS DOUBLE)
+         |        * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1))
+         |  ELSE NULL END AS spearman
+         |FROM a ORDER BY 1""".stripMargin
+    },
+
+    "cdc_txn_atomicity" ->
+      s"""$C,
+         |s AS (SELECT *, event_id // 5 AS txn_id FROM c),
+         |st AS (SELECT *,
+         |    count(*) OVER (PARTITION BY txn_id) AS txn_size,
+         |    first_value(table_name) OVER (PARTITION BY txn_id
+         |      ORDER BY event_id) AS txn_table
+         |  FROM s),
+         |d AS (SELECT * FROM st WHERE event_id % 97 <> 3),
+         |t AS (SELECT txn_id, max(txn_table) AS txn_table,
+         |    CAST(max(txn_size) AS BIGINT) AS declared,
+         |    count(*) AS observed
+         |  FROM d GROUP BY 1)
+         |SELECT txn_table AS table_name, count(*) AS n_txns,
+         |  CAST(sum(CASE WHEN observed < declared THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_torn,
+         |  CAST(sum(declared - observed) AS BIGINT) AS n_ops_lost,
+         |  CAST(sum(CASE WHEN observed < declared THEN observed ELSE 0 END)
+         |    AS BIGINT) AS n_ops_rollback
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -364,6 +364,55 @@ object ChangeFeed {
     * feed head is a 1-row broadcast of the aggregate's own max; the
     * per-table rollup is |tables|-sized.
     */
+  /** Transaction-atomicity audit for the applied feed. The reference
+    * replicates transactionally (run.py:255-318 — DMS groups binlog
+    * changes by commit); a consumer applying a TORN transaction
+    * (some ops delivered, the commit's tail lost to a crash or a
+    * mid-commit reshard) silently breaks cross-row invariants. Here
+    * every op record carries its commit's declared size (the GTID /
+    * commit-marker pattern: seq_in_txn + txn_size travel WITH each
+    * op, so the consumer needs no side channel), commits are the
+    * synthetic 5-op event_id blocks, and the delivered feed is
+    * PLANTED torn: ops with event_id % 97 == 3 vanish. Per table
+    * (of the commit's first op): commits, torn commits, ops lost to
+    * tears, and the ops a transactional apply must ROLL BACK (the
+    * delivered remainder of torn commits — an atomic consumer holds
+    * them back rather than applying a fraction).
+    *
+    * Scale shape: ONE txn-keyed exchange — the declared size and
+    * first-op table are window/aggregate products of the SAME
+    * partitioning the delivered-count reduce uses; the per-table
+    * rollup is |tables|-sized. No joins against a commit catalog —
+    * the markers ride the records.
+    */
+  def txnAtomicity(changes: DataFrame): DataFrame = {
+    val source = changes
+      .withColumn("txn_id", expr("event_id div 5"))
+    // commit markers stamped at SOURCE (pre-loss): declared size +
+    // the commit's first-op table
+    val stamped = source
+      .withColumn("txn_size",
+        count(lit(1)).over(Window.partitionBy(col("txn_id"))))
+      .withColumn("txn_table",
+        first(col("table_name")).over(Window.partitionBy(col("txn_id"))
+          .orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val delivered = stamped.filter(col("event_id") % 97 =!= 3)
+    delivered
+      .groupBy(col("txn_id"))
+      .agg(max(col("txn_table")).as("txn_table"),
+        max(col("txn_size")).as("declared"),
+        count(lit(1)).as("observed"))
+      .groupBy(col("txn_table").as("table_name"))
+      .agg(count(lit(1)).as("n_txns"),
+        sum(when(col("observed") < col("declared"), 1L).otherwise(0L))
+          .as("n_torn"),
+        sum(col("declared") - col("observed")).as("n_ops_lost"),
+        sum(when(col("observed") < col("declared"), col("observed"))
+          .otherwise(0L)).as("n_ops_rollback"))
+      .orderBy(col("table_name"))
+  }
+
   def tombstoneGc(changes: DataFrame, gcDays: Int = 7): DataFrame = {
     val perKey = changes
       .groupBy(col("user_id"))

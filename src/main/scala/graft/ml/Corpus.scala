@@ -539,6 +539,52 @@ object Corpus {
     * sums in ONE per-source aggregate — the funnel costs one pass
     * over the scored relation, not a pass per stage.
     */
+  /** Per-source Spearman rank agreement between the two quality
+    * signals the pipeline gates on — the heuristic
+    * [[TextAnalysis.quality]] score and the unigram-LM familiarity
+    * ([[TextAnalysis.unigramLm]]'s avg_log2_tf, the
+    * `text_perplexity_filter` signal). Before trusting either gate, a
+    * data team checks whether they agree (ρ near 1: redundant; near
+    * 0: orthogonal — run both; negative: one is inverted for this
+    * source). Both rankings use the (score, doc_id) deterministic
+    * tie-break, Σd² is an exact integer aggregate, and ρ =
+    * 1 − 6Σd²/(n(n²−1)) is one fixed double expression (n(n²−1)
+    * multiplied in doubles so the denominator can't wrap at corpus
+    * n).
+    *
+    * Scale shape: scoring is quality's map-only pass plus
+    * unigramLm's two shuffles; BOTH rank windows share one
+    * source-partition exchange (two sorts, no second shuffle); the
+    * rollup collapses on the same key. Parallelism capped at
+    * |sources| — the honest cost of exact per-group order statistics
+    * (same contract as [[lengthPercentiles]]).
+    */
+  def signalAgreement(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs, col("text"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val f = TextAnalysis.unigramLm(docs, col("text"))
+      .select(col("doc_id"),
+        coalesce(col("avg_log2_tf"), lit(-1.0)).as("fam"))
+    val bySrc = Window.partitionBy(col("source"))
+    q.join(f, "doc_id")
+      .withColumn("rq", row_number().over(
+        bySrc.orderBy(col("quality_score"), col("doc_id"))).cast("long"))
+      .withColumn("rf", row_number().over(
+        bySrc.orderBy(col("fam"), col("doc_id"))).cast("long"))
+      .withColumn("d", col("rq") - col("rf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("spearman",
+        when(col("n_docs") > 1,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n_docs").cast("double") *
+              (col("n_docs").cast("double") * col("n_docs").cast("double")
+                - 1)))
+          .otherwise(lit(null).cast("double")))
+      .orderBy(col("source"))
+  }
+
   def pipelineFunnel(docs: DataFrame, isEval: Column): DataFrame = {
     val train = docs.filter(!isEval)
     val scored = TextAnalysis.quality(train, col("text"))

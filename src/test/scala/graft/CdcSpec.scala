@@ -575,4 +575,23 @@ class CdcSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_gc_eligible") == expGc.getOrElse(tn, 0L))
     }
   }
+
+  test("txn atomicity: planted tears are fully accounted") {
+    val c = ChangeFeed.fromEvents(SparkTestSession.spark, SparkTestSession.sf)
+    val rows = ChangeFeed.txnAtomicity(c).collect()
+    assert(rows.nonEmpty)
+    // every lost op belongs to exactly one torn commit
+    val lost = c.filter(col("event_id") % 97 === 3)
+    assert(rows.map(_.getAs[Long]("n_ops_lost")).sum == lost.count())
+    assert(rows.map(_.getAs[Long]("n_torn")).sum ==
+      lost.select(expr("event_id div 5")).distinct().count())
+    // commits survive (within 5 consecutive ids only one can be ≡3
+    // mod 97, so no commit is wholly lost) and tears nest
+    assert(rows.map(_.getAs[Long]("n_txns")).sum ==
+      c.select(expr("event_id div 5")).distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_torn") <= r.getAs[Long]("n_txns"))
+      assert(r.getAs[Long]("n_ops_rollback") >= r.getAs[Long]("n_torn"))
+    }
+  }
 }

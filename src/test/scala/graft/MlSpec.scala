@@ -1354,4 +1354,32 @@ class MlSpec extends AnyFunSuite {
     }
     assert(got == expect)
   }
+
+  test("signal agreement equals a driver-side Spearman over the same scores") {
+    val got = ml.Corpus.signalAgreement(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_d2"),
+          r.getAs[Double]("spearman"))).toMap
+    val q = TextAnalysis.quality(docs, col("text"))
+      .select(col("doc_id"), col("source"), col("quality_score")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality_score")))
+    val f = TextAnalysis.unigramLm(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("avg_log2_tf"))
+          .map(_.doubleValue).getOrElse(-1.0)).toMap
+    val expect = q.groupBy(_._2).map { case (src, ds) =>
+      val rq = ds.sortBy(d => (d._3, d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1).toLong }.toMap
+      val rf = ds.sortBy(d => (f(d._1), d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1).toLong }.toMap
+      val sumD2 = ds.map(d => { val x = rq(d._1) - rf(d._1); x * x }).sum
+      val n = ds.length.toLong
+      val rho = 1.0 - (6.0 * sumD2.toDouble) /
+        (n.toDouble * (n.toDouble * n.toDouble - 1))
+      src -> (n, sumD2, rho)
+    }
+    assert(got == expect)
+    got.values.foreach { case (_, _, rho) => assert(rho >= -1.0 && rho <= 1.0) }
+  }
 }

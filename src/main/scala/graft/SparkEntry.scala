@@ -1157,6 +1157,16 @@ object SparkEntry {
     // their delivered remainder held back by an atomic consumer.
     "cdc_txn_atomicity" -> ((s, dir) =>
       ChangeFeed.txnAtomicity(ChangeFeed.fromEvents(s, dir))),
+
+    // Cadence-based bot detection: planted 1000x-compressed user
+    // timelines; exact median-gap rank pick per user, flag < 120s.
+    "events_bot_detection" -> ((s, dir) =>
+      Analytics.eventsBotDetection(s, dir)),
+
+    // Per-dimension drift between the two ingestion epochs — the
+    // silent-encoder-swap monitor; 2-group vec_sum, d-row output.
+    "embed_epoch_drift" -> ((s, dir) =>
+      Similarity.epochDrift(Tables.load(s, dir, "embeddings"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4224,5 +4234,54 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN observed < declared THEN observed ELSE 0 END)
          |    AS BIGINT) AS n_ops_rollback
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Timeline compression is truncating integer µs division toward
+    // the user's first event — exact in both engines; the detector's
+    // median is the same ⌈n/2⌉ rank pick corpus_percentiles uses.
+    "events_bot_detection" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+         |  FROM events WHERE ts IS NOT NULL),
+         |m AS (SELECT *, min(t) OVER (PARTITION BY user_id) AS mt FROM e),
+         |x AS (SELECT user_id, event_id,
+         |    CASE WHEN user_id % 31 = 0 THEN mt + (t - mt) // 1000
+         |      ELSE t END AS us
+         |  FROM m),
+         |g AS (SELECT user_id, event_id,
+         |    us - lag(us) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS gap
+         |  FROM x),
+         |r AS (SELECT user_id, gap,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY gap, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt
+         |  FROM g WHERE gap IS NOT NULL),
+         |s AS (SELECT user_id,
+         |    CAST(max(cnt) + 1 AS BIGINT) AS n_events,
+         |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN gap END)
+         |      AS BIGINT) AS median_gap_us
+         |  FROM r GROUP BY 1)
+         |SELECT user_id, n_events, median_gap_us
+         |FROM s WHERE median_gap_us < 120000000 ORDER BY 1""".stripMargin,
+
+    "embed_epoch_drift" ->
+      s"""WITH bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
+         |  FROM embeddings),
+         |q AS (SELECT ((vec_id - lo) * 2) // (hi - lo + 1) AS epoch,
+         |    ${Vectors.duckQuantize("embedding")} AS q
+         |  FROM embeddings, bounds),
+         |e AS (SELECT epoch,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+         |    unnest(q) AS x FROM q),
+         |d AS (SELECT epoch, i, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sum_q
+         |  FROM e GROUP BY 1, 2)
+         |SELECT a.i, a.n AS n_a, a.sum_q AS sum_a,
+         |  b.n AS n_b, b.sum_q AS sum_b,
+         |  CAST(a.sum_q AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a,
+         |  CAST(b.sum_q AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b,
+         |  CAST(b.sum_q AS DOUBLE) / CAST(b.n AS DOUBLE)
+         |    - CAST(a.sum_q AS DOUBLE) / CAST(a.n AS DOUBLE) AS delta
+         |FROM d a JOIN d b ON b.i = a.i AND a.epoch = 0 AND b.epoch = 1
+         |ORDER BY 1""".stripMargin,
   )
 }

@@ -684,4 +684,39 @@ object Similarity {
       .toDF("i", "v", "ray_num", "ray_den", "lambda")
       .orderBy(col("i"))
   }
+
+  /** Per-dimension drift between the corpus's two ingestion epochs
+    * (first half vs second half of the vec_id range): the
+    * distribution monitor that catches a silent encoder swap or
+    * preprocessing change mid-ingestion before it poisons training.
+    * Epoch assignment is exact integer math against a 1-row
+    * broadcast of the id bounds; per-epoch means are ONE double
+    * division each over exact int sums.
+    *
+    * Scale shape: one pass, one 2-group vec_sum aggregate (shuffle
+    * carries 2·dim longs), dims explode from the 2-row result;
+    * output is d rows.
+    */
+  def epochDrift(embs: DataFrame): DataFrame = {
+    val bounds = embs.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val q = embs.crossJoin(broadcast(bounds))
+      .withColumn("epoch", expr("((vec_id - lo) * 2) div (hi - lo + 1)"))
+      .select(col("epoch"), Vectors.quantize(col("embedding")).as("q"))
+    val agg = q.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VecSum.vecSum(col("q")).as("s"))
+    val dims = agg.select(col("epoch"), col("n"),
+      posexplode(col("s")).as(Seq("i", "sum_q")))
+    val a = dims.filter(col("epoch") === 0)
+      .select(col("i").cast("long").as("i"),
+        col("n").as("n_a"), col("sum_q").as("sum_a"))
+    val b = dims.filter(col("epoch") === 1)
+      .select(col("i").cast("long").as("i"),
+        col("n").as("n_b"), col("sum_q").as("sum_b"))
+    a.join(b, "i")
+      .withColumn("mean_a", col("sum_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b", col("sum_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("delta", col("mean_b") - col("mean_a"))
+      .orderBy(col("i"))
+  }
 }

@@ -1417,4 +1417,50 @@ object Analytics {
         max(col("gap_us")).as("max_gap_us"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Automation/bot detection by cadence: flag users whose EXACT
+    * median inter-arrival gap is under 120 s — the traffic-hygiene
+    * gate an events pipeline runs before engagement analytics (a
+    * scripted client fires orders of magnitude faster than any
+    * human). The synthetic feed is uniformly human-paced (~7 h
+    * median gaps), so bot users are PLANTED deterministically
+    * (cdc_validation's pattern): every user_id%31==0 timeline is
+    * compressed 1000× toward its first event — truncating integer
+    * µs division, identical in both engines — and the detector,
+    * which never sees the planting, must flag exactly those users
+    * (compressed medians ≈ 26 s sit far inside the 120 s line;
+    * human medians sit ~200× outside — no boundary sensitivity).
+    *
+    * Scale shape: ONE user exchange carries every window — the
+    * first-event min for the planting, the gap lag, and the exact
+    * median rank selection (corpus_percentiles' ⌈n/2⌉ pick) — then
+    * the per-user rollup on the same key. Output is the flagged
+    * subset, not the user census.
+    */
+  def eventsBotDetection(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val planted = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("mt", min(col("t")).over(byUser))
+      .withColumn("us",
+        when(col("user_id") % 31 === 0,
+          col("mt") + expr("(t - mt) div 1000"))
+          .otherwise(col("t")))
+    val gaps = planted
+      .withColumn("gap",
+        col("us") - lag(col("us"), 1).over(
+          byUser.orderBy(col("us"), col("event_id"))))
+      .filter(col("gap").isNotNull)
+    gaps
+      .withColumn("rn", row_number().over(
+        byUser.orderBy(col("gap"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(byUser))
+      .groupBy(col("user_id"))
+      .agg((max(col("cnt")) + 1).as("n_events"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap")))
+          .as("median_gap_us"))
+      .filter(col("median_gap_us") < 120000000L)
+      .orderBy(col("user_id"))
+  }
 }

@@ -589,4 +589,21 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bot detection flags exactly the planted compressed users") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Analytics.eventsBotDetection(spark, sf).collect()
+    val flagged = rows.map(_.getAs[Long]("user_id")).toSet
+    // the planting compresses user_id%31==0 timelines 1000x; with
+    // human medians ~7h vs the 120s line, flagged == planted exactly
+    val planted = Tables.load(spark, sf, "events")
+      .filter(col("ts").isNotNull && col("user_id") % 31 === 0)
+      .select(col("user_id")).distinct().collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(flagged == planted && flagged.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("median_gap_us") < 120000000L)
+      assert(r.getAs[Long]("n_events") > 1L)
+    }
+  }
 }

@@ -1382,4 +1382,26 @@ class MlSpec extends AnyFunSuite {
     assert(got == expect)
     got.values.foreach { case (_, _, rho) => assert(rho >= -1.0 && rho <= 1.0) }
   }
+
+  test("epoch drift equals a driver-side split-and-average replay") {
+    val rows = Similarity.epochDrift(embs).collect()
+    val raw = embs.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[collection.Seq[Float]]("embedding").map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val lo = raw.map(_._1).min
+    val hi = raw.map(_._1).max
+    val (ea, eb) = raw.partition { case (id, _) =>
+      (id - lo) * 2 / (hi - lo + 1) == 0 }
+    assert(rows.length == raw.head._2.length)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      assert(r.getAs[Long]("n_a") == ea.length.toLong)
+      assert(r.getAs[Long]("n_b") == eb.length.toLong)
+      assert(r.getAs[Long]("sum_a") == ea.map(_._2(i)).sum)
+      assert(r.getAs[Long]("sum_b") == eb.map(_._2(i)).sum)
+      assert(r.getAs[Double]("mean_a") ==
+        ea.map(_._2(i)).sum.toDouble / ea.length.toDouble)
+    }
+  }
 }

@@ -1167,6 +1167,22 @@ object SparkEntry {
     // silent-encoder-swap monitor; 2-group vec_sum, d-row output.
     "embed_epoch_drift" -> ((s, dir) =>
       Similarity.epochDrift(Tables.load(s, dir, "embeddings"))),
+
+    // Subject-access export (GDPR SAR; read-side twin of
+    // cdc_forget_keys): per requested subject the change-history
+    // summary, activity span, last op, live flag.
+    "cdc_subject_export" -> ((s, dir) =>
+      ChangeFeed.subjectExport(ChangeFeed.fromEvents(s, dir))),
+
+    // Exact-k stratified sample by portable hash rank — the COUNT
+    // gate next to corpus_sample's RATE gate; WindowGroupLimit caps
+    // groups at k before any full sort.
+    "corpus_stratified_k" -> ((s, dir) =>
+      Corpus.stratifiedK(Tables.load(s, dir, "documents"))),
+
+    // A/B value comparison by experiment arm: exact decimal moments,
+    // Welch t as one fixed double expression.
+    "events_ab_test" -> ((s, dir) => Analytics.eventsAbTest(s, dir)),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4283,5 +4299,67 @@ object SparkEntry {
          |    - CAST(a.sum_q AS DOUBLE) / CAST(a.n AS DOUBLE) AS delta
          |FROM d a JOIN d b ON b.i = a.i AND a.epoch = 0 AND b.epoch = 1
          |ORDER BY 1""".stripMargin,
+
+    "cdc_subject_export" ->
+      s"""$C,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, table_name
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM c WHERE user_id % 97 = 0)
+         |SELECT user_id, table_name,
+         |  count(*) AS n_changes,
+         |  CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inserts,
+         |  CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_updates,
+         |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_deletes,
+         |  min(ts) AS first_ts,
+         |  max(ts) AS last_ts,
+         |  max(CASE WHEN rn = 1 THEN op END) AS last_op,
+         |  max(CASE WHEN rn = 1 THEN op END) <> 'delete' AS is_live
+         |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "corpus_stratified_k" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |    ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT source, doc_id, rk FROM r WHERE rk <= 10
+         |ORDER BY source, rk""".stripMargin,
+
+    // Same exact-decimal moment decomposition as the Spark side;
+    // every mean/var/t is one fixed double expression over them.
+    "events_ab_test" ->
+      s"""WITH a AS (SELECT event_type,
+         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |    count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+         |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+         |      AS s2
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |j AS (SELECT x.event_type,
+         |    x.n AS n_a, x.s AS s_a, x.s2 AS s2_a,
+         |    y.n AS n_b, y.s AS s_b, y.s2 AS s2_b
+         |  FROM a x JOIN a y ON y.event_type = x.event_type
+         |    AND x.arm = 'A' AND y.arm = 'B'),
+         |m AS (SELECT event_type, n_a, n_b,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         |    CASE WHEN n_a > 1 THEN
+         |      (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+         |        - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+         |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) END AS var_a,
+         |    CASE WHEN n_b > 1 THEN
+         |      (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+         |        - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+         |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) END AS var_b
+         |  FROM j)
+         |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+         |  (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE)
+         |    + var_b / CAST(n_b AS DOUBLE)) AS t_stat
+         |FROM m ORDER BY 1""".stripMargin,
   )
 }

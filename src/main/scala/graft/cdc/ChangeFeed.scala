@@ -413,6 +413,33 @@ object ChangeFeed {
       .orderBy(col("table_name"))
   }
 
+  /** Subject-access export (the GDPR SAR batch; read-side twin of
+    * graft.cdc.Forget's erasure): for every requested subject, the
+    * complete change-history summary a data-protection response
+    * returns — change counts by op, the activity span, the last
+    * operation, and whether the key is still live. Subjects are the
+    * planted %97 request batch (same planting discipline as the
+    * validation/forget demos).
+    *
+    * Scale shape: the subject predicate pushes to the scan (a SAR
+    * batch reads a sliver of the feed, never all of it); ONE key
+    * exchange computes every aggregate including the last-op
+    * max-of-struct; output is |subjects| rows.
+    */
+  def subjectExport(changes: DataFrame): DataFrame =
+    changes.filter(col("user_id") % 97 === 0)
+      .groupBy(col("user_id"), col("table_name"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "update", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        max(struct(col("ts"), col("event_id"), col("op")))
+          .getField("op").as("last_op"))
+      .withColumn("is_live", col("last_op") =!= "delete")
+      .orderBy(col("user_id"))
+
   def tombstoneGc(changes: DataFrame, gcDays: Int = 7): DataFrame = {
     val perKey = changes
       .groupBy(col("user_id"))

@@ -539,6 +539,31 @@ object Corpus {
     * sums in ONE per-source aggregate — the funnel costs one pass
     * over the scored relation, not a pass per stage.
     */
+  /** Exact-k stratified sample: the k docs per source with the
+    * smallest portable (source, doc_id) hash — the balanced
+    * evaluation-set draw ([[sampled]] is the RATE gate; this is the
+    * COUNT gate a "500 docs per source for human eval" request
+    * needs). Hash-rank selection keeps the draw deterministic,
+    * reproducible across engines/retries, and independent of
+    * partitioning.
+    *
+    * Scale shape: ONE source-keyed exchange; the rank window is
+    * top-k-prunable, so Spark's WindowGroupLimit caps every group at
+    * k rows BEFORE the full sort — per-partition heaps, not a
+    * per-source total order (the plan the `text_topk_terms` audit
+    * pinned). Output is |sources|·k rows.
+    */
+  def stratifiedK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        Portable.pHash(concat(col("source"), lit("#"), col("doc_id"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Per-source Spearman rank agreement between the two quality
     * signals the pipeline gates on — the heuristic
     * [[TextAnalysis.quality]] score and the unigram-LM familiarity

@@ -1437,6 +1437,58 @@ object Analytics {
     * the per-user rollup on the same key. Output is the flagged
     * subset, not the user census.
     */
+  /** A/B comparison of event value by experiment arm (user parity —
+    * the deterministic stand-in for an assignment table): per event
+    * type, each arm's count/mean/variance and the Welch t statistic.
+    * The moments are EXACT decimal aggregates (Σx, Σx² in
+    * decimal(18,2)/(38,4) — float sums would be order-dependent and
+    * engine-divergent); mean, variance and t are then fixed double
+    * expressions over those exact sums, bit-identical cross-engine.
+    * Headroom: the Σx² integer representation stays double-exact to
+    * ~10¹¹ value-mass per (type, arm); beyond that, keep the decimal
+    * and divide in decimal before the final cast.
+    *
+    * Scale shape: ONE (type, arm) aggregate with map-side partials,
+    * then a ≤|types|-row self-merge — the stream is scanned once,
+    * nothing is keyed by user.
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast("decimal(18,2)")
+    val arms = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).as("s"),
+        sum(dec * dec).as("s2"))
+    def side(a: String) = arms.filter(col("arm") === a)
+      .select(col("event_type"),
+        col("n").as(s"n_$a"),
+        col("s").as(s"s_$a"),
+        col("s2").as(s"s2_$a"))
+    def mean(a: String) =
+      col(s"s_$a").cast("double") / col(s"n_$a").cast("double")
+    def variance(a: String) =
+      when(col(s"n_$a") > 1,
+        (col(s"n_$a").cast("double") * col(s"s2_$a").cast("double")
+          - col(s"s_$a").cast("double") * col(s"s_$a").cast("double"))
+          / (col(s"n_$a").cast("double") * (col(s"n_$a") - 1).cast("double")))
+    side("A").join(side("B"), "event_type")
+      .withColumn("mean_a", mean("A"))
+      .withColumn("mean_b", mean("B"))
+      .withColumn("var_a", variance("A"))
+      .withColumn("var_b", variance("B"))
+      .withColumn("t_stat",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_A").cast("double")
+            + col("var_b") / col("n_B").cast("double")))
+      .select(col("event_type"), col("n_A").as("n_a"), col("n_B").as("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        col("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
   def eventsBotDetection(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val planted = Tables.load(spark, dir, "events")

@@ -606,4 +606,35 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_events") > 1L)
     }
   }
+
+  test("ab test equals a driver-side exact-decimal replay") {
+    import org.apache.spark.sql.functions.col
+    val got = operators.Analytics.eventsAbTest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.load(spark, sf, "events").filter(col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        if (r.getAs[Long]("user_id") % 2 == 0) "A" else "B",
+        BigDecimal(r.getAs[Double]("value"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    ev.groupBy(_._1).foreach { case (tpe, g) =>
+      val r = got(tpe)
+      def stats(arm: String): (Long, Double, Double) = {
+        val xs = g.filter(_._2 == arm).map(_._3)
+        val n = xs.length.toLong
+        val s = xs.sum.toDouble
+        val s2 = xs.map(x => x * x).sum.toDouble
+        val mean = s / n.toDouble
+        val v = (n.toDouble * s2 - s * s) / (n.toDouble * (n - 1).toDouble)
+        (n, mean, v)
+      }
+      val (na, ma, va) = stats("A")
+      val (nb, mb, vb) = stats("B")
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-9)
+      assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-6)
+      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+      assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
+    }
+  }
 }

@@ -594,4 +594,22 @@ class CdcSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_ops_rollback") >= r.getAs[Long]("n_torn"))
     }
   }
+
+  test("subject export covers exactly the requested subjects, ops balance") {
+    val c = ChangeFeed.fromEvents(SparkTestSession.spark, SparkTestSession.sf)
+    val rows = ChangeFeed.subjectExport(c).collect()
+    val subjects = c.filter(col("user_id") % 97 === 0)
+      .select(col("user_id")).distinct().collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == subjects)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_changes") ==
+        r.getAs[Long]("n_inserts") + r.getAs[Long]("n_updates")
+          + r.getAs[Long]("n_deletes"))
+      assert(!r.getTimestamp(r.fieldIndex("first_ts"))
+        .after(r.getTimestamp(r.fieldIndex("last_ts"))))
+      assert(r.getAs[Boolean]("is_live") ==
+        (r.getAs[String]("last_op") != "delete"))
+    }
+  }
 }

@@ -1383,6 +1383,21 @@ class MlSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, rho) => assert(rho >= -1.0 && rho <= 1.0) }
   }
 
+  test("stratified-k draws the k hash-smallest docs per source") {
+    val rows = ml.Corpus.stratifiedK(docs, k = 10).collect()
+    val bySource = docs.select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1)
+    bySource.foreach { case (src, members) =>
+      val expect = members.map { case (s, id) =>
+        (Vectors.jvmPHash(s"$s#$id"), id) }.sorted.take(10).map(_._2).toSeq
+      val got = rows.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == expect, s"source $src")
+    }
+    assert(rows.length == bySource.map { case (_, m) => math.min(10, m.size) }.sum)
+  }
+
   test("epoch drift equals a driver-side split-and-average replay") {
     val rows = Similarity.epochDrift(embs).collect()
     val raw = embs.collect().map(r => (r.getAs[Long]("vec_id"),

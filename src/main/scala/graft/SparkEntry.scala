@@ -1183,6 +1183,11 @@ object SparkEntry {
     // A/B value comparison by experiment arm: exact decimal moments,
     // Welch t as one fixed double expression.
     "events_ab_test" -> ((s, dir) => Analytics.eventsAbTest(s, dir)),
+
+    // Voice-activity segmentation from the real PCM parse: 16-sample
+    // frame energies, threshold, gaps-and-islands segments per doc.
+    "multimodal_wav_vad" -> ((s, dir) =>
+      Binary.vadSegments(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -4361,5 +4366,35 @@ object SparkEntry {
          |  (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE)
          |    + var_b / CAST(n_b AS DOUBLE)) AS t_stat
          |FROM m ORDER BY 1""".stripMargin,
+
+    // Sample k of audio doc id is (id*31+k)%256 (64+id%101 samples);
+    // the oracle replays the frame energies and the islands reduce.
+    "multimodal_wav_vad" ->
+      s"""WITH au AS (SELECT doc_id, 64 + doc_id % 101 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (SELECT doc_id, unnest(range(0, n)) AS k FROM au),
+         |fr AS (SELECT doc_id, k // 16 AS frame_idx,
+         |    CAST(sum(abs((doc_id * 31 + k) % 256 - 128)) AS BIGINT)
+         |      AS energy
+         |  FROM s GROUP BY 1, 2),
+         |act AS (SELECT doc_id, frame_idx,
+         |    frame_idx - row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY frame_idx) AS grp
+         |  FROM fr WHERE energy > 1024),
+         |seg AS (SELECT doc_id, count(*) AS seg_len
+         |  FROM act GROUP BY doc_id, grp),
+         |sg AS (SELECT doc_id, count(*) AS n_segments,
+         |    CAST(max(seg_len) AS BIGINT) AS max_segment
+         |  FROM seg GROUP BY 1),
+         |base AS (SELECT doc_id, count(*) AS n_frames,
+         |    CAST(sum(CASE WHEN energy > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_active,
+         |    max(energy) AS max_energy
+         |  FROM fr GROUP BY 1)
+         |SELECT b.doc_id, b.n_frames, b.n_active, b.max_energy,
+         |  COALESCE(sg.n_segments, 0) AS n_segments,
+         |  COALESCE(sg.max_segment, 0) AS max_segment
+         |FROM base b LEFT JOIN sg ON sg.doc_id = b.doc_id
+         |ORDER BY 1""".stripMargin,
   )
 }

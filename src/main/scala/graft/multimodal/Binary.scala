@@ -510,6 +510,92 @@ object Binary {
         coalesce(max(col("diff")), lit(0L)).as("max_diff"))
   }
 
+  // --- voice-activity segmentation --------------------------------
+
+  case class VadFrame(doc_id: Long, frame_idx: Long, energy: Long)
+
+  /** Per-frame energy from the REAL PCM parse: 16-sample frames
+    * (last partial frame kept), energy = Σ|sample − 128| of the
+    * unsigned 8-bit samples — the integer activity signal a VAD /
+    * silence-trimming pass thresholds. Same RIFF chunk walk (and
+    * fail-loudly contract) as [[parseAudioFeatures]].
+    */
+  private[graft] def parseVadFrames(
+      id: Long, p: Array[Byte], frameLen: Int): Seq[VadFrame] = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return Nil
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    val out = scala.collection.mutable.ArrayBuffer.empty[VadFrame]
+    while (off + 8 <= p.length) {
+      val cid = new String(p, off, 4, "US-ASCII")
+      val csz = bb.getInt(off + 4)
+      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
+        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
+      if (cid == "data") {
+        var k = 0
+        while (k < csz) {
+          var e = 0L
+          var j = k
+          val end = math.min(k + frameLen, csz)
+          while (j < end) {
+            e += math.abs((p(off + 8 + j) & 0xff) - 128).toLong
+            j += 1
+          }
+          out += VadFrame(id, (k / frameLen).toLong, e)
+          k += frameLen
+        }
+      }
+      off += 8 + csz + (csz & 1)
+    }
+    out.toSeq
+  }
+
+  /** Voice-activity segmentation over the real PCM parse: frames
+    * above the energy threshold are "active", consecutive active
+    * frames merge into segments (the gaps-and-islands reduce —
+    * `events_streak`'s pattern at audio-frame granularity), and each
+    * audio doc reports its frame/activity/segment census — what a
+    * silence-trimming pipeline uses to cut training clips.
+    *
+    * Scale shape: the frame fan-out is per-partition parsing
+    * (bounded by samples ÷ frameLen per doc); ONE doc-keyed exchange
+    * carries the island window and both rollups. No joins across
+    * docs.
+    */
+  def vadSegments(
+      df: DataFrame, frameLen: Int = 16, threshold: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseVadFrames(id, p, frameLen) })
+      .toDF()
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val active = frames.filter(col("energy") > threshold)
+      .withColumn("grp",
+        col("frame_idx") - row_number().over(
+          byDoc.orderBy(col("frame_idx"))))
+    val segs = active.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("seg_len")).as("max_segment"))
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("energy") > threshold, 1L).otherwise(0L)).as("n_active"),
+        max(col("energy")).as("max_energy"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        col("max_energy"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_segment"), lit(0L)).as("max_segment"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- perceptual hash / image near-dup ---------------------------
 
   /** 16-bit average-hash of one BMP from the REAL pixel parse: map

@@ -1398,6 +1398,32 @@ class MlSpec extends AnyFunSuite {
     assert(rows.length == bySource.map { case (_, m) => math.min(10, m.size) }.sum)
   }
 
+  test("vad segments equal a driver-side islands replay") {
+    val payload = Binary.mediaPayload(docs)
+    val got = Binary.vadSegments(payload).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("max_segment"))).toMap
+    val expect = payload.collect().flatMap { r =>
+      val id = r.getAs[Long]("doc_id")
+      val frames = Binary.parseVadFrames(id, r.getAs[Array[Byte]]("payload"), 16)
+      if (frames.isEmpty) None else {
+        val act = frames.filter(_.energy > 1024L).map(_.frame_idx)
+        // islands: consecutive frame indexes form one segment
+        val segs = act.foldLeft(List.empty[List[Long]]) {
+          case (acc, f) => acc match {
+            case (h :: t) :: rest if h == f - 1 => (f :: h :: t) :: rest
+            case _ => List(f) :: acc
+          }
+        }
+        Some(id -> (frames.length.toLong, act.length.toLong,
+          segs.length.toLong,
+          if (segs.isEmpty) 0L else segs.map(_.length.toLong).max))
+      }
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("epoch drift equals a driver-side split-and-average replay") {
     val rows = Similarity.epochDrift(embs).collect()
     val raw = embs.collect().map(r => (r.getAs[Long]("vec_id"),

@@ -1188,6 +1188,12 @@ object SparkEntry {
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
       Binary.vadSegments(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
+
+    // Per-label energy along the dominant principal axis (exact
+    // integer projections onto the pca_power eigenvector) — the
+    // subspace-collapse / semantic-shift monitor per cluster.
+    "embed_subspace_energy" -> ((s, dir) =>
+      Similarity.subspaceEnergy(Tables.load(s, dir, "embeddings"))),
   )
 
   /** Selection rules for the demo task: include src1%, exclude src15
@@ -1227,6 +1233,36 @@ object SparkEntry {
 
   /** Change-feed CTE shared by the CDC oracles. */
   private val C = s"WITH c AS (${ChangeFeed.duckFromEvents})"
+
+  /** Unrolled 3-iteration integer power-method CTE chain (through
+    * the final eigenvector `v3`), shared by the embed_pca_power and
+    * embed_subspace_energy oracles — every step exact integer
+    * (truncating //, matching Spark div and JVM / toward-zero).
+    */
+  private val pcaV3Ctes =
+    s"""WITH q AS (SELECT vec_id,
+       |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id,
+       |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+       |    unnest(q) AS x FROM q),
+       |m AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS m
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM e),
+       |u1 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+       |  FROM m JOIN v0 v ON v.i = m.j GROUP BY 1),
+       |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
+       |v1 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+       |  FROM u1, x1),
+       |u2 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+       |  FROM m JOIN v1 v ON v.i = m.j GROUP BY 1),
+       |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
+       |v2 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+       |  FROM u2, x2),
+       |u3 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
+       |  FROM m JOIN v2 v ON v.i = m.j GROUP BY 1),
+       |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
+       |v3 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
+       |  FROM u3, x3)""".stripMargin
 
   // --- DuckDB fragments shared by the §2C oracles -----------------
 
@@ -4082,29 +4118,7 @@ object SparkEntry {
     // (truncating //, matching Spark's div toward-zero semantics);
     // lambda is the single long->double division both engines share.
     "embed_pca_power" ->
-      s"""WITH q AS (SELECT vec_id,
-         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
-         |e AS (SELECT vec_id,
-         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
-         |    unnest(q) AS x FROM q),
-         |m AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS m
-         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM e),
-         |u1 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
-         |  FROM m JOIN v0 v ON v.i = m.j GROUP BY 1),
-         |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
-         |v1 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
-         |  FROM u1, x1),
-         |u2 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
-         |  FROM m JOIN v1 v ON v.i = m.j GROUP BY 1),
-         |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
-         |v2 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
-         |  FROM u2, x2),
-         |u3 AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
-         |  FROM m JOIN v2 v ON v.i = m.j GROUP BY 1),
-         |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
-         |v3 AS (SELECT i, CAST((u * 1000) // NULLIF(mx, 0) AS BIGINT) AS v
-         |  FROM u3, x3),
+      s"""$pcaV3Ctes,
          |ul AS (SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS u
          |  FROM m JOIN v3 v ON v.i = m.j GROUP BY 1),
          |ray AS (SELECT CAST(sum(v.v * u.u) AS BIGINT) AS ray_num,
@@ -4114,6 +4128,27 @@ object SparkEntry {
          |  CAST(ray.ray_num AS DOUBLE) / CAST(ray.ray_den AS DOUBLE)
          |    AS lambda
          |FROM v3 v, ray ORDER BY v.i""".stripMargin,
+
+    // Rides the SAME unrolled power-method CTEs; the projection is
+    // exact int64, Σs² exact via HUGEINT, mean/var fixed double
+    // expressions over the exact sums.
+    "embed_subspace_energy" ->
+      s"""$pcaV3Ctes,
+         |proj AS (SELECT e.vec_id, CAST(sum(e.x * v.v) AS BIGINT) AS s
+         |  FROM e JOIN v3 v ON v.i = e.i GROUP BY 1),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |st AS (SELECT l.label, count(*) AS n,
+         |    CAST(sum(p.s) AS BIGINT) AS sum_s,
+         |    CAST(sum(CAST(p.s AS HUGEINT) * p.s) AS BIGINT) AS sum_s2
+         |  FROM proj p JOIN lab l ON l.vec_id = p.vec_id
+         |  GROUP BY 1)
+         |SELECT label, n, sum_s, sum_s2,
+         |  CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_s,
+         |  CASE WHEN n > 1 THEN
+         |    (CAST(n AS DOUBLE) * CAST(sum_s2 AS DOUBLE)
+         |      - CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END AS var_s
+         |FROM st ORDER BY 1""".stripMargin,
 
     "cdc_tombstone_gc" ->
       s"""$C,

@@ -697,6 +697,45 @@ object Similarity {
     * carries 2·dim longs), dims explode from the 2-row result;
     * output is d rows.
     */
+  /** Per-label energy along the dominant principal axis: project
+    * every quantized vector onto [[pcaPower]]'s integer eigenvector
+    * (exact int64 dot), then per label report the projection's
+    * count/Σ/Σ² and mean/variance — the subspace-collapse monitor
+    * (a label whose variance along the top axis collapses is
+    * duplicating content; one whose mean drifts is shifting
+    * semantics). Projections are exact; Σs² aggregates in decimal so
+    * no float ordering enters; mean/var are fixed double expressions
+    * over the exact sums.
+    *
+    * Scale shape: the eigenvector is a d-long broadcast literal
+    * (driver-bounded by d, like the IVF centroids); projection is
+    * map-only native long_dot inside codegen; ONE label-keyed
+    * aggregate with map-side partials.
+    */
+  def subspaceEnergy(embs: DataFrame): DataFrame = {
+    val v = pcaPower(embs).collect().sortBy(_.getAs[Long]("i"))
+      .map(_.getAs[Long]("v"))
+    val vLit = array(v.map(lit(_)): _*)
+    val proj = embs.select(col("label"),
+      Vectors.dot(Vectors.quantize(col("embedding")), vLit).as("s"))
+    proj.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s")).as("sum_s"),
+        // decimal sum, narrowed back to the EXACT int64 (overflow
+        // surfaces as NULL, not a wrap; headroom ~2e18 ≈ 500k rows
+        // at these norms — widen the output column beyond that)
+        sum(col("s").cast("decimal(22,0)") * col("s").cast("decimal(15,0)"))
+          .cast("long").as("sum_s2"))
+      .withColumn("mean_s",
+        col("sum_s").cast("double") / col("n").cast("double"))
+      .withColumn("var_s",
+        when(col("n") > 1,
+          (col("n").cast("double") * col("sum_s2").cast("double")
+            - col("sum_s").cast("double") * col("sum_s").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .orderBy(col("label"))
+  }
+
   def epochDrift(embs: DataFrame): DataFrame = {
     val bounds = embs.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
     val q = embs.crossJoin(broadcast(bounds))

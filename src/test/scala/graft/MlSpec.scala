@@ -1424,6 +1424,26 @@ class MlSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("subspace energy equals a driver-side projection replay") {
+    val v = Similarity.pcaPower(embs).collect()
+      .sortBy(_.getAs[Long]("i")).map(_.getAs[Long]("v"))
+    val rows = Similarity.subspaceEnergy(embs).collect()
+    val raw = embs.collect().map(r => (r.getAs[Int]("label"),
+      r.getAs[collection.Seq[Float]]("embedding").map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val byLabel = raw.groupBy(_._1)
+    assert(rows.map(_.getAs[Int]("label")).toSet == byLabel.keySet)
+    rows.foreach { r =>
+      val g = byLabel(r.getAs[Int]("label"))
+      val ss = g.map { case (_, q) =>
+        q.zip(v).map { case (x, w) => x * w }.sum }
+      assert(r.getAs[Long]("n") == g.length.toLong)
+      assert(r.getAs[Long]("sum_s") == ss.sum)
+      assert(r.getAs[Long]("sum_s2") == ss.map(s => s * s).sum)
+    }
+  }
+
   test("epoch drift equals a driver-side split-and-average replay") {
     val rows = Similarity.epochDrift(embs).collect()
     val raw = embs.collect().map(r => (r.getAs[Long]("vec_id"),

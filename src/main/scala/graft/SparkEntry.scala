@@ -102,6 +102,8 @@ object SparkEntry {
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
     "events_markov"        -> ((s, dir) => Analytics.eventsMarkov(s, dir)),
     "events_cooccurrence"  -> ((s, dir) => Analytics.eventsCooccurrence(s, dir)),
+    "events_rfm"           -> ((s, dir) => Analytics.eventsRfm(s, dir)),
+    "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
@@ -127,6 +129,17 @@ object SparkEntry {
           retentionHours = 24,
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
+
+    // SCD type-2 history target: every change becomes a version with
+    // a [valid_from, valid_to) interval; delete closes the key.
+    "cdc_scd2" -> ((s, dir) =>
+      ChangeFeed.scd2History(ChangeFeed.fromEvents(s, dir))),
+
+    // Parallel full-load segmentation: 8 contiguous key ranges of
+    // near-equal row counts over orders (DMS parallel-load ranges).
+    "cdc_full_load_ranges" -> ((s, dir) =>
+      FullLoad.segmentRanges(Tables.load(s, dir, "orders"),
+        "o_orderkey", 8)),
 
     // Log-compaction summary: raw feed vs latest-per-key changelog
     // (tombstones retained), per table.
@@ -1547,6 +1560,27 @@ object SparkEntry {
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
 
+    "cdc_scd2" ->
+      s"""$C,
+         |r AS (SELECT user_id, op, table_name, value, ts,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS version,
+         |    lead(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS valid_to
+         |  FROM c WHERE ts IS NOT NULL)
+         |SELECT user_id, CAST(version AS BIGINT) AS version, op,
+         |  table_name, value AS attr_value, ts AS valid_from, valid_to,
+         |  (valid_to IS NULL AND op <> 'delete') AS is_current
+         |FROM r ORDER BY user_id, version""".stripMargin,
+
+    "cdc_full_load_ranges" ->
+      """SELECT seg, min(o_orderkey) AS lo_key,
+        |  max(o_orderkey) AS hi_key, count(*) AS n_rows
+        |FROM (SELECT o_orderkey,
+        |    CAST(ntile(8) OVER (ORDER BY o_orderkey) AS BIGINT) AS seg
+        |  FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_windowed_stats" ->
       s"""$C
          |SELECT date_trunc('hour', ts) AS window_start, op,
@@ -2641,6 +2675,36 @@ object SparkEntry {
         |JOIN tot ta ON ta.event_type = p.type_a
         |JOIN tot tb ON tb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+
+    "events_rfm" ->
+      """WITH pu AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_ev,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS m_cents
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |h AS (SELECT max(last_ts) AS head_ts FROM pu),
+        |b AS (SELECT user_id,
+        |    CAST(CAST(h.head_ts AS DATE) - CAST(pu.last_ts AS DATE) AS BIGINT)
+        |      AS rec_days,
+        |    n_ev, m_cents FROM pu, h),
+        |s AS (SELECT user_id,
+        |    CAST(ntile(5) OVER (ORDER BY rec_days, user_id) AS BIGINT) AS r_bucket,
+        |    CAST(ntile(5) OVER (ORDER BY n_ev, user_id) AS BIGINT) AS f_bucket,
+        |    CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_bucket
+        |  FROM b)
+        |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "events_gini" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cnt, user_id) AS BIGINT) AS rk FROM c)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  2.0 * CAST(sum(rk * cnt) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) -
+        |    CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_rolling_active" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

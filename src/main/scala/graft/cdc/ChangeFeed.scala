@@ -440,6 +440,39 @@ object ChangeFeed {
       .withColumn("is_live", col("last_op") =!= "delete")
       .orderBy(col("user_id"))
 
+  /** Slowly-changing-dimension type-2 history: every change row
+    * becomes a VERSION with a validity interval — `valid_from` = its
+    * change timestamp, `valid_to` = the key's next change (NULL while
+    * the version is open). A delete closes the key without opening a
+    * live version, so `is_current` holds only for an open non-delete
+    * version. This is the warehouse-side table a replication target
+    * materializes when the consumer wants history, not just latest
+    * state (the reference's DMS target keeps latest-wins; SCD2 is the
+    * standard alternative target shape, and `replayAt` falls out of
+    * it as a range predicate `valid_from <= t < valid_to`).
+    *
+    * Scale shape: ONE exchange on the key; both the version number
+    * and the lead() run inside the same per-key sort (Spark plans a
+    * single Window over the shared (user_id, ts, event_id) order).
+    * Output is |feed| rows — written, not collected. The (ts,
+    * event_id) order key is total per key (event ids are unique), so
+    * versions are deterministic under retries.
+    */
+  def scd2History(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .filter(col("ts").isNotNull)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("op"),
+        col("table_name"), col("value").as("attr_value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        (col("valid_to").isNull && col("op") =!= "delete")
+          .as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   def tombstoneGc(changes: DataFrame, gcDays: Int = 7): DataFrame = {
     val perKey = changes
       .groupBy(col("user_id"))

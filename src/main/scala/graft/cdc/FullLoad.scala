@@ -77,4 +77,37 @@ object FullLoad {
     controls.unionByName(loads)
       .orderBy(col("table_name"), col("op"))
   }
+
+  /** Parallel full-load segmentation plan: split a table's key space
+    * into `nSegments` contiguous ranges of near-equal ROW counts —
+    * the ranges a parallel loader hands its workers so every segment
+    * reads the same share regardless of key-space gaps (DMS calls
+    * this parallel-load ranges; naive even KEY-range splits skew
+    * badly when keys cluster). Output per segment: [lo_key, hi_key],
+    * row count.
+    *
+    * Semantics match SQL NTILE over the key order exactly (first
+    * `total % n` segments take the extra row), so the plan is
+    * reproducible across engines.
+    *
+    * Scale shape: a global NTILE window would collapse the table to
+    * ONE partition — instead ranks are two-phase (the corpus_shuffle
+    * scheme): range-partition by key, per-partition row_number, plus
+    * each partition's start offset from a |partitions|-row prefix-sum
+    * relation joined back broadcast. The only global window runs over
+    * that tiny offsets relation. The segment id is then pure
+    * arithmetic on the rank, and the range bounds reduce per segment.
+    */
+  def segmentRanges(
+      keyed: DataFrame,
+      keyCol: String,
+      nSegments: Int): DataFrame =
+    graft.functions.Ranks
+      .grouped(keyed.select(col(keyCol).as("k")), Nil, Seq("k"))
+      .withColumn("seg",
+        expr(graft.functions.Ranks.ntileExpr("rank", "grp_total", nSegments)))
+      .groupBy(col("seg"))
+      .agg(min(col("k")).as("lo_key"), max(col("k")).as("hi_key"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("seg"))
 }

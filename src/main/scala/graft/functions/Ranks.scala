@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact per-group ranking without per-group
+  * single-partition windows.
+  *
+  * A `row_number() OVER (PARTITION BY g ORDER BY v)` forces every
+  * row of a group onto ONE task — the classic scale cliff when a
+  * group holds billions of rows (one event_type, or the single
+  * global group of an NTILE plan). The two-phase scheme instead:
+  *
+  *  1. range-partitions by (group ++ order) — the distributed total
+  *     sort Spark already knows how to do at any scale;
+  *  2. ranks rows per (physical partition, group) — a local window
+  *     whose state is one counter;
+  *  3. computes each (partition, group)'s start offset from a
+  *     |partitions|·|groups|-row side relation (per-slice counts,
+  *     prefix-summed per group over the partition id) joined back
+  *     broadcast.
+  *
+  * The only cross-row windows run over that tiny offsets relation,
+  * never over the data. Ties are broken by the caller's order
+  * columns, which must form a total order within each group for the
+  * rank to be deterministic under retries.
+  *
+  * Used by `corpus_shuffle` (the original inline form),
+  * `cdc_full_load_ranges` (single global group), and the
+  * `events_rfm` / `events_gini` per-group rank plans.
+  */
+object Ranks {
+
+  /** Adds `rank` (1-based within group, ordered by `orderCols`
+    * ascending) and `grp_total` (group row count) to `df`.
+    * `groupCols` may be empty for a single global group.
+    */
+  def grouped(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val gc = groupCols.map(col)
+    // materialized: range partitioning samples its bounds, so the
+    // offsets pass and the rank pass must read ONE computed
+    // partitioning, not two re-samples that could bucket rows
+    // differently
+    val ranged = graft.CacheScope.materialize(df
+      .repartitionByRange(n, (groupCols ++ orderCols).map(col): _*)
+      .withColumn("_rk_pid", spark_partition_id()))
+    val byGroup = Window.partitionBy(gc: _*)
+    val offs = ranged.groupBy(col("_rk_pid") +: gc: _*)
+      .agg(count(lit(1)).as("_rk_cnt"))
+      .withColumn("_rk_off",
+        coalesce(sum(col("_rk_cnt")).over(byGroup.orderBy(col("_rk_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp_total", sum(col("_rk_cnt")).over(byGroup))
+      .select(col("_rk_pid") +: (gc :+ col("_rk_off") :+ col("grp_total")): _*)
+    val wp = Window.partitionBy(col("_rk_pid") +: gc: _*)
+      .orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offs), "_rk_pid" +: groupCols)
+      .withColumn("rank", col("_rk_off") + row_number().over(wp))
+      .drop("_rk_pid", "_rk_off")
+  }
+
+  /** SQL NTILE(n) over a precomputed 1-based `rank` within a group
+    * of `total` rows: the first `total % n` tiles take
+    * ceil(total/n) rows, the rest floor(total/n). Pure arithmetic —
+    * pairs with [[grouped]] to express NTILE without the
+    * single-partition global window. Integer `div` throughout; the
+    * CASE branches short-circuit, so the small-tile branch's
+    * `div (total div n)` never evaluates when total < n.
+    */
+  def ntileExpr(rank: String, total: String, n: Int): String =
+    s"""1 + CASE
+       |  WHEN $rank <= (($total div $n) + 1) * ($total % $n)
+       |  THEN ($rank - 1) div (($total div $n) + 1)
+       |  ELSE ($total % $n) +
+       |    ($rank - (($total div $n) + 1) * ($total % $n) - 1)
+       |      div ($total div $n)
+       |END""".stripMargin
+}

@@ -1515,4 +1515,87 @@ object Analytics {
       .filter(col("median_gap_us") < 120000000L)
       .orderBy(col("user_id"))
   }
+
+  /** RFM segmentation: users scored into quintiles on Recency (days
+    * since last event vs the corpus head), Frequency (event count),
+    * and Monetary (purchase value, in cents so the sum is exact
+    * integer arithmetic), reported as the 5×5×5 cell census — the
+    * standard marketing-db segmentation a replication consumer
+    * derives from the users table.
+    *
+    * Quintiles are SQL NTILE(5) ordered by (metric, user_id) — the
+    * user_id tie-break makes the assignment a total order, so the
+    * segmentation is deterministic and engine-reproducible.
+    *
+    * Scale shape: a naive NTILE is a single-partition global window
+    * over ALL users; instead the three metrics are unpivoted
+    * (3·|users| rows), ranked per metric with [[graft.functions.Ranks.grouped]]
+    * (range partition + tiny offsets relation — no global window),
+    * bucketed by NTILE arithmetic, and pivoted back with one
+    * user-keyed aggregate. Cost: one per-user reduce, one ranked
+    * exchange, one pivot exchange — each shuffle carries O(|users|)
+    * slim rows. Output ≤125 cells.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_ev"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L))
+          .as("m_cents"))
+    val head = perUser.agg(max(col("last_ts")).as("head_ts"))
+    val metrics = perUser.crossJoin(broadcast(head))
+      .withColumn("rec_days",
+        datediff(to_date(col("head_ts")), to_date(col("last_ts"))).cast("long"))
+      .selectExpr("user_id",
+        "stack(3, 'r', rec_days, 'f', n_ev, 'm', m_cents) AS (metric, v)")
+    graft.functions.Ranks.grouped(metrics, Seq("metric"), Seq("v", "user_id"))
+      .withColumn("bucket",
+        expr(graft.functions.Ranks.ntileExpr("rank", "grp_total", 5)))
+      .groupBy(col("user_id"))
+      .pivot("metric", Seq("r", "f", "m"))
+      .agg(first(col("bucket")))
+      .groupBy(col("r").as("r_bucket"), col("f").as("f_bucket"),
+        col("m").as("m_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  /** Concentration of activity per event type as a Gini coefficient
+    * over per-user event counts — 0 when every user contributes
+    * equally, →1 when a few users dominate. The inequality gauge
+    * that tells a capacity planner whether a type's volume is a
+    * broad base or a hot-key risk (the distributional summary next
+    * to `cdc_hot_keys`' top-N view).
+    *
+    * Uses the rank formula G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over
+    * counts sorted ascending (ties broken by user_id). Numerators
+    * and denominators are exact BIGINT sums; the only floating steps
+    * are one multiply, two divides, one subtract in a fixed order —
+    * IEEE-identical across engines (the `sim_topk_bruteforce`
+    * exact-parity pattern), so no rounding is needed or applied.
+    *
+    * Scale shape: per-(type, user) counts reduce map-side; the
+    * per-type rank is [[graft.functions.Ranks.grouped]] (no
+    * single-partition window even when one type holds billions of
+    * users); the Gini reduces per type. Output |types| rows.
+    */
+  def eventsGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.functions.Ranks.grouped(counts, Seq("event_type"), Seq("cnt", "user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("n_events"),
+        sum(col("rank") * col("cnt")).as("rank_mass"))
+      .withColumn("gini",
+        (lit(2.0) * col("rank_mass").cast("double")) /
+          (col("n_users").cast("double") * col("n_events").cast("double")) -
+          (col("n_users") + 1).cast("double") / col("n_users").cast("double"))
+      .drop("rank_mass")
+      .orderBy(col("event_type"))
+  }
 }

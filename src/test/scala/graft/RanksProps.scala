@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ranks
+
+/** Properties for the two-phase grouped rank: on any input it must
+  * equal the single-partition `row_number() OVER (PARTITION BY g
+  * ORDER BY v, id)` it replaces at scale, and the NTILE arithmetic
+  * must equal SQL NTILE for every (total, n) shape — including
+  * total < n, total divisible by n, and the mixed big/small-tile
+  * split. Inputs draw heavy ties so the tie-break path is always
+  * exercised.
+  */
+object RanksProps extends Properties("graft.ranks") {
+  private lazy val spark = SparkTestSession.spark
+
+  private val rows: Gen[List[(Int, Int, Int)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 2),   // group
+      Gen.chooseNum(0, 4),   // value (heavy ties)
+      Gen.chooseNum(0, 999)))// id
+
+  property("two-phase grouped rank == window row_number") =
+    Prop.forAll(rows) { rs =>
+      import spark.implicits._
+      // ids deduplicated within group so the order is total
+      val distinctRows = rs.groupBy(r => (r._1, r._3)).map(_._2.head).toList
+      val df = distinctRows.toDF("g", "v", "id")
+      val got = Ranks.grouped(df, Seq("g"), Seq("v", "id"))
+        .select(col("g"), col("id"), col("rank"), col("grp_total"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val expect = distinctRows.groupBy(_._1).flatMap { case (g, grp) =>
+        val sorted = grp.sortBy(r => (r._2, r._3))
+        sorted.zipWithIndex.map { case (r, i) =>
+          (g, r._3) -> ((i + 1).toLong, grp.size.toLong)
+        }
+      }
+      got == expect
+    }
+
+  property("ntileExpr == SQL NTILE tile sizes") =
+    Prop.forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 9)) { (total, n) =>
+      import spark.implicits._
+      val df = (1 to total).map(r => (r.toLong, total.toLong))
+        .toDF("rank", "grp_total")
+      val got = df.selectExpr(s"ntile($n) OVER (ORDER BY rank) AS t",
+          Ranks.ntileExpr("rank", "grp_total", n) + " AS u")
+        .collect()
+      got.forall(r => r.getInt(0).toLong == r.getLong(1))
+    }
+}

@@ -538,6 +538,17 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))),
 
+    // BPE first-merge census: adjacent char-pair counts over the
+    // vocabulary, weighted by token frequency; top 50.
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.load(s, dir, "documents"),
+        col("text"), 50)),
+
+    // Hapax-legomena share per source (lexical health gauge).
+    "text_hapax" -> ((s, dir) =>
+      TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "text_topk_terms" -> ((s, dir) =>
       TextAnalysis.topKTerms(Tables.load(s, dir, "documents"),
           col("source"), col("text"), 10)
@@ -618,6 +629,12 @@ object SparkEntry {
 
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.topKBruteForce(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    // Hard-negative mining: top-3 most-similar DIFFERENT-label
+    // neighbors per probe (contrastive-training draw).
+    "embed_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
 
     "sim_ann_lsh" -> ((s, dir) =>
@@ -3154,6 +3171,28 @@ object SparkEntry {
          |SELECT group_key, tok, term_freq, rk FROM r
          |WHERE rk <= 10 ORDER BY group_key, rk""".stripMargin,
 
+    "text_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1),
+         |p AS (SELECT tok, n_tok,
+         |    substring(tok, CAST(i AS INTEGER), 2) AS pair
+         |  FROM tc, unnest(range(1, length(tok))) t(i)
+         |  WHERE length(tok) >= 2)
+         |SELECT pair, CAST(sum(n_tok) AS BIGINT) AS pair_count,
+         |  count(DISTINCT tok) AS n_token_types
+         |FROM p GROUP BY 1
+         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "text_hapax" ->
+      s"""WITH toks AS (SELECT source, unnest($toksT) AS tok FROM documents),
+         |tc AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_terms,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS hapax_share
+         |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_exact" ->
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,
          |  min(doc_id) AS canonical_id
@@ -3423,6 +3462,29 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "embed_hard_negatives" ->
+      s"""WITH $embCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |d AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, la.label AS probe_label,
+         |    d.neighbor_id, lb.label AS neighbor_label, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  JOIN lab la ON la.vec_id = d.probe_id
+         |  JOIN lab lb ON lb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0 AND la.label <> lb.label),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
+         |SELECT probe_id, probe_label, neighbor_id, neighbor_label,
+         |  cos_sim, rk FROM r
+         |WHERE rk <= ${Similarity.HardNegK} ORDER BY probe_id, rk""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $embCtes,

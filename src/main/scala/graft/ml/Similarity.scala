@@ -62,6 +62,42 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  val HardNegK = 3
+
+  /** Hard-negative mining: per probe, the most-similar neighbors
+    * whose label DIFFERS — the contrastive-training draw (a triplet
+    * loss wants negatives that are nearly positives; random negatives
+    * are too easy to teach anything). Exact cosine over the
+    * quantized relation, deterministic (cos desc, vec_id) tie-break.
+    *
+    * Scale shape: identical to [[topKBruteForce]] — the probe side
+    * (bounded) broadcasts with its labels, the corpus streams past
+    * once, the per-probe window is WindowGroupLimit-prunable to k.
+    * The label filter rides the broadcast-join condition, so
+    * same-label pairs never materialize. At corpus scale the
+    * candidate generation swaps to the IVF/LSH bucketed paths; this
+    * is their exact-verification twin.
+    */
+  def hardNegatives(embs: DataFrame, k: Int = HardNegK): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val qv = materialize(Vectors.quantized(embs))
+    val probes = broadcast(probeSide(qv)
+      .join(lab.select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label")), "probe_id"))
+    val scored = corpusSide(qv).join(lab, "vec_id")
+      .join(probes, col("vec_id") =!= col("probe_id") &&
+        col("label") =!= col("probe_label"))
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("probe_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("cos_sim"), col("rk"))
+  }
+
   val IvfNProbe = 2
 
   /** IVF-style ANN: a coarse quantizer assigns vectors to cells (the

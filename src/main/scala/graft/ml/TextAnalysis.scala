@@ -470,4 +470,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"), col("pos"),
         (col("pos") > expr(s"(n_docs * $dropPct + 99) DIV 100")).as("kept"))
   }
+
+  /** BPE first-iteration pair statistics: adjacent character-pair
+    * frequencies over the corpus vocabulary, weighted by token
+    * frequency — the count a byte-pair-encoding trainer computes to
+    * pick its first merge (each further merge repeats this census
+    * over the rewritten vocabulary). Top `topK` pairs, deterministic
+    * (count desc, pair) order.
+    *
+    * Scale shape: token counting is the standard vocabulary-bounded
+    * reduce (map-side combined); the pair fan-out then runs over the
+    * DISTINCT vocabulary, not the corpus — a token contributes its
+    * |token|−1 positions once, scaled by its count — so the second
+    * shuffle is bounded by alphabet², and the top-k is a
+    * TakeOrderedAndProject (per-partition heaps), never a global
+    * sort.
+    */
+  def bpePairStats(docs: DataFrame, text: Column, topK: Int = 50): DataFrame =
+    docs.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .filter(char_length(col("token")) >= 2)
+      .select(col("token"), col("n_tok"), explode(expr(
+        "transform(sequence(1, char_length(token) - 1)," +
+          " i -> substring(token, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_tok")).as("pair_count"),
+        countDistinct(col("token")).as("n_token_types"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+
+  /** Hapax profile per source: vocabulary size, hapax legomena
+    * (terms seen exactly once in the source) and their share of the
+    * vocabulary. A high hapax share flags OCR noise / tokenizer
+    * breakage / boilerplate-free diversity — the cheap lexical
+    * health gauge next to `corpus_vocab_growth`'s curve.
+    *
+    * Scale shape: two map-side-combined reduces — (source, term)
+    * counts bounded by per-source vocabulary, then a |sources|-row
+    * rollup. The share divides two exact BIGINTs, identically in
+    * both engines.
+    */
+  def hapaxProfile(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_share",
+        col("n_hapax").cast("double") / col("n_terms").cast("double"))
+      .orderBy(col("source"))
 }

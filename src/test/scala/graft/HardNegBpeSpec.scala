@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Similarity, TextAnalysis}
+
+/** Fixture checks for hard-negative mining and the BPE/hapax text
+  * census ops. */
+class HardNegBpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("hardNegatives: different-label argmax, never a same-label row") {
+    import spark.implicits._
+    // probe 0 (label 1): nearest overall is vec 1 (same label, same
+    // direction) — must be SKIPPED; nearest different-label is vec 2
+    // (close direction), then vec 3 (orthogonal-ish).
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),   // same label: excluded
+      (2L, Array(0.8f, 0.2f), 2),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(-1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(embs, k = 2)
+      .filter(col("probe_id") === 0L).orderBy(col("rk")).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(got.forall(r => r.getInt(3) != r.getInt(1)))
+    assert(got.map(_.getLong(5)).toSeq == Seq(1L, 2L))
+  }
+
+  test("bpePairStats: pair counts weight by token frequency, repeats count per position") {
+    import spark.implicits._
+    // "abab" contributes pairs ab,ba,ab (positions) per occurrence;
+    // it occurs 2x -> ab: 4, ba: 2. "ab" adds 3 more ab. Single-char
+    // token "x" contributes nothing.
+    val docs = Seq((1L, "abab abab ab x"), (2L, "ab ab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, col("text"), 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("ab") == (7L, 2L)) // 2*2 from abab + 3*1 from ab; 2 token types
+    assert(got("ba") == (2L, 1L))
+    assert(!got.contains("x"))
+  }
+
+  test("hapaxProfile: exact hapax share per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red red blue", "s1"),   // s1 vocab {red:2, blue:1} -> 1 hapax of 2 terms
+      (2L, "green", "s2"))          // s2 vocab {green:1} -> 1 of 1
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.hapaxProfile(docs, col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("s1") == (2L, 3L, 1L, 0.5))
+    assert(got("s2") == (1L, 1L, 1L, 1.0))
+  }
+}

@@ -666,6 +666,12 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // Matryoshka truncation gauge: recall@k of the 16-component
+    // prefix ranking vs the full 64-dim exact top-k.
+    "embed_prefix_recall" -> ((s, dir) =>
+      Similarity.prefixRecall(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"))),
+
     "multimodal_meta" -> ((s, dir) =>
       Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
         .groupBy(col("kind"))
@@ -718,6 +724,11 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"))),
+
+    // Importance-weighted sampling: keep-probability = quality score
+    // (per-mille), deterministic hash gate; per-source yield audit.
+    "corpus_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(Tables.load(s, dir, "documents"))),
 
     // Benchmark decontamination: 3-gram overlap of every training doc
     // against the eval stratum (source=src0 stands in for a held-out
@@ -1797,6 +1808,32 @@ object SparkEntry {
          |  < (CASE source WHEN 'src1' THEN 500 WHEN 'src2' THEN 0 ELSE 100 END)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "corpus_weighted_sample" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    END AS quality_score
+         |FROM s),
+         |w AS (SELECT source,
+         |  CAST(round(quality_score * 1000) AS BIGINT) AS permille,
+         |  ${Portable.duckHash("(source || '#' || CAST(doc_id AS VARCHAR))")} % 1000 AS hh
+         |FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN hh < permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(permille) AS BIGINT) AS permille_mass,
+         |  CAST(sum(CASE WHEN hh < permille THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS kept_rate
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "corpus_decontaminate" ->
       s"""WITH shf AS (${Dedup.duckShingles}),
          |ev AS (SELECT DISTINCT s.shingle
@@ -2011,6 +2048,48 @@ object SparkEntry {
          |SELECT source, doc_id, quality_score, rk
          |FROM r WHERE rk * 2 <= n_docs + 1 ORDER BY source, rk""".stripMargin
     },
+
+    "embed_prefix_recall" ->
+      s"""WITH $embCtes,
+         |pf AS (SELECT vec_id, i, v FROM flat WHERE i < ${Similarity.PrefixDim}),
+         |pn AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2
+         |  FROM pf GROUP BY 1),
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
+         |pd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM pf fp
+         |  JOIN pf f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |ps AS (SELECT pd.probe_id, pd.neighbor_id,
+         |    ${Vectors.duckCosine("pd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM pd
+         |  JOIN pn na ON na.vec_id = pd.probe_id
+         |  JOIN pn nb ON nb.vec_id = pd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ps),
+         |pk AS (SELECT probe_id, neighbor_id FROM pr WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(p.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM bfk b LEFT JOIN pk p
+         |  ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_ivf_recall" ->
       s"""WITH $embCtes,

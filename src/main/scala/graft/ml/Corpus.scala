@@ -44,6 +44,36 @@ object Corpus {
     docs.filter(pmod(h, lit(1000L)) < perSourceRate(rates, defaultPerMille))
   }
 
+  /** Importance-weighted sampling: each document's keep-probability
+    * IS its quality score (per-mille, rounded) — the gate a curated
+    * pretraining mix uses instead of [[sampled]]'s flat per-source
+    * rate, so low-quality mass thins smoothly rather than at a hard
+    * threshold. The same deterministic portable-hash gate as
+    * [[sampled]]: selection is a pure function of the row, stable
+    * under retries/partitioning/engines. Reported per source:
+    * doc counts, kept counts, the expected per-mille mass (so the
+    * realized rate can be audited against the intended one), and the
+    * realized rate.
+    *
+    * Scale shape: scoring is map-only (quality's single-pass
+    * tokenization), the gate is map-only, and the only shuffle is
+    * the |sources|-row rollup.
+    */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val scored = graft.ml.TextAnalysis.quality(docs, col("text"))
+      .withColumn("permille",
+        expr("CAST(round(quality_score * 1000) AS BIGINT)"))
+    val h = Portable.pHash(concat(col("source"), lit("#"), col("doc_id")))
+    scored.withColumn("kept", pmod(h, lit(1000L)) < col("permille"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("permille")).as("permille_mass"))
+      .withColumn("kept_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Epoch-weighted mixture: realize a training-mix weight per source
     * (in per-mille epochs — 2500 = "see src0 2.5 times per pass") as
     * repeated full epochs plus ONE hash-gated partial epoch. A doc

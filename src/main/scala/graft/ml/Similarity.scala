@@ -48,8 +48,13 @@ object Similarity {
     * NumProbes). The probe side broadcasts; ranking is a window per
     * probe with a deterministic (cos desc, vec_id) tiebreak.
     */
-  def topKBruteForce(embs: DataFrame): DataFrame = {
-    val qv = materialize(Vectors.quantized(embs))
+  def topKBruteForce(embs: DataFrame): DataFrame =
+    topKOn(materialize(Vectors.quantized(embs)))
+
+  /** Brute-force top-k over an already-quantized (vec_id, q, n2)
+    * relation — shared by the full-dimension ranking and the
+    * truncated-prefix ranking of [[prefixRecall]]. */
+  private def topKOn(qv: DataFrame): DataFrame = {
     val probes = broadcast(probeSide(qv))
     val scored = corpusSide(qv).join(probes, col("vec_id") =!= col("probe_id"))
       .withColumn("cos_sim",
@@ -60,6 +65,30 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("cos_sim"), col("rk"))
+  }
+
+  val PrefixDim = 16
+
+  /** Matryoshka truncation gauge: recall@k of the top-k computed
+    * from only the FIRST `prefixDim` embedding components against
+    * the full-dimension exact top-k. Matryoshka-style training
+    * orders information into the leading components so an index can
+    * store a prefix at a fraction of the memory — this measures what
+    * that truncation actually costs on this corpus (the
+    * dimensionality sibling of `sim_ann_pq_recall`'s code-budget
+    * gauge).
+    *
+    * Scale shape: both rankings are the broadcast-probe brute-force
+    * scan (bounded probes); the prefix side slices the SAME
+    * quantized relation — one extra map projection, no extra
+    * shuffle. Output |probes| rows.
+    */
+  def prefixRecall(embs: DataFrame, prefixDim: Int = PrefixDim): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    val pqv = qv.select(col("vec_id"),
+        slice(col("q"), 1, prefixDim).as("q"))
+      .withColumn("n2", Vectors.norm2(col("q")))
+    recallAtK(topKOn(qv), topKOn(pqv))
   }
 
   val HardNegK = 3

@@ -43,6 +43,32 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(!got.contains("x"))
   }
 
+  test("prefixRecall: full-width prefix scores 1.0 on every probe") {
+    import spark.implicits._
+    val embs = (0L until 12L).map { i =>
+      (i, Array.tabulate(6)(j => ((i * 7 + j * 3) % 5 - 2).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val full = Similarity.prefixRecall(embs, prefixDim = 6).collect()
+    assert(full.nonEmpty && full.forall(_.getDouble(1) == 1.0))
+    // a 2-wide prefix is a coarser ranking: recall stays within [0, 1]
+    val cut = Similarity.prefixRecall(embs, prefixDim = 2).collect()
+    assert(cut.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("weightedSample: keep rate tracks the quality gate bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "empty"),                        // score 0 -> never kept
+      (2L, "the of and to a in is it", "stopry"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ml.Corpus.weightedSample(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("empty") == (1L, 0L, 0L))        // zero permille mass
+    val (n, kept, mass) = got("stopry")
+    assert(n == 1L && kept <= n && mass > 0L && mass <= 1000L)
+  }
+
   test("hapaxProfile: exact hapax share per source") {
     import spark.implicits._
     val docs = Seq(

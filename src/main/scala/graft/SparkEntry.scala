@@ -104,6 +104,7 @@ object SparkEntry {
     "events_cooccurrence"  -> ((s, dir) => Analytics.eventsCooccurrence(s, dir)),
     "events_rfm"           -> ((s, dir) => Analytics.eventsRfm(s, dir)),
     "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
+    "q_skyline"            -> ((s, dir) => Analytics.qSkyline(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
@@ -2771,6 +2772,16 @@ object SparkEntry {
         |JOIN tot ta ON ta.event_type = p.type_a
         |JOIN tot tb ON tb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p.p_partkey, CAST(p.p_retailprice AS DOUBLE) AS price,
+        |  p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part o
+        |  WHERE o.p_retailprice <= p.p_retailprice
+        |    AND o.p_size >= p.p_size
+        |    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+        |ORDER BY 1""".stripMargin,
 
     "events_rfm" ->
       """WITH pu AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_ev,

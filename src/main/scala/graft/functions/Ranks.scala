@@ -65,6 +65,44 @@ object Ranks {
       .drop("_rk_pid", "_rk_off")
   }
 
+  /** Exclusive running maximum of `valueCol` (a numeric column) over
+    * the global `orderCols` ascending order — NULL for the first
+    * row(s). The scan-shaped sibling of [[grouped]]: a naive
+    * `max() OVER (ORDER BY ...)` collapses to one partition, so the
+    * prefix is computed two-phase — per-partition running max inside
+    * the range partitioning, plus each partition's incoming maximum
+    * from the tiny per-partition-maxima relation, prefix-maxed over
+    * the partition id and joined back broadcast.
+    *
+    * The order should be total if the caller attaches per-row
+    * meaning to the prefix; for monotone uses (dominance tests,
+    * high-water marks) value ties across equal order keys are
+    * already harmless.
+    */
+  def prefixMax(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.CacheScope.materialize(df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("_pm_pid", spark_partition_id()))
+    val incoming = ranged.groupBy(col("_pm_pid"))
+      .agg(max(col(valueCol)).as("_pm_max"))
+      .withColumn("_pm_inc",
+        max(col("_pm_max")).over(Window.orderBy(col("_pm_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pm_pid"), col("_pm_inc"))
+    val local = Window.partitionBy(col("_pm_pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(incoming), "_pm_pid")
+      .withColumn("prefix_max",
+        greatest(max(col(valueCol)).over(local), col("_pm_inc")))
+      .drop("_pm_pid", "_pm_inc")
+  }
+
   /** SQL NTILE(n) over a precomputed 1-based `rank` within a group
     * of `total` rows: the first `total % n` tiles take
     * ceil(total/n) rows, the rest floor(total/n). Pure arithmetic —

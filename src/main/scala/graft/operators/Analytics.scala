@@ -1516,6 +1516,40 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Pareto skyline over parts: the price/size frontier — parts for
+    * which no other part is at-most-as-expensive AND at-least-as-big
+    * with a strict improvement in one. The multi-objective "best
+    * options" query relational engines lack as a primitive (the
+    * BNL/D&C skyline literature); here the 2-D case reduces to a
+    * dominance test against a running maximum.
+    *
+    * A part survives iff (a) it carries its price level's maximum
+    * size (same price, bigger size dominates, strict in size) and
+    * (b) every strictly cheaper price level maxes out BELOW its size
+    * (otherwise that level's witness dominates, strict in price).
+    *
+    * Scale shape: one (price → max size) reduce bounds the relation
+    * by |distinct prices|, the exclusive running max over the price
+    * order is the two-phase [[graft.functions.Ranks.prefixMax]]
+    * (no single-partition window), and the verdict joins back on the
+    * price key — never part×part, while the NOT-EXISTS oracle is the
+    * quadratic the operator replaces.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val lvl = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("lvl_max"))
+    val lp = graft.functions.Ranks
+      .prefixMax(lvl, Seq("p_retailprice"), "lvl_max")
+    p.join(lp, "p_retailprice")
+      .filter(col("p_size") === col("lvl_max") &&
+        (col("prefix_max").isNull || col("prefix_max") < col("p_size")))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("price"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** RFM segmentation: users scored into quintiles on Recency (days
     * since last event vs the corpus head), Frequency (event count),
     * and Monetary (purchase value, in cents so the sum is exact

@@ -42,6 +42,43 @@ object RanksProps extends Properties("graft.ranks") {
       got == expect
     }
 
+  property("two-phase prefixMax == single-partition running max") =
+    Prop.forAll(rows) { rs =>
+      import spark.implicits._
+      val distinctRows = rs.groupBy(_._3).map(_._2.head).toList
+      val df = distinctRows.map { case (_, v, id) => (v, id) }.toDF("v", "id")
+      val got = Ranks.prefixMax(df, Seq("v", "id"), "v")
+        .select(col("id"), col("prefix_max"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      val sorted = distinctRows.map { case (_, v, id) => (v, id) }
+        .sortBy(identity)
+      val expect = sorted.zipWithIndex.map { case ((_, id), i) =>
+        id -> (if (i == 0) None else Some(sorted.take(i).map(_._1).max))
+      }.toMap
+      got == expect
+    }
+
+  property("skyline operator == quadratic dominance filter") =
+    Prop.forAll(rows) { rs =>
+      import spark.implicits._
+      // (price, size) points with heavy ties; ids unique
+      val pts = rs.groupBy(_._3).map(_._2.head).toList
+        .map { case (a, b, id) => (id.toLong, BigDecimal(a), b) }
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-skyline").toString
+      pts.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val got = graft.operators.Analytics.qSkyline(spark, dir)
+        .select(col("p_partkey")).as[Long].collect().toSet
+      val expect = pts.filter { p =>
+        !pts.exists(o => o._2 <= p._2 && o._3 >= p._3 &&
+          (o._2 < p._2 || o._3 > p._3))
+      }.map(_._1).toSet
+      got == expect
+    }
+
   property("ntileExpr == SQL NTILE tile sizes") =
     Prop.forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 9)) { (total, n) =>
       import spark.implicits._

@@ -208,6 +208,12 @@ object SparkEntry {
     "cdc_stream_windowed" -> ((s, dir) =>
       streaming.CdcPipeline.windowedRoundtrip(s, dir)),
 
+    // Session windows through the streaming engine: native
+    // session_window(ts, 30 min) gap-merge; the batch
+    // gaps-and-islands formula is the oracle.
+    "events_stream_sessions" -> ((s, dir) =>
+      streaming.CdcPipeline.sessionRoundtrip(s, dir)),
+
     // Multi-source conflict resolution: planted diverged replica,
     // latest-commit-wins with priority tie-break — per table the
     // conflicted keys and who won them.
@@ -1625,6 +1631,27 @@ object SparkEntry {
          |  count(*) AS n_ops,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming session_window vs the batch gaps-and-islands
+    // formula: sessions merge up to and INCLUDING a gap of exactly
+    // 30 min (session_window merges touching windows — pinned by
+    // SessionWindowSpec), so the batch break rule is strictly-greater
+    "events_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, t, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_conflict_resolution" ->
       s"""$C,

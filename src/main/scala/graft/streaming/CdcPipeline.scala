@@ -703,6 +703,50 @@ object CdcPipeline {
     out.orderBy(col("window_start"), col("op"))
   }
 
+  /** Session-window aggregation THROUGH the streaming engine:
+    * file-stream source → `session_window(ts, 30 min)` per user
+    * (the engine's native gap-merging stateful operator — windows
+    * extend [ts, ts+gap) and TOUCHING windows merge, so two events
+    * share a session up to and INCLUDING a gap of exactly 30 min;
+    * the batch break rule is therefore strictly-greater, pinned by
+    * SessionWindowSpec)
+    * → complete-mode memory sink → per-user summary. The batch
+    * gaps-and-islands formula over the same feed is the oracle:
+    * stream-vs-batch equality is the check, the same contract as
+    * [[windowedRoundtrip]].
+    *
+    * Scale shape: session state is keyed by (user, window) and
+    * merged incrementally by the engine; a live deployment runs
+    * update/append mode with the watermark from `cdc_watermark_plan`
+    * (complete mode here is what lets a finite replay flush its
+    * trailing sessions without a watermark-advancing sentinel
+    * batch). The summary is a |users|-row rollup.
+    */
+  def sessionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val sessions = raw.filter(col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_sessions_${System.nanoTime}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val t = spark.table(name)
+    val rows = t.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), t.schema)
+    spark.catalog.dropTempView(name)
+    out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Kinesis-like sink: JSON files partitioned by the schema.table
     * partition key (the exact partition_include_schema_table layout,
     * stack.py:196-211). Consumers tail one partition directory per

@@ -679,6 +679,11 @@ object SparkEntry {
       Similarity.prefixRecall(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"))),
 
+    // Mutual-kNN census over the LSH candidate graph: per label the
+    // edge count and the reciprocated share (hubness gauge).
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphStats(Tables.load(s, dir, "embeddings"))),
+
     "multimodal_meta" -> ((s, dir) =>
       Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
         .groupBy(col("kind"))
@@ -3602,6 +3607,36 @@ object SparkEntry {
          |SELECT probe_id, probe_label, neighbor_id, neighbor_label,
          |  cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.HardNegK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM buckets a JOIN buckets b
+         |  ON b.band = a.band AND b.bucket = a.bucket
+         |    AND b.vec_id <> a.vec_id),
+         |d AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.src
+         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |s AS (SELECT d.src, d.dst,
+         |    ${Vectors.duckCosine("d.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.src
+         |  JOIN norms nb ON nb.vec_id = d.dst
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY cos_sim DESC, dst) AS rk FROM s),
+         |e AS (SELECT src, dst FROM r WHERE rk <= ${Similarity.KnnGraphK}),
+         |e2 AS (SELECT e.src, e.dst,
+         |    CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mut
+         |  FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src)
+         |SELECT l.label, count(DISTINCT e2.src) AS n_nodes,
+         |  count(*) AS n_edges, CAST(sum(mut) AS BIGINT) AS n_mutual,
+         |  CAST(sum(mut) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
+         |FROM e2 JOIN embeddings l ON l.vec_id = e2.src
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $embCtes,

@@ -417,6 +417,60 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  val KnnGraphK = 3
+
+  /** Mutual-kNN census over the LSH candidate graph: every vector's
+    * top-k neighbors among its SRP-bucket candidates, and the share
+    * of edges that are reciprocated. A high mutual-kNN rate means
+    * the corpus clusters cleanly (mutual edges are what
+    * density/agglomerative cluster steps keep); a low rate flags
+    * hubness — a few vectors absorbing everyone's edges — which
+    * degrades both ANN recall and semantic-dedup grouping. Per-label
+    * rollup.
+    *
+    * Scale shape: the candidate relation is the O(Σ bucket²) band
+    * equi-join every LSH operator here pays (never all-pairs); the
+    * per-node top-k is WindowGroupLimit-prunable; the reciprocity
+    * probe joins the |V|·k edge relation against its own flip on the
+    * (src, dst) key. No driver-side anything.
+    */
+  def knnGraphStats(embs: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val qv = materialize(Vectors.quantizedWithBuckets(embs,
+      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
+    val flat = qv.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val pairs = flat.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(flat.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val scored = pairs
+      .join(corpusSide(qv).select(col("vec_id").as("src"),
+        col("q").as("q_s"), col("n2").as("n2_s")), "src")
+      .join(corpusSide(qv).select(col("vec_id").as("dst"),
+        col("q").as("q_d"), col("n2").as("n2_d")), "dst")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_s"), col("q_d")),
+          col("n2_s"), col("n2_d")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val edges = materialize(scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst")))
+    val flipped = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("mut", lit(1L))
+    edges.join(flipped, Seq("src", "dst"), "left")
+      .join(embs.select(col("vec_id").as("src"), col("label")), "src")
+      .groupBy(col("label"))
+      .agg(countDistinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        sum(coalesce(col("mut"), lit(0L))).as("n_mutual"),
+        (sum(coalesce(col("mut"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("reciprocity"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label norm/shape profile of the embedding corpus — the
     * sanity gate run before any similarity math: dimension agreement
     * (dim_lo = dim_hi or the corpus is mixed-model), zero-norm count

@@ -55,6 +55,21 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(cut.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("knnGraphStats: a tight clique is fully reciprocal") {
+    import spark.implicits._
+    // 4 near-identical vectors (one clique): every node's top-3 are
+    // the other three, all edges mutual -> reciprocity 1.0
+    val embs = (0L until 4L).map { i =>
+      (i, Array.tabulate(64)(j => (1.0 + 0.001 * i + 0.01 * j).toFloat), 7)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraphStats(embs, k = 3).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getInt(0) == 7 && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 12L && r.getLong(3) == 12L)
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("weightedSample: keep rate tracks the quality gate bounds") {
     import spark.implicits._
     val docs = Seq(

@@ -105,6 +105,7 @@ object SparkEntry {
     "events_rfm"           -> ((s, dir) => Analytics.eventsRfm(s, dir)),
     "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
     "q_skyline"            -> ((s, dir) => Analytics.qSkyline(s, dir)),
+    "events_anomaly_mad"   -> ((s, dir) => Analytics.eventsAnomalyMad(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
@@ -862,6 +863,23 @@ object SparkEntry {
       out.orderBy(col("operation"))
     }),
 
+    // CSV replication target (DMS S3-target default format): feed →
+    // table-partitioned quoted CSV → schema read-back → per-table
+    // parity audit (counts + integer/decimal checksums). The collect
+    // is |tables| rows and exists so the temp sink can be deleted
+    // before the result is returned.
+    "cdc_csv_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-csvtarget-").toString
+      val summary = sources.CsvTarget.roundtrip(s, dir, root)
+      val rows = summary.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), summary.schema)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy(col("table_name"))
+    }),
+
     // Shard-split audit: hash-range layout (4 shards over the 60-bit
     // key-hash space), shard 1 splits at the cutover into children
     // 4/5; per-shard pre/post counts prove the handoff continuity
@@ -1599,6 +1617,19 @@ object SparkEntry {
       }
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
+
+    // the roundtrip equality is asserted inside the query (CSV write
+    // + read-back both happen Spark-side); the oracle recomputes the
+    // source-side sums and pins every parity flag TRUE
+    "cdc_csv_roundtrip" ->
+      s"""$C
+         |SELECT table_name, count(*) AS n_rows,
+         |  CAST(sum(user_id % 1000000000) AS BIGINT) AS user_sum,
+         |  CAST(sum(${Portable.duckHash(
+             "coalesce(props, '')")} % 1000000000) AS BIGINT) AS props_hash,
+         |  TRUE AS rows_ok, TRUE AS keys_ok,
+         |  TRUE AS payload_ok, TRUE AS values_ok
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_scd2" ->
       s"""$C,
@@ -2832,6 +2863,27 @@ object SparkEntry {
         |  FROM b)
         |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cnt, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |med AS (SELECT event_type, cnt AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT c.event_type, c.user_id, c.cnt, m.med,
+        |    abs(c.cnt - m.med) AS adev
+        |  FROM c JOIN med m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY adev, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, count(*) AS n_users,
+        |  CAST(max(d.med) AS BIGINT) AS median_cnt,
+        |  CAST(max(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.cnt > d.med + 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_gini" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt

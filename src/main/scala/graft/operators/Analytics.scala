@@ -1516,6 +1516,46 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Robust per-type outlier census: median and MAD (median absolute
+    * deviation) of per-user event counts, and the users beyond
+    * median + 3·MAD — the robust twin of `events_anomaly`'s
+    * mean/stddev z-score (one hub user shifts a mean and inflates a
+    * stddev enough to hide itself; medians don't move). Low-median
+    * convention (rank ⌈n/2⌉, user_id tie-break) keeps every statistic
+    * an exact integer.
+    *
+    * Scale shape: both median selections are
+    * [[graft.functions.Ranks.grouped]] rank-picks (no
+    * single-partition window even for a billion-user type); the med/
+    * MAD relations are |types|-row broadcasts; the outlier census is
+    * one conditional aggregate over the per-user counts.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.CacheScope.lazyPersist(
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt")))
+    val med = graft.functions.Ranks
+      .grouped(counts, Seq("event_type"), Seq("cnt", "user_id"))
+      .filter(col("rank") === expr("(grp_total + 1) div 2"))
+      .select(col("event_type"), col("cnt").as("med"))
+    val dev = graft.CacheScope.lazyPersist(
+      counts.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cnt") - col("med"))))
+    val mad = graft.functions.Ranks
+      .grouped(dev, Seq("event_type"), Seq("adev", "user_id"))
+      .filter(col("rank") === expr("(grp_total + 1) div 2"))
+      .select(col("event_type"), col("adev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        max(col("med")).as("median_cnt"),
+        max(col("mad")).as("mad"),
+        sum(when(col("cnt") > col("med") + lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pareto skyline over parts: the price/size frontier — parts for
     * which no other part is at-most-as-expensive AND at-least-as-big
     * with a strict improvement in one. The multi-objective "best

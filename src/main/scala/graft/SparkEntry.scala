@@ -132,6 +132,11 @@ object SparkEntry {
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
 
+    // Delivery-latency SLO report: planted deterministic jitter +
+    // straggler cohort; exact rank-pick percentiles per table.
+    "cdc_latency_slo" -> ((s, dir) =>
+      ChangeFeed.latencySlo(ChangeFeed.fromEvents(s, dir))),
+
     // SCD type-2 history target: every change becomes a version with
     // a [valid_from, valid_to) interval; delete closes the key.
     "cdc_scd2" -> ((s, dir) =>
@@ -1617,6 +1622,30 @@ object SparkEntry {
       }
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
+
+    "cdc_latency_slo" ->
+      s"""$C,
+         |lat AS (SELECT table_name, event_id,
+         |    ${Portable.duckHash("CAST(event_id AS VARCHAR)")} % 30000000
+         |      + CASE WHEN user_id % 13 = 0 THEN 300000000 ELSE 0 END
+         |      AS lat_us
+         |  FROM c WHERE ts IS NOT NULL),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY table_name
+         |    ORDER BY lat_us, event_id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY table_name) AS n FROM lat)
+         |SELECT table_name, count(*) AS n_records,
+         |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END)
+         |    AS BIGINT) AS p50_us,
+         |  CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lat_us END)
+         |    AS BIGINT) AS p95_us,
+         |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN lat_us END)
+         |    AS BIGINT) AS p99_us,
+         |  CAST(max(lat_us) AS BIGINT) AS max_us,
+         |  CAST(sum(CASE WHEN lat_us > 60000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_slo_miss,
+         |  CAST(count(*) - sum(CASE WHEN lat_us > 60000000 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS slo_rate
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the roundtrip equality is asserted inside the query (CSV write
     // + read-back both happen Spark-side); the oracle recomputes the

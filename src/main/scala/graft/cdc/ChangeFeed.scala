@@ -440,6 +440,46 @@ object ChangeFeed {
       .withColumn("is_live", col("last_op") =!= "delete")
       .orderBy(col("user_id"))
 
+  /** Delivery-latency SLO report: per table the p50/p95/p99/max of
+    * the commit→delivery latency and the share of records inside a
+    * 60 s SLO — the replication-health view an on-call reads next to
+    * `cdc_lag_monitor`'s instantaneous high-water gauge (the lag
+    * monitor says where the feed IS; this says how it got there).
+    *
+    * The feed carries no delivery timestamp, so one is PLANTED
+    * deterministically (the `cdc_validation` pattern): a 0–30 s
+    * portable-hash jitter per event plus a 5-minute straggler on the
+    * user_id%13 cohort — so the p99 and the SLO misses are real
+    * structure the report must find, and the oracle can recompute
+    * them exactly.
+    *
+    * Percentiles are ⌈n·p/100⌉ rank-picks over (latency, event_id)
+    * via the two-phase [[graft.functions.Ranks.grouped]] — exact
+    * integers, no single-partition window, engine-reproducible.
+    */
+  def latencySlo(changes: DataFrame, sloUs: Long = 60000000L): DataFrame = {
+    val lat = changes.filter(col("ts").isNotNull)
+      .select(col("table_name"), col("event_id"),
+        (pmod(Portable.pHash(col("event_id").cast("string")),
+          lit(30000000L)) +
+          when(col("user_id") % 13 === 0, lit(300000000L))
+            .otherwise(lit(0L))).as("lat_us"))
+    val ranked = graft.functions.Ranks
+      .grouped(lat, Seq("table_name"), Seq("lat_us", "event_id"))
+    def pick(p: Int) =
+      max(when(col("rank") === expr(s"(grp_total * $p + 99) div 100"),
+        col("lat_us"))).as(s"p${p}_us")
+    ranked.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_records"),
+        pick(50), pick(95), pick(99),
+        max(col("lat_us")).as("max_us"),
+        sum(when(col("lat_us") > sloUs, 1L).otherwise(0L)).as("n_slo_miss"))
+      .withColumn("slo_rate",
+        (col("n_records") - col("n_slo_miss")).cast("double") /
+          col("n_records").cast("double"))
+      .orderBy(col("table_name"))
+  }
+
   /** Slowly-changing-dimension type-2 history: every change row
     * becomes a VERSION with a validity interval — `valid_from` = its
     * change timestamp, `valid_to` = the key's next change (NULL while

@@ -57,6 +57,26 @@ class Scd2RangesSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getDouble(4) == 1.0)
   }
 
+  test("latencySlo: percentiles ordered, straggler cohort drives the misses") {
+    import spark.implicits._
+    // 26 events on one table: users 13 and 26 are the %13 straggler
+    // cohort (two events, +5 min), everyone else jitters 0-30 s
+    val feed = (1L to 26L).map { i =>
+      (i, ts(s"2024-01-01 00:00:${(i % 60).toString.reverse.padTo(2, '0').reverse}"),
+        i, "update", "users_0", 0.0)
+    }.toDF("user_id", "ts", "event_id", "op", "table_name", "value")
+    val r = ChangeFeed.latencySlo(feed).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (p50, p95, p99, mx) =
+      (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(p50 <= p95 && p95 <= p99 && p99 <= mx)
+    // exactly the 2 straggler events exceed the 60 s SLO
+    assert(row.getLong(6) == 2L)
+    assert(mx >= 300000000L)
+    assert(row.getDouble(7) == 24.0 / 26.0)
+  }
+
   test("segmentRanges: NTILE-parity sizes, contiguous non-overlapping ranges") {
     import spark.implicits._
     // skewed key space with gaps: 10 keys, 4 segments -> sizes 3,3,2,2

@@ -132,6 +132,11 @@ object SparkEntry {
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
 
+    // Backfill plan: per key-range segment, replay-from-stream vs
+    // full-reload decision against the retention horizon.
+    "cdc_backfill_plan" -> ((s, dir) =>
+      ChangeFeed.backfillPlan(ChangeFeed.fromEvents(s, dir))),
+
     // Delivery-latency SLO report: planted deterministic jitter +
     // straggler cohort; exact rank-pick percentiles per table.
     "cdc_latency_slo" -> ((s, dir) =>
@@ -761,6 +766,12 @@ object SparkEntry {
     "corpus_pack" -> ((s, dir) =>
       Corpus.packSummary(Tables.load(s, dir, "documents"), budgetTokens = 2048)
         .orderBy(col("source"), col("bin"))),
+
+    // Packing-efficiency gauge: greedy bins vs the ceil(sum/budget)
+    // lower bound; says whether smarter packing buys step-count.
+    "corpus_pack_efficiency" -> ((s, dir) =>
+      Corpus.packEfficiency(Tables.load(s, dir, "documents"),
+        budgetTokens = 2048)),
 
     // Fixed-window token chunking with overlap: the doc→sequence
     // fan-out (map-only, fingerprinted per chunk for passage dedup).
@@ -1623,6 +1634,23 @@ object SparkEntry {
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
 
+    "cdc_backfill_plan" ->
+      s"""$C,
+         |k AS (SELECT DISTINCT user_id FROM c WHERE ts IS NOT NULL),
+         |r AS (SELECT user_id,
+         |    CAST(ntile(8) OVER (ORDER BY user_id) AS BIGINT) AS seg FROM k),
+         |h AS (SELECT max(ts) AS head_ts FROM c WHERE ts IS NOT NULL),
+         |j AS (SELECT r.seg, c.user_id,
+         |    CASE WHEN c.ts < h.head_ts - INTERVAL 24 HOUR
+         |      THEN 1 ELSE 0 END AS aged
+         |  FROM c JOIN r USING (user_id), h WHERE c.ts IS NOT NULL)
+         |SELECT seg, min(user_id) AS lo_key, max(user_id) AS hi_key,
+         |  count(DISTINCT user_id) AS n_keys, count(*) AS n_changes,
+         |  CAST(sum(aged) AS BIGINT) AS n_aged,
+         |  CAST(sum(aged) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS aged_share,
+         |  CASE WHEN sum(aged) > 0 THEN 'reload' ELSE 'replay' END AS decision
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_latency_slo" ->
       s"""$C,
          |lat AS (SELECT table_name, event_id,
@@ -2062,6 +2090,29 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "corpus_pack_efficiency" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t),
+         |b AS (SELECT source, CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin,
+         |    CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |  FROM c GROUP BY 1, 2),
+         |p AS (SELECT source, count(*) AS bins_used,
+         |    CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN bin_tokens > 2048 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_overflow_bins
+         |  FROM b GROUP BY 1)
+         |SELECT source, bins_used, total_tokens, n_overflow_bins,
+         |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS lower_bound,
+         |  CAST((total_tokens + 2047) // 2048 AS DOUBLE) /
+         |    CAST(bins_used AS DOUBLE) AS efficiency,
+         |  CAST(total_tokens AS DOUBLE) /
+         |    CAST(bins_used * 2048 AS DOUBLE) AS utilization
+         |FROM p ORDER BY 1""".stripMargin,
 
     "corpus_chunks" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -440,6 +440,52 @@ object ChangeFeed {
       .withColumn("is_live", col("last_op") =!= "delete")
       .orderBy(col("user_id"))
 
+  /** Backfill plan: the recovery playbook when a resume point may
+    * predate the retention horizon. The key space is segmented into
+    * `nSegments` equal-count ranges (the parallel-load worker
+    * assignment of `cdc_full_load_ranges`), and each segment is
+    * audited against the horizon (feed head − retention, the
+    * `cdc_retention_audit` bound): a segment whose keys have ANY
+    * changes older than the horizon cannot be rebuilt from the
+    * stream alone → `reload` (full-load those ranges from the
+    * source); a segment whose history is entirely inside retention
+    * replays from the stream → `replay`. Output per segment: key
+    * range, key/change counts, aged mass, decision.
+    *
+    * Scale shape: distinct keys reduce map-side; the segment
+    * assignment is the two-phase NTILE (no global window); the audit
+    * joins the feed to its key's segment on the key (the
+    * apply-changes exchange family) with the 1-row head broadcast.
+    */
+  def backfillPlan(
+      changes: DataFrame,
+      retentionHours: Int = 24,
+      nSegments: Int = 8): DataFrame = {
+    val live = changes.filter(col("ts").isNotNull)
+    val keys = live.select(col("user_id")).distinct()
+    val segs = graft.functions.Ranks
+      .grouped(keys, Nil, Seq("user_id"))
+      .withColumn("seg",
+        expr(graft.functions.Ranks.ntileExpr("rank", "grp_total", nSegments)))
+      .select(col("user_id"), col("seg"))
+    val head = live.agg(max(col("ts")).as("head_ts"))
+    live.join(segs, "user_id").crossJoin(broadcast(head))
+      .withColumn("aged",
+        when(col("ts") < col("head_ts") -
+          expr(s"INTERVAL $retentionHours HOURS"), 1L).otherwise(0L))
+      .groupBy(col("seg"))
+      .agg(min(col("user_id")).as("lo_key"),
+        max(col("user_id")).as("hi_key"),
+        countDistinct(col("user_id")).as("n_keys"),
+        count(lit(1)).as("n_changes"),
+        sum(col("aged")).as("n_aged"))
+      .withColumn("aged_share",
+        col("n_aged").cast("double") / col("n_changes").cast("double"))
+      .withColumn("decision",
+        when(col("n_aged") > 0, "reload").otherwise("replay"))
+      .orderBy(col("seg"))
+  }
+
   /** Delivery-latency SLO report: per table the p50/p95/p99/max of
     * the commit→delivery latency and the share of records inside a
     * 60 s SLO — the replication-health view an on-call reads next to

@@ -310,6 +310,37 @@ object Corpus {
         Portable.pHash(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
 
+  /** Packing-efficiency report over [[packed]]'s greedy contiguous
+    * bins: per source the bins used vs the ⌈Σtokens/budget⌉ lower
+    * bound no packing can beat, the realized token utilization, and
+    * the bins a budget-exceeding document overflows. This is the
+    * gauge that says whether smarter packing (FFD, length-bucketed
+    * shuffling) would buy real step-count — if efficiency is already
+    * ~1, reordering the corpus buys nothing.
+    *
+    * Scale shape: rides [[packed]]'s single source-keyed window
+    * exchange; per-bin sums reduce on (source, bin), the report on
+    * source — both map-side combined. All integers except the two
+    * final divisions.
+    */
+  def packEfficiency(docs: DataFrame, budgetTokens: Int): DataFrame =
+    packed(docs, budgetTokens)
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("bins_used"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        sum(when(col("bin_tokens") > budgetTokens, 1L).otherwise(0L))
+          .as("n_overflow_bins"))
+      .withColumn("lower_bound",
+        expr(s"(total_tokens + $budgetTokens - 1) div $budgetTokens"))
+      .withColumn("efficiency",
+        col("lower_bound").cast("double") / col("bins_used").cast("double"))
+      .withColumn("utilization",
+        col("total_tokens").cast("double") /
+          (col("bins_used") * budgetTokens).cast("double"))
+      .orderBy(col("source"))
+
   /** Passage-level duplication census over [[chunked]] fingerprints:
     * per source, how many chunks share their 60-bit fingerprint with
     * at least one OTHER document (boilerplate passages, quoted

@@ -106,6 +106,7 @@ object SparkEntry {
     "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
     "q_skyline"            -> ((s, dir) => Analytics.qSkyline(s, dir)),
     "events_anomaly_mad"   -> ((s, dir) => Analytics.eventsAnomalyMad(s, dir)),
+    "events_funnel_windowed" -> ((s, dir) => Analytics.eventsFunnelWindowed(s, dir)),
 
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
@@ -131,6 +132,11 @@ object SparkEntry {
           retentionHours = 24,
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
+
+    // Streaming-state sizing: live keys x payload bytes per table,
+    // shard count at 1 MB/shard (the apply's own state relation).
+    "cdc_state_size" -> ((s, dir) =>
+      ChangeFeed.stateSizePlan(ChangeFeed.fromEvents(s, dir))),
 
     // Backfill plan: per key-range segment, replay-from-stream vs
     // full-reload decision against the retention horizon.
@@ -1634,6 +1640,20 @@ object SparkEntry {
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
 
+    "cdc_state_size" ->
+      s"""$C,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+         |st AS (SELECT table_name,
+         |    24 + length(coalesce(props, '')) AS key_bytes
+         |  FROM r WHERE rn = 1 AND op <> 'delete')
+         |SELECT table_name, count(*) AS n_live_keys,
+         |  CAST(sum(key_bytes) AS BIGINT) AS state_bytes,
+         |  CAST(sum(key_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_bytes_per_key,
+         |  CAST((sum(key_bytes) + 1048575) // 1048576 AS BIGINT) AS n_shards
+         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_backfill_plan" ->
       s"""$C,
          |k AS (SELECT DISTINCT user_id FROM c WHERE ts IS NOT NULL),
@@ -2943,6 +2963,34 @@ object SparkEntry {
         |  FROM b)
         |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup'
+        |      THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 72 HOUR
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |per AS (SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        |    epoch_us(s3.t3) - epoch_us(s1.t1) AS convert_us
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        |comp AS (SELECT convert_us, row_number() OVER (ORDER BY convert_us,
+        |      user_id) AS rn, count(*) OVER () AS n
+        |  FROM per WHERE t3 IS NOT NULL)
+        |SELECT count(*) AS n_users, count(t1) AS n_signup,
+        |  count(t2) AS n_click_within, count(t3) AS n_purchase_within,
+        |  (SELECT CAST(max(CASE WHEN rn = (n + 1) // 2 THEN convert_us END)
+        |    AS BIGINT) FROM comp) AS median_convert_us
+        |FROM per""".stripMargin,
 
     "events_anomaly_mad" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt

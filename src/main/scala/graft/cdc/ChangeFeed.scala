@@ -440,6 +440,35 @@ object ChangeFeed {
       .withColumn("is_live", col("last_op") =!= "delete")
       .orderBy(col("user_id"))
 
+  /** Streaming-state sizing plan: how much memory the stateful apply
+    * actually holds per table, and how many state shards that needs.
+    * The state of a latest-wins apply IS the latest record per live
+    * key, so the estimate walks exactly that relation: per table the
+    * live key count, the payload mass (24 bytes of fixed key/ts
+    * overhead + the variable `props` text per key), the per-key
+    * average, and the ⌈bytes/shardBytes⌉ shard count — the number a
+    * deployment feeds into `spark.sql.shuffle.partitions` / state
+    * store sizing BEFORE the stream falls over, not after.
+    *
+    * Scale shape: one latest-per-key exchange (shared family with
+    * the apply itself) and a |tables|-row rollup; integer byte sums.
+    */
+  def stateSizePlan(
+      changes: DataFrame,
+      shardBytes: Long = 1L << 20): DataFrame =
+    latestPerKey(changes, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .filter(col("op") =!= "delete")
+      .withColumn("key_bytes",
+        lit(24L) + length(coalesce(col("props"), lit(""))).cast("long"))
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_live_keys"),
+        sum(col("key_bytes")).as("state_bytes"))
+      .withColumn("avg_bytes_per_key",
+        col("state_bytes").cast("double") / col("n_live_keys").cast("double"))
+      .withColumn("n_shards",
+        expr(s"(state_bytes + ${shardBytes - 1}) div $shardBytes"))
+      .orderBy(col("table_name"))
+
   /** Backfill plan: the recovery playbook when a resume point may
     * predate the retention horizon. The key space is segmented into
     * `nSegments` equal-count ranges (the parallel-load worker

@@ -386,6 +386,56 @@ object Analytics {
         count(col("t3")).as("n_purchase_after"))
   }
 
+  /** Time-bounded funnel: signup → click → purchase where each later
+    * stage must land within `windowHours` of the PREVIOUS stage —
+    * the conversion-window semantics every funnel product defaults
+    * to (an unbounded funnel credits a purchase two years after the
+    * click; this one doesn't). Same chained-stage-minima shape as
+    * [[funnel]], with the deadline folded into each stage's
+    * condition, plus median time-to-convert for completers (exact
+    * micros rank-pick).
+    *
+    * Scale shape: identical to `events_funnel` — all three stage
+    * windows evaluate over ONE user_id exchange (no self-joins); the
+    * completion-time median is a rank-pick over the completers only.
+    */
+  def funnelWindowed(ev: DataFrame, windowHours: Int = 72): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val lim = expr(s"INTERVAL $windowHours HOURS")
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("t1") && col("ts") <= col("t1") + lim,
+          col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t2") && col("ts") <= col("t2") + lim,
+          col("ts"))).over(byUser))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .withColumn("convert_us",
+        unix_micros(col("t3")) - unix_micros(col("t1")))
+    val completers = perUser.filter(col("t3").isNotNull)
+      .select(col("user_id"), col("convert_us"))
+    // aggregate (not filter+select) so a completer-less feed still
+    // yields the 1-row NULL median the final crossJoin needs
+    val med = graft.functions.Ranks
+      .grouped(completers, Nil, Seq("convert_us", "user_id"))
+      .agg(max(when(col("rank") === expr("(grp_total + 1) div 2"),
+        col("convert_us"))).as("median_convert_us"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_within"),
+        count(col("t3")).as("n_purchase_within"))
+      .crossJoin(broadcast(med))
+  }
+
+  def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowed(Tables.load(spark, dir, "events"))
+
   /** Cohort retention: users grouped by first-seen day, then distinct
     * active users per whole-week offset from that day. The cohort
     * anchor is a whole-partition window minimum — ONE shuffle on

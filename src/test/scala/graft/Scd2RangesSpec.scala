@@ -57,6 +57,30 @@ class Scd2RangesSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getDouble(4) == 1.0)
   }
 
+  test("funnelWindowed: a stage past the 72h deadline does not convert") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 converts: click +1h, purchase +2h
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // user 2: click lands 73h after signup -> outside the window;
+      // the later purchase must NOT count either (no stage-2 anchor)
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-04 01:00:00"), "click"),
+      (2L, ts("2024-01-04 02:00:00"), "purchase"),
+      // user 3: click inside, purchase 73h after the click -> out
+      (3L, ts("2024-01-01 00:00:00"), "signup"),
+      (3L, ts("2024-01-01 12:00:00"), "click"),
+      (3L, ts("2024-01-04 13:00:01"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Analytics.funnelWindowed(ev).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L)  // users 1 and 3 click within 72h
+    assert(r.getLong(3) == 1L)  // only user 1 purchases within 72h
+    assert(r.getLong(4) == 7200000000L) // 2h signup->purchase
+  }
+
   test("latencySlo: percentiles ordered, straggler cohort drives the misses") {
     import spark.implicits._
     // 26 events on one table: users 13 and 26 are the %13 straggler

@@ -108,6 +108,38 @@ object SparkEntry {
     "events_anomaly_mad"   -> ((s, dir) => Analytics.eventsAnomalyMad(s, dir)),
     "events_funnel_windowed" -> ((s, dir) => Analytics.eventsFunnelWindowed(s, dir)),
 
+    // Semi-structured payload discovery: per (event_type, JSON key)
+    // presence and numeric profile over the props payload.
+    "events_props_profile" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .select(col("event_type"),
+          explode(from_json(col("props"),
+            MapType(StringType, StringType)))
+            .as(Seq("prop_key", "v")))
+        .groupBy(col("event_type"), col("prop_key"))
+        .agg(count(lit(1)).as("n_present"),
+          count(col("v").cast("long")).as("n_numeric"),
+          sum(col("v").cast("long")).as("sum_value"),
+          min(col("v").cast("long")).as("min_value"),
+          max(col("v").cast("long")).as("max_value"))
+        .orderBy(col("event_type"), col("prop_key"))),
+
+    // Language-ID evaluation against the declared label: confusion
+    // matrix + per-truth-language share.
+    "text_langid_eval" -> ((s, dir) => {
+      val scored = TextAnalysis.langId(
+        Tables.load(s, dir, "documents"), col("text"))
+      val m = scored.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("lang"))
+      m.withColumn("lang_total", sum(col("n_docs")).over(w))
+        .withColumn("share",
+          col("n_docs").cast("double") / col("lang_total").cast("double"))
+        .withColumn("is_correct", col("lang") === col("pred_lang"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     // Point-in-time replay: state AS OF mid-feed, summarized per
     // table (resume-from-timestamp semantics, run.py:156-185).
     "cdc_replay_at" -> ((s, dir) => {
@@ -2964,6 +2996,20 @@ object SparkEntry {
         |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    "events_props_profile" ->
+      """SELECT event_type, k.k AS prop_key, count(*) AS n_present,
+        |  count(TRY_CAST(json_extract_string(props, '$.' || k.k) AS BIGINT))
+        |    AS n_numeric,
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.' || k.k)
+        |    AS BIGINT)) AS BIGINT) AS sum_value,
+        |  CAST(min(TRY_CAST(json_extract_string(props, '$.' || k.k)
+        |    AS BIGINT)) AS BIGINT) AS min_value,
+        |  CAST(max(TRY_CAST(json_extract_string(props, '$.' || k.k)
+        |    AS BIGINT)) AS BIGINT) AS max_value
+        |FROM events, unnest(json_keys(props)) k(k)
+        |WHERE props IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup'
         |      THEN ts END) AS t1
@@ -3454,6 +3500,24 @@ object SparkEntry {
          |FROM documents)
          |SELECT doc_id, lang, $langPredSql AS pred_lang, $outCols
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid_eval" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents),
+         |p AS (SELECT lang, $langPredSql AS pred_lang FROM s),
+         |m AS (SELECT lang, pred_lang, count(*) AS n_docs
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n_docs,
+         |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |  CAST(n_docs AS DOUBLE) /
+         |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+         |  lang = pred_lang AS is_correct
+         |FROM m ORDER BY 1, 2""".stripMargin
     },
 
     "text_term_stats" ->

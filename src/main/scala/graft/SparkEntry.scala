@@ -805,6 +805,11 @@ object SparkEntry {
       Corpus.packSummary(Tables.load(s, dir, "documents"), budgetTokens = 2048)
         .orderBy(col("source"), col("bin"))),
 
+    // Split-leakage audit: exact-dup fingerprints crossing the
+    // train/val/test boundary (id-hash splitting's blind spot).
+    "corpus_split_leakage" -> ((s, dir) =>
+      Corpus.splitLeakage(Tables.load(s, dir, "documents"))),
+
     // Packing-efficiency gauge: greedy bins vs the ceil(sum/budget)
     // lower bound; says whether smarter packing buys step-count.
     "corpus_pack_efficiency" -> ((s, dir) =>
@@ -845,6 +850,21 @@ object SparkEntry {
     "sim_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"), col("assigned_cell"))),
+
+    // Cluster purity of the E-step assignment vs the true labels:
+    // per cell the majority label and its share.
+    "embed_cluster_purity" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
+        .groupBy(col("assigned_cell"))
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          max(struct(col("n_vecs"), (-col("label")).as("neg_label")))
+            .as("best"))
+        .select(col("assigned_cell"), col("n_vecs"),
+          (-col("best.neg_label")).as("majority_label"),
+          col("best.n_vecs").as("n_majority"),
+          (col("best.n_vecs").cast("double") / col("n_vecs").cast("double"))
+            .as("purity"))
+        .orderBy(col("assigned_cell"))),
 
     // Right-to-be-forgotten propagation: scrub a deterministic
     // deletion list (user_id % 17 == 0) from the feed, re-materialize
@@ -1403,6 +1423,31 @@ object SparkEntry {
     * strictly-greater / first-alphabetical semantics as
     * TextAnalysis.langId's fold.
     */
+  /** Shared CTE chain for the kmeans E-step oracles: quantize, cell
+    * rounded-mean components, per-vector best-cell argmax (`a`, rk=1
+    * is the assignment). */
+  private val kmeansAssignCtes: String =
+    s"""WITH q AS (SELECT vec_id, label,
+       |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+       |flat AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS i,
+       |    unnest(q) AS v FROM q),
+       |comp AS (SELECT label AS cell, i,
+       |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS s
+       |  FROM flat GROUP BY 1, 2),
+       |cells AS (SELECT cell, greatest(CAST(sum(s * s) AS BIGINT), 1) AS sn2
+       |  FROM comp GROUP BY 1),
+       |d AS (SELECT f.vec_id, f.label, c.cell,
+       |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
+       |  FROM flat f JOIN comp c ON c.i = f.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (SELECT d.vec_id, d.label, d.cell,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(ce.sn2 AS DOUBLE)) AS score
+       |  FROM d JOIN cells ce ON ce.cell = d.cell),
+       |a AS (SELECT vec_id, label, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rk
+       |  FROM scored)""".stripMargin
+
   private val langPredSql: String = {
     val l0 = TextAnalysis.markers.head._1
     val argmax = TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
@@ -2143,6 +2188,27 @@ object SparkEntry {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "corpus_split_leakage" ->
+      s"""WITH h AS (SELECT doc_id, md5($normT) AS fp,
+         |    ${Portable.duckHash(
+                "(source || '#' || CAST(doc_id AS VARCHAR) || '#split')")} % 1000
+         |      AS hb
+         |  FROM documents),
+         |d AS (SELECT doc_id, fp,
+         |    CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM h WHERE hb IS NOT NULL),
+         |fs AS (SELECT DISTINCT fp, split FROM d),
+         |p AS (SELECT a.fp, a.split AS split_a, b.split AS split_b
+         |  FROM fs a JOIN fs b ON b.fp = a.fp AND a.split < b.split),
+         |c AS (SELECT fp, split, count(*) AS n_docs FROM d GROUP BY 1, 2)
+         |SELECT p.split_a, p.split_b, count(*) AS n_shared_fps,
+         |  CAST(sum(ca.n_docs + cb.n_docs) AS BIGINT) AS n_docs_affected
+         |FROM p
+         |JOIN c ca ON ca.fp = p.fp AND ca.split = p.split_a
+         |JOIN c cb ON cb.fp = p.fp AND cb.split = p.split_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "corpus_pack_efficiency" ->
       s"""WITH t AS (SELECT source, doc_id,
          |    CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
@@ -2374,28 +2440,22 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_kmeans_assign" ->
-      s"""WITH q AS (SELECT vec_id, label,
-         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
-         |flat AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS i,
-         |    unnest(q) AS v FROM q),
-         |comp AS (SELECT label AS cell, i,
-         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS s
-         |  FROM flat GROUP BY 1, 2),
-         |cells AS (SELECT cell, greatest(CAST(sum(s * s) AS BIGINT), 1) AS sn2
-         |  FROM comp GROUP BY 1),
-         |d AS (SELECT f.vec_id, f.label, c.cell,
-         |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
-         |  FROM flat f JOIN comp c ON c.i = f.i
-         |  GROUP BY 1, 2, 3),
-         |scored AS (SELECT d.vec_id, d.label, d.cell,
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(ce.sn2 AS DOUBLE)) AS score
-         |  FROM d JOIN cells ce ON ce.cell = d.cell),
-         |a AS (SELECT vec_id, label, cell,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY score DESC, cell) AS rk
-         |  FROM scored)
+      s"""$kmeansAssignCtes
          |SELECT label, cell AS assigned_cell, count(*) AS n_vecs
          |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embed_cluster_purity" ->
+      s"""$kmeansAssignCtes,
+         |m AS (SELECT cell, label, count(*) AS n
+         |  FROM a WHERE rk = 1 GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY n DESC, label) AS mr,
+         |    CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_total
+         |  FROM m)
+         |SELECT cell AS assigned_cell, n_total AS n_vecs,
+         |  label AS majority_label, n AS n_majority,
+         |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS purity
+         |FROM r WHERE mr = 1 ORDER BY 1""".stripMargin,
 
     "cdc_forget_keys" ->
       s"""$C,

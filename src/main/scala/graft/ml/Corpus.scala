@@ -125,6 +125,43 @@ object Corpus {
         .when(h < 800, "train").when(h < 900, "val").otherwise("test"))
   }
 
+  /** Split-leakage audit: exact-duplicate content that crosses the
+    * train/val/test boundary. [[splitAssigned]] hashes on
+    * (source, doc_id) — the right key for REPRODUCIBILITY, but two
+    * byte-identical documents with different ids can land in
+    * different splits, silently leaking val/test content into
+    * training. This reports, per split pair, the shared fingerprints
+    * and the documents they cover — the measured argument for
+    * content-fingerprint splitting (or for deduping BEFORE
+    * splitting, which the corpus_funnel ordering already does).
+    *
+    * Scale shape: distinct (fp, split) pairs (one exchange, bounded
+    * by the corpus), a per-fp split census on the SAME key, then a
+    * split×split rollup — ≤9 rows out. Never doc×doc.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val fp = splitAssigned(docs)
+      .filter(col("split").isNotNull)
+      .select(md5(Portable.normText(col("text"))).as("fp"),
+        col("split"), col("doc_id"))
+    val fs = graft.CacheScope.materialize(
+      fp.select(col("fp"), col("split")).distinct())
+    val pairs = fs.select(col("fp"), col("split").as("split_a"))
+      .join(fs.select(col("fp"), col("split").as("split_b")), "fp")
+      .filter(col("split_a") < col("split_b"))
+    val docsPerFpSplit = fp.groupBy(col("fp"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(docsPerFpSplit.select(col("fp"), col("split").as("split_a"),
+        col("n_docs").as("docs_a")), Seq("fp", "split_a"))
+      .join(docsPerFpSplit.select(col("fp"), col("split").as("split_b"),
+        col("n_docs").as("docs_b")), Seq("fp", "split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("docs_a") + col("docs_b")).as("n_docs_affected"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Token-level blocklist gate: a document is blocked iff any of its
     * tokens matches the (tiny, literal) blocklist — the standard
     * cleaning stage between crawling and training. `arrays_overlap`

@@ -84,6 +84,28 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(n == 1L && kept <= n && mass > 0L && mass <= 1000L)
   }
 
+  test("splitLeakage: planted cross-split duplicates are found and counted") {
+    import spark.implicits._
+    // 60 byte-identical docs under distinct ids: the id-hash split
+    // scatters them across train/val/test, so the audit must report
+    // cross-split sharing of their single fingerprint
+    val docs = (1L to 60L).map(i => (i, "the same exact text", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ml.Corpus.splitLeakage(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // recompute expectation from the split assignment itself
+    val bySplit = graft.ml.Corpus.splitAssigned(docs)
+      .groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = bySplit.filter(_._2 > 0).keySet
+    assert(present.size >= 2, s"fixture degenerate: $bySplit")
+    val expectPairs = (for {
+      a <- present; b <- present if a < b
+    } yield (a, b) -> (1L, bySplit(a) + bySplit(b))).toMap
+    assert(got == expectPairs)
+  }
+
   test("hapaxProfile: exact hapax share per source") {
     import spark.implicits._
     val docs = Seq(

@@ -594,6 +594,11 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))),
 
+    // Lexical retrieval baseline: cosine top-k over feature-hashed
+    // integer TF-IDF vectors (no embeddings involved).
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.load(s, dir, "documents"))),
+
     // BPE first-merge census: adjacent char-pair counts over the
     // vocabulary, weighted by token frequency; top 50.
     "text_bpe_pairs" -> ((s, dir) =>
@@ -3596,6 +3601,35 @@ object SparkEntry {
          |    ORDER BY term_freq DESC, tok) AS BIGINT) AS rk FROM tf)
          |SELECT group_key, tok, term_freq, rk FROM r
          |WHERE rk <= 10 ORDER BY group_key, rk""".stripMargin,
+
+    "text_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |flat AS (SELECT tf.doc_id,
+         |    ${Portable.duckHash("tok")} % ${TextAnalysis.TfidfDim} AS i,
+         |    CAST(sum(tf.tf * length(bin(n_docs // dfr.df)))
+         |      AS BIGINT) AS v
+         |  FROM tf JOIN dfr USING (tok), n GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+         |  FROM flat GROUP BY 1),
+         |d AS (SELECT pf.doc_id AS probe_id, f.doc_id AS neighbor_id,
+         |    CAST(sum(pf.v * f.v) AS BIGINT) AS dot
+         |  FROM flat pf
+         |  JOIN flat f ON f.i = pf.i AND f.doc_id <> pf.doc_id
+         |  WHERE pf.doc_id < ${TextAnalysis.TfidfProbes}
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, d.neighbor_id,
+         |    ${graft.ml.Vectors.duckCosine("d.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.doc_id = d.probe_id
+         |  JOIN norms nb ON nb.doc_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
+         |WHERE rk <= ${TextAnalysis.TfidfTopK} ORDER BY probe_id, rk""".stripMargin,
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

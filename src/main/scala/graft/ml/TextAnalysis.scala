@@ -471,6 +471,62 @@ object TextAnalysis {
         (col("pos") > expr(s"(n_docs * $dropPct + 99) DIV 100")).as("kept"))
   }
 
+  val TfidfDim = 64
+  val TfidfProbes = 8
+  val TfidfTopK = 5
+
+  /** Text similarity search WITHOUT embeddings: cosine top-k over
+    * feature-hashed TF-IDF vectors. Each document becomes a
+    * `TfidfDim`-component integer vector — token counts weighted by
+    * the exact ⌊log2(N/df)⌋ idf (the [[keywords]] bin-length trick)
+    * and feature-hashed by the portable hash — and the probe docs
+    * rank the corpus by exact integer-dot cosine. The lexical twin
+    * of `sim_topk_bruteforce`: what retrieval looks like before an
+    * encoder exists, and the sanity baseline an embedding index is
+    * graded against.
+    *
+    * Scale shape: tf/df are vocabulary-bounded reduces; the hashed
+    * relation is |docs|·dim SPARSE (only occupied components);
+    * probes broadcast as ≤probes·dim rows and the dot is one
+    * component equi-join + reduce — the corpus relation shuffles
+    * once on (doc, component), never doc×doc.
+    */
+  def tfidfTopK(docs: DataFrame, dim: Int = TfidfDim): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val flat = graft.CacheScope.materialize(tf.join(dfRel, "tok")
+      .crossJoin(broadcast(n))
+      // +1-smoothed idf (weight = bin-length of N div df, >= 1): the
+      // unsmoothed floor-log zeroes every common token, and on a
+      // small-vocabulary corpus that zeroes whole documents
+      .withColumn("w", col("tf") * length(bin(expr("n_docs div df"))))
+      .groupBy(col("doc_id"),
+        pmod(Portable.pHash(col("tok")), lit(dim.toLong)).as("i"))
+      .agg(sum(col("w")).as("v")))
+    val norms = flat.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
+    val pf = broadcast(flat.filter(col("doc_id") < TfidfProbes)
+      .select(col("doc_id").as("probe_id"), col("i"), col("v").as("pv")))
+    val d = flat.join(pf, "i")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("v") * col("pv")).as("dot"))
+    val scored = d
+      .join(broadcast(norms.select(col("doc_id").as("probe_id"),
+        col("n2").as("n2p")).filter(col("probe_id") < TfidfProbes)), "probe_id")
+      .join(norms, "doc_id")
+      .filter(col("n2p") > 0 && col("n2") > 0)
+      .withColumn("cos_sim", graft.ml.Vectors.cosine(col("dot"), col("n2p"), col("n2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("probe_id"), col("doc_id").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** BPE first-iteration pair statistics: adjacent character-pair
     * frequencies over the corpus vocabulary, weighted by token
     * frequency — the count a byte-pair-encoding trainer computes to

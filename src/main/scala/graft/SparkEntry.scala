@@ -733,6 +733,19 @@ object SparkEntry {
       Similarity.prefixRecall(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"))),
 
+    // Embedding collision census: bitwise-identical quantized
+    // vectors per label (an upstream-dedup-failure smoke signal).
+    "embed_exact_dups" -> ((s, dir) => {
+      val qv = Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          graft.ml.Vectors.quantize(col("embedding")).as("q"))
+      qv.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("q")).as("n_distinct"))
+        .withColumn("n_dup_vecs", col("n_vecs") - col("n_distinct"))
+        .orderBy(col("label"))
+    }),
+
     // Mutual-kNN census over the LSH candidate graph: per label the
     // edge count and the reciprocated share (hubness gauge).
     "sim_knn_graph" -> ((s, dir) =>
@@ -3945,6 +3958,14 @@ object SparkEntry {
          |SELECT probe_id, probe_label, neighbor_id, neighbor_label,
          |  cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.HardNegK} ORDER BY probe_id, rk""".stripMargin,
+
+    "embed_exact_dups" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |    ${graft.ml.Vectors.duckQuantize("embedding")} AS q FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  count(DISTINCT q) AS n_distinct,
+         |  count(*) - count(DISTINCT q) AS n_dup_vecs
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_knn_graph" ->
       s"""WITH $embCtes,

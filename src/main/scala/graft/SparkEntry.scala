@@ -257,6 +257,11 @@ object SparkEntry {
     "cdc_stream_windowed" -> ((s, dir) =>
       streaming.CdcPipeline.windowedRoundtrip(s, dir)),
 
+    // SCD2 THROUGH the streaming engine: append-only closed
+    // versions; the batch history minus open rows is the oracle.
+    "cdc_stream_scd2" -> ((s, dir) =>
+      streaming.CdcPipeline.scd2Roundtrip(s, dir)),
+
     // Session windows through the streaming engine: native
     // session_window(ts, 30 min) gap-merge; the batch
     // gaps-and-islands formula is the oracle.
@@ -1765,6 +1770,21 @@ object SparkEntry {
          |  CAST(sum(aged) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS aged_share,
          |  CASE WHEN sum(aged) > 0 THEN 'reload' ELSE 'replay' END AS decision
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming execution, batch formula: closed versions only (the
+    // open version per key lives in state, not the append sink)
+    "cdc_stream_scd2" ->
+      s"""$C,
+         |r AS (SELECT user_id, op, table_name, value, ts,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS version,
+         |    lead(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS valid_to
+         |  FROM c WHERE ts IS NOT NULL)
+         |SELECT user_id, CAST(version AS BIGINT) AS version, op,
+         |  table_name, value AS attr_value, ts AS valid_from, valid_to
+         |FROM r WHERE valid_to IS NOT NULL
+         |ORDER BY user_id, version""".stripMargin,
 
     "cdc_latency_slo" ->
       s"""$C,

@@ -148,6 +148,82 @@ object CdcPipeline {
     out.result().iterator
   }
 
+  /** One CLOSED SCD2 version, as the streaming history builder emits
+    * it the moment a key's next change arrives. */
+  case class Scd2Closed(
+      user_id: Long, version: Long, op: String, table_name: String,
+      attr_value: Double, valid_from: Timestamp, valid_to: Timestamp)
+
+  /** The open (current) version a key holds between changes. */
+  case class Scd2Open(
+      version: Long, op: String, table_name: String,
+      value: Double, ts: Timestamp, eventId: Long)
+
+  /** Streaming SCD type-2 maintenance — the streaming twin of
+    * ChangeFeed.scd2History. Each arriving change CLOSES the key's
+    * open version (emitted append-only with `valid_to` = the new
+    * change's timestamp) and becomes the new open version, held in
+    * per-key state. Append mode is the honest output contract for a
+    * history table: closed versions are immutable facts; the open
+    * version per key lives in state, not the sink (emitting it would
+    * require a retraction when it closes). So the sink equals the
+    * batch history's `valid_to IS NOT NULL` rows exactly — which is
+    * the oracle's check.
+    *
+    * Cross-batch ordering: same per-key in-order delivery contract
+    * as [[transitionsStream]] (a Kinesis-style shard delivers one
+    * key's records in order); intra-batch arrival order is
+    * irrelevant (full-precision (micros, event_id) sort per batch).
+    */
+  def scd2Stream(changes: Dataset[Change]): Dataset[Scd2Closed] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        emitScd2)
+  }
+
+  private def emitScd2(
+      user: Long,
+      events: Iterator[Change],
+      state: GroupState[Scd2Open]): Iterator[Scd2Closed] = {
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var cur = state.getOption.orNull
+    val out = Seq.newBuilder[Scd2Closed]
+    sorted.foreach { e =>
+      if (cur != null)
+        out += Scd2Closed(user, cur.version, cur.op, cur.table_name,
+          cur.value, cur.ts, e.ts)
+      val v = if (cur == null) 1L else cur.version + 1L
+      cur = Scd2Open(v, e.op, e.table_name, e.value, e.ts, e.event_id)
+    }
+    if (cur != null) state.update(cur)
+    out.result().iterator
+  }
+
+  /** Driver-checked roundtrip for [[scd2Stream]]: file-stream source
+    * → streaming SCD2 → append memory sink; output = every closed
+    * version, bit-comparable to the batch history minus its open
+    * rows. */
+  def scd2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val versions = scd2Stream(annotate(raw.filter(col("ts").isNotNull)))
+    val name = s"graft_scd2_${System.nanoTime}"
+    val q = versions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val t = spark.table(name)
+    val rows = t.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), t.schema)
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("user_id"), col("version"))
+  }
+
   /** Watermark delay derived from the ordering audit
     * (cdc/TableStatistics.orderingAudit): the measured max per-key
     * lateness, rounded up to whole seconds plus a 1 s guard. Closes

@@ -105,6 +105,7 @@ object SparkEntry {
     "events_rfm"           -> ((s, dir) => Analytics.eventsRfm(s, dir)),
     "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
     "q_skyline"            -> ((s, dir) => Analytics.qSkyline(s, dir)),
+    "q_window_range_30d"   -> ((s, dir) => Analytics.qWindowRange30d(s, dir)),
     "events_anomaly_mad"   -> ((s, dir) => Analytics.eventsAnomalyMad(s, dir)),
     "events_funnel_windowed" -> ((s, dir) => Analytics.eventsFunnelWindowed(s, dir)),
 
@@ -3065,6 +3066,16 @@ object SparkEntry {
         |JOIN tot ta ON ta.event_type = p.type_a
         |JOIN tot tb ON tb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_window_range_30d" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_skyline" ->
       """SELECT p.p_partkey, CAST(p.p_retailprice AS DOUBLE) AS price,

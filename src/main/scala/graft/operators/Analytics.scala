@@ -1142,6 +1142,28 @@ object Analytics {
       .orderBy(col("o_custkey"), col("order_seq"))
   }
 
+  /** RANGE-frame trailing window: each order's 30-day trailing spend
+    * per customer — a VALUE-range frame (peers by date, not row
+    * count), the frame type `q_window_running`'s ROWS frames don't
+    * exercise. Peer-inclusive RANGE semantics make the result
+    * deterministic under same-date ties with no tie-break column.
+    *
+    * Scale shape: one customer exchange + sort; the range frame
+    * evaluates in the same Window node (Spark requires a numeric
+    * order key for rangeBetween — epoch-day integers here, the
+    * engine-portable encoding of `INTERVAL 29 DAY PRECEDING`).
+    */
+  def qWindowRange30d(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+      .rangeBetween(-29, 0)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** First-order Markov view of user timelines: for each observed
     * transition, its conditional probability P(to | from) and its
     * lift over the base rate P(to) across ALL transitions — lift far

@@ -978,6 +978,20 @@ object SparkEntry {
       out.orderBy(col("table_name"))
     }),
 
+    // ORC replication target: columnar write + native-schema
+    // read-back, same per-table parity audit as the CSV target.
+    "cdc_orc_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-orctarget-").toString
+      val summary = sources.CsvTarget.orcRoundtrip(s, dir, root)
+      val rows = summary.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), summary.schema)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy(col("table_name"))
+    }),
+
     // Shard-split audit: hash-range layout (4 shards over the 60-bit
     // key-hash space), shard 1 splits at the cutover into children
     // 4/5; per-shard pre/post counts prove the handoff continuity
@@ -1815,6 +1829,16 @@ object SparkEntry {
     // + read-back both happen Spark-side); the oracle recomputes the
     // source-side sums and pins every parity flag TRUE
     "cdc_csv_roundtrip" ->
+      s"""$C
+         |SELECT table_name, count(*) AS n_rows,
+         |  CAST(sum(user_id % 1000000000) AS BIGINT) AS user_sum,
+         |  CAST(sum(${Portable.duckHash(
+             "coalesce(props, '')")} % 1000000000) AS BIGINT) AS props_hash,
+         |  TRUE AS rows_ok, TRUE AS keys_ok,
+         |  TRUE AS payload_ok, TRUE AS values_ok
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_orc_roundtrip" ->
       s"""$C
          |SELECT table_name, count(*) AS n_rows,
          |  CAST(sum(user_id % 1000000000) AS BIGINT) AS user_sum,

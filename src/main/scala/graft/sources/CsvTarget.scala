@@ -31,11 +31,28 @@ import graft.functions.Portable
   */
 object CsvTarget {
 
-  def roundtrip(spark: SparkSession, dir: String, tmpRoot: String): DataFrame = {
-    val feed = ChangeFeed.fromEvents(spark, dir)
+  /** The feed projected to the columns every target format carries. */
+  private def feedView(spark: SparkSession, dir: String): DataFrame =
+    ChangeFeed.fromEvents(spark, dir)
       .select(col("table_name"), col("op"), col("user_id"),
         col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("props"))
+
+  /** ORC variant of [[roundtrip]]: the columnar S3-target option.
+    * ORC carries the schema in-file, so the read-back needs no
+    * declared schema and types (including the micros longs) arrive
+    * natively — the parity audit then checks the IO path and
+    * type fidelity rather than text escaping.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String, tmpRoot: String): DataFrame = {
+    val feed = feedView(spark, dir)
+    val path = s"$tmpRoot/graft_orc_${System.nanoTime}"
+    feed.write.partitionBy("table_name").orc(path)
+    parityReport(feed, spark.read.orc(path))
+  }
+
+  def roundtrip(spark: SparkSession, dir: String, tmpRoot: String): DataFrame = {
+    val feed = feedView(spark, dir)
     val path = s"$tmpRoot/graft_csv_${System.nanoTime}"
     feed.write
       .option("header", "true")
@@ -48,6 +65,10 @@ object CsvTarget {
       .schema("op STRING, user_id BIGINT, event_id BIGINT, " +
         "ts_us BIGINT, value DOUBLE, props STRING, table_name STRING")
       .csv(path)
+    parityReport(feed, back)
+  }
+
+  private def parityReport(feed: DataFrame, back: DataFrame): DataFrame = {
 
     // every checksum term is reduced mod 1e9 BEFORE summing: a sum of
     // raw 60-bit hashes (or micros timestamps) overflows int64 within

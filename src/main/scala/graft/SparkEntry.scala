@@ -725,6 +725,9 @@ object SparkEntry {
     // Recall gauge for the IVF index (the LSH one is sim_ann_recall):
     // nProbe=2 over 10 cells trades recall for a 5x candidate cut —
     // this row is the measured cost of that trade.
+    "sim_ann_ivf_curve" -> ((s, dir) =>
+      Similarity.ivfRecallCurve(Tables.load(s, dir, "embeddings"))),
+
     "sim_ann_ivf_recall" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       Similarity.recallAtK(
@@ -1461,6 +1464,66 @@ object SparkEntry {
     * strictly-greater / first-alphabetical semantics as
     * TextAnalysis.langId's fold.
     */
+  /** IVF recall@k oracle SQL, parametrized by nProbe (shared by
+    * the fixed gauge and the tuning curve). */
+  private def ivfRecallSql(nProbe: Int): String =
+    s"""WITH $embCtes,
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |comp AS (SELECT l.label, f.i,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
+         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
+         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
+         |  FROM comp GROUP BY 1),
+         |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
+         |  FROM flat f JOIN comp c ON c.i = f.i
+         |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
+         |sc AS (SELECT pc.probe_id, pc.label,
+         |    CAST(dotpc AS DOUBLE)
+         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
+         |  FROM pc
+         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
+         |  JOIN cells cl ON cl.label = pc.label),
+         |tc AS (SELECT probe_id, label FROM (
+         |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cell_cos DESC, label) AS crk FROM sc)
+         |  WHERE crk <= $nProbe),
+         |ic AS (SELECT tc.probe_id, l.vec_id AS neighbor_id
+         |  FROM tc JOIN lab l ON l.label = tc.label AND l.vec_id <> tc.probe_id),
+         |idd AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM ic c
+         |  JOIN flat fa ON fa.vec_id = c.probe_id
+         |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |iss AS (SELECT idd.probe_id, idd.neighbor_id,
+         |    ${Vectors.duckCosine("idd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM idd
+         |  JOIN norms na ON na.vec_id = idd.probe_id
+         |  JOIN norms nb ON nb.vec_id = idd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |ir AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM iss),
+         |ivfk AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+         |FROM bfk b LEFT JOIN ivfk i
+         |  ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared CTE chain for the kmeans E-step oracles: quantize, cell
     * rounded-mean components, per-vector best-cell argmax (`a`, rk=1
     * is the assignment). */
@@ -2416,63 +2479,12 @@ object SparkEntry {
          |  ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "sim_ann_ivf_recall" ->
-      s"""WITH $embCtes,
-         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
-         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
-         |  FROM flat fp
-         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
-         |  WHERE fp.vec_id < ${Similarity.NumProbes}
-         |  GROUP BY 1, 2),
-         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
-         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM bd
-         |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
-         |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |comp AS (SELECT l.label, f.i,
-         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
-         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
-         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
-         |  FROM comp GROUP BY 1),
-         |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
-         |  FROM flat f JOIN comp c ON c.i = f.i
-         |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
-         |sc AS (SELECT pc.probe_id, pc.label,
-         |    CAST(dotpc AS DOUBLE)
-         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
-         |  FROM pc
-         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
-         |  JOIN cells cl ON cl.label = pc.label),
-         |tc AS (SELECT probe_id, label FROM (
-         |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cell_cos DESC, label) AS crk FROM sc)
-         |  WHERE crk <= ${Similarity.IvfNProbe}),
-         |ic AS (SELECT tc.probe_id, l.vec_id AS neighbor_id
-         |  FROM tc JOIN lab l ON l.label = tc.label AND l.vec_id <> tc.probe_id),
-         |idd AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-         |  FROM ic c
-         |  JOIN flat fa ON fa.vec_id = c.probe_id
-         |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |iss AS (SELECT idd.probe_id, idd.neighbor_id,
-         |    ${Vectors.duckCosine("idd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM idd
-         |  JOIN norms na ON na.vec_id = idd.probe_id
-         |  JOIN norms nb ON nb.vec_id = idd.neighbor_id
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |ir AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM iss),
-         |ivfk AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= ${Similarity.TopK})
-         |SELECT b.probe_id,
-         |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
-         |FROM bfk b LEFT JOIN ivfk i
-         |  ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
+
+    "sim_ann_ivf_curve" -> (Similarity.IvfCurveProbes
+      .map(np => s"SELECT CAST($np AS BIGINT) AS n_probe, t.* FROM (\n" +
+        ivfRecallSql(np) + "\n) t")
+      .mkString("\nUNION ALL\n") + "\nORDER BY n_probe, probe_id"),
 
     "corpus_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -128,6 +128,28 @@ object Similarity {
   }
 
   val IvfNProbe = 2
+  val IvfCurveProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** nProbe tuning curve for the IVF index: recall@k of each probe
+    * at nProbe ∈ {1, 2, 4} against the exact ranking — the
+    * cost/recall trade an ANN deployment tunes FIRST (each probed
+    * cell is a proportional share of the scan budget; the curve says
+    * where recall saturates). Per-(nProbe, probe) exact ratios, no
+    * cross-engine double summation.
+    *
+    * Scale shape: the exact baseline computes once; each curve point
+    * rides the same cached quantized relation and bounded cell
+    * broadcasts as [[topKAnnIvf]].
+    */
+  def ivfRecallCurve(embs: DataFrame): DataFrame = {
+    val exact = graft.CacheScope.lazyPersist(topKBruteForce(embs))
+    IvfCurveProbes.map { np =>
+      recallAtK(exact, topKAnnIvf(embs, np))
+        .withColumn("n_probe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("n_probe"), col("probe_id"), col("recall_at_k"))
+      .orderBy(col("n_probe"), col("probe_id"))
+  }
 
   /** IVF-style ANN: a coarse quantizer assigns vectors to cells (the
     * corpus `label` column stands in for a trained k-means
@@ -146,7 +168,10 @@ object Similarity {
     * corpus is touched once to build cells and once per probed cell
     * subset — never cross-joined.
     */
-  def topKAnnIvf(embs: DataFrame): DataFrame = {
+  def topKAnnIvf(embs: DataFrame): DataFrame =
+    topKAnnIvf(embs, IvfNProbe)
+
+  def topKAnnIvf(embs: DataFrame, nProbe: Int): DataFrame = {
     val lab = embs.select(col("vec_id"), col("label"))
     val qv = materialize(Vectors.quantized(embs))
     val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
@@ -173,7 +198,7 @@ object Similarity {
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("cell_cos").desc, col("label"))
     val topCells = scoredCells.withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= IvfNProbe)
+      .filter(col("crk") <= nProbe)
       .select(col("probe_id"), col("label"))
     val cands = topCells
       .join(lab.toDF("vec_id", "label"), "label")

@@ -1263,6 +1263,13 @@ object SparkEntry {
           Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Resize step on real bytes: 2x2 nearest-neighbor thumbnail read
+    // through the full BMP offset math (bottom-up rows + padding).
+    "multimodal_thumbnail" -> ((s, dir) =>
+      Binary.thumbnails(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // PQ-ADC approximate top-k: per-probe exact-integer lookup table
     // to every codebook centroid; candidates rank by 4 table lookups
     // over their stored codes — the memory-budget ANN scan path.
@@ -4715,6 +4722,29 @@ object SparkEntry {
     // (id·31+j) mod 256 with j running row-major over w·3-byte pixel
     // rows (padding excluded by construction); BMP stores BGR, and
     // since w·3 ≡ 0 (mod 3) the channel of byte j is j mod 3.
+    "multimodal_thumbnail" ->
+      s"""WITH im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (SELECT doc_id, w, h,
+         |    CAST(list_sum(list_transform(range(0, 3),
+         |      c -> (doc_id * 31 + (0 * w * 3 + 0 * 3 + c)) % 256))
+         |      AS BIGINT) AS p00,
+         |    CAST(list_sum(list_transform(range(0, 3),
+         |      c -> (doc_id * 31 + (0 * w * 3 + (w // 2) * 3 + c)) % 256))
+         |      AS BIGINT) AS p01,
+         |    CAST(list_sum(list_transform(range(0, 3),
+         |      c -> (doc_id * 31 + ((h // 2) * w * 3 + 0 * 3 + c)) % 256))
+         |      AS BIGINT) AS p10,
+         |    CAST(list_sum(list_transform(range(0, 3),
+         |      c -> (doc_id * 31 + ((h // 2) * w * 3 + (w // 2) * 3 + c)) % 256))
+         |      AS BIGINT) AS p11
+         |  FROM im)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  p00, p01, p10, p11,
+         |  p00 + p01 + p10 + p11 AS thumb_sum
+         |FROM px ORDER BY doc_id""".stripMargin,
+
     "multimodal_image_features" ->
       s"""WITH im AS (SELECT doc_id,
          |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h

@@ -439,6 +439,47 @@ object Binary {
     Some(AudioFeatures(id, rate, n, ssq, cross, peak, n * 1000000L / rate))
   }
 
+  /** 2×2 nearest-neighbor thumbnail of the REAL pixel array — the
+    * resize step of an image pipeline, exercised on actual bytes:
+    * each thumbnail pixel reads its source pixel through the full
+    * offset math (pixel-array offset from the header, bottom-up row
+    * order, 4-byte row padding). Values are the exact B+G+R integer
+    * sums at the four sampled pixels. */
+  case class Thumb(
+      doc_id: Long, width: Long, height: Long,
+      p00: Long, p01: Long, p10: Long, p11: Long, thumb_sum: Long)
+
+  def thumbnails(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parseThumb(id, p) })
+      .toDF()
+  }
+
+  private[graft] def parseThumb(id: Long, p: Array[Byte]): Option[Thumb] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(w > 0 && h > 0 && off + stride.toLong * h <= p.length,
+      s"doc $id: BMP pixel array out of bounds (w=$w h=$h off=$off)")
+    def px(sy: Int, sx: Int): Long = {
+      val rowStart = off + (h - 1 - sy) * stride // bottom-up storage
+      var s = 0L
+      var c = 0
+      while (c < 3) { s += (p(rowStart + sx * 3 + c) & 0xff); c += 1 }
+      s
+    }
+    val (p00, p01) = (px(0, 0), px(0, w / 2))
+    val (p10, p11) = (px(h / 2, 0), px(h / 2, w / 2))
+    Some(Thumb(id, w.toLong, h.toLong, p00, p01, p10, p11,
+      p00 + p01 + p10 + p11))
+  }
+
   /** Per-image channel statistics from the REAL pixel parse. BMP
     * stores pixels as BGR triplets, so channel sums come from the
     * byte's position mod 3 within its row's pixel run; padding bytes

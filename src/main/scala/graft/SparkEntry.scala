@@ -1263,6 +1263,12 @@ object SparkEntry {
           Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Audio resize on real bytes: 2:1 decimation of the PCM run.
+    "multimodal_audio_decimate" -> ((s, dir) =>
+      Binary.audioDecimated(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // Resize step on real bytes: 2x2 nearest-neighbor thumbnail read
     // through the full BMP offset math (bottom-up rows + padding).
     "multimodal_thumbnail" -> ((s, dir) =>
@@ -4722,6 +4728,21 @@ object SparkEntry {
     // (id·31+j) mod 256 with j running row-major over w·3-byte pixel
     // rows (padding excluded by construction); BMP stores BGR, and
     // since w·3 ≡ 0 (mod 3) the channel of byte j is j mod 3.
+    "multimodal_audio_decimate" ->
+      s"""WITH au AS (SELECT doc_id,
+         |    8000 + (doc_id % 5) * 2000 AS rate, 64 + doc_id % 101 AS n
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST((n + 1) // 2 AS BIGINT) AS n_kept,
+         |  CAST(list_sum(list_transform(range(0, n, 2),
+         |    k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS kept_sum,
+         |  CAST(list_max(list_transform(range(0, n, 2),
+         |    k -> abs((doc_id * 31 + k) % 256 - 128))) AS BIGINT)
+         |    AS kept_peak_dev,
+         |  CAST(rate // 2 AS BIGINT) AS out_rate
+         |FROM au ORDER BY doc_id""".stripMargin,
+
     "multimodal_thumbnail" ->
       s"""WITH im AS (SELECT doc_id,
          |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h

@@ -439,6 +439,64 @@ object Binary {
     Some(AudioFeatures(id, rate, n, ssq, cross, peak, n * 1000000L / rate))
   }
 
+  /** 2:1 decimation of the REAL PCM sample run — the audio "resize":
+    * keep every other sample (the naive downsample an 8 kHz→4 kHz
+    * pipeline starts from; a real one low-passes first, which is a
+    * kernel choice, not different plumbing). Exact integer sums over
+    * the kept samples prove the parser walked the right bytes. */
+  case class AudioDecimated(
+      doc_id: Long, sample_rate: Long, n_samples: Long, n_kept: Long,
+      kept_sum: Long, kept_peak_dev: Long, out_rate: Long)
+
+  def audioDecimated(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parseDecimated(id, p) })
+      .toDF()
+  }
+
+  private[graft] def parseDecimated(
+      id: Long, p: Array[Byte]): Option[AudioDecimated] = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1L
+    var out: Option[(Long, Long, Long, Long)] = None
+    while (off + 8 <= p.length) {
+      val cid = new String(p, off, 4, "US-ASCII")
+      val csz = bb.getInt(off + 4)
+      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
+        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
+      cid match {
+        case "fmt " => rate = bb.getInt(off + 12).toLong
+        case "data" =>
+          var sum = 0L; var peak = 0L; var kept = 0L
+          var k = 0
+          while (k < csz) {
+            if (k % 2 == 0) {
+              val b = p(off + 8 + k) & 0xff
+              sum += b
+              val dev = math.abs(b - 128)
+              if (dev > peak) peak = dev
+              kept += 1
+            }
+            k += 1
+          }
+          out = Some((csz.toLong, kept, sum, peak))
+        case _ => ()
+      }
+      off += 8 + csz + (csz & 1)
+    }
+    val (n, kept, sum, peak) = out.getOrElse(
+      throw new IllegalStateException(s"doc $id: WAV missing data chunk"))
+    require(rate > 0, s"doc $id: WAV missing fmt chunk")
+    Some(AudioDecimated(id, rate, n, kept, sum, peak, rate / 2))
+  }
+
   /** 2×2 nearest-neighbor thumbnail of the REAL pixel array — the
     * resize step of an image pipeline, exercised on actual bytes:
     * each thumbnail pixel reads its source pixel through the full

@@ -1263,6 +1263,21 @@ object SparkEntry {
           Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Temporal resize: keep every other frame of the real Y4M walk.
+    "multimodal_video_halfrate" -> ((s, dir) =>
+      Binary.frameSample(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .filter(col("kind") === "video")
+        .withColumn("kept", col("frame_idx") % 2 === 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("frame_sum")).otherwise(0L))
+            .as("kept_frame_sum"),
+          sum(when(col("kept"), col("luma_sum")).otherwise(0L))
+            .as("kept_luma_sum"))
+        .orderBy(col("doc_id"))),
+
     // Audio resize on real bytes: 2:1 decimation of the PCM run.
     "multimodal_audio_decimate" -> ((s, dir) =>
       Binary.audioDecimated(
@@ -4728,6 +4743,27 @@ object SparkEntry {
     // (id·31+j) mod 256 with j running row-major over w·3-byte pixel
     // rows (padding excluded by construction); BMP stores BGR, and
     // since w·3 ≡ 0 (mod 3) the channel of byte j is j mod 3.
+    "multimodal_video_halfrate" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ((4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) * 3) // 2 AS fb,
+         |    (4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) AS wh,
+         |    1 + doc_id % 3 AS nf
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT doc_id, fb, wh, nf, unnest(range(nf)) AS fi FROM d),
+         |v AS (SELECT doc_id, fi, fi % 2 = 0 AS kept,
+         |    CAST(list_sum(list_transform(range(fi * fb, (fi + 1) * fb),
+         |      k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS frame_sum,
+         |    CAST(list_sum(list_transform(range(fi * fb, fi * fb + wh),
+         |      k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS luma_sum
+         |  FROM f)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN frame_sum ELSE 0 END) AS BIGINT)
+         |    AS kept_frame_sum,
+         |  CAST(sum(CASE WHEN kept THEN luma_sum ELSE 0 END) AS BIGINT)
+         |    AS kept_luma_sum
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "multimodal_audio_decimate" ->
       s"""WITH au AS (SELECT doc_id,
          |    8000 + (doc_id % 5) * 2000 AS rate, 64 + doc_id % 101 AS n

@@ -166,6 +166,11 @@ object SparkEntry {
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
 
+    // Storage tiering: live keys bucketed hot/warm/cold by
+    // inactivity vs the feed head, with per-tier byte mass.
+    "cdc_tiering_plan" -> ((s, dir) =>
+      ChangeFeed.tieringPlan(ChangeFeed.fromEvents(s, dir))),
+
     // Streaming-state sizing: live keys x payload bytes per table,
     // shard count at 1 MB/shard (the apply's own state relation).
     "cdc_state_size" -> ((s, dir) =>
@@ -877,6 +882,11 @@ object SparkEntry {
     "sim_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"))
         .orderBy(col("label"), col("assigned_cell"))),
+
+    // One k-means iteration gauge: E-step reassignment + M-step
+    // centroid movement (exact integer d-squared per cell).
+    "sim_kmeans_update" -> ((s, dir) =>
+      Similarity.kmeansUpdate(Tables.load(s, dir, "embeddings"))),
 
     // Cluster purity of the E-step assignment vs the true labels:
     // per cell the majority label and its share.
@@ -1846,6 +1856,28 @@ object SparkEntry {
       s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) t ORDER BY table_name, op"
     },
 
+    "cdc_tiering_plan" ->
+      s"""$C,
+         |h AS (SELECT max(ts) AS head_ts FROM c WHERE ts IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM c WHERE ts IS NOT NULL),
+         |st AS (SELECT r.table_name,
+         |    CAST(CAST(h.head_ts AS DATE) - CAST(r.ts AS DATE) AS BIGINT)
+         |      AS days_inactive,
+         |    24 + length(coalesce(r.props, '')) AS key_bytes
+         |  FROM r, h WHERE rn = 1 AND op <> 'delete'),
+         |t AS (SELECT table_name,
+         |    CASE WHEN days_inactive <= 7 THEN 'hot'
+         |      WHEN days_inactive <= 30 THEN 'warm'
+         |      ELSE 'cold' END AS tier,
+         |    days_inactive, key_bytes FROM st)
+         |SELECT table_name, tier, count(*) AS n_keys,
+         |  CAST(sum(key_bytes) AS BIGINT) AS tier_bytes,
+         |  CAST(min(days_inactive) AS BIGINT) AS min_days,
+         |  CAST(max(days_inactive) AS BIGINT) AS max_days
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "cdc_state_size" ->
       s"""$C,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2546,6 +2578,29 @@ object SparkEntry {
       s"""$kmeansAssignCtes
          |SELECT label, cell AS assigned_cell, count(*) AS n_vecs
          |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sim_kmeans_update" ->
+      s"""$kmeansAssignCtes,
+         |av AS (SELECT vec_id, label, cell AS assigned_cell
+         |  FROM a WHERE rk = 1),
+         |newc AS (SELECT av.assigned_cell AS cell, f.i,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s2
+         |  FROM flat f JOIN av ON av.vec_id = f.vec_id GROUP BY 1, 2),
+         |sh AS (SELECT c.cell,
+         |    CAST(sum((c.s - COALESCE(n.s2, c.s)) *
+         |      (c.s - COALESCE(n.s2, c.s))) AS BIGINT) AS shift_d2
+         |  FROM comp c LEFT JOIN newc n ON n.cell = c.cell AND n.i = c.i
+         |  GROUP BY 1),
+         |bf AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_before
+         |  FROM q GROUP BY 1),
+         |af AS (SELECT assigned_cell AS cell,
+         |    CAST(count(*) AS BIGINT) AS n_after FROM av GROUP BY 1)
+         |SELECT bf.cell, bf.n_before,
+         |  COALESCE(af.n_after, 0) AS n_after,
+         |  COALESCE(sh.shift_d2, 0) AS shift_d2
+         |FROM bf LEFT JOIN af ON af.cell = bf.cell
+         |LEFT JOIN sh ON sh.cell = bf.cell
+         |ORDER BY 1""".stripMargin,
 
     "embed_cluster_purity" ->
       s"""$kmeansAssignCtes,

@@ -469,6 +469,39 @@ object ChangeFeed {
         expr(s"(state_bytes + ${shardBytes - 1}) div $shardBytes"))
       .orderBy(col("table_name"))
 
+  /** Storage-tiering plan over the materialized state: live keys
+    * bucketed by inactivity against the feed head — hot (changed
+    * within 7 days), warm (30), cold (older) — with key counts and
+    * payload byte mass per tier. The input to a tiered state store
+    * (hot keys in memory, cold in object storage) and the companion
+    * to [[stateSizePlan]]'s total: not just how big the state is,
+    * but how much of it is actually live.
+    *
+    * Scale shape: the same latest-per-key exchange as the apply;
+    * head is a 1-row broadcast; |tables|·3 output rows.
+    */
+  def tieringPlan(changes: DataFrame): DataFrame = {
+    val live = changes.filter(col("ts").isNotNull)
+    val head = live.agg(max(col("ts")).as("head_ts"))
+    latestPerKey(live, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .filter(col("op") =!= "delete")
+      .crossJoin(broadcast(head))
+      .withColumn("days_inactive",
+        datediff(to_date(col("head_ts")), to_date(col("ts"))).cast("long"))
+      .withColumn("tier",
+        when(col("days_inactive") <= 7, "hot")
+          .when(col("days_inactive") <= 30, "warm")
+          .otherwise("cold"))
+      .withColumn("key_bytes",
+        lit(24L) + length(coalesce(col("props"), lit(""))).cast("long"))
+      .groupBy(col("table_name"), col("tier"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("key_bytes")).as("tier_bytes"),
+        min(col("days_inactive")).as("min_days"),
+        max(col("days_inactive")).as("max_days"))
+      .orderBy(col("table_name"), col("tier"))
+  }
+
   /** Backfill plan: the recovery playbook when a resume point may
     * predate the retention horizon. The key space is segmented into
     * `nSegments` equal-count ranges (the parallel-load worker

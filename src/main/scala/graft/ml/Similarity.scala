@@ -361,7 +361,13 @@ object Similarity {
     * joins itself; shuffles carry corpus-row and |labels|²-row
     * relations only.
     */
-  def kmeansAssign(embs: DataFrame): DataFrame = {
+  /** Shared E-step core: (qv, perVec) where qv = (vec_id, label, q)
+    * and perVec = (vec_id, label, assigned_cell, q) — the per-vector
+    * best-cell assignment against the rounded-mean integer cells.
+    * [[kmeansAssign]] reduces it to the confusion matrix;
+    * [[kmeansUpdate]] feeds it into the M-step.
+    */
+  private def eStep(embs: DataFrame): DataFrame = {
     // spread first: the ×|cells| dot-product fan-out below is the
     // heaviest per-row math in the file and would otherwise run at
     // the input-split parallelism (see Vectors.quantized)
@@ -374,17 +380,61 @@ object Similarity {
         x => round(x.cast("double") / col("n")).cast("long")))
       .withColumn("sn2", greatest(Vectors.norm2(col("m")), lit(1L)))
       .select(col("cell"), col("m"), col("sn2"))
-    val scored = qv.crossJoin(broadcast(cells))
+    qv.crossJoin(broadcast(cells))
       .withColumn("score",
         Vectors.dot(col("q"), col("m")).cast("double") /
           sqrt(col("sn2").cast("double")))
-    val assigned = scored
       .groupBy(col("vec_id"), col("label"))
-      .agg(max(struct(col("score"), (-col("cell")).as("neg_cell")))
-        .as("best"))
-      .select(col("label"), (-col("best.neg_cell")).as("assigned_cell"))
-    assigned.groupBy(col("label"), col("assigned_cell"))
+      .agg(max(struct(col("score"), (-col("cell")).as("neg_cell"),
+        col("q").as("qq"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg_cell")).as("assigned_cell"),
+        col("best.qq").as("q"))
+  }
+
+  def kmeansAssign(embs: DataFrame): DataFrame =
+    eStep(embs)
+      .groupBy(col("label"), col("assigned_cell"))
       .agg(count(lit(1)).as("n_vecs"))
+
+  /** One full k-means ITERATION gauge: after the E-step reassigns
+    * every vector, the M-step recomputes each cell's rounded-mean
+    * centroid — and this reports, per cell, the population change
+    * and the exact integer squared DISTANCE the centroid moved. The
+    * convergence signal an iterative clustering loop watches
+    * (movement → 0 means the partition has settled); an empty cell
+    * keeps its old centroid (shift 0), the standard convention.
+    *
+    * Scale shape: the E-step is [[kmeansAssign]]'s bounded-cell
+    * broadcast scan; both centroid builds are `vec_sum` aggregates
+    * (shuffle carries cells·dim longs); the shift reduces a
+    * cells·dim component join. All integers.
+    */
+  def kmeansUpdate(embs: DataFrame): DataFrame = {
+    val av = materialize(eStep(embs))
+    def meanComp(df: DataFrame, key: String) =
+      df.select(col(key).as("cell"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("s"))
+    val oldComp = meanComp(av, "label")
+    val newComp = meanComp(av, "assigned_cell")
+    val shift = oldComp
+      .join(newComp.select(col("cell"), col("i"), col("s").as("s2")),
+        Seq("cell", "i"), "left")
+      .withColumn("d", col("s") - coalesce(col("s2"), col("s")))
+      .groupBy(col("cell"))
+      .agg(sum(col("d") * col("d")).as("shift_d2"))
+    val before = av.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = av.groupBy(col("assigned_cell").as("cell"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cell"), "left")
+      .join(shift, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("shift_d2"), lit(0L)).as("shift_d2"))
+      .orderBy(col("cell"))
   }
 
   /** Majority-label kNN classification of the probe set: each probe

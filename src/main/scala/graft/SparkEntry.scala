@@ -1197,6 +1197,11 @@ object SparkEntry {
     "dedup_jaccard_curve" -> ((s, dir) =>
       Dedup.jaccardCurve(Tables.load(s, dir, "documents"))),
 
+    // Semantic-dedup yield curve: embedding twin of the Jaccard
+    // curve over the SRP-bucketed candidates.
+    "dedup_embedding_curve" -> ((s, dir) =>
+      Dedup.embeddingYieldCurve(Tables.load(s, dir, "embeddings"))),
+
     // Hour-of-day × type seasonality with lift vs the type's overall
     // share; totals are windows over the 24·|types| post-aggregate.
     "events_seasonality" -> ((s, dir) => Analytics.eventsSeasonality(s, dir)),
@@ -4048,6 +4053,33 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket
          |FROM sig ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_embedding_curve" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.v1
+         |  JOIN flat fb ON fb.vec_id = c.v2 AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT d.v1, d.v2, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.v1
+         |  JOIN norms nb ON nb.vec_id = d.v2
+         |  WHERE na.n2 > 0 AND nb.n2 > 0
+         |    AND $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)),
+         |f AS (SELECT sc.*, t.tau,
+         |    sc.cos_sim >= CAST(t.tau AS DOUBLE) / 100 AS keep
+         |  FROM sc, (SELECT unnest([40, 60, 80, 90]) AS tau) t),
+         |e AS (SELECT tau, keep, unnest([v1, v2]) AS dd FROM f)
+         |SELECT CAST(tau AS BIGINT) AS tau,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) // 2 AS BIGINT)
+         |    AS n_pairs,
+         |  count(DISTINCT CASE WHEN keep THEN dd END) AS n_docs
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH $embCtes,

@@ -346,6 +346,35 @@ object Dedup {
       .orderBy(col("tau"))
   }
 
+  val EmbCurveTaus: Seq[Long] = Seq(40L, 60L, 80L, 90L)
+
+  /** Semantic-dedup yield curve: the embedding twin of
+    * [[jaccardCurve]] — per cosine threshold τ ∈ {.40,.60,.80,.90},
+    * the surviving near-dup pairs and docs touched, decided BEFORE a
+    * semantic dedup is committed. Thresholds compare as
+    * `cos ≥ τ/100` with the division done identically in both
+    * engines (correctly-rounded IEEE — same double as the literal).
+    *
+    * Scale shape: rides [[embeddingPairs]]' SRP-bucketed candidates
+    * (its fixed τ=0.40 IS the curve's floor, so the sweep adds no
+    * candidates); the ×|τ| fan-out and endpoint explode aggregate in
+    * one pass, pairs doubling under the explode (n_pairs = Σkeep/2).
+    */
+  def embeddingYieldCurve(embs: DataFrame): DataFrame =
+    embeddingPairs(embs)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"),
+        explode(array(EmbCurveTaus.map(lit): _*)).as("tau"))
+      .withColumn("keep",
+        col("cos_sim") >= col("tau").cast("double") / lit(100.0))
+      .select(col("tau"), col("keep"),
+        explode(array(col("vec_id_a"), col("vec_id_b"))).as("d"))
+      .groupBy(col("tau"))
+      .agg(
+        (sum(when(col("keep"), 1L).otherwise(0L)) / 2).cast("long")
+          .as("n_pairs"),
+        countDistinct(when(col("keep"), col("d"))).as("n_docs"))
+      .orderBy(col("tau"))
+
   /** Containment verification on the LSH candidates: one-sided
     * overlap |A∩B|/|A| (and /|B|) — the inclusion detector. A short
     * document fully quoted inside a long one scores near-zero

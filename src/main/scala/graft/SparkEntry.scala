@@ -610,6 +610,11 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.load(s, dir, "documents"))),
 
+    // Term-distribution drift between ingestion halves (the text
+    // twin of embed_epoch_drift): top drifted terms, integer-exact.
+    "text_term_drift" -> ((s, dir) =>
+      TextAnalysis.termDrift(Tables.load(s, dir, "documents"))),
+
     // BPE first-merge census: adjacent char-pair counts over the
     // vocabulary, weighted by token frequency; top 50.
     "text_bpe_pairs" -> ((s, dir) =>
@@ -3798,6 +3803,23 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
          |WHERE rk <= ${TextAnalysis.TfidfTopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "text_term_drift" ->
+      s"""WITH b AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+         |  FROM documents),
+         |t AS (SELECT CASE WHEN d.doc_id <= b.mid THEN 0 ELSE 1 END AS epoch,
+         |    unnest($toksT) AS tok
+         |  FROM documents d, b),
+         |tc AS (SELECT tok,
+         |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM t GROUP BY 1),
+         |n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1 FROM tc)
+         |SELECT tok, c0, c1,
+         |  CAST(abs(c0 * n.n1 - c1 * n.n0) AS BIGINT) AS drift
+         |FROM tc, n
+         |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

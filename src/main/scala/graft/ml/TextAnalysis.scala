@@ -471,6 +471,38 @@ object TextAnalysis {
         (col("pos") > expr(s"(n_docs * $dropPct + 99) DIV 100")).as("kept"))
   }
 
+  /** Term-distribution drift between the corpus's two ingestion
+    * epochs (first/second half of the doc-id range — the
+    * embed_epoch_drift convention, applied to text): per term the
+    * epoch counts and the cross-normalized integer distance
+    * |c0·N1 − c1·N0| (zero iff the term's share is identical in both
+    * epochs; scale-free without a single division). Top 20 drifted
+    * terms — the "what changed in this crawl" monitor run before new
+    * data joins training.
+    *
+    * Scale shape: epoch bounds are a 1-row broadcast; term×epoch
+    * counts reduce on the vocabulary (map-side combined); totals are
+    * a second 1-row broadcast; top-k is a TakeOrderedAndProject. The
+    * int64 cross-product is exact out to ~10⁹-count terms against
+    * 10⁹-token epochs; past that, compare per-mille shares instead.
+    */
+  def termDrift(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val bounds = docs.agg(
+      expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+    val tc = docs.crossJoin(broadcast(bounds))
+      .select(when(col("doc_id") <= col("mid"), 0L).otherwise(1L).as("epoch"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("c1"))
+    val totals = tc.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    tc.crossJoin(broadcast(totals))
+      .withColumn("drift", abs(col("c0") * col("n1") - col("c1") * col("n0")))
+      .select(col("tok"), col("c0"), col("c1"), col("drift"))
+      .orderBy(col("drift").desc, col("tok"))
+      .limit(topK)
+  }
+
   val TfidfDim = 64
   val TfidfProbes = 8
   val TfidfTopK = 5

@@ -984,31 +984,11 @@ object SparkEntry {
     // parity audit (counts + integer/decimal checksums). The collect
     // is |tables| rows and exists so the temp sink can be deleted
     // before the result is returned.
-    "cdc_csv_roundtrip" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-csvtarget-").toString
-      val summary = sources.CsvTarget.roundtrip(s, dir, root)
-      val rows = summary.collect()
-      val out = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), summary.schema)
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      out.orderBy(col("table_name"))
-    }),
+    "cdc_csv_roundtrip" -> targetRoundtrip(sources.CsvTarget.roundtrip),
 
     // ORC replication target: columnar write + native-schema
     // read-back, same per-table parity audit as the CSV target.
-    "cdc_orc_roundtrip" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-orctarget-").toString
-      val summary = sources.CsvTarget.orcRoundtrip(s, dir, root)
-      val rows = summary.collect()
-      val out = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), summary.schema)
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      out.orderBy(col("table_name"))
-    }),
+    "cdc_orc_roundtrip" -> targetRoundtrip(sources.CsvTarget.orcRoundtrip),
 
     // Shard-split audit: hash-range layout (4 shards over the 60-bit
     // key-hash space), shard 1 splits at the cutover into children
@@ -1460,6 +1440,28 @@ object SparkEntry {
     Exceptions.Rule("props_k_out_of_domain",
       regexp_extract(col("props"), "[0-9]+", 0).cast("long") > 90))
 
+  /** Shared wrapper for the sink-format roundtrip queries: temp
+    * target dir, bounded |tables|-row collect out of the transient
+    * summary (so the dir can be deleted before the result returns —
+    * deletion now in a finally, so a throwing parity check can't
+    * leak the directory).
+    */
+  private def targetRoundtrip(
+      fn: (SparkSession, String, String) => DataFrame)
+    : (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-target-").toString
+    try {
+      val summary = fn(s, dir, root)
+      val rows = summary.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
+        .orderBy(col("table_name"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   private val fullLoadDemoRules = Seq(
     TableMapping.SelectionRule("graft", "p%"),
     TableMapping.SelectionRule("graft", "r%"),
@@ -1508,10 +1510,6 @@ object SparkEntry {
     s"CAST(len(list_filter($toksT, x -> x IN ($set))) AS BIGINT)"
   }
 
-  /** Nested-CASE argmax over the language scores — same
-    * strictly-greater / first-alphabetical semantics as
-    * TextAnalysis.langId's fold.
-    */
   /** IVF recall@k oracle SQL, parametrized by nProbe (shared by
     * the fixed gauge and the tuning curve). */
   private def ivfRecallSql(nProbe: Int): String =
@@ -1597,6 +1595,10 @@ object SparkEntry {
        |      ORDER BY score DESC, cell) AS rk
        |  FROM scored)""".stripMargin
 
+  /** Nested-CASE argmax over the language scores — same
+    * strictly-greater / first-alphabetical semantics as
+    * TextAnalysis.langId's fold.
+    */
   private val langPredSql: String = {
     val l0 = TextAnalysis.markers.head._1
     val argmax = TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
@@ -1631,7 +1633,6 @@ object SparkEntry {
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Quantized-embedding CTEs: flat (vec_id, i, v) + exact norms. */
   /** Shared KMV estimate projection for the sketch twins: ONE
     * definition of the (k-1)·2⁶⁰ / kth formula, so the relational
     * and native-aggregate rows cannot drift.
@@ -1660,6 +1661,7 @@ object SparkEntry {
        |FROM ex LEFT JOIN kth ON kth.table_name = ex.table_name
        |ORDER BY ex.table_name""".stripMargin
 
+  /** Quantized-embedding CTEs: flat (vec_id, i, v) + exact norms. */
   private val embCtes: String =
     s"""qv AS (SELECT vec_id, ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
        |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS v FROM qv),

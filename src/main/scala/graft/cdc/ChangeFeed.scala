@@ -347,23 +347,6 @@ object ChangeFeed {
       .orderBy(col("table_name"))
   }
 
-  /** Tombstone garbage collection audit for the compacted changelog
-    * ([[latestPerKey]] keeps delete tombstones so late updates can't
-    * resurrect a key). Tombstones can't be kept forever — a GC
-    * horizon (Kafka's delete.retention.ms; the same bounded-retention
-    * family as `cdc_retention_audit`) eventually drops them, and any
-    * key whose tombstone is GC'd while OLDER non-delete changes still
-    * exist in the retained feed becomes resurrectable by a
-    * from-scratch replay — the classic compaction hazard. Per table:
-    * key census, tombstones, GC-eligible tombstones (older than
-    * `gcDays` before the feed head), and the resurrection-risk count.
-    *
-    * Scale shape: ONE key exchange computing the per-key latest
-    * (max-of-struct, map-side partial) AND the pre-delete change
-    * count in the same aggregate — no window, no second scan; the
-    * feed head is a 1-row broadcast of the aggregate's own max; the
-    * per-table rollup is |tables|-sized.
-    */
   /** Transaction-atomicity audit for the applied feed. The reference
     * replicates transactionally (run.py:255-318 — DMS groups binlog
     * changes by commit); a consumer applying a TORN transaction
@@ -621,6 +604,23 @@ object ChangeFeed {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Tombstone garbage collection audit for the compacted changelog
+    * ([[latestPerKey]] keeps delete tombstones so late updates can't
+    * resurrect a key). Tombstones can't be kept forever — a GC
+    * horizon (Kafka's delete.retention.ms; the same bounded-retention
+    * family as `cdc_retention_audit`) eventually drops them, and any
+    * key whose tombstone is GC'd while OLDER non-delete changes still
+    * exist in the retained feed becomes resurrectable by a
+    * from-scratch replay — the classic compaction hazard. Per table:
+    * key census, tombstones, GC-eligible tombstones (older than
+    * `gcDays` before the feed head), and the resurrection-risk count.
+    *
+    * Scale shape: ONE key exchange computing the per-key latest
+    * (max-of-struct, map-side partial) AND the pre-delete change
+    * count in the same aggregate — no window, no second scan; the
+    * feed head is a 1-row broadcast of the aggregate's own max; the
+    * per-table rollup is |tables|-sized.
+    */
   def tombstoneGc(changes: DataFrame, gcDays: Int = 7): DataFrame = {
     val perKey = changes
       .groupBy(col("user_id"))

@@ -586,29 +586,14 @@ object Corpus {
     * over that tiny offsets relation, never over the corpus.
     */
   def shuffleAudit(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     val keyed = docs.select(col("source"), col("doc_id"),
       Portable.pHash(concat(col("source"), lit("#"), col("doc_id"))).as("h"))
-    // pid must be captured on the RANGED relation (before any later
-    // exchange renumbers partitions); ties broken by the full key so
-    // the order is total and retry-stable. MATERIALIZED: range
-    // partitioning samples its bounds, so the offsets pass and the
-    // rank pass must read one computed partitioning, not two
-    // re-samples that could bucket rows differently
-    val ranged = graft.CacheScope.materialize(keyed
-      .repartitionByRange(n, col("h"), col("source"), col("doc_id"))
-      .withColumn("pid", spark_partition_id()))
-    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    val wp = Window.partitionBy(col("pid"))
-      .orderBy(col("h"), col("source"), col("doc_id"))
-    ranged.join(broadcast(offs), "pid")
-      .withColumn("pos",
-        (col("offset") + row_number().over(wp)).cast("long"))
+    // ties broken by the full key so the order is total and
+    // retry-stable; the two-phase mechanics (pid captured on the
+    // materialized ranged relation, broadcast offsets) live in
+    // functions/Ranks — ONE implementation for every global rank
+    graft.functions.Ranks.grouped(keyed, Nil, Seq("h", "source", "doc_id"))
+      .withColumn("pos", col("rank"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("pos")).as("first_pos"),
@@ -617,26 +602,6 @@ object Corpus {
       .orderBy(col("source"))
   }
 
-  /** End-to-end training-data funnel: the composed pipeline a corpus
-    * actually runs — quality gate → exact-dup canonicalization →
-    * decontamination — reported as per-source surviving counts at
-    * each stage plus the token mass that reaches training. This is
-    * the yield report a data team reads before launching a run:
-    * where documents die, and how many tokens the corpus actually
-    * contributes after every gate.
-    *
-    * Stage semantics reuse the shipped operators verbatim
-    * (TextAnalysis.quality's score + threshold 0.5, corpus_clean's
-    * keep-first-doc_id canonical rule, decontaminationScores' 3-gram
-    * overlap with zero-tolerance), so the funnel IS the composition,
-    * not a re-implementation.
-    *
-    * Scale shape: quality is map-only; the canonical rule is one fp
-    * window; decontamination is the eval-shingle join (broadcast at
-    * real eval:corpus ratios). All gates collapse into conditional
-    * sums in ONE per-source aggregate — the funnel costs one pass
-    * over the scored relation, not a pass per stage.
-    */
   /** Exact-k stratified sample: the k docs per source with the
     * smallest portable (source, doc_id) hash — the balanced
     * evaluation-set draw ([[sampled]] is the RATE gate; this is the
@@ -708,6 +673,26 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** End-to-end training-data funnel: the composed pipeline a corpus
+    * actually runs — quality gate → exact-dup canonicalization →
+    * decontamination — reported as per-source surviving counts at
+    * each stage plus the token mass that reaches training. This is
+    * the yield report a data team reads before launching a run:
+    * where documents die, and how many tokens the corpus actually
+    * contributes after every gate.
+    *
+    * Stage semantics reuse the shipped operators verbatim
+    * (TextAnalysis.quality's score + threshold 0.5, corpus_clean's
+    * keep-first-doc_id canonical rule, decontaminationScores' 3-gram
+    * overlap with zero-tolerance), so the funnel IS the composition,
+    * not a re-implementation.
+    *
+    * Scale shape: quality is map-only; the canonical rule is one fp
+    * window; decontamination is the eval-shingle join (broadcast at
+    * real eval:corpus ratios). All gates collapse into conditional
+    * sums in ONE per-source aggregate — the funnel costs one pass
+    * over the scored relation, not a pass per stage.
+    */
   def pipelineFunnel(docs: DataFrame, isEval: Column): DataFrame = {
     val train = docs.filter(!isEval)
     val scored = TextAnalysis.quality(train, col("text"))

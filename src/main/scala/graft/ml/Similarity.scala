@@ -142,9 +142,11 @@ object Similarity {
     * broadcasts as [[topKAnnIvf]].
     */
   def ivfRecallCurve(embs: DataFrame): DataFrame = {
-    val exact = graft.CacheScope.lazyPersist(topKBruteForce(embs))
+    val qv = materialize(Vectors.quantized(embs))
+    val lab = embs.select(col("vec_id"), col("label"))
+    val exact = graft.CacheScope.lazyPersist(topKOn(qv))
     IvfCurveProbes.map { np =>
-      recallAtK(exact, topKAnnIvf(embs, np))
+      recallAtK(exact, topKAnnIvfOn(qv, lab, np))
         .withColumn("n_probe", lit(np.toLong))
     }.reduce(_ unionByName _)
       .select(col("n_probe"), col("probe_id"), col("recall_at_k"))
@@ -171,9 +173,15 @@ object Similarity {
   def topKAnnIvf(embs: DataFrame): DataFrame =
     topKAnnIvf(embs, IvfNProbe)
 
-  def topKAnnIvf(embs: DataFrame, nProbe: Int): DataFrame = {
-    val lab = embs.select(col("vec_id"), col("label"))
-    val qv = materialize(Vectors.quantized(embs))
+  def topKAnnIvf(embs: DataFrame, nProbe: Int): DataFrame =
+    topKAnnIvfOn(materialize(Vectors.quantized(embs)),
+      embs.select(col("vec_id"), col("label")), nProbe)
+
+  /** IVF ranking over an already-quantized relation — shared by the
+    * fixed-nProbe operator and [[ivfRecallCurve]], which reuses ONE
+    * materialized quantized relation across all its points. */
+  private def topKAnnIvfOn(
+      qv: DataFrame, lab: DataFrame, nProbe: Int): DataFrame = {
     val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
     // rounded-mean components per cell: #cells × dim rows
     val comp = flat.join(lab, "vec_id")
@@ -337,30 +345,6 @@ object Similarity {
           .as("centroid"))
   }
 
-  /** One k-means assignment step (the E-step companion of
-    * [[labelCentroids]]): every vector is assigned to the centroid
-    * direction it is most cosine-similar to, reported as the
-    * (current label → assigned cell) transition matrix — exactly what
-    * an iterative clustering driver inspects for convergence.
-    *
-    * Determinism: centroid directions are ROUNDED-MEAN integer
-    * components m_i = round(s_i / n) — bounded by the quantization
-    * scale whatever the cell size, so the per-cell squared norm and
-    * every dot stay far from int64 limits at any corpus scale (raw
-    * component SUMS would overflow Σm² beyond ~4·10⁵ vectors per
-    * cell). The s/n division is exact-int64-to-double (s < 2⁵³ up to
-    * ~10¹² rows per cell), rounded identically by both engines; the
-    * per-(vector, cell) score is one double division of an exact
-    * int64 dot by sqrt(int64), and argmax ties break to the smaller
-    * cell id via a max-of-struct with the negated cell.
-    *
-    * Scale shape: cells are |labels| rows and BROADCAST; the corpus
-    * fans out ×|cells| map-side, reduces back to one row per vector
-    * with a map-side-combinable max-of-struct aggregate (no window
-    * over the corpus), then a tiny |labels|² rollup. The corpus never
-    * joins itself; shuffles carry corpus-row and |labels|²-row
-    * relations only.
-    */
   /** Shared E-step core: (qv, perVec) where qv = (vec_id, label, q)
     * and perVec = (vec_id, label, assigned_cell, q) — the per-vector
     * best-cell assignment against the rounded-mean integer cells.
@@ -392,6 +376,30 @@ object Similarity {
         col("best.qq").as("q"))
   }
 
+  /** One k-means assignment step (the E-step companion of
+    * [[labelCentroids]]): every vector is assigned to the centroid
+    * direction it is most cosine-similar to, reported as the
+    * (current label → assigned cell) transition matrix — exactly what
+    * an iterative clustering driver inspects for convergence.
+    *
+    * Determinism: centroid directions are ROUNDED-MEAN integer
+    * components m_i = round(s_i / n) — bounded by the quantization
+    * scale whatever the cell size, so the per-cell squared norm and
+    * every dot stay far from int64 limits at any corpus scale (raw
+    * component SUMS would overflow Σm² beyond ~4·10⁵ vectors per
+    * cell). The s/n division is exact-int64-to-double (s < 2⁵³ up to
+    * ~10¹² rows per cell), rounded identically by both engines; the
+    * per-(vector, cell) score is one double division of an exact
+    * int64 dot by sqrt(int64), and argmax ties break to the smaller
+    * cell id via a max-of-struct with the negated cell.
+    *
+    * Scale shape: cells are |labels| rows and BROADCAST; the corpus
+    * fans out ×|cells| map-side, reduces back to one row per vector
+    * with a map-side-combinable max-of-struct aggregate (no window
+    * over the corpus), then a tiny |labels|² rollup. The corpus never
+    * joins itself; shuffles carry corpus-row and |labels|²-row
+    * relations only.
+    */
   def kmeansAssign(embs: DataFrame): DataFrame =
     eStep(embs)
       .groupBy(col("label"), col("assigned_cell"))
@@ -825,8 +833,9 @@ object Similarity {
     * ray_num ≤ d·1000·max|u| — at d=64 that holds to max|M| ≈ 1.4e11
     * (≈ 5e6 rows of unit vectors at quantize scale 1000); beyond
     * that, widen the two sums to decimal as the covariance Scaladoc
-    * prescribes. The Spark side already sums ray_num in decimal and
-    * casts down, so overflow surfaces as NULL, not a silent wrap.
+    * prescribes. The driver loop itself uses multiplyExact/addExact,
+    * so exceeding the headroom throws an ArithmeticException naming
+    * the operator — never a silent wrap.
     *
     * Scale shape: the corpus is touched ONCE (the same partial-
     * aggregate scan as [[covariance]]); the d² statistic is a
@@ -858,20 +867,29 @@ object Similarity {
       m(i)(j) = oo(k); m(j)(i) = oo(k); k += 1
     }
     var v = Array.fill(d)(1000L)
+    // every product/sum is -Exact: past the documented headroom the
+    // iteration must fail loudly, not wrap into a wrong eigenvector
+    def mv(row: Int, vec: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < d) {
+        try s = Math.addExact(s, Math.multiplyExact(m(row)(j), vec(j)))
+        catch { case _: ArithmeticException =>
+          throw new ArithmeticException(
+            "pcaPower: int64 overflow in M*v — corpus exceeds the " +
+              "documented headroom; widen the moment sums to decimal") }
+        j += 1
+      }
+      s
+    }
     for (_ <- 1 to iters) {
-      val u = Array.tabulate(d)(i => {
-        var s = 0L; var j = 0
-        while (j < d) { s += m(i)(j) * v(j); j += 1 }; s
-      })
+      val u = Array.tabulate(d)(i => mv(i, v))
       val mx = u.map(math.abs).max
       v = u.map(x => if (mx == 0) 0L else (x * 1000) / mx)
     }
-    val ul = Array.tabulate(d)(i => {
-      var s = 0L; var j = 0
-      while (j < d) { s += m(i)(j) * v(j); j += 1 }; s
-    })
-    val num = (0 until d).map(i => v(i) * ul(i)).sum
-    val den = v.map(x => x * x).sum
+    val ul = Array.tabulate(d)(i => mv(i, v))
+    val num = (0 until d).map(i => Math.multiplyExact(v(i), ul(i)))
+      .reduce(Math.addExact(_, _))
+    val den = v.map(x => Math.multiplyExact(x, x)).reduce(Math.addExact(_, _))
     val lambda = num.toDouble / den.toDouble
     import spark.implicits._
     (0 until d).map(i => (i.toLong, v(i), num, den, lambda))
@@ -879,18 +897,6 @@ object Similarity {
       .orderBy(col("i"))
   }
 
-  /** Per-dimension drift between the corpus's two ingestion epochs
-    * (first half vs second half of the vec_id range): the
-    * distribution monitor that catches a silent encoder swap or
-    * preprocessing change mid-ingestion before it poisons training.
-    * Epoch assignment is exact integer math against a 1-row
-    * broadcast of the id bounds; per-epoch means are ONE double
-    * division each over exact int sums.
-    *
-    * Scale shape: one pass, one 2-group vec_sum aggregate (shuffle
-    * carries 2·dim longs), dims explode from the 2-row result;
-    * output is d rows.
-    */
   /** Per-label energy along the dominant principal axis: project
     * every quantized vector onto [[pcaPower]]'s integer eigenvector
     * (exact int64 dot), then per label report the projection's
@@ -930,6 +936,18 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-dimension drift between the corpus's two ingestion epochs
+    * (first half vs second half of the vec_id range): the
+    * distribution monitor that catches a silent encoder swap or
+    * preprocessing change mid-ingestion before it poisons training.
+    * Epoch assignment is exact integer math against a 1-row
+    * broadcast of the id bounds; per-epoch means are ONE double
+    * division each over exact int sums.
+    *
+    * Scale shape: one pass, one 2-group vec_sum aggregate (shuffle
+    * carries 2·dim longs), dims explode from the 2-row result;
+    * output is d rows.
+    */
   def epochDrift(embs: DataFrame): DataFrame = {
     val bounds = embs.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
     val q = embs.crossJoin(broadcast(bounds))

@@ -48,11 +48,6 @@ object TextAnalysis {
     */
   val SubtokenPattern = "[a-z]{1,4}|[0-9]+"
 
-  /** Token + char counting: the "how big is this document really"
-    * pass every corpus pipeline runs first. `n_subtokens` adds the
-    * BPE-ish piece count (whitespace tokens alone under-estimate
-    * model token budgets).
-    */
   /** Mean token length; 0.0 for a tokenless doc (0/0 would be NaN).
     * ONE definition shared by [[tokenCounts]] and [[quality]] — the
     * oracle-parity design needs the two sites bit-identical, so they
@@ -64,6 +59,11 @@ object TextAnalysis {
         / size(t).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Token + char counting: the "how big is this document really"
+    * pass every corpus pipeline runs first. `n_subtokens` adds the
+    * BPE-ish piece count (whitespace tokens alone under-estimate
+    * model token budgets).
+    */
   def tokenCounts(df: DataFrame, text: Column): DataFrame = {
     // tokenize once into a real column (see quality's rationale)
     val t = col("_toks")
@@ -444,31 +444,17 @@ object TextAnalysis {
     * corpus; the cut rank comes from a 1-row broadcast total.
     */
   def perplexityFilter(docs: DataFrame, text: Column, dropPct: Int = 25): DataFrame = {
-    val spark = docs.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     val lm = unigramLm(docs, text)
       .withColumn("score", coalesce(col("avg_log2_tf"), lit(-1.0)))
       .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"), col("score"))
-    // pid captured on the RANGED relation, materialized so the
-    // offsets pass and the rank pass read ONE sampled partitioning
-    // (same contract as Corpus.shuffleAudit)
-    val ranged = graft.CacheScope.materialize(
-      lm.repartitionByRange(n, col("score"), col("doc_id"))
-        .withColumn("pid", spark_partition_id()))
-    val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    val offs = cnts
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    val total = cnts.agg(sum(col("cnt")).as("n_docs"))
-    val wp = Window.partitionBy(col("pid"))
-      .orderBy(col("score"), col("doc_id"))
-    ranged.join(broadcast(offs), "pid")
-      .withColumn("pos", (col("offset") + row_number().over(wp)).cast("long"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"), col("pos"),
-        (col("pos") > expr(s"(n_docs * $dropPct + 99) DIV 100")).as("kept"))
+    // the two-phase global rank lives in functions/Ranks (one
+    // implementation, one materialize-before-offsets contract);
+    // grp_total doubles as the n_docs the cut rank derives from
+    graft.functions.Ranks.grouped(lm, Nil, Seq("score", "doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_log2_tf"),
+        col("rank").as("pos"),
+        (col("rank") > expr(s"(grp_total * $dropPct + 99) DIV 100"))
+          .as("kept"))
   }
 
   /** Term-distribution drift between the corpus's two ingestion

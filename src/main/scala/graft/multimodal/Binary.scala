@@ -319,6 +319,13 @@ object Binary {
       val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
       val dataOff = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
       val stride = ((w * 3 + 3) / 4) * 4
+      // fail loudly WITH the doc id, like every sibling BMP parser —
+      // a truncated payload must not surface as a bare
+      // ArrayIndexOutOfBounds from sumRange
+      require(w > 0 && h > 0 && dataOff >= 0 &&
+        dataOff + stride.toLong * h <= p.length,
+        s"doc $id: BMP pixel array out of bounds (w=$w h=$h off=$dataOff, " +
+          s"${p.length} bytes)")
       var sum = 0L; var r = 0
       while (r < h) { sum += sumRange(dataOff + r * stride, dataOff + r * stride + w * 3); r += 1 }
       Seq(FrameRow(id, "image", 0L, dataOff.toLong, w.toLong * h * 3, sum, sum))

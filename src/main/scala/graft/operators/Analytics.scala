@@ -1490,25 +1490,6 @@ object Analytics {
       .orderBy(col("event_type"), col("bucket"))
   }
 
-  /** Automation/bot detection by cadence: flag users whose EXACT
-    * median inter-arrival gap is under 120 s — the traffic-hygiene
-    * gate an events pipeline runs before engagement analytics (a
-    * scripted client fires orders of magnitude faster than any
-    * human). The synthetic feed is uniformly human-paced (~7 h
-    * median gaps), so bot users are PLANTED deterministically
-    * (cdc_validation's pattern): every user_id%31==0 timeline is
-    * compressed 1000× toward its first event — truncating integer
-    * µs division, identical in both engines — and the detector,
-    * which never sees the planting, must flag exactly those users
-    * (compressed medians ≈ 26 s sit far inside the 120 s line;
-    * human medians sit ~200× outside — no boundary sensitivity).
-    *
-    * Scale shape: ONE user exchange carries every window — the
-    * first-event min for the planting, the gap lag, and the exact
-    * median rank selection (corpus_percentiles' ⌈n/2⌉ pick) — then
-    * the per-user rollup on the same key. Output is the flagged
-    * subset, not the user census.
-    */
   /** A/B comparison of event value by experiment arm (user parity —
     * the deterministic stand-in for an assignment table): per event
     * type, each arm's count/mean/variance and the Welch t statistic.
@@ -1561,6 +1542,25 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Automation/bot detection by cadence: flag users whose EXACT
+    * median inter-arrival gap is under 120 s — the traffic-hygiene
+    * gate an events pipeline runs before engagement analytics (a
+    * scripted client fires orders of magnitude faster than any
+    * human). The synthetic feed is uniformly human-paced (~7 h
+    * median gaps), so bot users are PLANTED deterministically
+    * (cdc_validation's pattern): every user_id%31==0 timeline is
+    * compressed 1000× toward its first event — truncating integer
+    * µs division, identical in both engines — and the detector,
+    * which never sees the planting, must flag exactly those users
+    * (compressed medians ≈ 26 s sit far inside the 120 s line;
+    * human medians sit ~200× outside — no boundary sensitivity).
+    *
+    * Scale shape: ONE user exchange carries every window — the
+    * first-event min for the planting, the gap lag, and the exact
+    * median rank selection (corpus_percentiles' ⌈n/2⌉ pick) — then
+    * the per-user rollup on the same key. Output is the flagged
+    * subset, not the user census.
+    */
   def eventsBotDetection(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val planted = Tables.load(spark, dir, "events")

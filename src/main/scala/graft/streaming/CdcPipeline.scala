@@ -212,16 +212,30 @@ object CdcPipeline {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     val versions = scd2Stream(annotate(raw.filter(col("ts").isNotNull)))
-    val name = s"graft_scd2_${System.nanoTime}"
-    val q = versions.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    drainToLocal(spark, versions, OutputMode.Append)
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Run a streaming relation to completion into a transient memory
+    * sink and copy the result out as a LOCAL DataFrame (the bench
+    * drops caches between queries, which would empty the sink view
+    * under a later consumer). Shared by the windowed/session/SCD2
+    * roundtrips.
+    */
+  private def drainToLocal(
+      spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[_],
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${System.nanoTime}"
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     val t = spark.table(name)
     val rows = t.collect()
     val out = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), t.schema)
     spark.catalog.dropTempView(name)
-    out.orderBy(col("user_id"), col("version"))
+    out
   }
 
   /** Watermark delay derived from the ordering audit
@@ -612,8 +626,8 @@ object CdcPipeline {
     * replication-task status running → stopped before moving on).
     * Wraps StreamingQuery/StreamingQueryProgress into one flat row a
     * task runner can poll or join on.
-    */
-  /** `recentInputRows` sums the RETAINED progress window
+    *
+    * `recentInputRows` sums the RETAINED progress window
     * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
     * batches) — a freshness/volume signal, NOT a lifetime total; a
     * lifetime counter needs a StreamingQueryListener accumulating
@@ -764,19 +778,8 @@ object CdcPipeline {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     val agg = windowedStatsStream(annotate(raw))
-    val name = s"graft_windowed_${System.nanoTime}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
-    // copy out of the transient memory-sink table: the bench drops
-    // caches between queries, which would empty the sink view under
-    // a later consumer (same pattern as fileRoundtrip's collect)
-    val t = spark.table(name)
-    val rows = t.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), t.schema)
-    spark.catalog.dropTempView(name)
-    out.orderBy(col("window_start"), col("op"))
+    drainToLocal(spark, agg, OutputMode.Complete)
+      .orderBy(col("window_start"), col("op"))
   }
 
   /** Session-window aggregation THROUGH the streaming engine:
@@ -807,16 +810,8 @@ object CdcPipeline {
     val sessions = raw.filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val name = s"graft_sessions_${System.nanoTime}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
-    val t = spark.table(name)
-    val rows = t.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), t.schema)
-    spark.catalog.dropTempView(name)
-    out.groupBy(col("user_id"))
+    drainToLocal(spark, sessions, OutputMode.Complete)
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session_events"))

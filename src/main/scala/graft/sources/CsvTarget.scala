@@ -17,7 +17,10 @@ import graft.functions.Portable
   * integer checksums (key sums, micros sums, a portable hash over
   * the string payload, decimal value mass).
   *
-  * Documented CSV-format caveat (real in DMS S3 targets too): an
+  * Documented CSV-format caveats (real in DMS S3 targets too):
+  * embedded newlines would require a multiLine (non-splittable) read
+  * — the CSV target is for newline-free payloads; the JSON envelope
+  * target carries arbitrary bytes. And an
   * empty string and SQL NULL collapse to the same empty field, so
   * the parity hash runs over `coalesce(props, '')` on BOTH sides —
   * the audit proves byte fidelity of present text, not the
@@ -57,6 +60,13 @@ object CsvTarget {
     feed.write
       .option("header", "true")
       .option("escape", "\"")
+      // Spark's CSV WRITER trims leading/trailing whitespace by
+      // default (ignore*WhiteSpace=true on write, false on read) —
+      // a payload ending in a space would come back shortened and
+      // fail the parity hash; a replication target must not edit
+      // the data it replicates
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .partitionBy("table_name")
       .csv(path)
     val back = spark.read

@@ -11,6 +11,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class CsvTargetSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("CSV and ORC parity under randomized newline-free payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "ab\"',\\{}[]:; \tünïcø✓€" + 'é'
+    def randStr(): String =
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-csv-rnd").toString
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-csv-rnd-sink").toString
+    (1L to 200L).map { i =>
+      (i, new Timestamp(1700000000000L + i * 1000), i % 9,
+        Seq("signup", "click", "error")((i % 3).toInt),
+        rnd.nextDouble() * 100 - 50,
+        if (i % 17 == 0) null else randStr())
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq[(org.apache.spark.sql.SparkSession, String, String) =>
+        org.apache.spark.sql.DataFrame](
+      sources.CsvTarget.roundtrip, sources.CsvTarget.orcRoundtrip)
+      .foreach { fn =>
+        fn(spark, dir, tmp).collect().foreach { r =>
+          (4 to 7).foreach(i =>
+            assert(r.getBoolean(i), s"parity col $i failed for ${r.getString(0)}"))
+        }
+      }
+  }
+
   test("CSV roundtrip parity holds under hostile string payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -83,7 +83,11 @@ object Bench {
     * regressed" without an old-commit A/B.
     */
   private def parSentinelSecs(): Double = {
-    val n = 32
+    // spin at the SESSION's width, not a hardcoded 32: the parallel
+    // sentinel exists to measure the contention regime the queries
+    // actually run under (a 32-wide spin under a 4-core session
+    // would flag quota clipping the queries never feel)
+    val n = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val t0 = System.nanoTime()
     val threads = (0 until n).map { seed =>
       val t = new Thread(() => {

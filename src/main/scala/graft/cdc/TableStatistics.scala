@@ -195,8 +195,16 @@ object TableStatistics {
       changes: DataFrame,
       candidatesUs: Seq[Long] = Seq(1000000L, 5000000L)): DataFrame = {
     val lateUs = when(col("late"), col("prev_max_us") - col("ts_us"))
+    // column name from the EXACT candidate (whole seconds keep the
+    // pretty w1s/w5s form the oracle names; sub-second candidates get
+    // the full micros) — integer-dividing all candidates to seconds
+    // made two same-second candidates collide into one ambiguous name
+    def candName(c: Long): String =
+      if (c % 1000000L == 0L) s"w${c / 1000000L}s" else s"w${c}us"
+    require(candidatesUs.map(candName).distinct.size == candidatesUs.size,
+      s"duplicate watermark candidates: $candidatesUs")
     val dropCols = candidatesUs.map(c =>
-      sum(when(lateUs > c, 1L).otherwise(0L)).as(s"n_drop_w${c / 1000000L}s"))
+      sum(when(lateUs > c, 1L).otherwise(0L)).as(s"n_drop_${candName(c)}"))
     val aggs = Seq(
       count(lit(1)).as("n_events"),
       sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),

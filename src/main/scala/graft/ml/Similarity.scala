@@ -884,7 +884,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       val u = Array.tabulate(d)(i => mv(i, v))
       val mx = u.map(math.abs).max
-      v = u.map(x => if (mx == 0) 0L else (x * 1000) / mx)
+      // multiplyExact here too: the ×1000 renormalize is the FIRST
+      // product to overflow past the headroom (|u| > 9.2e15), and an
+      // unchecked wrap would quietly corrupt the eigenvector
+      v = u.map(x =>
+        if (mx == 0) 0L else Math.multiplyExact(x, 1000L) / mx)
     }
     val ul = Array.tabulate(d)(i => mv(i, v))
     val num = (0 until d).map(i => Math.multiplyExact(v(i), ul(i)))

@@ -218,30 +218,41 @@ object Binary {
     MediaInfo(id, "image", w.toLong, h.toLong, bpp.toLong, sum)
   }
 
-  private def parseWav(id: Long, p: Array[Byte]): MediaInfo = {
+  /** Validated RIFF chunk walk: (chunk id, payload offset, payload
+    * size) per chunk, word-aligned advance, fail-loudly size bounds —
+    * ONE definition of the walk contract for every WAV consumer (the
+    * negative-size stall and the oversized-index crash are guarded
+    * here, once).
+    */
+  private def riffChunks(
+      id: Long, p: Array[Byte]): Seq[(String, Int, Int)] = {
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     var off = 12 // past RIFF<size>WAVE
-    var rate = -1L; var bits = -1L; var n = -1L; var sum = 0L
     while (off + 8 <= p.length) {
       val cid = new String(p, off, 4, "US-ASCII")
       val csz = bb.getInt(off + 4)
-      // a negative size would stall the chunk walk forever and an
-      // oversized one would index past the payload — fail loudly with
-      // the doc id (same contract as the other parsers)
       require(csz >= 0 && off + 8 + csz.toLong <= p.length,
         s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
-      cid match {
-        case "fmt " =>
-          rate = bb.getInt(off + 12).toLong
-          bits = bb.getShort(off + 22).toLong
-        case "data" =>
-          n = csz.toLong
-          var k = off + 8
-          val end = off + 8 + csz
-          while (k < end) { sum += (p(k) & 0xff); k += 1 }
-        case _ => () // a real parser skips unknown chunks; so does this one
-      }
+      out += ((cid, off + 8, csz))
       off += 8 + csz + (csz & 1) // RIFF chunks are word-aligned
+    }
+    out.toSeq
+  }
+
+  private def parseWav(id: Long, p: Array[Byte]): MediaInfo = {
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var rate = -1L; var bits = -1L; var n = -1L; var sum = 0L
+    riffChunks(id, p).foreach {
+      case ("fmt ", payload, _) =>
+        rate = bb.getInt(payload + 4).toLong
+        bits = bb.getShort(payload + 14).toLong
+      case ("data", payload, csz) =>
+        n = csz.toLong
+        var k = payload
+        val end = payload + csz
+        while (k < end) { sum += (p(k) & 0xff); k += 1 }
+      case _ => () // a real parser skips unknown chunks; so does this one
     }
     require(rate > 0 && n >= 0, s"doc $id: WAV missing fmt/data chunk")
     MediaInfo(id, "audio", rate, bits, n, sum)
@@ -316,33 +327,16 @@ object Binary {
     if (ascii(0, 2) == "BM") {
       // pixel array: bottom-up rows of stride bytes; content = w·3
       // bytes per row, the stride tail is structural padding
-      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-      val dataOff = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
-      val stride = ((w * 3 + 3) / 4) * 4
-      // fail loudly WITH the doc id, like every sibling BMP parser —
-      // a truncated payload must not surface as a bare
-      // ArrayIndexOutOfBounds from sumRange
-      require(w > 0 && h > 0 && dataOff >= 0 &&
-        dataOff + stride.toLong * h <= p.length,
-        s"doc $id: BMP pixel array out of bounds (w=$w h=$h off=$dataOff, " +
-          s"${p.length} bytes)")
+      val (dataOff, w, h, stride) = bmpHeader(id, p)
       var sum = 0L; var r = 0
       while (r < h) { sum += sumRange(dataOff + r * stride, dataOff + r * stride + w * 3); r += 1 }
       Seq(FrameRow(id, "image", 0L, dataOff.toLong, w.toLong * h * 3, sum, sum))
     } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
       // the one frame is the data chunk's sample run
-      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-      var off = 12
-      var row: Option[FrameRow] = None
-      while (row.isEmpty && off + 8 <= p.length) {
-        val cid = new String(p, off, 4, "US-ASCII")
-        val csz = bb.getInt(off + 4)
-        require(csz >= 0 && off + 8 + csz.toLong <= p.length,
-          s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
-        if (cid == "data") {
-          val s = sumRange(off + 8, off + 8 + csz)
-          row = Some(FrameRow(id, "audio", 0L, (off + 8).toLong, csz.toLong, s, s))
-        } else off += 8 + csz + (csz & 1)
+      val row = riffChunks(id, p).collectFirst {
+        case ("data", payload, csz) =>
+          val s = sumRange(payload, payload + csz)
+          FrameRow(id, "audio", 0L, payload.toLong, csz.toLong, s, s)
       }
       Seq(row.getOrElse(throw new IllegalStateException(s"doc $id: WAV missing data chunk")))
     } else if (ascii(0, 9) == "YUV4MPEG2") {
@@ -411,34 +405,26 @@ object Binary {
       if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 12
     var rate = -1L
     var feats: Option[(Long, Long, Long, Long)] = None
-    while (off + 8 <= p.length) {
-      val cid = new String(p, off, 4, "US-ASCII")
-      val csz = bb.getInt(off + 4)
-      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
-        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
-      cid match {
-        case "fmt " => rate = bb.getInt(off + 12).toLong
-        case "data" =>
-          var ssq = 0L; var cross = 0L; var peak = 0L
-          var prevNeg = false
-          var k = off + 8
-          val end = off + 8 + csz
-          while (k < end) {
-            val dev = (p(k) & 0xff) - 128
-            ssq += dev.toLong * dev
-            val neg = dev < 0
-            if (k > off + 8 && neg != prevNeg) cross += 1
-            prevNeg = neg
-            if (math.abs(dev) > peak) peak = math.abs(dev)
-            k += 1
-          }
-          feats = Some((csz.toLong, ssq, cross, peak))
-        case _ => ()
-      }
-      off += 8 + csz + (csz & 1)
+    riffChunks(id, p).foreach {
+      case ("fmt ", payload, _) => rate = bb.getInt(payload + 4).toLong
+      case ("data", payload, csz) =>
+        var ssq = 0L; var cross = 0L; var peak = 0L
+        var prevNeg = false
+        var k = payload
+        val end = payload + csz
+        while (k < end) {
+          val dev = (p(k) & 0xff) - 128
+          ssq += dev.toLong * dev
+          val neg = dev < 0
+          if (k > payload && neg != prevNeg) cross += 1
+          prevNeg = neg
+          if (math.abs(dev) > peak) peak = math.abs(dev)
+          k += 1
+        }
+        feats = Some((csz.toLong, ssq, cross, peak))
+      case _ => ()
     }
     val (n, ssq, cross, peak) = feats.getOrElse(
       throw new IllegalStateException(s"doc $id: WAV missing data chunk"))
@@ -470,33 +456,25 @@ object Binary {
       if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 12
     var rate = -1L
     var out: Option[(Long, Long, Long, Long)] = None
-    while (off + 8 <= p.length) {
-      val cid = new String(p, off, 4, "US-ASCII")
-      val csz = bb.getInt(off + 4)
-      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
-        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
-      cid match {
-        case "fmt " => rate = bb.getInt(off + 12).toLong
-        case "data" =>
-          var sum = 0L; var peak = 0L; var kept = 0L
-          var k = 0
-          while (k < csz) {
-            if (k % 2 == 0) {
-              val b = p(off + 8 + k) & 0xff
-              sum += b
-              val dev = math.abs(b - 128)
-              if (dev > peak) peak = dev
-              kept += 1
-            }
-            k += 1
+    riffChunks(id, p).foreach {
+      case ("fmt ", payload, _) => rate = bb.getInt(payload + 4).toLong
+      case ("data", payload, csz) =>
+        var sum = 0L; var peak = 0L; var kept = 0L
+        var k = 0
+        while (k < csz) {
+          if (k % 2 == 0) {
+            val b = p(payload + k) & 0xff
+            sum += b
+            val dev = math.abs(b - 128)
+            if (dev > peak) peak = dev
+            kept += 1
           }
-          out = Some((csz.toLong, kept, sum, peak))
-        case _ => ()
-      }
-      off += 8 + csz + (csz & 1)
+          k += 1
+        }
+        out = Some((csz.toLong, kept, sum, peak))
+      case _ => ()
     }
     val (n, kept, sum, peak) = out.getOrElse(
       throw new IllegalStateException(s"doc $id: WAV missing data chunk"))
@@ -525,13 +503,7 @@ object Binary {
 
   private[graft] def parseThumb(id: Long, p: Array[Byte]): Option[Thumb] = {
     if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
-    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    val off = bb.getInt(10)
-    val w = bb.getInt(18)
-    val h = bb.getInt(22)
-    val stride = ((w * 3 + 3) / 4) * 4
-    require(w > 0 && h > 0 && off + stride.toLong * h <= p.length,
-      s"doc $id: BMP pixel array out of bounds (w=$w h=$h off=$off)")
+    val (off, w, h, stride) = bmpHeader(id, p)
     def px(sy: Int, sx: Int): Long = {
       val rowStart = off + (h - 1 - sy) * stride // bottom-up storage
       var s = 0L
@@ -570,16 +542,32 @@ object Binary {
       .toDF()
   }
 
-  private[graft] def parseImageFeatures(
-      id: Long, p: Array[Byte]): Option[ImageFeatures] = {
-    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+  /** Decode + validate a 24-bpp BMP header: (pixel-array offset,
+    * width, height, row stride). ONE definition of the fail-loudly
+    * bounds contract (positive dims, 24 bpp, pixel array inside the
+    * payload) for every BMP consumer — the copies had already
+    * diverged once (parseFrames carried the bounds check, the
+    * feature parsers didn't).
+    */
+  private def bmpHeader(id: Long, p: Array[Byte]): (Int, Int, Int, Int) = {
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     val dataOff = bb.getInt(10)
     val w = bb.getInt(18)
     val h = bb.getInt(22)
     val bpp = bb.getShort(28).toInt
-    require(bpp == 24 && h > 0, s"doc $id: unsupported BMP variant (bpp=$bpp h=$h)")
+    require(bpp == 24 && w > 0 && h > 0,
+      s"doc $id: unsupported BMP variant (bpp=$bpp w=$w h=$h)")
     val stride = ((w * 3 + 3) / 4) * 4
+    require(dataOff >= 0 && dataOff + stride.toLong * h <= p.length,
+      s"doc $id: BMP pixel array out of bounds (w=$w h=$h off=$dataOff, " +
+        s"${p.length} bytes)")
+    (dataOff, w, h, stride)
+  }
+
+  private[graft] def parseImageFeatures(
+      id: Long, p: Array[Byte]): Option[ImageFeatures] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val (dataOff, w, h, stride) = bmpHeader(id, p)
     val sums = new Array[Long](3)
     var r = 0
     while (r < h) {
@@ -631,29 +619,22 @@ object Binary {
     def ascii(from: Int, len: Int): String =
       if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return Nil
-    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 12
     val out = scala.collection.mutable.ArrayBuffer.empty[VadFrame]
-    while (off + 8 <= p.length) {
-      val cid = new String(p, off, 4, "US-ASCII")
-      val csz = bb.getInt(off + 4)
-      require(csz >= 0 && off + 8 + csz.toLong <= p.length,
-        s"doc $id: bad RIFF chunk size $csz at offset $off (${p.length} bytes)")
-      if (cid == "data") {
+    riffChunks(id, p).foreach {
+      case ("data", payload, csz) =>
         var k = 0
         while (k < csz) {
           var e = 0L
           var j = k
           val end = math.min(k + frameLen, csz)
           while (j < end) {
-            e += math.abs((p(off + 8 + j) & 0xff) - 128).toLong
+            e += math.abs((p(payload + j) & 0xff) - 128).toLong
             j += 1
           }
           out += VadFrame(id, (k / frameLen).toLong, e)
           k += frameLen
         }
-      }
-      off += 8 + csz + (csz & 1)
+      case _ => ()
     }
     out.toSeq
   }
@@ -715,13 +696,7 @@ object Binary {
     */
   private[graft] def parsePhash(id: Long, p: Array[Byte]): Option[(Long, Long)] = {
     if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
-    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    val dataOff = bb.getInt(10)
-    val w = bb.getInt(18)
-    val h = bb.getInt(22)
-    val bpp = bb.getShort(28).toInt
-    require(bpp == 24 && h > 0, s"doc $id: unsupported BMP variant (bpp=$bpp h=$h)")
-    val stride = ((w * 3 + 3) / 4) * 4
+    val (dataOff, w, h, stride) = bmpHeader(id, p)
     val cellSum = new Array[Long](16)
     val cellCnt = new Array[Long](16)
     var total = 0L

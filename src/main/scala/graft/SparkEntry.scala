@@ -770,6 +770,21 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphStats(Tables.load(s, dir, "embeddings"))),
 
+    // Corpus-level media census: per (source, kind) the doc count
+    // and total container bytes — "what's in my multimodal corpus".
+    "multimodal_mix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Binary.mediaPayload(docs)
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("kind",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+        .groupBy(col("source"), col("kind"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("source"), col("kind"))
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Binary.withMeta(Binary.withPayload(Tables.load(s, dir, "documents")))
         .groupBy(col("kind"))
@@ -4854,6 +4869,28 @@ object SparkEntry {
     // (id·31+j) mod 256 with j running row-major over w·3-byte pixel
     // rows (padding excluded by construction); BMP stores BGR, and
     // since w·3 ≡ 0 (mod 3) the channel of byte j is j mod 3.
+    // container sizes recomputed from the per-kind format layout:
+    // BMP 54 + stride*h, WAV 44 + n, Y4M header + frames*(6 + fb)
+    "multimodal_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 54 +
+         |        ((((4 + doc_id % 13) * 3 + 3) // 4) * 4) * (3 + doc_id % 7)
+         |      WHEN 1 THEN 44 + 64 + doc_id % 101
+         |      ELSE length('YUV4MPEG2 W'
+         |          || CAST(4 + 2 * (doc_id % 6) AS VARCHAR) || ' H'
+         |          || CAST(2 + 2 * (doc_id % 4) AS VARCHAR)
+         |          || ' F25:1 Ip A1:1 C420') + 1
+         |        + (1 + doc_id % 3) * (6 +
+         |          ((4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) * 3) // 2)
+         |      END AS n_bytes
+         |  FROM documents)
+         |SELECT source, kind, count(*) AS n_docs,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "multimodal_video_halfrate" ->
       s"""WITH d AS (SELECT doc_id,
          |    ((4 + 2 * (doc_id % 6)) * (2 + 2 * (doc_id % 4)) * 3) // 2 AS fb,

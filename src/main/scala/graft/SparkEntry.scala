@@ -166,6 +166,15 @@ object SparkEntry {
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
 
+    // Full-load → CDC cutover: snapshot taken ACROSS an in-flight
+    // change window, merged with the overlapping stream by position
+    // (snapshot row at (read_ts, +inf)); per table the cached/
+    // overridden/new/deleted key cohorts and the exactly-once
+    // invariant n_mismatch = 0 vs the full-feed batch apply.
+    "cdc_snapshot_handoff" -> ((s, dir) =>
+      cdc.Handoff.snapshotHandoff(ChangeFeed.fromEvents(s, dir),
+        "2024-01-29 00:00:00", windowSeconds = 86400)),
+
     // Storage tiering: live keys bucketed hot/warm/cold by
     // inactivity vs the feed head, with per-tier byte mass.
     "cdc_tiering_plan" -> ((s, dir) =>
@@ -1820,6 +1829,77 @@ object SparkEntry {
          |    AND c.ts < h.horizon_ts) = 0 AS reachable
          |FROM c, h, p
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_snapshot_handoff" ->
+      s"""$C, f AS (
+         |  SELECT user_id, table_name, op, ts, event_id, value,
+         |    TIMESTAMP '2024-01-29 00:00:00'
+         |      + to_seconds(${Portable.duckHash("CAST(user_id AS VARCHAR)")}
+         |        % 86400) AS read_ts
+         |  FROM c WHERE ts IS NOT NULL),
+         |snap AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM f WHERE ts <= read_ts) s
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |u AS (
+         |  SELECT user_id, table_name, value, ts AS src_ts,
+         |    event_id AS src_event_id, 'load' AS src, 'load' AS op,
+         |    read_ts AS pos_ts, 9223372036854775807 AS pos_seq,
+         |    FALSE AS cached
+         |  FROM snap
+         |  UNION ALL
+         |  SELECT user_id, table_name, value, ts, event_id, 'cdc', op,
+         |    ts, event_id, ts <= read_ts
+         |  FROM f WHERE ts > TIMESTAMP '2024-01-29 00:00:00'),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY pos_ts DESC, pos_seq DESC) AS rn FROM u),
+         |k AS (SELECT user_id, max(table_name) AS table_name,
+         |    max(CASE WHEN src = 'load' THEN 1 ELSE 0 END) AS has_snap,
+         |    sum(CASE WHEN src = 'cdc' THEN 1 ELSE 0 END) AS n_cdc,
+         |    sum(CASE WHEN cached THEN 1 ELSE 0 END) AS n_cached,
+         |    max(CASE WHEN rn = 1 THEN src END) AS win_src,
+         |    max(CASE WHEN rn = 1 THEN op END) AS win_op,
+         |    max(CASE WHEN rn = 1 THEN src_event_id END) AS win_event_id,
+         |    max(CASE WHEN rn = 1 THEN value END) AS win_value
+         |  FROM w GROUP BY 1),
+         |fs AS (SELECT user_id, table_name, event_id, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM f) s
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |cmp AS (SELECT coalesce(m.table_name, fs.table_name) AS table_name,
+         |    CASE WHEN m.user_id IS NULL OR fs.user_id IS NULL
+         |      OR m.win_event_id <> fs.event_id
+         |      OR m.win_value IS DISTINCT FROM fs.value
+         |      THEN 1 ELSE 0 END AS mm
+         |  FROM (SELECT * FROM k WHERE win_op <> 'delete') m
+         |  FULL OUTER JOIN fs ON m.user_id = fs.user_id),
+         |mm AS (SELECT table_name, CAST(sum(mm) AS BIGINT) AS n_mismatch
+         |  FROM cmp GROUP BY 1),
+         |a AS (SELECT table_name,
+         |    CAST(sum(has_snap) AS BIGINT) AS n_snapshot_keys,
+         |    CAST(sum(n_cdc) AS BIGINT) AS n_cdc_events,
+         |    CAST(sum(n_cached) AS BIGINT) AS n_double_delivered,
+         |    CAST(sum(CASE WHEN n_cdc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unchanged_keys,
+         |    CAST(sum(CASE WHEN has_snap = 1 AND n_cdc > 0
+         |      AND win_src = 'load' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cached_only_keys,
+         |    CAST(sum(CASE WHEN has_snap = 1 AND win_src = 'cdc'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overridden_keys,
+         |    CAST(sum(CASE WHEN has_snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cdc_new_keys,
+         |    CAST(sum(CASE WHEN win_op = 'delete' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_deleted_keys,
+         |    CAST(sum(CASE WHEN win_op <> 'delete' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_final_keys
+         |  FROM k GROUP BY 1)
+         |SELECT a.table_name, a.n_snapshot_keys, a.n_cdc_events,
+         |  a.n_double_delivered, a.n_unchanged_keys, a.n_cached_only_keys,
+         |  a.n_overridden_keys, a.n_cdc_new_keys, a.n_deleted_keys,
+         |  a.n_final_keys, coalesce(mm.n_mismatch, 0) AS n_mismatch
+         |FROM a LEFT JOIN mm ON a.table_name = mm.table_name
+         |ORDER BY 1""".stripMargin,
 
     "cdc_compacted_log" ->
       s"""$C, r AS (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -166,6 +166,17 @@ object SparkEntry {
           replayPoints = Seq("2024-01-15 00:00:00", "2024-01-30 12:00:00"))
         .orderBy(col("table_name"), col("replay_ts"))),
 
+    // Consumer resume playbook: per (shard, iterator type) where
+    // TRIM_HORIZON / AT_TIMESTAMP / AFTER_SEQUENCE would start and
+    // what each skips, serves, or silently loses — the unifying view
+    // over retention_audit + replay_at + consume_paged. The Jan-29
+    // AT_TIMESTAMP point sits below the 24 h horizon → data-loss
+    // verdict; the Jan-30 checkpoint resumes cleanly.
+    "cdc_consume_resume" -> ((s, dir) =>
+      cdc.Retention.resumePlaybook(ChangeFeed.fromEvents(s, dir),
+        retentionHours = 24, atTs = "2024-01-29 00:00:00",
+        checkpointTs = "2024-01-30 12:00:00")),
+
     // Full-load → CDC cutover: snapshot taken ACROSS an in-flight
     // change window, merged with the overlapping stream by position
     // (snapshot row at (read_ts, +inf)); per table the cached/
@@ -1829,6 +1840,64 @@ object SparkEntry {
          |    AND c.ts < h.horizon_ts) = 0 AS reachable
          |FROM c, h, p
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_consume_resume" ->
+      s"""$C, s0 AS (SELECT ts, event_id,
+         |    ${Portable.duckHash("partition_key")} % 8 AS shard
+         |  FROM c WHERE ts IS NOT NULL),
+         |h AS (SELECT max(ts) - INTERVAL 24 HOUR AS horizon_ts FROM s0),
+         |q AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY ts, event_id) AS BIGINT) AS seq FROM s0),
+         |q2 AS (SELECT q.*, h.horizon_ts,
+         |    max(CASE WHEN ts <= TIMESTAMP '2024-01-30 12:00:00'
+         |      THEN seq END) OVER (PARTITION BY shard) AS cp_seq
+         |  FROM q, h),
+         |q3 AS (SELECT *, ts >= horizon_ts AS retained,
+         |    (cp_seq IS NULL OR seq > cp_seq) AS after_cp FROM q2),
+         |g AS (SELECT shard,
+         |    CAST(count(*) FILTER (WHERE NOT retained) AS BIGINT)
+         |      AS n_aged_out,
+         |    arg_min(ts, seq) FILTER (WHERE retained) AS th_ts,
+         |    arg_min(event_id, seq) FILTER (WHERE retained) AS th_eid,
+         |    CAST(count(*) FILTER (WHERE retained) AS BIGINT) AS th_served,
+         |    arg_min(ts, seq) FILTER (WHERE retained
+         |      AND ts >= TIMESTAMP '2024-01-29 00:00:00') AS at_ts,
+         |    arg_min(event_id, seq) FILTER (WHERE retained
+         |      AND ts >= TIMESTAMP '2024-01-29 00:00:00') AS at_eid,
+         |    CAST(count(*) FILTER (WHERE retained
+         |      AND ts >= TIMESTAMP '2024-01-29 00:00:00') AS BIGINT)
+         |      AS at_served,
+         |    CAST(count(*) FILTER (WHERE retained
+         |      AND ts < TIMESTAMP '2024-01-29 00:00:00') AS BIGINT)
+         |      AS at_skipped,
+         |    CAST(count(*) FILTER (WHERE NOT retained
+         |      AND ts > TIMESTAMP '2024-01-29 00:00:00') AS BIGINT)
+         |      AS at_lost,
+         |    arg_min(ts, seq) FILTER (WHERE retained AND after_cp)
+         |      AS as_ts,
+         |    arg_min(event_id, seq) FILTER (WHERE retained AND after_cp)
+         |      AS as_eid,
+         |    CAST(count(*) FILTER (WHERE retained AND after_cp) AS BIGINT)
+         |      AS as_served,
+         |    CAST(count(*) FILTER (WHERE retained AND NOT after_cp)
+         |      AS BIGINT) AS as_skipped,
+         |    CAST(count(*) FILTER (WHERE NOT retained AND after_cp)
+         |      AS BIGINT) AS as_lost
+         |  FROM q3 GROUP BY 1),
+         |u AS (
+         |  SELECT shard, n_aged_out, 'TRIM_HORIZON' AS iterator_type,
+         |    th_ts AS start_ts, th_eid AS start_event_id,
+         |    th_served AS n_served, CAST(0 AS BIGINT) AS n_skipped,
+         |    CAST(0 AS BIGINT) AS n_lost FROM g
+         |  UNION ALL
+         |  SELECT shard, n_aged_out, 'AT_TIMESTAMP', at_ts, at_eid,
+         |    at_served, at_skipped, at_lost FROM g
+         |  UNION ALL
+         |  SELECT shard, n_aged_out, 'AFTER_SEQUENCE', as_ts, as_eid,
+         |    as_served, as_skipped, as_lost FROM g)
+         |SELECT *, CASE WHEN n_lost = 0 THEN 'ok' ELSE 'data-loss' END
+         |  AS verdict
+         |FROM u ORDER BY shard, iterator_type""".stripMargin,
 
     "cdc_snapshot_handoff" ->
       s"""$C, f AS (

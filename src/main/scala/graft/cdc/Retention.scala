@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retention-horizon audit for the replay/resume family.
@@ -66,5 +67,96 @@ object Retention {
           col("ts") < col("horizon_ts"), 1L).otherwise(0L))
           .as("n_lost_for_replay"))
       .withColumn("reachable", col("n_lost_for_replay") === 0L)
+  }
+
+  /** Consumer resume playbook: per (shard, iterator type) where each
+    * of the Kinesis iterator semantics would start and what it would
+    * skip, serve, or silently lose — the unifying view over the
+    * piecewise coverage (`cdc_retention_audit` = TRIM_HORIZON
+    * reachability, `cdc_replay_at` = AT_TIMESTAMP, `cdc_consume_paged`
+    * = paging) for the consumer loop run.py:168-199 restarts.
+    *
+    *  - TRIM_HORIZON: oldest retained record; serves everything the
+    *    stream still holds (never "loses" — it never requested the
+    *    expired prefix).
+    *  - AT_TIMESTAMP(t): first retained record at-or-after `t`;
+    *    records before `t` are skipped BY CHOICE, records after `t`
+    *    that expired are LOST — the data-loss verdict.
+    *  - AFTER_SEQUENCE(cp): strictly after the shard's last sequence
+    *    at-or-before the checkpoint time — the exactly-once resume:
+    *    unlike AT_TIMESTAMP it does NOT re-serve the checkpointed
+    *    record itself (sequence = per-shard (ts, event_id) arrival
+    *    rank, the Kinesis sequence-number stand-in).
+    *
+    * Scale shape: ONE feed scan — the sequence row_number and the
+    * checkpoint-sequence max share one shard exchange (two chained
+    * windows, same partitioning), the head/horizon is a 1-row
+    * broadcast, and every per-type metric reduces in a single
+    * conditional aggregate whose start positions are struct-mins on
+    * the unique sequence. The 3-way unpivot runs over the |shards|-row
+    * post-aggregate. Output = |shards|·|types| rows.
+    */
+  def resumePlaybook(
+      changes: DataFrame,
+      retentionHours: Int,
+      atTs: String,
+      checkpointTs: String,
+      nShards: Int = 8): DataFrame = {
+    val feed = ChangeFeed.withShard(
+      changes.filter(col("ts").isNotNull), nShards)
+    val head = feed.agg(
+      (max(col("ts")) - make_interval(lit(0), lit(0), lit(0), lit(0),
+        lit(retentionHours))).as("horizon_ts"))
+    val at = lit(atTs).cast("timestamp")
+    val cp = lit(checkpointTs).cast("timestamp")
+    val seqW = Window.partitionBy(col("shard"))
+      .orderBy(col("ts"), col("event_id"))
+    val shardW = Window.partitionBy(col("shard"))
+
+    val q = feed
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .withColumn("cp_seq",
+        max(when(col("ts") <= cp, col("seq"))).over(shardW))
+      .join(broadcast(head))
+      .withColumn("retained", col("ts") >= col("horizon_ts"))
+      .withColumn("after_cp",
+        col("cp_seq").isNull || col("seq") > col("cp_seq"))
+
+    def startOf(cond: org.apache.spark.sql.Column) =
+      min(when(cond, struct(col("seq").as("s"), col("ts").as("ts"),
+        col("event_id").as("event_id"))))
+
+    val g = q.groupBy(col("shard")).agg(
+      sum(when(!col("retained"), 1L).otherwise(0L)).as("n_aged_out"),
+      startOf(col("retained")).as("th_start"),
+      sum(when(col("retained"), 1L).otherwise(0L)).as("th_served"),
+      startOf(col("retained") && col("ts") >= at).as("at_start"),
+      sum(when(col("retained") && col("ts") >= at, 1L).otherwise(0L))
+        .as("at_served"),
+      sum(when(col("retained") && col("ts") < at, 1L).otherwise(0L))
+        .as("at_skipped"),
+      sum(when(!col("retained") && col("ts") > at, 1L).otherwise(0L))
+        .as("at_lost"),
+      startOf(col("retained") && col("after_cp")).as("as_start"),
+      sum(when(col("retained") && col("after_cp"), 1L).otherwise(0L))
+        .as("as_served"),
+      sum(when(col("retained") && !col("after_cp"), 1L).otherwise(0L))
+        .as("as_skipped"),
+      sum(when(!col("retained") && col("after_cp"), 1L).otherwise(0L))
+        .as("as_lost"))
+
+    g.select(col("shard"), col("n_aged_out"), expr(
+        """stack(3,
+          |  'TRIM_HORIZON', th_start.ts, th_start.event_id, th_served,
+          |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |  'AT_TIMESTAMP', at_start.ts, at_start.event_id, at_served,
+          |    at_skipped, at_lost,
+          |  'AFTER_SEQUENCE', as_start.ts, as_start.event_id, as_served,
+          |    as_skipped, as_lost)
+          |AS (iterator_type, start_ts, start_event_id, n_served,
+          |  n_skipped, n_lost)""".stripMargin))
+      .withColumn("verdict",
+        when(col("n_lost") === 0L, "ok").otherwise("data-loss"))
+      .orderBy(col("shard"), col("iterator_type"))
   }
 }

@@ -782,40 +782,123 @@ object CdcPipeline {
       .orderBy(col("window_start"), col("op"))
   }
 
-  /** Session-window aggregation THROUGH the streaming engine:
-    * file-stream source → `session_window(ts, 30 min)` per user
-    * (the engine's native gap-merging stateful operator — windows
-    * extend [ts, ts+gap) and TOUCHING windows merge, so two events
-    * share a session up to and INCLUDING a gap of exactly 30 min;
-    * the batch break rule is therefore strictly-greater, pinned by
-    * SessionWindowSpec)
-    * → complete-mode memory sink → per-user summary. The batch
+  /** Session-window aggregation THROUGH the streaming engine, over
+    * the DEPLOYABLE operator: file-stream source →
+    * [[sessionizeStream]] (watermarked `session_window(ts, 30 min)`,
+    * APPEND mode — the production contract: a session is emitted
+    * exactly once, when the watermark passes its end, and its state
+    * is dropped) → append memory sink → per-user summary. The batch
     * gaps-and-islands formula over the same feed is the oracle:
     * stream-vs-batch equality is the check, the same contract as
     * [[windowedRoundtrip]].
     *
-    * Scale shape: session state is keyed by (user, window) and
-    * merged incrementally by the engine; a live deployment runs
-    * update/append mode with the watermark from `cdc_watermark_plan`
-    * (complete mode here is what lets a finite replay flush its
-    * trailing sessions without a watermark-advancing sentinel
-    * batch). The summary is a |users|-row rollup.
+    * Append mode on a finite replay needs the watermark to pass the
+    * LAST session's end, which no data batch can do on its own — the
+    * classic sentinel flush: the source is staged as two files
+    * (`maxFilesPerTrigger = 1`), the feed and then one sentinel row
+    * stamped past head + gap + delay under a reserved key. Batch 1
+    * carries every real event (the initial watermark is the epoch, so
+    * at delay "1 hour" NOTHING is late — SessionStreamSpec pins the
+    * zero-drop claim); batch 2's sentinel advances the watermark past
+    * every real session, and the engine's watermark-change batch
+    * emits them all. The sentinel key is filtered from the summary
+    * (its own session stays unemitted in state, by design).
+    *
+    * Scale shape: session state is keyed by (user, window), merged
+    * incrementally, and EVICTED at the watermark — bounded by the
+    * live-session working set, never the stream's history (the
+    * Complete-mode alternative re-emits the whole result table every
+    * trigger and ages nothing out). The summary is a |users|-row
+    * rollup.
     */
   def sessionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = graft.Tables.withEventTime(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val sessions = raw.filter(col("ts").isNotNull)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-    drainToLocal(spark, sessions, OutputMode.Complete)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(col("n")).as("n_events"),
-        max(col("n")).as("max_session_events"))
-      .orderBy(col("user_id"))
+    val gap = "30 minutes"
+    val delay = "1 hour"
+    val stage = stageWithSentinel(spark, dir, marginSeconds = 3 * 3600L)
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.Tables.withEventTime(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+      val sessions = sessionizeStream(
+        annotate(raw.filter(col("ts").isNotNull)), gap, delay)
+      drainToLocal(spark, sessions, OutputMode.Append)
+        .filter(col("user_id") =!= SentinelUser)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    } finally removeRecursively(stage)
+  }
+
+  /** Reserved key for the watermark-advancing sentinel row. */
+  val SentinelUser = -1L
+
+  /** Stage `dir/events.parquet` plus a one-row sentinel file stamped
+    * `marginSeconds` past the feed head into a temp directory the
+    * file-stream source replays as two ordered micro-batches (mod
+    * times pin the order; `maxFilesPerTrigger = 1` keeps them
+    * separate). The sentinel row is built in the RAW on-disk schema —
+    * whatever representation this Spark reads the source's
+    * TIMESTAMP(NANOS) column as — so both files stream through one
+    * schema.
+    */
+  private def stageWithSentinel(
+      spark: SparkSession,
+      dir: String,
+      marginSeconds: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val src = Paths.get(s"$dir/events.parquet")
+    val stage = Files.createTempDirectory("graft_session_stage")
+    val feedFile = stage.resolve("batch0.parquet")
+    Files.copy(src, feedFile)
+
+    val head = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelInstant = head.toInstant.plusSeconds(marginSeconds)
+    val rawSchema = spark.read.parquet(src.toString).schema
+    val tsValue: Any = rawSchema("ts").dataType match {
+      case LongType => // nanosAsLong read path (Spark ≤ 4.0)
+        sentinelInstant.getEpochSecond * 1000000000L + sentinelInstant.getNano
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofInstant(sentinelInstant,
+          java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(sentinelInstant)
+    }
+    val row = Row.fromSeq(rawSchema.fields.map(_.name).toSeq.map {
+      case "event_id" => Long.MaxValue
+      case "ts" => tsValue
+      case "user_id" => SentinelUser
+      case "event_type" => "sentinel"
+      case "value" => 0.0
+      case "props" => null
+      case _ => null
+    })
+    val tmpOut = stage.resolve("_sentinel_out")
+    spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
+      .coalesce(1).write.parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val sentinelFile = stage.resolve("batch1.parquet")
+    Files.move(part, sentinelFile)
+    removeRecursively(tmpOut)
+    // mod times decide replay order in the file-stream source
+    Files.setLastModifiedTime(feedFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 60000))
+    Files.setLastModifiedTime(sentinelFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+    stage
+  }
+
+  private def removeRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p))
+      Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(removeRecursively)
+    Files.deleteIfExists(p); ()
   }
 
   /** Kinesis-like sink: JSON files partitioned by the schema.table

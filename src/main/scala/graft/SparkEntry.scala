@@ -641,6 +641,13 @@ object SparkEntry {
       TextAnalysis.bpePairStats(Tables.load(s, dir, "documents"),
         col("text"), 50)),
 
+    // BPE merge loop: 8 rounds of census -> argmax -> contraction over
+    // the delimited vocabulary; output = the deterministic merge table
+    // (round, pair, count) a tokenizer trainer would ship.
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"),
+        col("text"), 8)),
+
     // Hapax-legomena share per source (lexical health gauge).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
@@ -3986,6 +3993,9 @@ object SparkEntry {
          |  CAST(abs(c0 * n.n1 - c1 * n.n0) AS BIGINT) AS drift
          |FROM tc, n
          |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
+
+    "text_bpe_train" ->
+      TextAnalysis.duckBpeTrain("text", "documents", 8),
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

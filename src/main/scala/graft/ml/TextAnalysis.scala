@@ -573,6 +573,110 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topK)
 
+  /** BPE trainer: iterate the merge loop [[bpePairStats]] computes one
+    * census of — `nMerges` rounds, each picking the most frequent
+    * adjacent symbol pair over the corpus vocabulary (count desc,
+    * pair asc tie-break) and contracting it in every token before the
+    * next census. Output: one row per round with the merged pair and
+    * its count — the actual (deterministic) merge table a tokenizer
+    * would ship.
+    *
+    * Representation: each vocabulary token is held as its symbol
+    * sequence in delimited form `(s1)(s2)…(sn)` — training is
+    * restricted to `^[a-z]+$` tokens so the delimiters can never
+    * collide with symbol content. The round's contraction is then a
+    * plain non-overlapping left-to-right `replace` of `(a)(b)` with
+    * `(ab)` — exactly BPE's greedy merge scan, because the closed
+    * delimiters make occurrences non-adjacent ( `(a)(a)(a)(a)` under
+    * pair (a,a) → `(aa)(aa)`, never sharing a boundary char ) — and
+    * the SAME string primitive the oracle replays.
+    *
+    * Scale shape: the census is vocabulary-bounded (a token
+    * contributes its |token|−1 positions once, scaled by its corpus
+    * count — the [[bpePairStats]] argument), so every round shuffles
+    * |vocab| rows at most; the corpus-sized reduce happens once, up
+    * front, and is cached across rounds. The per-round driver step is
+    * a documented 1-row collect (the argmax merge decision — the
+    * k-means-update pattern); all rewriting stays distributed.
+    */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = graft.CacheScope.materialize(
+      docs.select(explode(tokens(text)).as("tok"))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .select(regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("n")))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      val top = vocab
+        .select(col("n"),
+          split(expr("substring(w, 2, char_length(w) - 2)"), "\\)\\(").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat('(', element_at(sy, i), ')(', element_at(sy, i + 1), ')'))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getAs[String]("pair")
+        val cnt = top(0).getAs[Long]("cnt")
+        val inner = pair.substring(1, pair.length - 1).split("\\)\\(")
+        merges += ((round.toLong, inner(0), inner(1), inner(0) + inner(1), cnt))
+        vocab = vocab.select(
+          regexp_replace(col("w"), java.util.regex.Pattern.quote(pair),
+            java.util.regex.Matcher.quoteReplacement(s"(${inner(0)}${inner(1)})"))
+            .as("w"),
+          col("n"))
+      }
+    }
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Oracle twin of [[bpeTrain]]: the merge loop unrolled as chained
+    * CTEs (one census + argmax + rewrite per round), over the same
+    * delimited representation and the same `replace` primitive.
+    */
+  def duckBpeTrain(textExpr: String, table: String, nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tk AS (SELECT unnest(${duckTokens(textExpr)}) AS tok FROM $table),
+         |v0 AS (SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |    count(*) AS n
+         |  FROM tk WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1)""".stripMargin)
+    for (r <- 1 to nMerges) {
+      sb.append(
+        s""",
+           |c$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(sy)),
+           |      i -> '(' || sy[i] || ')(' || sy[i + 1] || ')')) AS pair
+           |    FROM (SELECT n, string_split(substring(w, 2, length(w) - 2),
+           |        ')(') AS sy FROM v${r - 1}) s
+           |    WHERE len(sy) >= 2) p GROUP BY 1),
+           |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+           |v$r AS (SELECT replace(v.w, t.pair, replace(t.pair, ')(', '')) AS w,
+           |    v.n FROM v${r - 1} v, t$r t)""".stripMargin)
+    }
+    val rounds = (1 to nMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  string_split(substring(pair, 2, length(pair) - 2), ')(')[1]
+         |    AS left_sym,
+         |  string_split(substring(pair, 2, length(pair) - 2), ')(')[2]
+         |    AS right_sym,
+         |  string_split(substring(pair, 2, length(pair) - 2), ')(')[1]
+         |    || string_split(substring(pair, 2, length(pair) - 2), ')(')[2]
+         |    AS merged,
+         |  cnt AS pair_count FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"\n$rounds\nORDER BY round")
+    sb.toString
+  }
+
   /** Hapax profile per source: vocabulary size, hapax legomena
     * (terms seen exactly once in the source) and their share of the
     * vocabulary. A high hapax share flags OCR noise / tokenizer

@@ -43,6 +43,36 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(!got.contains("x"))
   }
 
+  test("bpeTrain: greedy non-overlapping contraction, merged symbols feed later rounds") {
+    import spark.implicits._
+    // round 1 must pick (a,a): "aaaa"x3 contributes 3 positions x 3
+    // occurrences = 9, beating (b,c)'s 5. The contraction is greedy
+    // left-to-right: aaaa -> (aa)(aa), NOT three overlapping merges —
+    // so round 2's census sees pair (aa,aa) with count 3 from aaaa
+    // plus nothing from elsewhere, while (b,c) still has 5 -> round 2
+    // = (b,c). Round 3 then merges the round-2 SYMBOL (bc) with d
+    // (count 5), proving merged symbols re-enter the loop.
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa bcd bcd"),
+      (2L, "bcd bcd bcd")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, col("text"), 3)
+      .collect().map(r => (r.getAs[Long]("round"),
+        (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[String]("merged"), r.getAs[Long]("pair_count"))))
+      .toMap
+    assert(got(1L) === (("a", "a", "aa", 9L)))
+    assert(got(2L) === (("b", "c", "bc", 5L)))
+    assert(got(3L) === (("bc", "d", "bcd", 5L)))
+  }
+
+  test("bpeTrain: non-alphabetic tokens never reach the trainer") {
+    import spark.implicits._
+    val docs = Seq((1L, "x9x9 x9x9 (()) ab ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, col("text"), 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("merged") === "ab")
+  }
+
   test("prefixRecall: full-width prefix scores 1.0 on every probe") {
     import spark.implicits._
     val embs = (0L until 12L).map { i =>

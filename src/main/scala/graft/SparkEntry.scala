@@ -1351,6 +1351,24 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // IVF-PQ composed index: coarse cells prune the corpus to each
+    // probe's nProbe nearest, the ADC code scan ranks only those
+    // cells' members — the 100 TB serving shape (scan fraction
+    // bounded by IVF, bytes/row bounded by PQ).
+    "sim_ann_ivf_pq" -> ((s, dir) =>
+      Similarity.topKAnnIvfPq(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    // The composed index's recall vs the exact ranking — prices both
+    // approximations (cell miss + code distortion) together.
+    "sim_ann_ivf_pq_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnIvfPq(embs))
+        .orderBy(col("probe_id"))
+    }),
+
     // Inter-arrival ⌊log2 µs⌋ histogram per event type — the arrival
     // cadence/burstiness profile; bounded |types|·64 output grid.
     "events_interarrival" -> ((s, dir) =>
@@ -1787,6 +1805,55 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id, sub
        |      ORDER BY d2, code) AS rk
        |  FROM d2)""".stripMargin
+
+  /** IVF-PQ composed chain (twin of Similarity.topKAnnIvfPq):
+    * assumes `embCtes` (raw chain: qv/flat/norms, for the coarse
+    * cells) and `pqCtes(pqNormHead)` (codebook + codes) are already
+    * in scope. IVF-side CTEs carry an `i` prefix to avoid clashing
+    * with the PQ chain's `comp`. Ends at `ipqr` (the ranked composed
+    * result).
+    */
+  private val ivfPqCtes: String =
+    s"""lab AS (SELECT vec_id, label FROM embeddings),
+       |icomp AS (SELECT l.label, fl.i,
+       |    CAST(round(CAST(sum(fl.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
+       |  FROM flat fl JOIN lab l ON l.vec_id = fl.vec_id GROUP BY 1, 2),
+       |icells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
+       |  FROM icomp GROUP BY 1),
+       |ipc AS (SELECT fl.vec_id AS probe_id, c.label,
+       |    CAST(sum(fl.v * c.s) AS BIGINT) AS dotpc
+       |  FROM flat fl JOIN icomp c ON c.i = fl.i
+       |  WHERE fl.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
+       |isc AS (SELECT ipc.probe_id, ipc.label,
+       |    CAST(dotpc AS DOUBLE)
+       |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
+       |  FROM ipc
+       |  JOIN norms n ON n.vec_id = ipc.probe_id AND n.n2 > 0
+       |  JOIN icells cl ON cl.label = ipc.label),
+       |itc AS (SELECT probe_id, label FROM (
+       |    SELECT isc.*, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cell_cos DESC, label) AS crk FROM isc) t
+       |  WHERE crk <= ${Similarity.IvfNProbe}),
+       |icand AS (SELECT itc.probe_id, l.vec_id
+       |  FROM itc JOIN lab l ON l.label = itc.label
+       |    AND l.vec_id <> itc.probe_id),
+       |ipq_codes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
+       |ipq_pflat AS (SELECT vec_id AS probe_id, sub, il, v FROM f
+       |  WHERE vec_id < ${Similarity.NumProbes}),
+       |ipq_lut AS (SELECT p.probe_id, c.sub, c.code,
+       |    CAST(sum((p.v - c.m) * (p.v - c.m)) AS BIGINT) AS pd2
+       |  FROM ipq_pflat p JOIN comp c ON c.sub = p.sub AND c.il = p.il
+       |  GROUP BY 1, 2, 3),
+       |ipq_sc AS (SELECT ic.probe_id, cd.vec_id AS neighbor_id,
+       |    CAST(sum(l.pd2) AS BIGINT) AS approx_d2
+       |  FROM icand ic
+       |  JOIN ipq_codes cd ON cd.vec_id = ic.vec_id
+       |  JOIN ipq_lut l ON l.probe_id = ic.probe_id AND l.sub = cd.sub
+       |    AND l.code = cd.code
+       |  GROUP BY 1, 2),
+       |ipqr AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY approx_d2, neighbor_id) AS BIGINT) AS rk
+       |  FROM ipq_sc)""".stripMargin
 
   /** ONE template for both attribution twins — they differ only in
     * the window function that picks the credited touch
@@ -4864,6 +4931,41 @@ object SparkEntry {
          |    ORDER BY approx_d2, neighbor_id) AS BIGINT) AS rk FROM sc)
          |SELECT probe_id, neighbor_id, approx_d2, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_ivf_pq" ->
+      s"""WITH $embCtes,
+         |${pqCtes(pqNormHead)},
+         |$ivfPqCtes
+         |SELECT probe_id, neighbor_id, approx_d2, rk FROM ipqr
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_ivf_pq_recall" ->
+      s"""WITH $embCtes,
+         |${pqCtes(pqNormHead)},
+         |$ivfPqCtes,
+         |bd AS (SELECT fp.vec_id AS probe_id, f2.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f2.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f2 ON f2.i = fp.i AND f2.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br
+         |  WHERE rk <= ${Similarity.TopK}),
+         |ak AS (SELECT probe_id, neighbor_id FROM ipqr
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+         |FROM bfk b LEFT JOIN ak a ON a.probe_id = b.probe_id
+         |  AND a.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact baseline from the RAW quantized chain (embCtes — the
     // same relation sim_topk_bruteforce ranks); the ADC side runs on

@@ -180,7 +180,11 @@ object Similarity {
   /** IVF ranking over an already-quantized relation — shared by the
     * fixed-nProbe operator and [[ivfRecallCurve]], which reuses ONE
     * materialized quantized relation across all its points. */
-  private def topKAnnIvfOn(
+  /** Coarse-quantizer cell selection shared by the IVF rankers: per
+    * probe, its `nProbe` nearest cells by rounded-mean-centroid
+    * cosine — (probe_id, label) rows, NumProbes·nProbe of them.
+    */
+  private[graft] def ivfTopCells(
       qv: DataFrame, lab: DataFrame, nProbe: Int): DataFrame = {
     val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
     // rounded-mean components per cell: #cells × dim rows
@@ -205,10 +209,14 @@ object Similarity {
         Vectors.cosine(col("dotpc"), col("n2_p"), col("sn2")))
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("cell_cos").desc, col("label"))
-    val topCells = scoredCells.withColumn("crk", row_number().over(wc))
+    scoredCells.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= nProbe)
       .select(col("probe_id"), col("label"))
-    val cands = topCells
+  }
+
+  private def topKAnnIvfOn(
+      qv: DataFrame, lab: DataFrame, nProbe: Int): DataFrame = {
+    val cands = ivfTopCells(qv, lab, nProbe)
       .join(lab.toDF("vec_id", "label"), "label")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
@@ -764,6 +772,52 @@ object Similarity {
       .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), col("approx_d2"), col("rk"))
+  }
+
+  /** IVF-PQ composed index: the coarse quantizer prunes the corpus to
+    * each probe's `nProbe` nearest cells ([[ivfTopCells]] — the same
+    * cell selection `sim_ann_ivf` ranks exactly within), and the
+    * ADC code scan ([[topKAnnPq]]'s LUT) ranks ONLY those cells'
+    * members by summed sub-quantizer distances — no candidate's
+    * floats are ever touched. This is the shape a 100 TB ANN
+    * deployment actually runs: IVF bounds the scan to
+    * nProbe/#cells of the corpus, PQ bounds the bytes per scanned
+    * row to the code width, and the recall gauge
+    * (`sim_ann_ivf_pq_recall`) prices the two approximations
+    * together against the exact ranking.
+    *
+    * Scale shape: candidates come from an equi-join of the
+    * (probes·nProbe)-row cell list against the cell-keyed corpus
+    * (never a cross join); the codebook LUT rides broadcast
+    * (≤ probes·PqSub·2^PqBits rows); the only corpus-sized
+    * exchanges are the code join on vec_id and one
+    * (probe, candidate) reduce bounded by the probed-cell mass.
+    */
+  def topKAnnIvfPq(embs: DataFrame, nProbe: Int = IvfNProbe): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val topCells = ivfTopCells(
+      materialize(Vectors.quantized(embs)), lab, nProbe)
+    val cands = topCells
+      .join(lab.toDF("vec_id", "label"), "label")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val (flatN, compN, chosen) = pqParts(embs, normalized = true)
+    val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
+    val pflat = flatN.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
+    val lut = pflat.join(broadcast(compN), Seq("sub", "il"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+    val scored = cands
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("approx_d2"))
     val w = Window.partitionBy(col("probe_id"))

@@ -152,6 +152,52 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composed index: candidates intersect IVF's cells, scores are ADC's") {
+    val rows = Similarity.topKAnnIvfPq(embs).collect()
+    assert(rows.nonEmpty)
+    // ranks dense from 1, ascending approx distance per probe
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { g =>
+      val byRk = g.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to byRk.length.toLong))
+      val d = byRk.map(_.getAs[Long]("approx_d2"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+      assert(byRk.length <= Similarity.TopK)
+    }
+    // every composed neighbor carries exactly the plain-ADC score
+    // (the IVF stage may only PRUNE, never rescore) ...
+    val adc = Similarity.topKAnnPq(embs).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("approx_d2")).toMap
+    // ... and composed results present in the unpruned ADC top-k
+    // must agree on the distance
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      adc.get(key).foreach(d => assert(d == r.getAs[Long]("approx_d2")))
+    }
+    // strict cell containment: every composed neighbor's cell is one
+    // of its probe's ivfTopCells selections (the IVF stage prunes to
+    // exactly these cells)
+    val lab = embs.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("label").longValue()).toMap
+    val selected = Similarity.ivfTopCells(
+        graft.ml.Vectors.quantized(embs),
+        embs.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("label")),
+        Similarity.IvfNProbe)
+      .collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, g) =>
+        p -> g.map(_.getAs[Number]("label").longValue()).toSet }
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val cell = lab(r.getAs[Long]("neighbor_id"))
+      assert(selected(p).contains(cell),
+        s"probe $p neighbor cell $cell outside its selected cells ${selected(p)}")
+    }
+  }
+
   test("transformation rules rename tables and reshape columns") {
     import graft.cdc.{ChangeFeed, TableMapping}
     val t = TableMapping.Transformations(Seq(

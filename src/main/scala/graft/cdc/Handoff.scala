@@ -104,8 +104,13 @@ object Handoff {
 
     // One keyed aggregate: merge winner by position (struct-max —
     // (pos_ts, pos_seq) is unique per key, so the trailing payload
-    // fields never decide) + every cohort counter.
-    val perKey = snapEvents.unionByName(cdcEvents)
+    // fields never decide) + every cohort counter. Materialized: both
+    // the cohort rollup and the mismatch join consume it, and without
+    // the cache each branch re-runs the snapshot window + union
+    // (5 feed scans total vs 3 — the |keys|-row relation is the cheap
+    // thing to hold, the feed is not).
+    val perKey = graft.CacheScope.materialize(
+      snapEvents.unionByName(cdcEvents)
       .groupBy(col("user_id"))
       .agg(
         max(col("table_name")).as("table_name"),
@@ -118,7 +123,7 @@ object Handoff {
         col("n_cdc"), col("n_cached"),
         col("win.src").as("win_src"), col("win.op").as("win_op"),
         col("win.src_event_id").as("win_event_id"),
-        col("win.value").as("win_value"))
+        col("win.value").as("win_value")))
 
     // Reference state: the plain batch apply over the WHOLE feed —
     // what the merge must reproduce exactly.

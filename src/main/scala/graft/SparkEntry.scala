@@ -648,6 +648,13 @@ object SparkEntry {
       TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"),
         col("text"), 8)),
 
+    // Apply the trained merges: per-source compression profile
+    // (pieces/token, chars/piece) with byte-fallback for untrained
+    // tokens — the trainer's payoff measured on its own corpus.
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.load(s, dir, "documents"),
+        col("text"), 8)),
+
     // Hapax-legomena share per source (lexical health gauge).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
@@ -4063,6 +4070,9 @@ object SparkEntry {
 
     "text_bpe_train" ->
       TextAnalysis.duckBpeTrain("text", "documents", 8),
+
+    "text_bpe_encode" ->
+      TextAnalysis.duckBpeEncode("text", "documents", 8),
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

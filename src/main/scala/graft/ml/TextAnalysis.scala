@@ -602,11 +602,26 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    trainBpe(docs, text, nMerges)._2
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Shared trainer core: the merged-vocabulary relation
+    * (tok, w = delimited symbols, n = corpus count) after `nMerges`
+    * rounds, plus the merge table rows. [[bpeTrain]] reports the
+    * table; [[bpeEncode]] applies the vocabulary.
+    */
+  private def trainBpe(
+      docs: DataFrame,
+      text: Column,
+      nMerges: Int): (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     var vocab = graft.CacheScope.materialize(
       docs.select(explode(tokens(text)).as("tok"))
         .filter(col("tok").rlike("^[a-z]+$"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .select(regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("n")))
+        .select(col("tok"),
+          regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("n")))
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (round <- 1 to nMerges) {
       val top = vocab
@@ -626,29 +641,73 @@ object TextAnalysis {
         val cnt = top(0).getAs[Long]("cnt")
         val inner = pair.substring(1, pair.length - 1).split("\\)\\(")
         merges += ((round.toLong, inner(0), inner(1), inner(0) + inner(1), cnt))
-        vocab = vocab.select(
+        vocab = vocab.select(col("tok"),
           regexp_replace(col("w"), java.util.regex.Pattern.quote(pair),
             java.util.regex.Matcher.quoteReplacement(s"(${inner(0)}${inner(1)})"))
             .as("w"),
           col("n"))
       }
     }
-    merges.result()
-      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy(col("round"))
+    (vocab, merges.result())
+  }
+
+  /** Tokenizer application — the payoff of [[bpeTrain]]: encode the
+    * corpus with the learned merge table and report the compression
+    * profile per source (pieces per token, chars per piece — the
+    * numbers that decide whether N merges is enough vocabulary).
+    * Trained `^[a-z]+$` tokens cost their merged symbol count;
+    * everything else falls back to one piece per character (the
+    * byte-fallback convention).
+    *
+    * Scale shape: the corpus reduces ONCE to (source, token) counts
+    * (map-side combined, vocabulary-bounded), the trained vocabulary
+    * joins on the token key (vocabulary-sized build side), and the
+    * per-source rollup is |sources| rows. The corpus is never
+    * re-tokenized per merge — all 8 rewrites happened on the
+    * vocabulary relation during training.
+    */
+  def bpeEncode(docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
+    val (vocab, _) = trainBpe(docs, text, nMerges)
+    val nSym = vocab.select(col("tok"),
+      size(split(expr("substring(w, 2, char_length(w) - 2)"), "\\)\\("))
+        .cast("long").as("n_sym"))
+    val tokCounts = docs
+      .select(col("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    tokCounts.join(nSym, Seq("tok"), "left")
+      .select(col("source"), col("cnt"),
+        char_length(col("tok")).cast("long").as("n_chars"),
+        coalesce(col("n_sym"), char_length(col("tok")).cast("long"))
+          .as("pieces"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("pieces")).as("n_pieces"),
+        sum(col("cnt") * col("n_chars")).as("n_chars"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("pieces_per_token"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("source"))
   }
 
   /** Oracle twin of [[bpeTrain]]: the merge loop unrolled as chained
     * CTEs (one census + argmax + rewrite per round), over the same
-    * delimited representation and the same `replace` primitive.
+    * delimited representation and the same `replace` primitive. The
+    * vocabulary CTEs carry the source token so [[duckBpeEncode]] can
+    * join the trained vocabulary back onto the corpus.
     */
-  def duckBpeTrain(textExpr: String, table: String, nMerges: Int): String = {
+  private def duckBpeChain(textExpr: String, table: String, nMerges: Int): StringBuilder = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH tk AS (SELECT unnest(${duckTokens(textExpr)}) AS tok FROM $table),
-         |v0 AS (SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |v0 AS (SELECT tok, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
          |    count(*) AS n
-         |  FROM tk WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1)""".stripMargin)
+         |  FROM tk WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1, 2)""".stripMargin)
     for (r <- 1 to nMerges) {
       sb.append(
         s""",
@@ -659,9 +718,14 @@ object TextAnalysis {
            |        ')(') AS sy FROM v${r - 1}) s
            |    WHERE len(sy) >= 2) p GROUP BY 1),
            |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
-           |v$r AS (SELECT replace(v.w, t.pair, replace(t.pair, ')(', '')) AS w,
-           |    v.n FROM v${r - 1} v, t$r t)""".stripMargin)
+           |v$r AS (SELECT v.tok, replace(v.w, t.pair, replace(t.pair, ')(', ''))
+           |    AS w, v.n FROM v${r - 1} v, t$r t)""".stripMargin)
     }
+    sb
+  }
+
+  def duckBpeTrain(textExpr: String, table: String, nMerges: Int): String = {
+    val sb = duckBpeChain(textExpr, table, nMerges)
     val rounds = (1 to nMerges).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
          |  string_split(substring(pair, 2, length(pair) - 2), ')(')[1]
@@ -674,6 +738,42 @@ object TextAnalysis {
          |  cnt AS pair_count FROM t$r""".stripMargin
     }.mkString("\nUNION ALL\n")
     sb.append(s"\n$rounds\nORDER BY round")
+    sb.toString
+  }
+
+  /** Oracle twin of [[bpeEncode]]: the training chain plus the
+    * vocabulary join back onto the (source, token) corpus counts,
+    * with the same one-piece-per-character fallback for untrained
+    * tokens.
+    */
+  def duckBpeEncode(textExpr: String, table: String, nMerges: Int): String = {
+    val sb = duckBpeChain(textExpr, table, nMerges)
+    sb.append(
+      s""",
+         |vf AS (SELECT tok,
+         |    CAST(len(string_split(substring(w, 2, length(w) - 2), ')('))
+         |      AS BIGINT) AS n_sym FROM v$nMerges),
+         |corp AS (SELECT source, unnest(${duckTokens(textExpr)}) AS tok
+         |  FROM $table),
+         |tc AS (SELECT source, tok, count(*) AS cnt FROM corp GROUP BY 1, 2),
+         |jn AS (SELECT tc.source, tc.cnt,
+         |    CAST(length(tc.tok) AS BIGINT) AS n_chars,
+         |    coalesce(vf.n_sym, CAST(length(tc.tok) AS BIGINT)) AS pieces
+         |  FROM tc LEFT JOIN vf ON vf.tok = tc.tok),
+         |agg AS (SELECT source,
+         |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(cnt * pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(cnt * n_chars) AS BIGINT) AS n_chars
+         |  FROM jn GROUP BY 1),
+         |nd AS (SELECT source, count(*) AS n_docs FROM $table GROUP BY 1)
+         |SELECT agg.source, nd.n_docs, agg.n_tokens, agg.n_pieces,
+         |  agg.n_chars,
+         |  CAST(agg.n_pieces AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+         |    AS pieces_per_token,
+         |  CAST(agg.n_chars AS DOUBLE) / CAST(agg.n_pieces AS DOUBLE)
+         |    AS chars_per_piece
+         |FROM agg JOIN nd ON nd.source = agg.source
+         |ORDER BY 1""".stripMargin)
     sb.toString
   }
 

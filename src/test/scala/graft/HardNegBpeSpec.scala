@@ -65,6 +65,21 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(got(3L) === (("bc", "d", "bcd", 5L)))
   }
 
+  test("bpeEncode: trained tokens cost merged symbols, others fall back to chars") {
+    import spark.implicits._
+    // one merge: (a,b) with count 2 -> 'ab' encodes to ONE piece;
+    // 'x9' is untrained -> 2 char-fallback pieces
+    val docs = Seq((1L, "s1", "ab ab x9"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.bpeEncode(docs, col("text"), 1).head()
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_pieces") === 4L)  // 2x 'ab'(1) + 'x9'(2)
+    assert(r.getAs[Long]("n_chars") === 6L)
+    assert(r.getAs[Double]("pieces_per_token") === 4.0 / 3.0)
+    assert(r.getAs[Double]("chars_per_piece") === 6.0 / 4.0)
+  }
+
   test("bpeTrain: non-alphabetic tokens never reach the trainer") {
     import spark.implicits._
     val docs = Seq((1L, "x9x9 x9x9 (()) ab ab ab")).toDF("doc_id", "text")

@@ -288,6 +288,14 @@ object SparkEntry {
     "cdc_stream_scd2" -> ((s, dir) =>
       streaming.CdcPipeline.scd2Roundtrip(s, dir)),
 
+    // Full-load → CDC cutover THROUGH the streaming machinery: the
+    // snapshot image publishes as state v=0 at its read positions,
+    // the overlapping stream runs the STANDARD upsert, and the plain
+    // (ts, event_id) latest-wins ordering IS the position merge.
+    "cdc_stream_handoff" -> ((s, dir) =>
+      streaming.CdcPipeline.snapshotHandoffRoundtrip(s, dir,
+        "2024-01-29 00:00:00", windowSeconds = 86400)),
+
     // Session windows through the streaming engine: native
     // session_window(ts, 30 min) gap-merge; the batch
     // gaps-and-islands formula is the oracle.
@@ -1886,6 +1894,44 @@ object SparkEntry {
        |    / CAST(count(*) AS DOUBLE) / 60000000.0 AS avg_min_to_touch
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared full-load → CDC handoff chain (ends at the per-key merge
+    * relation `k`) — consumed by both the batch audit oracle and the
+    * streaming roundtrip oracle so the two cannot drift.
+    */
+  private val handoffKCtes: String =
+    s"""$C, f AS (
+         |  SELECT user_id, table_name, op, ts, event_id, value,
+         |    TIMESTAMP '2024-01-29 00:00:00'
+         |      + to_seconds(${Portable.duckHash("CAST(user_id AS VARCHAR)")}
+         |        % 86400) AS read_ts
+         |  FROM c WHERE ts IS NOT NULL),
+         |snap AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM f WHERE ts <= read_ts) s
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |u AS (
+         |  SELECT user_id, table_name, value, ts AS src_ts,
+         |    event_id AS src_event_id, 'load' AS src, 'load' AS op,
+         |    read_ts AS pos_ts, 9223372036854775807 AS pos_seq,
+         |    FALSE AS cached
+         |  FROM snap
+         |  UNION ALL
+         |  SELECT user_id, table_name, value, ts, event_id, 'cdc', op,
+         |    ts, event_id, ts <= read_ts
+         |  FROM f WHERE ts > TIMESTAMP '2024-01-29 00:00:00'),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY pos_ts DESC, pos_seq DESC) AS rn FROM u),
+         |k AS (SELECT user_id, max(table_name) AS table_name,
+         |    max(CASE WHEN src = 'load' THEN 1 ELSE 0 END) AS has_snap,
+         |    sum(CASE WHEN src = 'cdc' THEN 1 ELSE 0 END) AS n_cdc,
+         |    sum(CASE WHEN cached THEN 1 ELSE 0 END) AS n_cached,
+         |    max(CASE WHEN rn = 1 THEN src END) AS win_src,
+         |    max(CASE WHEN rn = 1 THEN op END) AS win_op,
+         |    max(CASE WHEN rn = 1 THEN src_event_id END) AS win_event_id,
+         |    max(CASE WHEN rn = 1 THEN value END) AS win_value
+         |  FROM w GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_apply_changes" ->
       s"""$C, r AS (
@@ -1981,38 +2027,7 @@ object SparkEntry {
          |FROM u ORDER BY shard, iterator_type""".stripMargin,
 
     "cdc_snapshot_handoff" ->
-      s"""$C, f AS (
-         |  SELECT user_id, table_name, op, ts, event_id, value,
-         |    TIMESTAMP '2024-01-29 00:00:00'
-         |      + to_seconds(${Portable.duckHash("CAST(user_id AS VARCHAR)")}
-         |        % 86400) AS read_ts
-         |  FROM c WHERE ts IS NOT NULL),
-         |snap AS (SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts DESC, event_id DESC) AS rn
-         |    FROM f WHERE ts <= read_ts) s
-         |  WHERE rn = 1 AND op <> 'delete'),
-         |u AS (
-         |  SELECT user_id, table_name, value, ts AS src_ts,
-         |    event_id AS src_event_id, 'load' AS src, 'load' AS op,
-         |    read_ts AS pos_ts, 9223372036854775807 AS pos_seq,
-         |    FALSE AS cached
-         |  FROM snap
-         |  UNION ALL
-         |  SELECT user_id, table_name, value, ts, event_id, 'cdc', op,
-         |    ts, event_id, ts <= read_ts
-         |  FROM f WHERE ts > TIMESTAMP '2024-01-29 00:00:00'),
-         |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
-         |    ORDER BY pos_ts DESC, pos_seq DESC) AS rn FROM u),
-         |k AS (SELECT user_id, max(table_name) AS table_name,
-         |    max(CASE WHEN src = 'load' THEN 1 ELSE 0 END) AS has_snap,
-         |    sum(CASE WHEN src = 'cdc' THEN 1 ELSE 0 END) AS n_cdc,
-         |    sum(CASE WHEN cached THEN 1 ELSE 0 END) AS n_cached,
-         |    max(CASE WHEN rn = 1 THEN src END) AS win_src,
-         |    max(CASE WHEN rn = 1 THEN op END) AS win_op,
-         |    max(CASE WHEN rn = 1 THEN src_event_id END) AS win_event_id,
-         |    max(CASE WHEN rn = 1 THEN value END) AS win_value
-         |  FROM w GROUP BY 1),
+      s"""$handoffKCtes,
          |fs AS (SELECT user_id, table_name, event_id, value FROM (
          |    SELECT *, row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts DESC, event_id DESC) AS rn FROM f) s
@@ -2050,6 +2065,19 @@ object SparkEntry {
          |  a.n_final_keys, coalesce(mm.n_mismatch, 0) AS n_mismatch
          |FROM a LEFT JOIN mm ON a.table_name = mm.table_name
          |ORDER BY 1""".stripMargin,
+
+    "cdc_stream_handoff" ->
+      s"""$handoffKCtes
+         |SELECT table_name,
+         |  CAST(count(*) FILTER (WHERE win_op <> 'delete') AS BIGINT)
+         |    AS n_keys,
+         |  CAST(sum(CAST(win_value AS $D))
+         |    FILTER (WHERE win_op <> 'delete') AS DOUBLE) AS total_value,
+         |  CAST(count(*) FILTER (WHERE win_op <> 'delete'
+         |    AND win_src = 'load') AS BIGINT) AS n_from_snapshot,
+         |  CAST(count(*) FILTER (WHERE win_op <> 'delete'
+         |    AND win_src = 'cdc') AS BIGINT) AS n_from_cdc
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_compacted_log" ->
       s"""$C, r AS (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -385,6 +385,83 @@ object CdcPipeline {
         (): Unit
       }
 
+  /** The full-load → CDC cutover THROUGH the streaming machinery —
+    * the deployable twin of graft.cdc.Handoff.snapshotHandoff. The
+    * snapshot image publishes as the state table's version 0, each
+    * row stamped at its READ position ((read_ts, +∞) — ts = the
+    * key's snapshot read time, event_id = Long.MaxValue), and the
+    * overlapping change stream then runs through the standard
+    * [[foreachBatchUpsert]] with NO special-casing: the upsert's
+    * plain (ts, event_id) latest-wins ordering IS the position
+    * merge — a cached change (position ≤ read_ts) loses to the image
+    * that already contains it, a later change wins, a delete
+    * tombstones the key. Exactly-once at the seam falls out of the
+    * ordering, not from deduplication.
+    *
+    * Output per table: final key count, value mass, and how many
+    * winners came from the image vs the stream — equal by
+    * construction to the batch handoff's merge, which the oracle
+    * recomputes (and `cdc_snapshot_handoff` proves equal to the
+    * full-feed apply).
+    *
+    * Scale shape: the snapshot is the one-shuffle latest-per-key
+    * batch job; the stream is the standard upsert (one key shuffle
+    * per batch, versioned-dir publication); the summary is a
+    * |tables|-row rollup collected into a local frame so the temp
+    * state can be deleted before returning.
+    */
+  def snapshotHandoffRoundtrip(
+      spark: SparkSession,
+      dir: String,
+      snapStart: String,
+      windowSeconds: Int): DataFrame = {
+    import graft.cdc.Handoff
+    val tmp = java.nio.file.Files.createTempDirectory("graft_handoff_state")
+    val stateDir = s"$tmp/state"
+    val ckpt = s"$tmp/ckpt"
+    try {
+      val start = lit(snapStart).cast("timestamp")
+      val feed = ChangeFeed.fromEvents(spark, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("read_ts",
+          Handoff.readTs(start, col("user_id"), windowSeconds))
+      // v=0: the snapshot image at its read positions
+      ChangeFeed.latestPerKey(feed.filter(col("ts") <= col("read_ts")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .filter(col("op") =!= "delete")
+        .select(lit(Long.MaxValue).as("event_id"),
+          col("read_ts").as("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"), lit("load").as("op"),
+          col("schema_name"), col("table_name"), col("partition_key"))
+        .write.parquet(s"$stateDir/v=0")
+      // the CDC task: resume from the window start, stream through
+      // the standard upsert against the pre-seeded state
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.Tables.withEventTime(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val changes = annotate(raw.filter(col("ts").isNotNull))
+        .filter(col("ts") > start)
+      val q = foreachBatchUpsert(changes, stateDir, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val summary = materializedView(spark, stateDir)
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"),
+          sum(when(col("event_id") === Long.MaxValue, 1L).otherwise(0L))
+            .as("n_from_snapshot"),
+          sum(when(col("event_id") =!= Long.MaxValue, 1L).otherwise(0L))
+            .as("n_from_cdc"))
+        .orderBy(col("table_name"))
+      // copy out before deleting the backing state files
+      val rows = summary.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), summary.schema)
+    } finally removeRecursively(tmp)
+  }
+
   /** Delete `.tmp-*` staging dirs a crashed writer orphaned —
     * SINGLE WRITER PER stateDir: the sweep deletes ALL staging dirs,
     * including one a concurrent writer might have in flight; that

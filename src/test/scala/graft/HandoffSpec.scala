@@ -94,6 +94,30 @@ class HandoffSpec extends AnyFunSuite {
     assert(g("n_mismatch") === 0L)
   }
 
+  test("streaming cutover equals the batch position merge, table by table") {
+    val snapStart = "2024-01-15 00:00:00"
+    val stream = streaming.CdcPipeline
+      .snapshotHandoffRoundtrip(spark, sf, snapStart, 86400)
+      .collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_from_snapshot"),
+          r.getAs[Long]("n_from_cdc")))
+      .toMap
+    val batch = cdc.Handoff
+      .snapshotHandoff(cdc.ChangeFeed.fromEvents(spark, sf), snapStart, 86400)
+      .collect()
+      .map { r =>
+        val snapWon = r.getAs[Long]("n_unchanged_keys") +
+          r.getAs[Long]("n_cached_only_keys")
+        r.getAs[String]("table_name") ->
+          (r.getAs[Long]("n_final_keys"), snapWon,
+            r.getAs[Long]("n_final_keys") - snapWon)
+      }
+      .toMap
+    assert(stream === batch,
+      "the standard upsert ordering must implement the position merge")
+  }
+
   test("merge reproduces the full-feed apply on the real feed") {
     val changes = cdc.ChangeFeed.fromEvents(spark, sf)
     val a = cdc.Handoff

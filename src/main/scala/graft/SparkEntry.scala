@@ -1589,42 +1589,10 @@ object SparkEntry {
     * the fixed gauge and the tuning curve). */
   private def ivfRecallSql(nProbe: Int): String =
     s"""WITH $embCtes,
-         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
-         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
-         |  FROM flat fp
-         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
-         |  WHERE fp.vec_id < ${Similarity.NumProbes}
-         |  GROUP BY 1, 2),
-         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
-         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM bd
-         |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
-         |bfk AS (SELECT probe_id, neighbor_id FROM br WHERE rk <= ${Similarity.TopK}),
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |comp AS (SELECT l.label, f.i,
-         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
-         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
-         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
-         |  FROM comp GROUP BY 1),
-         |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
-         |  FROM flat f JOIN comp c ON c.i = f.i
-         |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
-         |sc AS (SELECT pc.probe_id, pc.label,
-         |    CAST(dotpc AS DOUBLE)
-         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
-         |  FROM pc
-         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
-         |  JOIN cells cl ON cl.label = pc.label),
-         |tc AS (SELECT probe_id, label FROM (
-         |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cell_cos DESC, label) AS crk FROM sc)
-         |  WHERE crk <= $nProbe),
-         |ic AS (SELECT tc.probe_id, l.vec_id AS neighbor_id
-         |  FROM tc JOIN lab l ON l.label = tc.label AND l.vec_id <> tc.probe_id),
+         |$exactTopKCtes,
+         |${ivfCellCtes(nProbe)},
+         |ic AS (SELECT itc.probe_id, l.vec_id AS neighbor_id
+         |  FROM itc JOIN lab l ON l.label = itc.label AND l.vec_id <> itc.probe_id),
          |idd AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM ic c
          |  JOIN flat fa ON fa.vec_id = c.probe_id
@@ -1821,14 +1789,37 @@ object SparkEntry {
        |      ORDER BY d2, code) AS rk
        |  FROM d2)""".stripMargin
 
-  /** IVF-PQ composed chain (twin of Similarity.topKAnnIvfPq):
-    * assumes `embCtes` (raw chain: qv/flat/norms, for the coarse
-    * cells) and `pqCtes(pqNormHead)` (codebook + codes) are already
-    * in scope. IVF-side CTEs carry an `i` prefix to avoid clashing
-    * with the PQ chain's `comp`. Ends at `ipqr` (the ranked composed
-    * result).
+  /** Exact brute-force top-k baseline chain (assumes `embCtes` in
+    * scope; ends at `bfk` = the exact (probe, neighbor) top-k) — ONE
+    * text shared by every recall oracle so the baseline cannot
+    * drift between gauges.
     */
-  private val ivfPqCtes: String =
+  private val exactTopKCtes: String =
+    s"""bd AS (SELECT fp.vec_id AS probe_id, fx.vec_id AS neighbor_id,
+       |    CAST(sum(fp.v * fx.v) AS BIGINT) AS dot
+       |  FROM flat fp
+       |  JOIN flat fx ON fx.i = fp.i AND fx.vec_id <> fp.vec_id
+       |  WHERE fp.vec_id < ${Similarity.NumProbes}
+       |  GROUP BY 1, 2),
+       |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+       |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+       |  FROM bd
+       |  JOIN norms na ON na.vec_id = bd.probe_id
+       |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+       |bfk AS (SELECT probe_id, neighbor_id FROM br
+       |  WHERE rk <= ${Similarity.TopK})""".stripMargin
+
+  /** IVF coarse-quantizer cell selection (twin of
+    * Similarity.ivfTopCells; assumes `embCtes` in scope; ends at
+    * `itc` = each probe's nProbe nearest cells). i-prefixed names so
+    * the chain composes next to pqCtes' `comp`. ONE text shared by
+    * the exact-IVF ranker, the recall curve, and the IVF-PQ
+    * composition.
+    */
+  private def ivfCellCtes(nProbe: Int): String =
     s"""lab AS (SELECT vec_id, label FROM embeddings),
        |icomp AS (SELECT l.label, fl.i,
        |    CAST(round(CAST(sum(fl.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
@@ -1848,7 +1839,17 @@ object SparkEntry {
        |itc AS (SELECT probe_id, label FROM (
        |    SELECT isc.*, row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cell_cos DESC, label) AS crk FROM isc) t
-       |  WHERE crk <= ${Similarity.IvfNProbe}),
+       |  WHERE crk <= $nProbe)""".stripMargin
+
+  /** IVF-PQ composed chain (twin of Similarity.topKAnnIvfPq):
+    * assumes `embCtes` (raw chain: qv/flat/norms, for the coarse
+    * cells) and `pqCtes(pqNormHead)` (codebook + codes) are already
+    * in scope. IVF-side CTEs carry an `i` prefix to avoid clashing
+    * with the PQ chain's `comp`. Ends at `ipqr` (the ranked composed
+    * result).
+    */
+  private val ivfPqCtes: String =
+    s"""${ivfCellCtes(Similarity.IvfNProbe)},
        |icand AS (SELECT itc.probe_id, l.vec_id
        |  FROM itc JOIN lab l ON l.label = itc.label
        |    AND l.vec_id <> itc.probe_id),
@@ -4506,27 +4507,9 @@ object SparkEntry {
 
     "sim_ann_ivf" ->
       s"""WITH $embCtes,
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |comp AS (SELECT l.label, f.i,
-         |    CAST(round(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
-         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
-         |cells AS (SELECT label, greatest(CAST(sum(s*s) AS BIGINT), 1) AS sn2
-         |  FROM comp GROUP BY 1),
-         |pc AS (SELECT f.vec_id AS probe_id, c.label, CAST(sum(f.v * c.s) AS BIGINT) AS dotpc
-         |  FROM flat f JOIN comp c ON c.i = f.i
-         |  WHERE f.vec_id < ${Similarity.NumProbes} GROUP BY 1, 2),
-         |sc AS (SELECT pc.probe_id, pc.label,
-         |    CAST(dotpc AS DOUBLE)
-         |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cl.sn2 AS DOUBLE)) AS cell_cos
-         |  FROM pc
-         |  JOIN norms n ON n.vec_id = pc.probe_id AND n.n2 > 0
-         |  JOIN cells cl ON cl.label = pc.label),
-         |tc AS (SELECT probe_id, label FROM (
-         |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cell_cos DESC, label) AS crk FROM sc)
-         |  WHERE crk <= ${Similarity.IvfNProbe}),
-         |cand AS (SELECT tc.probe_id, l.vec_id AS neighbor_id
-         |  FROM tc JOIN lab l ON l.label = tc.label AND l.vec_id <> tc.probe_id),
+         |${ivfCellCtes(Similarity.IvfNProbe)},
+         |cand AS (SELECT itc.probe_id, l.vec_id AS neighbor_id
+         |  FROM itc JOIN lab l ON l.label = itc.label AND l.vec_id <> itc.probe_id),
          |d AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c
          |  JOIN flat fa ON fa.vec_id = c.probe_id
@@ -4981,22 +4964,7 @@ object SparkEntry {
       s"""WITH $embCtes,
          |${pqCtes(pqNormHead)},
          |$ivfPqCtes,
-         |bd AS (SELECT fp.vec_id AS probe_id, f2.vec_id AS neighbor_id,
-         |    CAST(sum(fp.v * f2.v) AS BIGINT) AS dot
-         |  FROM flat fp
-         |  JOIN flat f2 ON f2.i = fp.i AND f2.vec_id <> fp.vec_id
-         |  WHERE fp.vec_id < ${Similarity.NumProbes}
-         |  GROUP BY 1, 2),
-         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
-         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM bd
-         |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
-         |bfk AS (SELECT probe_id, neighbor_id FROM br
-         |  WHERE rk <= ${Similarity.TopK}),
+         |$exactTopKCtes,
          |ak AS (SELECT probe_id, neighbor_id FROM ipqr
          |  WHERE rk <= ${Similarity.TopK})
          |SELECT b.probe_id,
@@ -5011,22 +4979,7 @@ object SparkEntry {
     "sim_ann_pq_recall" ->
       s"""WITH $embCtes,
          |${pqCtes(pqNormHead)},
-         |bd AS (SELECT fp.vec_id AS probe_id, f2.vec_id AS neighbor_id,
-         |    CAST(sum(fp.v * f2.v) AS BIGINT) AS dot
-         |  FROM flat fp
-         |  JOIN flat f2 ON f2.i = fp.i AND f2.vec_id <> fp.vec_id
-         |  WHERE fp.vec_id < ${Similarity.NumProbes}
-         |  GROUP BY 1, 2),
-         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
-         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM bd
-         |  JOIN norms na ON na.vec_id = bd.probe_id
-         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
-         |bfk AS (SELECT probe_id, neighbor_id FROM br
-         |  WHERE rk <= ${Similarity.TopK}),
+         |$exactTopKCtes,
          |codes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
          |pflat AS (SELECT vec_id AS probe_id, sub, il, v FROM f
          |  WHERE vec_id < ${Similarity.NumProbes}),

@@ -62,6 +62,19 @@ object Handoff {
       (Portable.pHash(key.cast("string")) % windowSeconds)
         .cast("decimal(18,6)"))
 
+  /** The snapshot image over a read-position-stamped feed (must
+    * carry `read_ts`, see [[readTs]]): latest live row per key as of
+    * the key's read position (a deleted key has no row to scan).
+    * ONE definition shared with the streaming roundtrip
+    * (CdcPipeline.snapshotHandoffRoundtrip) — the seam the operator
+    * family proves correct must not exist in two copies.
+    */
+  def snapshotImage(feedWithRead: DataFrame): DataFrame =
+    ChangeFeed
+      .latestPerKey(feedWithRead.filter(col("ts") <= col("read_ts")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .filter(col("op") =!= "delete")
+
   /** The cutover audit over an annotated change feed (see
     * [[ChangeFeed.fromEvents]] for the column contract).
     *
@@ -79,12 +92,7 @@ object Handoff {
     val feed = changes.filter(col("ts").isNotNull)
       .withColumn("read_ts", readTs(start, col("user_id"), windowSeconds))
 
-    // The snapshot image: latest live row per key as of the key's
-    // read position (a deleted key has no row to scan).
-    val snapshot = ChangeFeed
-      .latestPerKey(feed.filter(col("ts") <= col("read_ts")),
-        Seq("user_id"), Seq(col("ts"), col("event_id")))
-      .filter(col("op") =!= "delete")
+    val snapshot = snapshotImage(feed)
 
     // Position-stamped log entries. A snapshot row sits at
     // (read_ts, +∞): ties with a change AT the read position go to

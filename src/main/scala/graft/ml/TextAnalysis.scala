@@ -718,8 +718,10 @@ object TextAnalysis {
            |        ')(') AS sy FROM v${r - 1}) s
            |    WHERE len(sy) >= 2) p GROUP BY 1),
            |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
-           |v$r AS (SELECT v.tok, replace(v.w, t.pair, replace(t.pair, ')(', ''))
-           |    AS w, v.n FROM v${r - 1} v, t$r t)""".stripMargin)
+           |v$r AS (SELECT v.tok,
+           |    CASE WHEN t.pair IS NULL THEN v.w
+           |      ELSE replace(v.w, t.pair, replace(t.pair, ')(', '')) END AS w,
+           |    v.n FROM v${r - 1} v LEFT JOIN t$r t ON TRUE)""".stripMargin)
     }
     sb
   }

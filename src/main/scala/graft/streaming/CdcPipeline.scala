@@ -425,10 +425,9 @@ object CdcPipeline {
         .filter(col("ts").isNotNull)
         .withColumn("read_ts",
           Handoff.readTs(start, col("user_id"), windowSeconds))
-      // v=0: the snapshot image at its read positions
-      ChangeFeed.latestPerKey(feed.filter(col("ts") <= col("read_ts")),
-          Seq("user_id"), Seq(col("ts"), col("event_id")))
-        .filter(col("op") =!= "delete")
+      // v=0: the snapshot image at its read positions (the SHARED
+      // batch definition — Handoff.snapshotImage)
+      Handoff.snapshotImage(feed)
         .select(lit(Long.MaxValue).as("event_id"),
           col("read_ts").as("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"), lit("load").as("op"),
@@ -957,8 +956,8 @@ object CdcPipeline {
     val tmpOut = stage.resolve("_sentinel_out")
     spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
       .coalesce(1).write.parquet(tmpOut.toString)
-    val part = Files.list(tmpOut).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = Option(tmpOut.toFile.listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get.toPath
     val sentinelFile = stage.resolve("batch1.parquet")
     Files.move(part, sentinelFile)
     removeRecursively(tmpOut)
@@ -971,11 +970,12 @@ object CdcPipeline {
   }
 
   private def removeRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(p))
-      Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .foreach(removeRecursively)
-    Files.deleteIfExists(p); ()
+    // File.listFiles, not Files.list: the stream variant holds an
+    // open directory handle until GC (one per directory per call)
+    val f = p.toFile
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(c => removeRecursively(c.toPath)))
+    java.nio.file.Files.deleteIfExists(p); ()
   }
 
   /** Kinesis-like sink: JSON files partitioned by the schema.table

@@ -77,8 +77,12 @@ object TaskLifecycle {
     var last: Throwable = null
     while (attempt <= maxRestarts) {
       val t0 = System.nanoTime()
-      val q = start()
+      var q: StreamingQuery = null
       try {
+        // start() itself is inside the attempt: a failure while
+        // resolving the checkpoint/source at query construction is
+        // exactly the transient class the lifecycle absorbs
+        q = start()
         q.processAllAvailable()
         q.stop()
         audit += Attempt(attempt, ok = true, None,
@@ -86,7 +90,7 @@ object TaskLifecycle {
         return audit.result()
       } catch {
         case e: Throwable =>
-          try q.stop() catch { case _: Throwable => () }
+          if (q != null) { try q.stop() catch { case _: Throwable => () } }
           last = e
           audit += Attempt(attempt, ok = false, Some(e.toString),
             (System.nanoTime() - t0) / 1000000L)

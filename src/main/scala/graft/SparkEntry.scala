@@ -950,6 +950,17 @@ object SparkEntry {
     "sim_kmeans_update" -> ((s, dir) =>
       Similarity.kmeansUpdate(Tables.load(s, dir, "embeddings"))),
 
+    // Iterated k-means trainer: 3 label-seeded E/M rounds — the
+    // convergence curve (moved vectors, live cells) per round.
+    "sim_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(Tables.load(s, dir, "embeddings"))),
+
+    // IVF recall over the TRAINED coarse quantizer (vs the label
+    // stand-in the other IVF gauges use) — what training buys the
+    // index on this corpus.
+    "sim_ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTrainedRecall(Tables.load(s, dir, "embeddings"))),
+
     // Cluster purity of the E-step assignment vs the true labels:
     // per cell the majority label and its share.
     "embed_cluster_purity" -> ((s, dir) =>
@@ -1587,10 +1598,13 @@ object SparkEntry {
 
   /** IVF recall@k oracle SQL, parametrized by nProbe (shared by
     * the fixed gauge and the tuning curve). */
-  private def ivfRecallSql(nProbe: Int): String =
+  private def ivfRecallSql(
+      nProbe: Int,
+      labSql: String = "SELECT vec_id, label FROM embeddings",
+      extraCtes: String = ""): String =
     s"""WITH $embCtes,
-         |$exactTopKCtes,
-         |${ivfCellCtes(nProbe)},
+         |$extraCtes$exactTopKCtes,
+         |${ivfCellCtes(nProbe, labSql)},
          |ic AS (SELECT itc.probe_id, l.vec_id AS neighbor_id
          |  FROM itc JOIN lab l ON l.label = itc.label AND l.vec_id <> itc.probe_id),
          |idd AS (SELECT c.probe_id, c.neighbor_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
@@ -1819,8 +1833,10 @@ object SparkEntry {
     * the exact-IVF ranker, the recall curve, and the IVF-PQ
     * composition.
     */
-  private def ivfCellCtes(nProbe: Int): String =
-    s"""lab AS (SELECT vec_id, label FROM embeddings),
+  private def ivfCellCtes(
+      nProbe: Int,
+      labSql: String = "SELECT vec_id, label FROM embeddings"): String =
+    s"""lab AS ($labSql),
        |icomp AS (SELECT l.label, fl.i,
        |    CAST(round(CAST(sum(fl.v) AS DOUBLE) / count(*)) AS BIGINT) AS s
        |  FROM flat fl JOIN lab l ON l.vec_id = fl.vec_id GROUP BY 1, 2),
@@ -1840,6 +1856,46 @@ object SparkEntry {
        |    SELECT isc.*, row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cell_cos DESC, label) AS crk FROM isc) t
        |  WHERE crk <= $nProbe)""".stripMargin
+
+  /** Unrolled k-means training chain (twin of
+    * Similarity.kmeansLoop): label-seeded assignment refined for
+    * `nIter` E/M rounds; ends at `a{nIter}` (vec_id, old_cell,
+    * cell). Same rounded-mean centroids, cosine-direction scoring
+    * and smaller-cell tie-break as the one-step kmeansAssignCtes.
+    */
+  private def kmeansTrainCtes(nIter: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""kmq AS (SELECT vec_id, label AS cell,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |kmf0 AS (SELECT vec_id, cell, generate_subscripts(q, 1) - 1 AS i,
+         |    unnest(q) AS v FROM kmq),
+         |kmfb AS (SELECT vec_id, i, v FROM kmf0)""".stripMargin)
+    for (r <- 1 to nIter) {
+      sb.append(
+        s""",
+           |kmcomp$r AS (SELECT cell, i,
+           |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS s
+           |  FROM kmf${r - 1} GROUP BY 1, 2),
+           |kmcells$r AS (SELECT cell,
+           |    greatest(CAST(sum(s * s) AS BIGINT), 1) AS sn2
+           |  FROM kmcomp$r GROUP BY 1),
+           |kmd$r AS (SELECT f.vec_id, f.cell AS old_cell, c.cell AS cand,
+           |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
+           |  FROM kmf${r - 1} f JOIN kmcomp$r c ON c.i = f.i
+           |  GROUP BY 1, 2, 3),
+           |kma$r AS (SELECT vec_id, old_cell, cand AS cell FROM (
+           |    SELECT d.vec_id, d.old_cell, d.cand,
+           |      row_number() OVER (PARTITION BY d.vec_id
+           |        ORDER BY CAST(d.dot AS DOUBLE)
+           |          / sqrt(CAST(ce.sn2 AS DOUBLE)) DESC, d.cand) AS rk
+           |    FROM kmd$r d JOIN kmcells$r ce ON ce.cell = d.cand) t
+           |  WHERE rk = 1),
+           |kmf$r AS (SELECT a.vec_id, a.cell, fb.i, fb.v
+           |  FROM kma$r a JOIN kmfb fb ON fb.vec_id = a.vec_id)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** IVF-PQ composed chain (twin of Similarity.topKAnnIvfPq):
     * assumes `embCtes` (raw chain: qv/flat/norms, for the coarse
@@ -2826,6 +2882,23 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
+
+    "sim_kmeans_train" -> {
+      val n = Similarity.KmeansIters
+      val rounds = (1 to n).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS iter,
+           |  CAST(count(*) FILTER (WHERE cell <> old_cell) AS BIGINT)
+           |    AS n_moved,
+           |  CAST(count(DISTINCT cell) AS BIGINT) AS n_live_cells
+           |FROM kma$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH ${kmeansTrainCtes(n)}\n$rounds\nORDER BY iter"
+    },
+
+    "sim_ann_ivf_trained" -> ivfRecallSql(Similarity.IvfNProbe,
+      labSql =
+        s"SELECT vec_id, cell AS label FROM kma${Similarity.KmeansIters}",
+      extraCtes = kmeansTrainCtes(Similarity.KmeansIters) + ",\n"),
 
     "sim_ann_ivf_curve" -> (Similarity.IvfCurveProbes
       .map(np => s"SELECT CAST($np AS BIGINT) AS n_probe, t.* FROM (\n" +

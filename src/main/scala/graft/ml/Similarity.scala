@@ -453,6 +453,92 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  val KmeansIters = 3
+
+  /** E-step against an arbitrary current assignment — the loop body
+    * of [[kmeansTrain]]. `asg` is (vec_id, cell, q); returns
+    * (vec_id, cell = the OLD cell, assigned_cell, q). Same
+    * rounded-mean integer centroids, cosine-direction scoring, and
+    * smaller-cell tie-break as [[eStep]] (which is the label-seeded
+    * first iteration of this).
+    */
+  private def eStepFrom(asg: DataFrame): DataFrame = {
+    val cells = asg.groupBy(col("cell"))
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", transform(col("s"),
+        x => round(x.cast("double") / col("n")).cast("long")))
+      .withColumn("sn2", greatest(Vectors.norm2(col("m")), lit(1L)))
+      .select(col("cell").as("cand"), col("m"), col("sn2"))
+    asg.crossJoin(broadcast(cells))
+      .withColumn("score",
+        Vectors.dot(col("q"), col("m")).cast("double") /
+          sqrt(col("sn2").cast("double")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(struct(col("score"), (-col("cand")).as("neg_cell"),
+        col("q").as("qq"))).as("best"))
+      .select(col("vec_id"), col("cell"),
+        (-col("best.neg_cell")).as("assigned_cell"),
+        col("best.qq").as("q"))
+  }
+
+  /** Iterated k-means trainer: label-seeded cells refined for
+    * `nIter` full E/M rounds — the loop `sim_kmeans_update` gauges
+    * ONE round of, run to an actual trained coarse quantizer (what
+    * the IVF docs call "a trained k-means assignment"; the trained
+    * cells feed `sim_ann_ivf_trained`). Output: per iteration the
+    * number of vectors that changed cells and the live-cell count —
+    * the convergence curve a clustering driver watches.
+    *
+    * Scale shape: each round is the [[eStep]] shape — |cells|-row
+    * broadcast centroids (`vec_sum` aggregates), corpus ×|cells|
+    * map-side fan-out, max-of-struct reduce, no corpus self-join;
+    * the per-round assignment is materialized (the BPE-trainer
+    * pattern) so round r+1 reads a cached |corpus|-row relation, and
+    * the per-round stats are 1-row aggregates unioned lazily.
+    */
+  def kmeansTrain(embs: DataFrame, nIter: Int = KmeansIters): DataFrame =
+    kmeansLoop(embs, nIter)._1
+
+  /** The trained assignment after [[kmeansTrain]]'s rounds, in the
+    * (vec_id, label) shape the IVF rankers take as their coarse
+    * quantizer. */
+  def kmeansTrainedCells(embs: DataFrame, nIter: Int = KmeansIters): DataFrame =
+    kmeansLoop(embs, nIter)._2.select(col("vec_id"),
+      col("cell").as("label"))
+
+  private def kmeansLoop(
+      embs: DataFrame, nIter: Int): (DataFrame, DataFrame) = {
+    var asg = materialize(Vectors.spread(embs).select(col("vec_id"),
+      col("label").as("cell"), Vectors.quantize(col("embedding")).as("q")))
+    val stats = (1 to nIter).map { it =>
+      val next = materialize(eStepFrom(asg))
+      val s = next.agg(
+        lit(it.toLong).as("iter"),
+        sum(when(col("cell") =!= col("assigned_cell"), 1L).otherwise(0L))
+          .as("n_moved"),
+        countDistinct(col("assigned_cell")).as("n_live_cells"))
+      asg = next.select(col("vec_id"), col("assigned_cell").as("cell"),
+        col("q"))
+      s
+    }
+    (stats.reduce(_ unionByName _).orderBy(col("iter")), asg)
+  }
+
+  /** IVF recall with the TRAINED coarse quantizer: the same
+    * cell-prune + exact-rank + recall gauge as `sim_ann_ivf_recall`,
+    * but over [[kmeansTrainedCells]] instead of the corpus label
+    * stand-in — closing the loop the IVF docs left open. Comparing
+    * this row against the label-seeded gauge prices what actual
+    * training buys the index on this corpus.
+    */
+  def ivfTrainedRecall(embs: DataFrame, nProbe: Int = IvfNProbe): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    recallAtK(topKOn(qv),
+      topKAnnIvfOn(qv, kmeansTrainedCells(embs), nProbe))
+      .orderBy(col("probe_id"))
+  }
+
   /** Majority-label kNN classification of the probe set: each probe
     * takes the most frequent label among its exact top-k cosine
     * neighbors (ties → the label holding the best-ranked neighbor,

@@ -198,6 +198,24 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTrain: movement decays, cells stay within the seeded id space") {
+    val curve = Similarity.kmeansTrain(embs).collect()
+    assert(curve.length === Similarity.KmeansIters)
+    val moved = curve.sortBy(_.getAs[Long]("iter")).map(_.getAs[Long]("n_moved"))
+    assert(moved.zip(moved.tail).forall { case (a, b) => b <= a },
+      s"movement must not grow round over round: ${moved.toSeq}")
+    val seeded = embs.collect().map(_.getAs[Number]("label").longValue()).toSet
+    val trained = Similarity.kmeansTrainedCells(embs).collect()
+    assert(trained.length === embs.count())
+    assert(trained.map(_.getAs[Number]("label").longValue()).toSet
+      .subsetOf(seeded),
+      "assignments can only target cells that existed (centroids come from members)")
+    val recall = Similarity.ivfTrainedRecall(embs).collect()
+    assert(recall.length === Similarity.NumProbes)
+    assert(recall.forall { r =>
+      val v = r.getAs[Double]("recall_at_k"); v >= 0.0 && v <= 1.0 })
+  }
+
   test("transformation rules rename tables and reshape columns") {
     import graft.cdc.{ChangeFeed, TableMapping}
     val t = TableMapping.Transformations(Seq(

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_semi_anti"          -> ((s, dir) => Analytics.qSemiAnti(s, dir)),
     "q_rollup"             -> ((s, dir) => Analytics.qRollup(s, dir)),
     "q_cube"               -> ((s, dir) => Analytics.qCube(s, dir)),
+    "q_grouping_sets"      -> ((s, dir) => Analytics.qGroupingSets(s, dir)),
     "q13_custdist"         -> ((s, dir) => Analytics.q13CustDist(s, dir)),
     "q18_large_orders"     -> ((s, dir) => Analytics.q18LargeOrders(s, dir)),
     "q4_late_orders"       -> ((s, dir) => Analytics.q4LateOrders(s, dir)),
@@ -673,6 +674,19 @@ object SparkEntry {
           col("source"), col("text"), 10)
         .orderBy(col("group_key"), col("rk"))),
 
+    // Fano-factor burstiness of the top-df terms per source —
+    // function words (VMR≈1) vs topical clumpers (VMR≫1).
+    "text_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(Tables.load(s, dir, "documents"),
+          col("text"), 10)
+        .orderBy(col("source"), col("rk"))),
+
+    // Integer-octave Zipf census: rank-frequency mass per doubling
+    // rank bucket + octave-over-octave decay (no libm in the compare).
+    "text_zipf_octaves" -> ((s, dir) =>
+      TextAnalysis.zipfOctaves(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy(col("fp"))),
@@ -755,6 +769,11 @@ object SparkEntry {
     "embed_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
+
+    // Semi-hard triplet mining (FaceNet rule): hardest positive +
+    // semi-hard negative + the margin the loss would push on.
+    "embed_triplet_mining" -> ((s, dir) =>
+      Similarity.tripletMining(Tables.load(s, dir, "embeddings"))),
 
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.topKAnnLsh(Tables.load(s, dir, "embeddings"))
@@ -1205,6 +1224,16 @@ object SparkEntry {
     "corpus_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.load(s, dir, "documents"))
         .orderBy(col("source"), col("bucket"))),
+
+    // Exact-dedup removal attribution per source (docs + char mass)
+    // under the global min-doc_id canonical rule.
+    "corpus_dedup_impact" -> ((s, dir) =>
+      Corpus.dedupImpact(Tables.load(s, dir, "documents"))),
+
+    // Temperature-annealed source mixing weights (α ∈ {1, ½, ¼} —
+    // sqrt-only, so no libm pow in the oracle compare).
+    "corpus_anneal_mix" -> ((s, dir) =>
+      Corpus.annealMix(Tables.load(s, dir, "documents"))),
 
     // Training-mix realization: per-mille epoch weights per source —
     // full epochs plus one hash-gated partial epoch per doc.
@@ -3804,6 +3833,21 @@ object SparkEntry {
          |ORDER BY gid, o_orderstatus NULLS FIRST,
          |  o_quarter NULLS FIRST""".stripMargin,
 
+    "q_grouping_sets" ->
+      s"""WITH o AS (SELECT o_orderstatus, o_orderpriority,
+         |    CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+         |    o_totalprice FROM orders)
+         |SELECT o_orderstatus, o_orderpriority, o_quarter,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority, o_quarter)
+         |    AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+         |FROM o GROUP BY GROUPING SETS (
+         |  (o_orderstatus, o_orderpriority),
+         |  (o_orderstatus, o_quarter), ())
+         |ORDER BY gid, o_orderstatus NULLS FIRST,
+         |  o_orderpriority NULLS FIRST, o_quarter NULLS FIRST""".stripMargin,
+
     "events_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,
@@ -4123,6 +4167,37 @@ object SparkEntry {
          |    ORDER BY term_freq DESC, tok) AS BIGINT) AS rk FROM tf)
          |SELECT group_key, tok, term_freq, rk FROM r
          |WHERE rk <= 10 ORDER BY group_key, rk""".stripMargin,
+
+    "text_burstiness" ->
+      s"""WITH toks AS (SELECT source, doc_id, unnest($toksT) AS tok
+         |  FROM documents),
+         |pd AS (SELECT source, tok, doc_id, count(*) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |pt AS (SELECT source, tok, count(*) AS df,
+         |    CAST(sum(c) AS BIGINT) AS sx,
+         |    CAST(sum(c * c) AS BIGINT) AS sx2
+         |  FROM pd GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY df DESC, sx DESC, tok) AS BIGINT) AS rk FROM pt)
+         |SELECT source, tok, df, sx AS total_tf,
+         |  CAST(df * sx2 - sx * sx AS DOUBLE)
+         |    / CAST(df * sx AS DOUBLE) AS vmr, rk
+         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "text_zipf_octaves" ->
+      s"""WITH toks AS (SELECT source, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |r AS (SELECT source, tf,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY tf DESC, tok) AS BIGINT) AS rank FROM tf),
+         |oct AS (SELECT source,
+         |    CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+         |    count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS mass
+         |  FROM r GROUP BY 1, 2)
+         |SELECT source, octave, n_terms, mass,
+         |  CAST(mass AS DOUBLE) / CAST(lag(mass, 1) OVER (
+         |    PARTITION BY source ORDER BY octave) AS DOUBLE) AS decay
+         |FROM oct ORDER BY source, octave""".stripMargin,
 
     "text_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
@@ -4518,6 +4593,42 @@ object SparkEntry {
          |  cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.HardNegK} ORDER BY probe_id, rk""".stripMargin,
 
+    "embed_triplet_mining" ->
+      s"""WITH $embCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |d AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.probe_id, la.label AS probe_label,
+         |    d.neighbor_id, lb.label AS neighbor_label, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.probe_id
+         |  JOIN norms nb ON nb.vec_id = d.neighbor_id
+         |  JOIN lab la ON la.vec_id = d.probe_id
+         |  JOIN lab lb ON lb.vec_id = d.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |pos AS (SELECT probe_id, probe_label, neighbor_id AS pos_id,
+         |    cos_sim AS pos_cos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim ASC, neighbor_id) AS pk
+         |    FROM scored WHERE neighbor_label = probe_label)
+         |  WHERE pk = 1),
+         |neg AS (SELECT probe_id, neighbor_id AS neg_id,
+         |    cos_sim AS neg_cos
+         |  FROM (SELECT s.*, row_number() OVER (PARTITION BY s.probe_id
+         |      ORDER BY s.cos_sim DESC, s.neighbor_id) AS nk
+         |    FROM scored s JOIN pos p ON p.probe_id = s.probe_id
+         |    WHERE s.neighbor_label <> s.probe_label
+         |      AND s.cos_sim < p.pos_cos)
+         |  WHERE nk = 1)
+         |SELECT p.probe_id, p.probe_label, p.pos_id, p.pos_cos,
+         |  n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+         |FROM pos p LEFT JOIN neg n ON n.probe_id = p.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
+
     "embed_exact_dups" ->
       s"""WITH q AS (SELECT vec_id, label,
          |    ${graft.ml.Vectors.duckQuantize("embedding")} AS q FROM embeddings)
@@ -4710,6 +4821,41 @@ object SparkEntry {
          |  md5(regexp_replace(after_id,
          |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS red_md5
          |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    "corpus_dedup_impact" ->
+      s"""WITH f AS (SELECT doc_id, source, n_chars,
+         |    md5($normT) AS fp FROM documents),
+         |m AS (SELECT source, n_chars,
+         |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(keep * n_chars) AS BIGINT) AS chars_kept,
+         |  CAST(count(*) - CAST(sum(keep) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS removed_share,
+         |  CAST(CAST(sum(n_chars) AS BIGINT)
+         |      - CAST(sum(keep * n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         |    AS chars_removed_share
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_anneal_mix" ->
+      s"""WITH b AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars FROM documents
+         |  GROUP BY 1),
+         |r AS (SELECT *, CAST(chars AS DOUBLE) AS s1,
+         |    sqrt(CAST(chars AS DOUBLE)) AS s2,
+         |    sqrt(sqrt(CAST(chars AS DOUBLE))) AS s4 FROM b),
+         |z AS (SELECT
+         |    CAST(sum(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS z1,
+         |    CAST(sum(CAST(s2 AS DECIMAL(38,6))) AS DOUBLE) AS z2,
+         |    CAST(sum(CAST(s4 AS DECIMAL(38,6))) AS DOUBLE) AS z4 FROM r)
+         |SELECT source, n_docs, chars, s1 / z1 AS share,
+         |  s2 / z2 AS w_half, s4 / z4 AS w_quarter,
+         |  1048576.0 * (s2 / z2) / s1 AS epochs_half
+         |FROM r, z ORDER BY source""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH w AS (SELECT doc_id, source,

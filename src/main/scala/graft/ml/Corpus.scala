@@ -779,4 +779,83 @@ object Corpus {
           coalesce(col("n_exact_hits"), lit(0L))).as("n_false_positives"),
         (coalesce(col("n_bloom_hits"), lit(0L)) > 0L).as("flagged"))
   }
+
+  /** Dedup impact audit per source: what exact dedup would REMOVE,
+    * in documents and in character mass, before anyone runs it — the
+    * "is dedup worth a full pass here" gauge, and after the pass,
+    * the per-source attribution of what went (a duplicate group
+    * spanning sources keeps its GLOBAL min-doc_id canonical, so a
+    * mirror source that re-hosts another source's pages correctly
+    * shows ~100% removal while the originating source keeps its
+    * copies). Same canonical rule as dedup_exact, so the two
+    * operators never disagree about survivors.
+    *
+    * Scale shape: ONE shuffle on the fingerprint (the window min
+    * rides the same exchange), then a |sources|-row rollup. The
+    * shares divide exact BIGINTs once — bit-identical across
+    * engines. No doc×doc anything.
+    */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      md5(Portable.normText(col("text"))).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    val marked = fp.withColumn("keep",
+      when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("keep") * col("n_chars")).as("chars_kept"))
+      .withColumn("removed_share",
+        (col("n_docs") - col("n_kept")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("chars_removed_share",
+        (col("chars_total") - col("chars_kept")).cast("double") /
+          col("chars_total").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-annealed source mixing weights — the multinomial
+    * re-balancing (p_i^α / Σ p_j^α) multilingual/multi-source
+    * training mixes use to up-sample small sources without drowning
+    * large ones (the α-sampling of the XLM-R / mT5 recipes). Output
+    * per source: the natural share by character mass and the
+    * annealed shares at α = 1, ½, ¼, plus the effective number of
+    * epochs each source would run under a fixed token budget drawn
+    * with those weights (epochs > 1 ⇒ the source repeats; the
+    * overfit-risk column).
+    *
+    * Determinism: α is restricted to {1, ½, ¼} ON PURPOSE — p^½ is
+    * sqrt (IEEE correctly rounded in every engine) and p^¼ is
+    * sqrt∘sqrt, so no libm pow() whose last ulp differs between the
+    * JVM and DuckDB enters the compare. The cross-source normalizer
+    * Σ√cᵢ is summed as DECIMAL(38,6) (exact, order-independent —
+    * a raw double sum would depend on partition order), then the
+    * final weight is one double division.
+    *
+    * Scale shape: one |sources|-row aggregate + a broadcast-sized
+    * normalizer join. Everything after the first reduce is
+    * constant-size.
+    */
+  def annealMix(docs: DataFrame, budgetChars: Long = 1L << 20): DataFrame = {
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val roots = bySource
+      .withColumn("s1", col("chars").cast("double"))
+      .withColumn("s2", sqrt(col("chars").cast("double")))
+      .withColumn("s4", sqrt(sqrt(col("chars").cast("double"))))
+    val norms = roots.agg(
+      sum(col("s1").cast("decimal(38,6)")).cast("double").as("z1"),
+      sum(col("s2").cast("decimal(38,6)")).cast("double").as("z2"),
+      sum(col("s4").cast("decimal(38,6)")).cast("double").as("z4"))
+    roots.crossJoin(broadcast(norms))
+      .withColumn("share", col("s1") / col("z1"))
+      .withColumn("w_half", col("s2") / col("z2"))
+      .withColumn("w_quarter", col("s4") / col("z4"))
+      .withColumn("epochs_half",
+        lit(budgetChars.toDouble) * col("w_half") / col("s1"))
+      .select(col("source"), col("n_docs"), col("chars"), col("share"),
+        col("w_half"), col("w_quarter"), col("epochs_half"))
+      .orderBy(col("source"))
+  }
 }

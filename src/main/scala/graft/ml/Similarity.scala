@@ -127,6 +127,61 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  /** Semi-hard triplet mining — the FaceNet selection rule: per
+    * anchor (probe), the HARDEST POSITIVE (same label, lowest
+    * cosine: the worst-case in-class pair the loss must pull
+    * together) and the SEMI-HARD NEGATIVE (different label, highest
+    * cosine that is still BELOW the positive's — outside the
+    * violating zone, so training signal without the label-noise
+    * instability that fully-hard negatives inject). Together with
+    * [[hardNegatives]] (which mines the violating zone itself) this
+    * is the triplet-batch construction pass of a contrastive
+    * training pipeline; `margin` = pos_cos − neg_cos is the slack
+    * the loss would push on.
+    *
+    * Scale shape: same broadcast-probe scan as [[topKBruteForce]]
+    * (probes bounded, corpus streams once per branch); the positive
+    * pick is a per-probe window, the negative branch joins the
+    * |probes|-row positive relation back as a broadcast and windows
+    * under the cos < pos_cos gate. A probe with no same-label
+    * neighbor yields no triplet (nothing to pull); a probe with no
+    * admissible negative keeps null neg columns (anchor already
+    * separated). Both cosines come off the shared quantized
+    * relation, so margin subtracts two bit-identical doubles.
+    */
+  def tripletMining(embs: DataFrame): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val qv = materialize(Vectors.quantized(embs))
+    val probes = broadcast(probeSide(qv)
+      .join(lab.select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label")), "probe_id"))
+    val scored = corpusSide(qv).join(lab, "vec_id")
+      .join(probes, col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").asc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("probe_label"))
+      .withColumn("pk", row_number().over(wp))
+      .filter(col("pk") === 1)
+      .select(col("probe_id"), col("probe_label"),
+        col("vec_id").as("pos_id"), col("cos_sim").as("pos_cos"))
+    val wn = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val neg = scored.filter(col("label") =!= col("probe_label"))
+      .join(broadcast(pos.select(col("probe_id"), col("pos_cos"))), "probe_id")
+      .filter(col("cos_sim") < col("pos_cos"))
+      .withColumn("nk", row_number().over(wn))
+      .filter(col("nk") === 1)
+      .select(col("probe_id"), col("vec_id").as("neg_id"),
+        col("cos_sim").as("neg_cos"))
+    pos.join(neg, Seq("probe_id"), "left")
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .select(col("probe_id"), col("probe_label"), col("pos_id"),
+        col("pos_cos"), col("neg_id"), col("neg_cos"), col("margin"))
+      .orderBy(col("probe_id"))
+  }
+
   val IvfNProbe = 2
   val IvfCurveProbes: Seq[Int] = Seq(1, 2, 4)
 

@@ -801,4 +801,83 @@ object TextAnalysis {
       .withColumn("hapax_share",
         col("n_hapax").cast("double") / col("n_terms").cast("double"))
       .orderBy(col("source"))
+
+  /** Term burstiness per source: for the top-k terms by document
+    * frequency, the variance-to-mean ratio (Fano factor) of the
+    * term's per-document count, over the documents that CONTAIN it.
+    * VMR ≈ 1 is Poisson scatter (function words); VMR ≫ 1 is a
+    * bursty/topical term that clumps inside a few documents —
+    * Church & Gale's burstiness contrast, the signal behind
+    * adaptive-LM caching and topical-keyword extraction. In a
+    * training-data pipeline it separates boilerplate vocabulary
+    * (evenly smeared, low VMR) from content terms before any model
+    * is in the loop.
+    *
+    * Determinism/scale shape: the two moments Σc and Σc² reduce as
+    * exact BIGINTs over the (source, term, doc) count relation
+    * (vocabulary-bounded after the first map-side-combined reduce);
+    * VMR = (df·Σc² − (Σc)²) / (df·Σc) is ONE double division of two
+    * exact integers, so both engines produce the identical bits.
+    * The integer numerator stays under 2⁶³ through ~10⁹-token
+    * sources; beyond that the moments should widen to decimal(38,0)
+    * (same shape, no plan change). Top-k pick is a per-source
+    * window over the vocabulary-bounded term relation — never a
+    * single-partition global sort.
+    */
+  def burstiness(docs: DataFrame, text: Column, k: Int = 10): DataFrame = {
+    val perDoc = docs.select(col("source"), col("doc_id"),
+        explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val perTerm = perDoc.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sx2"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("sx").desc, col("tok"))
+    perTerm.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .withColumn("vmr",
+        (col("df") * col("sx2") - col("sx") * col("sx")).cast("double") /
+          (col("df") * col("sx")).cast("double"))
+      .select(col("source"), col("tok"), col("df"), col("sx").as("total_tf"),
+        col("vmr"), col("rk"))
+  }
+
+  /** Zipf octave census per source: rank the vocabulary by term
+    * frequency, bucket ranks into OCTAVES (rank ∈ [2ʲ, 2ʲ⁺¹)), and
+    * report each octave's term count, frequency mass, and the
+    * octave-over-octave mass decay. Under an ideal Zipf law
+    * (f ∝ 1/rank) every octave carries the SAME mass (Σ 1/r over a
+    * doubling range ≈ ln 2), so decay ≈ 1.0 flags a natural-language
+    * frequency profile while decay collapsing toward 0 flags
+    * template/boilerplate corpora and decay ≫ 1 flags head-heavy
+    * spam — the power-law fit without a single transcendental:
+    * octave = length(bin(rank)) − 1 is pure integer bit-length in
+    * BOTH engines (the same trick text_tfidf_topk's integer-log2 IDF
+    * uses), so no libm log() whose last ulp could differ between the
+    * JVM and DuckDB ever enters the compare.
+    *
+    * Scale shape: term counts are a vocabulary-bounded map-side-
+    * combined reduce; the rank is a per-source window over that
+    * bounded relation; octave rollup is |sources|·|octaves| rows.
+    * decay is one double division of exact BIGINT masses (lag over
+    * the tiny octave relation).
+    */
+  def zipfOctaves(docs: DataFrame, text: Column): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tf").desc, col("tok"))
+    val oct = tf.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("long"))
+      .groupBy(col("source"), col("octave"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("mass"))
+    val wo = Window.partitionBy(col("source")).orderBy(col("octave"))
+    oct.withColumn("decay",
+        col("mass").cast("double") /
+          lag(col("mass"), 1).over(wo).cast("double"))
+      .orderBy(col("source"), col("octave"))
+  }
 }

@@ -187,6 +187,34 @@ object Analytics {
         col("o_quarter").asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS over MIXED dimensions — the lattice shape
+    * neither [[qRollup]] (a hierarchy prefix) nor [[qCube]] (the full
+    * power set) covers: (status, priority), (status, quarter), and
+    * the grand total, skipping every other combination. This is the
+    * BI-layer contract "give me exactly these three subtotal views in
+    * one pass"; computing them as three separate aggregates would
+    * scan the fact table three times, while the grouping-set expand
+    * is ONE scan + ONE shuffle (Spark's Expand replicates each row
+    * map-side once per set, then a single partial+final aggregate
+    * pair reduces all three sets together). gid is the same
+    * grouping_id bitmask as qCube's, here over three key columns.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
+    ord.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus"), col("o_quarter")),
+          Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_quarter"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("o_quarter").asc_nulls_first)
+  }
+
   /** TPC-H Q13-style: customer distribution by order count. Left
     * join so customers with zero orders land in the c_count=0 bucket;
     * two cheap aggregations (per-customer, then per-count).

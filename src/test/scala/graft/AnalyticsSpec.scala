@@ -106,6 +106,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
   }
 
+  test("grouping sets: exactly the three requested strata, each a partition of orders") {
+    val rows = SparkEntry.queries("q_grouping_sets")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    // gid over (status, priority, quarter), bit=1 means aggregated-out:
+    // (status, priority) -> 001=1, (status, quarter) -> 010=2, () -> 111=7.
+    // The skipped lattice members (0, 3, 4, 5, 6) must NOT appear.
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L, 7L))
+    byGid.foreach { case (gid, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == total, s"gid $gid")
+    }
+    // each stratum nulls exactly its aggregated-out keys
+    assert(byGid(1L).forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.isNullAt(2)))
+    assert(byGid(2L).forall(r => !r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2)))
+    assert(byGid(7L).length == 1)
+  }
+
   test("sessionize: session event counts sum to total events") {
     val rows = SparkEntry.queries("events_sessionize")(spark, sf).collect()
     val total = Tables.load(spark, sf, "events").count()

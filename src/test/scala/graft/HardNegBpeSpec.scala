@@ -29,6 +29,36 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(got.map(_.getLong(5)).toSeq == Seq(1L, 2L))
   }
 
+  test("tripletMining: hardest positive, semi-hard negative strictly below it") {
+    import spark.implicits._
+    // probe 0 (label 1): positives are 1 (cos≈0.99) and 2 (cos=0 —
+    // the HARDEST, picked); negatives are 3 (cos≈0.97 > pos_cos=0 —
+    // violating zone, excluded by the semi-hard rule) and 4
+    // (cos=−1 < 0 — the semi-hard pick).
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.8f, 0.2f), 2),
+      (4L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r0 = Similarity.tripletMining(embs)
+      .filter(col("probe_id") === 0L).collect().head
+    assert(r0.getAs[Long]("pos_id") == 2L)
+    assert(r0.getAs[Long]("neg_id") == 4L)
+    assert(r0.getAs[Double]("neg_cos") < r0.getAs[Double]("pos_cos"))
+    assert(r0.getAs[Double]("margin") ==
+      r0.getAs[Double]("pos_cos") - r0.getAs[Double]("neg_cos"))
+    // corpus invariants: every emitted negative sits strictly below
+    // its positive (the semi-hard contract), margins positive
+    val rows = SparkEntry.queries("embed_triplet_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getAs[Double]("neg_cos") < r.getAs[Double]("pos_cos"))
+      assert(r.getAs[Double]("margin") > 0.0)
+    }
+  }
+
   test("bpePairStats: pair counts weight by token frequency, repeats count per position") {
     import spark.implicits._
     // "abab" contributes pairs ab,ba,ab (positions) per occurrence;

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ml.{Dedup, Similarity, TextAnalysis, Vectors}
+import graft.ml.{Corpus, Dedup, Similarity, TextAnalysis, Vectors}
 import graft.multimodal.Binary
 
 class MlSpec extends AnyFunSuite {
@@ -795,6 +795,96 @@ class MlSpec extends AnyFunSuite {
         case _ => assert((info.kind, info.f0, info.f1, info.f2)
           == (("video", 4 + 2 * (id % 6), 2 + 2 * (id % 4), 1 + id % 3)), s"id=$id")
       }
+    }
+  }
+
+  test("dedup impact: survivors agree with dedup_exact; mirror source fully removed") {
+    import spark.implicits._
+    // doc 3 mirrors doc 1's text from another source: the global
+    // min-doc_id rule keeps doc 1, so source B shows 100% removal
+    val df = Seq(
+      (1L, "A", "same text here", 14L),
+      (2L, "A", "other text", 10L),
+      (3L, "B", "same text here", 14L)).toDF("doc_id", "source", "text", "n_chars")
+    val got = Corpus.dedupImpact(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("removed_share"))).toMap
+    assert(got("A") == ((2L, 0.0)) && got("B") == ((0L, 1.0)))
+    // full corpus: kept docs across sources == distinct fingerprints
+    val rows = SparkEntry.queries("corpus_dedup_impact")(spark, sf).collect()
+    val nFp = SparkEntry.queries("dedup_exact")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == nFp)
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("removed_share"); s >= 0.0 && s <= 1.0 })
+  }
+
+  test("anneal mix: sqrt temperature compresses the share range, weights sum to 1") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 100L), (2L, "B", 400L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Corpus.annealMix(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("w_half"))).toMap
+    assert(got("A")._1 == 0.2 && got("B")._1 == 0.8)
+    assert(math.abs(got("A")._2 - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(got("B")._2 - 2.0 / 3.0) < 1e-12)
+    val rows = SparkEntry.queries("corpus_anneal_mix")(spark, sf).collect()
+    // 1e-6: the Σ normalizer is kept at DECIMAL(38,6) for engine
+    // parity, so each weight carries ~1e-8 relative rounding
+    Seq("share", "w_half", "w_quarter").foreach { c =>
+      assert(math.abs(rows.map(_.getAs[Double](c)).sum - 1.0) < 1e-6, c)
+    }
+    // annealing monotonicity: α<1 pulls every weight toward uniform
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val (s, h) = (r.getAs[Double]("share"), r.getAs[Double]("w_half"))
+      assert(if (s > uniform) h <= s else h >= s,
+        s"${r.getAs[String]("source")}: $s -> $h")
+    }
+  }
+
+  test("burstiness: hand-computed Fano factors; even spread scores 0") {
+    import spark.implicits._
+    // src A, term "a": doc1 c=3, doc2 c=1 → df=2, sx=4, sx2=10
+    //   vmr = (2·10 − 16) / (2·4) = 0.5  (bursty: clumps in doc1)
+    // src A, term "b": one per doc → vmr = (2·2 − 4) / (2·2) = 0
+    val df = Seq(
+      (1L, "A", "a a a b"),
+      (2L, "A", "a b")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.burstiness(df, col("text"), 10)
+      .orderBy(col("rk")).collect()
+    val byTok = got.map(r => r.getAs[String]("tok") ->
+      (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+        r.getAs[Double]("vmr"))).toMap
+    assert(byTok("a") == ((2L, 4L, 0.5)))
+    assert(byTok("b") == ((2L, 2L, 0.0)))
+    // full-corpus run: ranks contiguous per source, VMR never negative
+    val rows = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val rks = g.map(_.getAs[Long]("rk")).sorted
+      assert(rks.sameElements(1L to rks.length))
+    }
+    assert(rows.forall(_.getAs[Double]("vmr") >= 0.0))
+  }
+
+  test("zipf octaves: masses partition the token count, octave widths bounded") {
+    val rows = SparkEntry.queries("text_zipf_octaves")(spark, sf).collect()
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text")))
+      .as("t")).count()
+    assert(rows.map(_.getAs[Long]("mass")).sum == toks)
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val byOct = g.sortBy(_.getAs[Long]("octave"))
+      // octave j holds ranks [2^j, 2^{j+1}) → at most 2^j terms;
+      // octave 0 is exactly the rank-1 term
+      byOct.foreach { r =>
+        val j = r.getAs[Long]("octave")
+        assert(r.getAs[Long]("n_terms") <= (1L << j))
+      }
+      assert(byOct.head.getAs[Long]("octave") == 0L &&
+        byOct.head.getAs[Long]("n_terms") == 1L)
+      // decay defined for every octave but the first
+      assert(byOct.head.isNullAt(byOct.head.fieldIndex("decay")))
+      assert(byOct.tail.forall(r => !r.isNullAt(r.fieldIndex("decay"))))
     }
   }
 

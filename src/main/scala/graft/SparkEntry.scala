@@ -102,6 +102,11 @@ object SparkEntry {
     "events_dwell_time"    -> ((s, dir) => Analytics.eventsDwellTime(s, dir)),
     "events_range_join"    -> ((s, dir) => Analytics.eventsRangeJoin(s, dir)),
     "events_markov"        -> ((s, dir) => Analytics.eventsMarkov(s, dir)),
+    // Stationary distribution of the transition chain (fixed-point
+    // integer power iteration, 0.85 damping) — where the population
+    // spends its time at equilibrium.
+    "events_markov_stationary" -> ((s, dir) =>
+      Analytics.markovStationary(Tables.load(s, dir, "events"))),
     "events_cooccurrence"  -> ((s, dir) => Analytics.eventsCooccurrence(s, dir)),
     "events_rfm"           -> ((s, dir) => Analytics.eventsRfm(s, dir)),
     "events_gini"          -> ((s, dir) => Analytics.eventsGini(s, dir)),
@@ -296,6 +301,12 @@ object SparkEntry {
     "cdc_stream_handoff" -> ((s, dir) =>
       streaming.CdcPipeline.snapshotHandoffRoundtrip(s, dir,
         "2024-01-29 00:00:00", windowSeconds = 86400)),
+
+    // Stream-stream interval join (watermarked two-sided time range,
+    // append mode) — pairs emitted exactly once, state evicted at
+    // the range edge; batch interval join is the oracle.
+    "events_stream_attribution" -> ((s, dir) =>
+      streaming.CdcPipeline.attributionJoinStream(s, dir)),
 
     // Session windows through the streaming engine: native
     // session_window(ts, 30 min) gap-merge; the batch
@@ -624,6 +635,19 @@ object SparkEntry {
           col("avg_token_len"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // UTF-8 byte-vs-char census (mojibake / transliteration gauge);
+    // pure integer map-only arithmetic.
+    "text_ascii_profile" -> ((s, dir) =>
+      TextAnalysis.asciiProfile(Tables.load(s, dir, "documents"),
+        col("text"))),
+
+    // Deterministic quality-proportional resampling: per-mille hash
+    // gate realizes P(keep) = quality_score; expected-vs-realized
+    // agreement audits the gate.
+    "corpus_importance_resample" -> ((s, dir) =>
+      TextAnalysis.importanceResample(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.load(s, dir, "documents"), col("text"))
         .select(col("doc_id") +: col("lang") +: col("pred_lang") +:
@@ -830,6 +854,11 @@ object SparkEntry {
     // edge count and the reciprocated share (hubness gauge).
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphStats(Tables.load(s, dir, "embeddings"))),
+
+    // Fixed-point PageRank over the kNN graph: top-20 hub exemplars
+    // (integer 1e-12 rank units — no float sums in the compare).
+    "sim_pagerank" -> ((s, dir) =>
+      Similarity.pageRank(Tables.load(s, dir, "embeddings"))),
 
     // Corpus-level media census: per (source, kind) the doc count
     // and total container bytes — "what's in my multimodal corpus".
@@ -2400,6 +2429,21 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_session_events
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "events_stream_attribution" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+         |    event_type AS touch_type FROM events
+         |  WHERE event_type <> 'purchase'),
+         |j AS (SELECT t.touch_type, p.purchase_id, t.touch_id
+         |  FROM t JOIN p ON p.user_id = t.user_id
+         |    AND t.touch_ts >= p.purchase_ts - INTERVAL 7 DAY
+         |    AND t.touch_ts < p.purchase_ts)
+         |SELECT touch_type, count(*) AS n_pairs,
+         |  count(DISTINCT purchase_id) AS n_purchases,
+         |  count(DISTINCT touch_id) AS n_touches
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_conflict_resolution" ->
       s"""$C,
          |m AS (
@@ -3539,6 +3583,47 @@ object SparkEntry {
         |FROM g WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "events_markov_stationary" -> {
+      val S = Analytics.StationaryScale
+      def iterCtes(i: Int, prev: String): String =
+        s"""c$i AS (SELECT t.to_type AS v,
+           |    CAST(sum(CAST(floor(CAST(pr.r AS DOUBLE)
+           |      * (CAST(t.n_trans AS DOUBLE) / CAST(o.n_from AS DOUBLE)))
+           |      AS BIGINT)) AS BIGINT) AS inflow
+           |  FROM t JOIN $prev pr ON pr.v = t.from_type
+           |  JOIN outm o ON o.from_type = t.from_type GROUP BY 1),
+           |d$i AS (SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) AS dang
+           |  FROM $prev pr LEFT JOIN outm o ON o.from_type = pr.v
+           |  WHERE o.from_type IS NULL),
+           |pr$i AS (SELECT p.v,
+           |    CAST(floor(0.15 * (CAST($S AS DOUBLE)
+           |      / CAST(nn.n AS DOUBLE))) AS BIGINT)
+           |    + CAST(floor(0.85 * CAST(coalesce(c$i.inflow, 0)
+           |      + CAST(floor(CAST(d$i.dang AS DOUBLE)
+           |        / CAST(nn.n AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT)
+           |    AS r
+           |  FROM $prev p LEFT JOIN c$i ON c$i.v = p.v, nn, d$i)""".stripMargin
+      val iters = (1 to Analytics.StationaryIters)
+        .map(i => iterCtes(i, s"pr${i - 1}")).mkString(",\n")
+      s"""WITH g AS (SELECT event_type AS to_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS from_type
+         |  FROM events),
+         |t AS (SELECT from_type, to_type, count(*) AS n_trans
+         |  FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |outm AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+         |  FROM t GROUP BY 1),
+         |pn AS (SELECT DISTINCT v FROM
+         |  (SELECT from_type AS v FROM t UNION ALL SELECT to_type FROM t)),
+         |nn AS (SELECT count(*) AS n FROM pn),
+         |pr0 AS (SELECT v, CAST(floor(CAST($S AS DOUBLE)
+         |    / CAST(nn.n AS DOUBLE)) AS BIGINT) AS r FROM pn, nn),
+         |$iters
+         |SELECT p.v AS event_type, p.r AS pi_fp,
+         |  CAST(row_number() OVER (ORDER BY p.r DESC, p.v) AS BIGINT) AS rk
+         |FROM pr${Analytics.StationaryIters} p ORDER BY rk""".stripMargin
+    },
+
     "events_markov" ->
       """WITH g AS (SELECT event_type AS to_type,
         |    lag(event_type) OVER (PARTITION BY user_id
@@ -4120,6 +4205,51 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
+    "text_ascii_profile" ->
+      s"""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(strlen(text) AS BIGINT) AS bytes FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(bytes) AS BIGINT) AS n_bytes,
+         |  CAST(sum(CASE WHEN bytes > chars THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multibyte_docs,
+         |  CAST(sum(bytes) AS BIGINT) - CAST(sum(chars) AS BIGINT)
+         |    AS multibyte_excess,
+         |  CAST(CAST(sum(bytes) AS BIGINT) - CAST(sum(chars) AS BIGINT)
+         |      AS DOUBLE)
+         |    / CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE) AS excess_share
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_importance_resample" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |q AS (SELECT source,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    END AS qs,
+         |  ${Portable.duckHash("('rs#' || CAST(doc_id AS VARCHAR))")} % 1000 AS gate
+         |FROM s),
+         |g AS (SELECT source,
+         |    CAST(floor(qs * CAST(1000 AS DOUBLE)) AS BIGINT) AS pm, gate
+         |  FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(pm) AS BIGINT) AS expected_pm,
+         |  CAST(sum(CASE WHEN gate < pm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(CAST(sum(pm) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) * 1000 AS DOUBLE) AS expected_share,
+         |  CAST(CAST(sum(CASE WHEN gate < pm THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS realized_share
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "text_langid" -> {
       val scores = TextAnalysis.markers
         .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
@@ -4666,6 +4796,67 @@ object SparkEntry {
          |  CAST(sum(mut) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
          |FROM e2 JOIN embeddings l ON l.vec_id = e2.src
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sim_pagerank" -> {
+      val S = Similarity.PageRankScale
+      // one synchronous fixed-point iteration, unrolled (the Spark
+      // loop's exact arithmetic twin — every division floored back
+      // to BIGINT so no float sum exists to depend on order)
+      def iterCtes(i: Int, prev: String): String =
+        s"""c$i AS (SELECT e.dst AS v,
+           |    CAST(sum(CAST(floor(CAST(pr.r AS DOUBLE)
+           |      / CAST(o.outdeg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inflow
+           |  FROM e JOIN $prev pr ON pr.v = e.src
+           |  JOIN outd o ON o.src = e.src GROUP BY 1),
+           |d$i AS (SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) AS dang
+           |  FROM $prev pr LEFT JOIN outd o ON o.src = pr.v
+           |  WHERE o.src IS NULL),
+           |pr$i AS (SELECT p.v,
+           |    CAST(floor(0.15 * (CAST($S AS DOUBLE)
+           |      / CAST(nn.n AS DOUBLE))) AS BIGINT)
+           |    + CAST(floor(0.85 * CAST(coalesce(c$i.inflow, 0)
+           |      + CAST(floor(CAST(d$i.dang AS DOUBLE)
+           |        / CAST(nn.n AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT)
+           |    AS r
+           |  FROM $prev p LEFT JOIN c$i ON c$i.v = p.v, nn, d$i)""".stripMargin
+      val iters = (1 to Similarity.PageRankIters)
+        .map(i => iterCtes(i, s"pr${i - 1}")).mkString(",\n")
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM buckets a JOIN buckets b
+         |  ON b.band = a.band AND b.bucket = a.bucket
+         |    AND b.vec_id <> a.vec_id),
+         |dd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.src
+         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |s AS (SELECT dd.src, dd.dst,
+         |    ${Vectors.duckCosine("dd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM dd
+         |  JOIN norms na ON na.vec_id = dd.src
+         |  JOIN norms nb ON nb.vec_id = dd.dst
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY cos_sim DESC, dst) AS rk FROM s),
+         |e AS (SELECT src, dst FROM rr WHERE rk <= ${Similarity.KnnGraphK}),
+         |pn AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM pn),
+         |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |pr0 AS (SELECT v, CAST(floor(CAST($S AS DOUBLE)
+         |    / CAST(nn.n AS DOUBLE)) AS BIGINT) AS r FROM pn, nn),
+         |$iters,
+         |t AS (SELECT p.v AS vec_id, l.label, p.r AS rank_fp
+         |  FROM pr${Similarity.PageRankIters} p
+         |  JOIN embeddings l ON l.vec_id = p.v
+         |  ORDER BY p.r DESC, p.v LIMIT ${Similarity.PageRankTopN})
+         |SELECT vec_id, label, rank_fp,
+         |  CAST(row_number() OVER (ORDER BY rank_fp DESC, vec_id)
+         |    AS BIGINT) AS rk
+         |FROM t ORDER BY rk""".stripMargin
+    },
 
     "sim_ann_lsh" ->
       s"""WITH $embCtes,

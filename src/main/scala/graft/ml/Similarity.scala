@@ -666,7 +666,13 @@ object Similarity {
     * probe joins the |V|·k edge relation against its own flip on the
     * (src, dst) key. No driver-side anything.
     */
-  def knnGraphStats(embs: DataFrame, k: Int = KnnGraphK): DataFrame = {
+  /** The kNN candidate-graph edge set every graph operator here
+    * shares: per vector, its top-k SRP-bucket candidates by exact
+    * cosine (deterministic (cos desc, dst) tie-break). Materialized
+    * — [[knnGraphStats]] consumes it twice (edges + flip) and
+    * [[pageRank]] walks it every iteration.
+    */
+  def knnEdges(embs: DataFrame, k: Int = KnnGraphK): DataFrame = {
     val qv = materialize(Vectors.quantizedWithBuckets(embs,
       Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
     val flat = qv.select(col("vec_id"),
@@ -686,10 +692,14 @@ object Similarity {
           col("n2_s"), col("n2_d")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
-    val edges = materialize(scored
+    materialize(scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst")))
+  }
+
+  def knnGraphStats(embs: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val edges = knnEdges(embs, k)
     val flipped = edges.select(col("dst").as("src"), col("src").as("dst"))
       .withColumn("mut", lit(1L))
     edges.join(flipped, Seq("src", "dst"), "left")
@@ -701,6 +711,100 @@ object Similarity {
         (sum(coalesce(col("mut"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("reciprocity"))
       .orderBy(col("label"))
+  }
+
+  val PageRankIters = 3
+  val PageRankScale = 1000000000000L // 1e12 fixed-point units
+  val PageRankTopN = 20
+
+  /** PageRank over the kNN candidate graph ([[knnEdges]]) — the
+    * centrality pass of graph-based corpus curation: high-rank
+    * vectors are the hub exemplars every neighborhood points at
+    * (dedup canonicals, coreset picks), rank mass concentrating on a
+    * few nodes is the same hubness pathology [[knnGraphStats]]'s
+    * reciprocity flags, seen from the stationary-distribution side.
+    * Standard damping 0.85 with uniform teleport and uniform
+    * dangling-mass redistribution; [[PageRankIters]] synchronous
+    * iterations from a uniform start.
+    *
+    * FIXED-POINT determinism: ranks live in integer 1e-12 units
+    * ([[PageRankScale]]); every division is floored back to a
+    * BIGINT, so per-destination inflow sums are EXACT integer
+    * aggregates — order-independent across engines and partitions —
+    * and the only float ops are per-row double divisions/products of
+    * exact integers, identical bit-for-bit in the oracle. A raw
+    * double PageRank would hash-mismatch on summation order alone.
+    *
+    * Scale shape: per iteration, contributions are a map over the
+    * edge relation joined to the |V|-row rank relation (shuffle on
+    * src, then dst — the Pregel exchange), the dangling/N scalars
+    * are 1-row broadcasts, and the plan grows linearly in the FIXED
+    * iteration count. Output is the top-[[PageRankTopN]] hubs via
+    * TakeOrderedAndProject (no global sort materializes); the
+    * row_number runs over those bounded rows only.
+    */
+  def pageRank(embs: DataFrame, iters: Int = PageRankIters): DataFrame = {
+    val top = pageRankRanks(knnEdges(embs), iters)
+      .join(embs.select(col("vec_id"), col("label")),
+        col("v") === col("vec_id"))
+      .select(col("vec_id"), col("label"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("vec_id"))
+      .limit(PageRankTopN)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("rank_fp").desc, col("vec_id"))).cast("long"))
+      .orderBy(col("rk"))
+  }
+
+  /** The fixed-point iteration on an arbitrary (src, dst) edge
+    * relation — the unit the random-graph property suite pins
+    * against a driver-side simulation. Returns the full (v, r)
+    * rank relation in [[PageRankScale]] units.
+    */
+  def pageRankRanks(edges: DataFrame, iters: Int = PageRankIters): DataFrame = {
+    // each round's rank relation is CHECKPOINT-TRUNCATED, not merely
+    // persisted: the round-t plan embeds round-(t−1)'s full lineage
+    // in three places (contrib join, dangling agg, final select), so
+    // an uncut plan grows exponentially and Catalyst re-optimization
+    // dominates wall-clock by round 3 (measured 3.1 → 6.2 → 28.5 s
+    // per round at sf0.1 before the cut; constant ~1 s after) — the
+    // same pathology the union-find contraction documents
+    // (Dedup.scala: ExpressionBridge.checkpointTruncated).
+    import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    val nodes = materialize(edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct())
+    val outd = materialize(edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")))
+    // |V| and the per-round dangling mass are DRIVER SCALARS (the
+    // k-means-update 1-row-collect pattern): folding them in as
+    // literals keeps each round's plan at one join + one select —
+    // the crossJoin(broadcast(1-row-agg)) alternative re-plans two
+    // broadcast subqueries per round and measured ~3× slower. The
+    // driver-side floor chain is the same IEEE double math both
+    // engines run, so determinism is unchanged.
+    val n = nodes.count()
+    val base = math.floor(0.15 * (PageRankScale.toDouble / n)).toLong
+    var ranks = checkpointTruncated(nodes.select(col("v"),
+      lit(math.floor(PageRankScale.toDouble / n).toLong).as("r")))
+    for (_ <- 1 to iters) {
+      val dang = ranks
+        .join(outd.select(col("src").as("v")), Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
+      val dShare = math.floor(dang.toDouble / n).toLong
+      val contrib = edges
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
+        .join(outd, "src")
+        .select(col("dst").as("v"),
+          floor(col("r").cast("double") / col("outdeg").cast("double"))
+            .as("c"))
+      val inflow = contrib.groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      ranks = checkpointTruncated(ranks.select(col("v"))
+        .join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + floor(lit(0.85) *
+            (coalesce(col("inflow"), lit(0L)) + lit(dShare))
+              .cast("double"))).as("r")))
+    }
+    ranks
   }
 
   /** Per-label norm/shape profile of the embedding corpus — the

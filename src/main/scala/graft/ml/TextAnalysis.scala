@@ -802,6 +802,64 @@ object TextAnalysis {
         col("n_hapax").cast("double") / col("n_terms").cast("double"))
       .orderBy(col("source"))
 
+  /** UTF-8 byte-vs-char census per source — the cheap encoding-health
+    * gauge run before any text op: `n_bytes − n_chars` counts exactly
+    * the multibyte continuation bytes, so a nominally-ASCII source
+    * with a high excess share is either genuinely non-Latin or
+    * MOJIBAKE (double-encoded UTF-8 inflates the excess ~2×), and a
+    * CJK source with excess ≈ 0 has been lossily transliterated.
+    * Pure integer map-only arithmetic (length vs octet_length; the
+    * oracle's strlen) — no Unicode tables enter the compare.
+    */
+  def asciiProfile(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("source"),
+        length(text).cast("long").as("chars"),
+        octet_length(text).cast("long").as("bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("bytes")).as("n_bytes"),
+        sum(when(col("bytes") > col("chars"), 1L).otherwise(0L))
+          .as("n_multibyte_docs"))
+      .withColumn("multibyte_excess", col("n_bytes") - col("n_chars"))
+      .withColumn("excess_share",
+        (col("n_bytes") - col("n_chars")).cast("double") /
+          col("n_chars").cast("double"))
+      .orderBy(col("source"))
+
+  /** Quality-proportional importance resampling — the corpus-shaping
+    * pass between scoring and training: each document is kept with
+    * probability quality_score (realized as a DETERMINISTIC per-mille
+    * hash gate, so the sample is reproducible across runs, engines,
+    * and partitionings — no RNG), which biases the surviving corpus
+    * toward high-quality text without the hard cliff of a threshold
+    * filter. Per source: expected acceptance mass (Σ per-mille, an
+    * exact integer), realized picks, and both shares — the
+    * gate-vs-expectation agreement IS the audit that the hash gate
+    * is unbiased on this corpus.
+    *
+    * Scale shape: map-only scoring + gate, one |sources|-row rollup.
+    * The only doubles are the shared [[quality]] score (already
+    * engine-identical) and two final divisions.
+    */
+  def importanceResample(docs: DataFrame, text: Column): DataFrame = {
+    val scored = quality(docs, text)
+      .withColumn("pm", floor(col("quality_score") * lit(1000.0)))
+    val gate = Portable.pHash(
+      concat(lit("rs#"), col("doc_id").cast("string"))) % 1000
+    scored.withColumn("take", gate < col("pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pm")).as("expected_pm"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("expected_share",
+        col("expected_pm").cast("double") /
+          (col("n_docs") * lit(1000L)).cast("double"))
+      .withColumn("realized_share",
+        col("n_sampled").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Term burstiness per source: for the top-k terms by document
     * frequency, the variance-to-mean ratio (Fano factor) of the
     * term's per-document count, over the documents that CONTAIN it.

@@ -1236,6 +1236,77 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  val StationaryScale = 1000000000000L // 1e12 fixed-point units
+  val StationaryIters = 3
+
+  /** Stationary distribution of the [[markovTransitions]] chain —
+    * where user behavior settles at equilibrium: π such that π ≈ πP
+    * under 0.85 damping (teleport keeps the chain ergodic even with
+    * absorbing event types; types with no outgoing transitions
+    * redistribute uniformly, the dangling rule). The behavioral twin
+    * of `sim_pagerank`'s graph centrality: p_trans says where a user
+    * goes NEXT, π says where the population SPENDS ITS TIME — the
+    * session-mix forecast a capacity planner reads.
+    *
+    * Same fixed-point integer discipline as Similarity.pageRankRanks
+    * (ranks in 1e-12 units, every division floored to BIGINT, the
+    * only floats are per-row products of exact integers — here
+    * weighted by the transition probability n_trans/n_from), same
+    * checkpoint-per-round lineage cut, same driver-scalar |V| and
+    * dangling mass (1-row collects). The weighted contribution
+    * floor(π·(n_trans/n_from)) keeps its own formula rather than
+    * reusing the unweighted floor(π/outdeg) — the two aren't
+    * IEEE-equal even at weight 1, and each is pinned by its own
+    * oracle.
+    *
+    * Scale shape: the transition matrix is |types|²-bounded (one
+    * user-timeline window + map-side-combined reduce); every
+    * iteration is bounded joins over it. Output |types| rows.
+    */
+  def markovStationary(ev: DataFrame, iters: Int = StationaryIters): DataFrame = {
+    import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = graft.CacheScope.materialize(ev
+      .select(lag(col("event_type"), 1).over(w).as("from_type"),
+        col("event_type").as("to_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans")))
+    val outm = graft.CacheScope.materialize(trans
+      .groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from")))
+    val nodes = graft.CacheScope.materialize(
+      trans.select(col("from_type").as("v"))
+        .union(trans.select(col("to_type").as("v"))).distinct())
+    val n = nodes.count()
+    val base = math.floor(0.15 * (StationaryScale.toDouble / n)).toLong
+    var pi = checkpointTruncated(nodes.select(col("v"),
+      lit(math.floor(StationaryScale.toDouble / n).toLong).as("r")))
+    for (_ <- 1 to iters) {
+      val dang = pi
+        .join(outm.select(col("from_type").as("v")), Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
+      val dShare = math.floor(dang.toDouble / n).toLong
+      val contrib = trans
+        .join(pi.select(col("v").as("from_type"), col("r")), "from_type")
+        .join(outm, "from_type")
+        .select(col("to_type").as("v"),
+          floor(col("r").cast("double") *
+            (col("n_trans").cast("double") / col("n_from").cast("double")))
+            .as("c"))
+      val inflow = contrib.groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      pi = checkpointTruncated(pi.select(col("v"))
+        .join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + floor(lit(0.85) *
+            (coalesce(col("inflow"), lit(0L)) + lit(dShare))
+              .cast("double"))).as("r")))
+    }
+    val ranked = pi.select(col("v").as("event_type"), col("r").as("pi_fp"))
+    ranked.withColumn("rk", row_number().over(
+        Window.orderBy(col("pi_fp").desc, col("event_type"))).cast("long"))
+      .orderBy(col("rk"))
+  }
+
   /** Event-type co-occurrence (market-basket over user histories):
     * for each unordered type pair, how many users exhibit both, with
     * the Jaccard overlap of the two user sets. The "which behaviors

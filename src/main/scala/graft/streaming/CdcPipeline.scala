@@ -909,6 +909,62 @@ object CdcPipeline {
     } finally removeRecursively(stage)
   }
 
+  /** Stream-stream INTERVAL JOIN through the engine — the one
+    * stateful streaming primitive the rest of the suite doesn't
+    * exercise: purchases and preceding touches ride TWO watermarked
+    * event-time streams, joined on user under a two-sided time-range
+    * condition (touch in [purchase − lookback, purchase)). The range
+    * condition is what makes the state BOUNDED: each side's rows are
+    * held only until the other side's watermark passes the range
+    * edge, then evicted — without it Spark would have to keep every
+    * row forever (and refuses the append-mode query). Append
+    * semantics: each qualifying (touch, purchase) pair is emitted
+    * exactly once. The batch interval join over the same feed is
+    * the oracle (stream-vs-batch equality, the
+    * [[sessionRoundtrip]] contract); the summary reduces the drained
+    * pairs per touch type.
+    *
+    * The sentinel staging is the same two-file replay: the sentinel
+    * row is stamped past head + lookback + delay, advancing BOTH
+    * streams' watermarks past every real pair's flush point; its
+    * reserved key can never match a real user on the other side, so
+    * it adds no pairs.
+    */
+  def attributionJoinStream(
+      spark: SparkSession,
+      dir: String,
+      lookback: String = "7 days",
+      delay: String = "1 hour"): DataFrame = {
+    val stage = stageWithSentinel(spark, dir, marginSeconds = 9 * 24 * 3600L)
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      def src(): DataFrame = graft.Tables.withEventTime(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+        .filter(col("ts").isNotNull)
+      val touches = src().filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+        .withWatermark("touch_ts", delay)
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", delay)
+      val joined = touches.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("touch_ts") >= col("purchase_ts") - expr(s"interval $lookback") &&
+          col("touch_ts") < col("purchase_ts"))
+      drainToLocal(spark, joined, OutputMode.Append)
+        .filter(col("user_id") =!= SentinelUser)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          countDistinct(col("touch_id")).as("n_touches"))
+        .orderBy(col("touch_type"))
+    } finally removeRecursively(stage)
+  }
+
   /** Reserved key for the watermark-advancing sentinel row. */
   val SentinelUser = -1L
 

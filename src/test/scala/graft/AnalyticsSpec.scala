@@ -123,6 +123,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byGid(7L).length == 1)
   }
 
+  test("markov stationary: symmetric two-state chain equalizes; mass ≈ scale") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user alternating A→B→A→… : transitions A→B and B→A only,
+    // perfectly symmetric → π(A) = π(B) exactly (identical integer
+    // updates each round), tie broken alphabetically
+    val ev = (0 until 10).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        1L, if (i % 2 == 0) "A" else "B", 0.0, null: String)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Analytics.markovStationary(ev).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSeq == Seq("A", "B"))
+    assert(got(0).getAs[Long]("pi_fp") == got(1).getAs[Long]("pi_fp"))
+    // full corpus: ranks contiguous, total mass within floor leakage
+    // of the fixed-point scale (each round floors < 3 units per node
+    // and per edge)
+    val rows = SparkEntry.queries("events_markov_stationary")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("rk")).sorted.sameElements(
+      1L to rows.length))
+    val total = rows.map(_.getAs[Long]("pi_fp")).sum
+    val scale = graft.operators.Analytics.StationaryScale
+    assert(total <= scale && total > scale - 1000000L, s"mass $total")
+  }
+
   test("sessionize: session event counts sum to total events") {
     val rows = SparkEntry.queries("events_sessionize")(spark, sf).collect()
     val total = Tables.load(spark, sf, "events").count()

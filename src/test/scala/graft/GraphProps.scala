@@ -39,6 +39,38 @@ object GraphProps extends Properties("graft.graph") {
       }
     }
 
+  /** Driver-side fixed-point PageRank — the arithmetic twin of
+    * Similarity.pageRankRanks (floors and all), so equality is exact
+    * on any graph the generator produces.
+    */
+  private def simulatePageRank(pairs: List[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val S = graft.ml.Similarity.PageRankScale
+    val edges = pairs.distinct
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = nodes.map(v => v -> math.floor(S.toDouble / n).toLong).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        math.floor(r(u).toDouble / outdeg(u).toDouble).toLong }.sum).toMap
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      val dShare = math.floor(dang.toDouble / n).toLong
+      val base = math.floor(0.15 * (S.toDouble / n)).toLong
+      r = nodes.map(v => v -> (base +
+        math.floor(0.85 * (contrib.getOrElse(v, 0L) + dShare).toDouble).toLong)).toMap
+    }
+    r
+  }
+
+  property("pageRankRanks == driver fixed-point simulation on random graphs") =
+    Prop.forAll(edgeList.suchThat(_.nonEmpty)) { pairs =>
+      import spark.implicits._
+      val edges = pairs.distinct.toDF("src", "dst")
+      val got = graft.ml.Similarity.pageRankRanks(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == simulatePageRank(pairs, graft.ml.Similarity.PageRankIters)
+    }
+
   private val perMille: Gen[Int] = Gen.chooseNum(0, 1000)
 
   property("hash-gate sampling is monotone in rate and deterministic") =

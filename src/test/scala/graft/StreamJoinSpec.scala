@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcPipeline
+
+/** Pins the stream-stream interval join (`events_stream_attribution`
+  * → CdcPipeline.attributionJoinStream): watermarked two-sided
+  * time-range join in APPEND mode, flushed by the staged sentinel.
+  * Claims:
+  *
+  *  1. exactly-once pair emission with zero late drops at the chosen
+  *     delay: the drained pair summary equals the batch interval
+  *     join over the same feed, per touch type (no pair missing, no
+  *     pair duplicated — a dropped pair under-counts, a re-emitted
+  *     one over-counts n_pairs vs the distinct counts);
+  *  2. the sentinel row never contributes a pair (its reserved key
+  *     has no counterpart on the other stream).
+  */
+class StreamJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("append-mode interval join: batch equality, no sentinel leakage") {
+    val out = CdcPipeline.attributionJoinStream(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getAs[String]("touch_type") == "sentinel"))
+
+    val ev = Tables.load(spark, sf, "events").filter(col("ts").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val batch = t.join(p,
+        col("user_id") === col("p_user") &&
+          col("touch_ts") >= col("purchase_ts") - expr("interval 7 days") &&
+          col("touch_ts") < col("purchase_ts"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        countDistinct(col("touch_id")).as("n_touches"))
+      .collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_touches"))).toMap
+    val stream = out.map(r => r.getAs[String]("touch_type") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("n_touches"))).toMap
+    assert(stream == batch)
+  }
+}

@@ -837,6 +837,11 @@ object SparkEntry {
       Similarity.prefixRecall(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"))),
 
+    // Matryoshka trade-off curve: recall@k per probe at prefix
+    // widths {4,8,16,32} — the byte-budget knee finder.
+    "embed_prefix_curve" -> ((s, dir) =>
+      Similarity.prefixRecallCurve(Tables.load(s, dir, "embeddings"))),
+
     // Embedding collision census: bitwise-identical quantized
     // vectors per label (an upstream-dedup-failure smoke signal).
     "embed_exact_dups" -> ((s, dir) => {
@@ -859,6 +864,16 @@ object SparkEntry {
     // (integer 1e-12 rank units — no float sums in the compare).
     "sim_pagerank" -> ((s, dir) =>
       Similarity.pageRank(Tables.load(s, dir, "embeddings"))),
+
+    // Graph-walk ANN (DiskANN/HNSW family): T-hop beam search over
+    // the kNN graph from a fixed entry vertex; final beam per probe.
+    "sim_ann_graph" -> ((s, dir) =>
+      Similarity.graphSearch(Tables.load(s, dir, "embeddings"))),
+
+    // The graph index's recall gauge vs the exact ranking — fourth
+    // geometry on the same measuring stick (LSH / IVF / PQ / graph).
+    "sim_ann_graph_recall" -> ((s, dir) =>
+      Similarity.graphSearchRecall(Tables.load(s, dir, "embeddings"))),
 
     // Corpus-level media census: per (source, kind) the doc count
     // and total container bytes — "what's in my multimodal corpus".
@@ -1796,6 +1811,72 @@ object SparkEntry {
 
   private val cosSql =
     Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
+
+  /** Shared CTE chain for the graph-walk ANN pair (sim_ann_graph /
+    * sim_ann_graph_recall): knn edges `ge` (same construction as
+    * sim_knn_graph's), probe-corpus cosines `pc`, fixed entry `gen`,
+    * and the beam frontier gf0..gfH — the Spark loop unrolled.
+    * Expects to be spliced after [[embCtes]] + [[srpCtes]].
+    */
+  private lazy val graphWalkCtes: String = {
+    val beam = Similarity.GraphSearchBeam
+    def hop(i: Int, prev: String): String =
+      s"""gx$i AS (SELECT DISTINCT probe_id, node FROM (
+         |    SELECT f.probe_id, ge.dst AS node
+         |      FROM $prev f JOIN ge ON ge.src = f.node
+         |    UNION ALL SELECT probe_id, node FROM $prev)),
+         |gss$i AS (SELECT x.probe_id, x.node, pc.cos_sim
+         |  FROM gx$i x
+         |  JOIN pc ON pc.probe_id = x.probe_id AND pc.node = x.node),
+         |gf$i AS (SELECT probe_id, node, cos_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, node) AS rk FROM gss$i)
+         |  WHERE rk <= $beam)""".stripMargin
+    val hops = (1 to Similarity.GraphSearchHops)
+      .map(i => hop(i, s"gf${i - 1}")).mkString(",\n")
+    s"""gcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM buckets a JOIN buckets b
+       |  ON b.band = a.band AND b.bucket = a.bucket
+       |    AND b.vec_id <> a.vec_id),
+       |gdd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+       |  FROM gcand c
+       |  JOIN flat fa ON fa.vec_id = c.src
+       |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |gsc AS (SELECT gdd.src, gdd.dst,
+       |    ${Vectors.duckCosine("gdd.dot", "na.n2", "nb.n2")} AS cos_sim
+       |  FROM gdd
+       |  JOIN norms na ON na.vec_id = gdd.src
+       |  JOIN norms nb ON nb.vec_id = gdd.dst
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |grr AS (SELECT *, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos_sim DESC, dst) AS rk FROM gsc),
+       |ge AS (SELECT src, dst FROM grr
+       |  WHERE rk <= ${Similarity.GraphSearchDegree}),
+       |gpd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS node,
+       |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+       |  FROM flat fp
+       |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+       |  WHERE fp.vec_id < ${Similarity.NumProbes}
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT gpd.probe_id, gpd.node,
+       |    ${Vectors.duckCosine("gpd.dot", "na.n2", "nb.n2")} AS cos_sim
+       |  FROM gpd
+       |  JOIN norms na ON na.vec_id = gpd.probe_id
+       |  JOIN norms nb ON nb.vec_id = gpd.node
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |gen AS (SELECT min(em.vec_id) AS entry FROM embeddings em
+       |  JOIN norms n ON n.vec_id = em.vec_id
+       |  WHERE em.vec_id >= ${Similarity.NumProbes} AND n.n2 > 0
+       |  GROUP BY em.label),
+       |gf0 AS (SELECT probe_id, node, cos_sim FROM (
+       |    SELECT pc.probe_id, pc.node, pc.cos_sim,
+       |      row_number() OVER (PARTITION BY pc.probe_id
+       |        ORDER BY pc.cos_sim DESC, pc.node) AS rk
+       |    FROM pc JOIN gen ON pc.node = gen.entry)
+       |  WHERE rk <= $beam),
+       |$hops""".stripMargin
+  }
 
   /** Raw-quantized PQ head CTE: (vec_id, q) straight from the
     * quantizer — what [[pqCtes]] consumes for the codebook report.
@@ -2953,6 +3034,59 @@ object SparkEntry {
          |FROM bfk b LEFT JOIN pk p
          |  ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "embed_prefix_curve" -> {
+      // one truncated re-rank block per prefix width, unioned; the
+      // exact ranking (bd/bs/br/bfk) is shared by every width
+      def dimBlock(d: Int): String =
+        s"""pf$d AS (SELECT vec_id, i, v FROM flat WHERE i < $d),
+           |pn$d AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2
+           |  FROM pf$d GROUP BY 1),
+           |pd$d AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+           |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+           |  FROM pf$d fp
+           |  JOIN pf$d f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+           |  WHERE fp.vec_id < ${Similarity.NumProbes}
+           |  GROUP BY 1, 2),
+           |ps$d AS (SELECT pd$d.probe_id, pd$d.neighbor_id,
+           |    ${Vectors.duckCosine(s"pd$d.dot", "na.n2", "nb.n2")} AS cos_sim
+           |  FROM pd$d
+           |  JOIN pn$d na ON na.vec_id = pd$d.probe_id
+           |  JOIN pn$d nb ON nb.vec_id = pd$d.neighbor_id
+           |  WHERE na.n2 > 0 AND nb.n2 > 0),
+           |pr$d AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ps$d),
+           |pk$d AS (SELECT probe_id, neighbor_id FROM pr$d
+           |  WHERE rk <= ${Similarity.TopK})""".stripMargin
+      def dimSelect(d: Int): String =
+        s"""SELECT CAST($d AS BIGINT) AS prefix_dim, b.probe_id,
+           |  CAST(count(p.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS recall_at_k
+           |FROM bfk b LEFT JOIN pk$d p
+           |  ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      val dims = Similarity.PrefixCurveDims
+      s"""WITH $embCtes,
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br
+         |  WHERE rk <= ${Similarity.TopK}),
+         |${dims.map(dimBlock).mkString(",\n")}
+         |${dims.map(dimSelect).mkString("\nUNION ALL\n")}
+         |ORDER BY prefix_dim, probe_id""".stripMargin
+    },
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
 
@@ -4795,6 +4929,31 @@ object SparkEntry {
          |  count(*) AS n_edges, CAST(sum(mut) AS BIGINT) AS n_mutual,
          |  CAST(sum(mut) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
          |FROM e2 JOIN embeddings l ON l.vec_id = e2.src
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sim_ann_graph" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$graphWalkCtes
+         |SELECT probe_id, node AS neighbor_id, cos_sim,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, node) AS BIGINT) AS rk
+         |FROM gf${Similarity.GraphSearchHops}
+         |ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_graph_recall" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$graphWalkCtes,
+         |bfk AS (SELECT probe_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, node) AS rk FROM pc)
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(g.node) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM bfk b LEFT JOIN gf${Similarity.GraphSearchHops} g
+         |  ON g.probe_id = b.probe_id AND g.node = b.node
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_pagerank" -> {

@@ -91,6 +91,37 @@ object Similarity {
     recallAtK(topKOn(qv), topKOn(pqv))
   }
 
+  val PrefixCurveDims: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** The full Matryoshka trade-off curve: [[prefixRecall]]'s gauge
+    * swept across prefix widths {4, 8, 16, 32} — recall@k per probe
+    * at each dimension budget. Where [[prefixRecall]] answers "what
+    * does THIS truncation cost", the curve answers the deployment
+    * question "which width first clears my recall bar" (memory is
+    * linear in width, so the knee of this curve is the index's
+    * byte budget), the dimensionality twin of `sim_ann_ivf_curve`'s
+    * nProbe sweep.
+    *
+    * Scale shape: the exact ranking computes ONCE (materialized,
+    * consumed by every width); each width re-ranks by slicing the
+    * SAME cached quantized relation — a map projection + the
+    * broadcast-probe scan per width, no extra corpus shuffles.
+    * Output |dims|·|probes| rows.
+    */
+  def prefixRecallCurve(
+      embs: DataFrame, dims: Seq[Int] = PrefixCurveDims): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    val exact = materialize(topKOn(qv))
+    dims.map { d =>
+      val pqv = qv.select(col("vec_id"), slice(col("q"), 1, d).as("q"))
+        .withColumn("n2", Vectors.norm2(col("q")))
+      recallAtK(exact, topKOn(pqv))
+        .withColumn("prefix_dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("prefix_dim"), col("probe_id"), col("recall_at_k"))
+      .orderBy(col("prefix_dim"), col("probe_id"))
+  }
+
   val HardNegK = 3
 
   /** Hard-negative mining: per probe, the most-similar neighbors
@@ -711,6 +742,92 @@ object Similarity {
         (sum(coalesce(col("mut"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("reciprocity"))
       .orderBy(col("label"))
+  }
+
+  val GraphSearchBeam = 8 // ≥ TopK, so the recall gauge can reach 1.0
+  val GraphSearchHops = 4
+  val GraphSearchDegree = 8 // out-degree of the search graph
+
+  /** Graph-walk ANN — the DiskANN/HNSW-family search path, the third
+    * index geometry next to the partition family (IVF) and the hash
+    * family (LSH): start every probe at a fixed entry vertex of the
+    * [[knnEdges]] graph and run a T-hop BEAM SEARCH (expand the
+    * frontier's out-neighbors, re-score against the probe, keep the
+    * best `beam` — visited-best included, so the beam never
+    * regresses). Returns each probe's final beam ranked by cosine.
+    * Deterministic: fixed entry (lowest non-probe vector with a
+    * direction), (cos desc, node) tie-breaks, exact integer dots.
+    *
+    * SEEDING: the frontier starts from one entry per LABEL cluster
+    * (lowest non-probe vector of each label) rather than a single
+    * global entry — the kNN candidate graph is DISCONNECTED by
+    * construction (SRP buckets don't span clusters), so a lone entry
+    * can never escape its own component and recall collapses to the
+    * entry's cluster (measured ~0 with one entry). One seed per
+    * cluster is the IVF-seeded graph search; a production DiskANN
+    * buys the same reachability with long-range edges instead.
+    *
+    * Scale shape: per hop ONE join of the |probes|·beam frontier
+    * against the edge relation plus a re-score join against the
+    * cached probe-cosine relation (probes bounded → both sides
+    * tiny); frontier checkpoint-truncated per hop (the pageRank
+    * lineage rule). A production graph index walks exactly this
+    * plan shape with the graph sharded by vertex key; the
+    * |labels|-row seed relation broadcasts.
+    */
+  def graphSearch(
+      embs: DataFrame,
+      beam: Int = GraphSearchBeam,
+      hops: Int = GraphSearchHops): DataFrame = {
+    import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    val qv = materialize(Vectors.quantized(embs))
+    val edges = knnEdges(embs, GraphSearchDegree)
+    val pcos = materialize(corpusSide(qv)
+      .join(broadcast(probeSide(qv)), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+      .select(col("probe_id"), col("vec_id").as("node"), col("cos_sim")))
+    val entries = corpusSide(qv).filter(col("vec_id") >= NumProbes)
+      .join(embs.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label")).agg(min(col("vec_id")).as("node"))
+      .select(col("node"))
+    val w0 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("node"))
+    var frontier = checkpointTruncated(
+      pcos.join(broadcast(entries), Seq("node"))
+        .withColumn("rk", row_number().over(w0))
+        .filter(col("rk") <= beam)
+        .select(col("probe_id"), col("node"), col("cos_sim")))
+    for (_ <- 1 to hops) {
+      val candidates = frontier.select(col("probe_id"), col("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+        .union(frontier.select(col("probe_id"), col("node")))
+        .distinct()
+        .join(pcos, Seq("probe_id", "node"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("node"))
+      frontier = checkpointTruncated(candidates
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select(col("probe_id"), col("node"), col("cos_sim")))
+    }
+    frontier.withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("node"))).cast("long"))
+      .select(col("probe_id"), col("node").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Recall@k of [[graphSearch]]'s final beam against the exact
+    * ranking — the graph index's gauge beside `sim_ann_recall`
+    * (LSH), `sim_ann_ivf_recall` (IVF) and `sim_ann_pq_recall`
+    * (PQ): four index geometries, one measuring stick.
+    */
+  def graphSearchRecall(embs: DataFrame): DataFrame = {
+    val exact = topKBruteForce(embs)
+    recallAtK(exact, graphSearch(embs)).orderBy(col("probe_id"))
   }
 
   val PageRankIters = 3

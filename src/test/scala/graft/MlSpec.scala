@@ -798,6 +798,43 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("graph search: beam invariants; more hops never regress the beam") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val beam = SparkEntry.queries("sim_ann_graph")(spark, sf).collect()
+    beam.groupBy(_.getAs[Long]("probe_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val rks = sorted.map(_.getAs[Long]("rk"))
+      assert(rks.sameElements(1L to rks.length) &&
+        rks.length <= Similarity.GraphSearchBeam)
+      val cos = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => b <= a })
+      assert(sorted.forall(r =>
+        r.getAs[Long]("neighbor_id") != r.getAs[Long]("probe_id")))
+    }
+    // visited-best is kept in every expansion, so a longer walk's
+    // best-found cosine can only improve
+    def bestByProbe(hops: Int): Map[Long, Double] = {
+      graft.CacheScope.releaseAll()
+      Similarity.graphSearch(embs, hops = hops).collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .view.mapValues(_.map(_.getAs[Double]("cos_sim")).max).toMap
+    }
+    val h1 = bestByProbe(1)
+    val h4 = bestByProbe(Similarity.GraphSearchHops)
+    h1.foreach { case (p, c1) => assert(h4(p) >= c1, s"probe $p regressed") }
+  }
+
+  test("prefix curve: recall in [0,1]; the widest prefix dominates the narrowest") {
+    val rows = SparkEntry.queries("embed_prefix_curve")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val x = r.getAs[Double]("recall_at_k"); x >= 0.0 && x <= 1.0 })
+    val byDim = rows.groupBy(_.getAs[Long]("prefix_dim"))
+      .view.mapValues(rs =>
+        rs.map(_.getAs[Double]("recall_at_k")).sum / rs.length).toMap
+    assert(byDim.keySet == Similarity.PrefixCurveDims.map(_.toLong).toSet)
+    assert(byDim(32L) >= byDim(4L))
+  }
+
   test("ascii profile: multibyte excess counts continuation bytes exactly") {
     import spark.implicits._
     // "héllo" = 5 chars, 6 UTF-8 bytes (é is 2) → excess 1

@@ -698,6 +698,17 @@ object SparkEntry {
           col("source"), col("text"), 10)
         .orderBy(col("group_key"), col("rk"))),
 
+    // Length-bias audit of the quality signal: integer-exact Pearson
+    // r between token count and the gated per-mille quality.
+    "corpus_quality_length_corr" -> ((s, dir) =>
+      TextAnalysis.qualityLengthCorr(Tables.load(s, dir, "documents"),
+        col("text"))),
+
+    // Character-bigram LM surprise (encoding-level gibberish gate,
+    // one level below the word-order bigram LM).
+    "text_char_lm" -> ((s, dir) =>
+      TextAnalysis.charLm(Tables.load(s, dir, "documents"), col("text"))),
+
     // Fano-factor burstiness of the top-df terms per source —
     // function words (VMR≈1) vs topical clumpers (VMR≫1).
     "text_burstiness" -> ((s, dir) =>
@@ -864,6 +875,16 @@ object SparkEntry {
     // (integer 1e-12 rank units — no float sums in the compare).
     "sim_pagerank" -> ((s, dir) =>
       Similarity.pageRank(Tables.load(s, dir, "embeddings"))),
+
+    // k-core peeling census of the kNN graph: how fast the corpus
+    // graph erodes when low-degree periphery is stripped.
+    "sim_knn_kcore" -> ((s, dir) =>
+      Similarity.knnKcore(Tables.load(s, dir, "embeddings"))),
+
+    // Per-label anisotropy (‖mean‖²/mean‖v‖²): the common-direction
+    // artifact gauge; exact integer moments, one double expression.
+    "embed_anisotropy" -> ((s, dir) =>
+      Similarity.anisotropy(Tables.load(s, dir, "embeddings"))),
 
     // Graph-walk ANN (DiskANN/HNSW family): T-hop beam search over
     // the kNN graph from a fixed entry vertex; final beam per probe.
@@ -4432,6 +4453,65 @@ object SparkEntry {
          |SELECT group_key, tok, term_freq, rk FROM r
          |WHERE rk <= 10 ORDER BY group_key, rk""".stripMargin,
 
+    "corpus_quality_length_corr" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |g AS (SELECT source, n_tokens AS x,
+         |  CAST(floor((CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    END) * CAST(1000 AS DOUBLE)) AS BIGINT) AS y
+         |FROM s),
+         |m AS (SELECT source, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM g GROUP BY 1)
+         |SELECT source, n, sx AS sum_tokens, sy AS sum_quality_pm,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         |    CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |  ELSE NULL END AS r
+         |FROM m ORDER BY source""".stripMargin
+    },
+
+    "text_char_lm" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    ${Portable.duckNormText("text")} AS t FROM documents),
+         |bi AS (SELECT doc_id, unnest(CASE WHEN length(t) > 1
+         |    THEN list_transform(range(1, length(t)),
+         |      i -> substr(t, CAST(i AS INTEGER), 2))
+         |    ELSE [] END) AS bg FROM base),
+         |un AS (SELECT doc_id, unnest(CASE WHEN length(t) > 0
+         |    THEN list_transform(range(1, length(t) + 1),
+         |      i -> substr(t, CAST(i AS INTEGER), 1))
+         |    ELSE [] END) AS c FROM base),
+         |uf AS (SELECT c, count(*) AS uf FROM un GROUP BY 1),
+         |bfr AS (SELECT bg, count(*) AS bf FROM bi GROUP BY 1),
+         |bf AS (SELECT b.bg, b.bf,
+         |    CAST(length(bin(u.uf // b.bf)) - 1 AS BIGINT) AS surprise
+         |  FROM bfr b JOIN uf u ON u.c = substr(b.bg, 1, 1)),
+         |scs AS (SELECT bi.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CASE WHEN bf.bf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel,
+         |    CAST(sum(bf.surprise) AS BIGINT) AS sum_surprise
+         |  FROM bi JOIN bf ON bf.bg = bi.bg GROUP BY 1)
+         |SELECT b.doc_id, coalesce(scs.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(scs.n_novel, 0) AS n_novel,
+         |  coalesce(scs.sum_surprise, 0) AS sum_surprise,
+         |  CAST(coalesce(scs.sum_surprise, 0) AS DOUBLE)
+         |    / CAST(nullif(coalesce(scs.n_bigrams, 0), 0) AS DOUBLE)
+         |    AS avg_surprise
+         |FROM base b LEFT JOIN scs ON scs.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
     "text_burstiness" ->
       s"""WITH toks AS (SELECT source, doc_id, unnest($toksT) AS tok
          |  FROM documents),
@@ -4892,6 +4972,66 @@ object SparkEntry {
          |  n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
          |FROM pos p LEFT JOIN neg n ON n.probe_id = p.probe_id
          |ORDER BY p.probe_id""".stripMargin,
+
+    "embed_anisotropy" ->
+      s"""WITH $embCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |comp AS (SELECT l.label, f.i, CAST(sum(f.v) AS BIGINT) AS s
+         |  FROM flat f JOIN lab l ON l.vec_id = f.vec_id GROUP BY 1, 2),
+         |num AS (SELECT label, sum(s * s) AS num FROM comp GROUP BY 1),
+         |den AS (SELECT l.label, count(*) AS n_vecs,
+         |    CAST(sum(n.n2) AS BIGINT) AS sum_n2
+         |  FROM lab l LEFT JOIN norms n ON n.vec_id = l.vec_id
+         |  GROUP BY 1)
+         |SELECT d.label, d.n_vecs,
+         |  CAST(num.num AS DOUBLE)
+         |    / (CAST(d.n_vecs AS DOUBLE) * CAST(d.sum_n2 AS DOUBLE))
+         |    AS anisotropy,
+         |  sqrt(CAST(num.num AS DOUBLE)
+         |    / (CAST(d.n_vecs AS DOUBLE) * CAST(d.sum_n2 AS DOUBLE)))
+         |    AS mean_shift
+         |FROM den d JOIN num ON num.label = d.label ORDER BY 1""".stripMargin,
+
+    "sim_knn_kcore" -> {
+      val k = Similarity.KcoreK
+      def round(i: Int): String =
+        s"""ae$i AS (SELECT s.src, s.dst FROM gsym s
+           |  JOIN a$i x ON x.v = s.src JOIN a$i y ON y.v = s.dst),
+           |cc$i AS (SELECT CAST($i AS BIGINT) AS round,
+           |    (SELECT count(*) FROM a$i) AS n_alive,
+           |    (SELECT count(*) // 2 FROM ae$i) AS n_edges),
+           |a${i + 1} AS (SELECT src AS v FROM ae$i
+           |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+      val rounds = (0 to Similarity.KcoreRounds).map(round).mkString(",\n")
+      val unions = (0 to Similarity.KcoreRounds)
+        .map(i => s"SELECT * FROM cc$i").mkString(" UNION ALL ")
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM buckets a JOIN buckets b
+         |  ON b.band = a.band AND b.bucket = a.bucket
+         |    AND b.vec_id <> a.vec_id),
+         |dd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.src
+         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT dd.src, dd.dst,
+         |    ${Vectors.duckCosine("dd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM dd
+         |  JOIN norms na ON na.vec_id = dd.src
+         |  JOIN norms nb ON nb.vec_id = dd.dst
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY cos_sim DESC, dst) AS rk FROM sc),
+         |e AS (SELECT src, dst FROM rr WHERE rk <= ${Similarity.KnnGraphK}),
+         |gsym AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+         |a0 AS (SELECT DISTINCT src AS v FROM gsym),
+         |$rounds
+         |SELECT round, n_alive, n_edges FROM ($unions)
+         |ORDER BY round""".stripMargin
+    },
 
     "embed_exact_dups" ->
       s"""WITH q AS (SELECT vec_id, label,

@@ -952,6 +952,95 @@ object Similarity {
           count(lit(1)).cast("double")).as("rms_norm"))
   }
 
+  val KcoreK = 3
+  val KcoreRounds = 4
+
+  /** k-core peeling census of the kNN graph — the density skeleton:
+    * each round removes vertices with fewer than k surviving
+    * undirected neighbors, so the rounds trace how much of the
+    * corpus lives in densely-knit neighborhoods (the part
+    * clustering/dedup can act on) vs loose periphery (the part ANN
+    * recall suffers on). A FIXED number of rounds, not
+    * run-to-convergence: the census after round r is itself the
+    * signal (how fast the graph erodes), and a fixed unroll keeps
+    * the oracle a finite CTE chain. Same per-round invariants as
+    * every iterative operator here: checkpoint-truncated survivor
+    * relation, bounded joins only.
+    *
+    * Output: (round, n_alive, n_edges) for round 0 (intact graph)
+    * through [[KcoreRounds]].
+    */
+  def knnKcore(
+      embs: DataFrame,
+      k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
+    val e = knnEdges(embs)
+    val sym = materialize(e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var alive = checkpointTruncated(sym.select(col("src").as("v")).distinct())
+    val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 0 to rounds) {
+      val aliveE = sym
+        .join(alive.select(col("v").as("src")), "src")
+        .join(alive.select(col("v").as("dst")), "dst")
+      census += alive.agg(count(lit(1)).as("n_alive"))
+        .crossJoin(aliveE.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_alive"), col("n_edges"))
+      if (r < rounds) {
+        alive = checkpointTruncated(aliveE.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("v")))
+      }
+    }
+    census.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** Per-label anisotropy — the common-direction artifact gauge
+    * (Ethayarajh's "how contextual are contextualized
+    * representations" measurement, reduced to its first moment):
+    * anisotropy = ‖mean vector‖² / mean‖v‖². An isotropic cloud
+    * scores ≈ 1/n (the mean cancels); encoder output with a shared
+    * dominant direction — the classic "all cosines are ~0.9"
+    * pathology that wrecks cosine retrieval until the mean is
+    * subtracted — scores ≈ 1. mean_shift = √anisotropy is the same
+    * number in norm units. Next to embed_pca_power (top-PC energy)
+    * this separates "one shared offset" from "one dominant
+    * subspace".
+    *
+    * EXACT integer math end-to-end: per-component sums Σqᵢ and the
+    * norm sum Σ‖q‖² reduce as integers (Σ(Σqᵢ)² widened to
+    * decimal(38,0) — the long product overflows ~10⁵× beyond sf1),
+    * then ONE double expression — both engines convert the same
+    * exact integers to the same doubles. Two shuffles, both bounded:
+    * (label, i) components and the |labels|-row rollup.
+    */
+  def anisotropy(embs: DataFrame): DataFrame = {
+    val qv = Vectors.spread(embs)
+      .select(col("label"), Vectors.quantize(col("embedding")).as("q"))
+      .withColumn("n2", Vectors.norm2(col("q")))
+    val comp = qv
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("s"))
+    val num = comp.groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") *
+        col("s").cast("decimal(38,0)")).as("num"))
+    val den = qv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+    den.join(num, "label")
+      .withColumn("anisotropy",
+        col("num").cast("double") /
+          (col("n_vecs").cast("double") * col("sum_n2").cast("double")))
+      .withColumn("mean_shift", sqrt(col("anisotropy")))
+      .select(col("label"), col("n_vecs"), col("anisotropy"),
+        col("mean_shift"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label embedding outliers by quantized squared distance to
     * the label's own centroid: vectors with d² > 4× the label mean
     * (the integer test d²·n > 4·Σd² — no division, engine-exact).

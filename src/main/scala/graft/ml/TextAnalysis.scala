@@ -860,6 +860,93 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Quality–length correlation per source — the LENGTH-BIAS audit
+    * of the quality signal itself: a strongly positive Pearson r
+    * says the "quality" score is mostly measuring document length,
+    * so gating or importance-resampling on it silently reshapes the
+    * corpus's length distribution (the classic filtered-corpus
+    * artifact). x = token count, y = the same per-mille quality
+    * integer [[importanceResample]] gates on, so this audits exactly
+    * the signal that drives sampling.
+    *
+    * Determinism: all five moments (Σx, Σy, Σxy, Σx², Σy²) reduce as
+    * EXACT integers; r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * is then a fixed per-row double expression — two sqrts, one
+    * divide — identical in both engines. (Integer moments stay under
+    * 2⁶³ through ~10⁸ docs/source; widen to decimal(38,0) beyond.)
+    * NULL r for a degenerate source (zero variance on either side).
+    */
+  def qualityLengthCorr(docs: DataFrame, text: Column): DataFrame = {
+    val scored = quality(docs, text)
+      .select(col("source"), col("n_tokens").as("x"),
+        floor(col("quality_score") * lit(1000.0)).as("y"))
+    val m = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val dx = m("n") * m("sxx") - m("sx") * m("sx")
+    val dy = m("n") * m("syy") - m("sy") * m("sy")
+    m.withColumn("r",
+        when(dx > 0 && dy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .otherwise(lit(null).cast("double")))
+      .select(col("source"), col("n"), col("sx").as("sum_tokens"),
+        col("sy").as("sum_quality_pm"), col("r"))
+      .orderBy(col("source"))
+  }
+
+  /** Character-bigram LM surprise per document — the encoding-level
+    * gibberish detector (the CCNet-style fluency gate one level
+    * below [[bigramLm]]'s word-order view): each in-doc character
+    * bigram scores ⌊log2(uf div bf)⌋ under the corpus MLE
+    * P(c2|c1) — byte salad and wrong-charset text light up here
+    * even when a word tokenizer sees nothing (every "word" is
+    * novel, so word-level stats saturate). Same bin-length integer
+    * log as every LM here: the only double is one final division.
+    *
+    * Scale shape: the char fan-out is the cost (≈ doc bytes — the
+    * shingling cost class, map-only behind the spread repartition);
+    * both frequency tables are ALPHABET²-bounded (≤ a few thousand
+    * rows), so the stream joins tiny broadcastable relations.
+    */
+  def charLm(docs: DataFrame, text: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), Portable.normText(text).as("t"))
+    val bi = base.select(col("doc_id"), explode(
+        when(length(col("t")) > 1,
+          expr("transform(sequence(1, length(t) - 1)," +
+            " i -> substring(t, i, 2))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val un = base.select(col("doc_id"), explode(
+        when(length(col("t")) > 0,
+          expr("transform(sequence(1, length(t))," +
+            " i -> substring(t, i, 1))"))
+          .otherwise(array().cast("array<string>"))).as("c"))
+    val uf = un.groupBy(col("c")).agg(count(lit(1)).as("uf"))
+    val bf = bi.groupBy(col("bg")).agg(count(lit(1)).as("bf"))
+      .join(uf, substring(col("bg"), 1, 1) === col("c"))
+      .withColumn("surprise",
+        (length(bin(expr("uf div bf"))) - 1).cast("long"))
+      .select(col("bg"), col("bf"), col("surprise"))
+    val scores = bi.join(bf, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bf") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(col("surprise")).as("sum_surprise"))
+    base.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("sum_surprise"), lit(0L)).as("sum_surprise"))
+      .withColumn("avg_surprise",
+        col("sum_surprise").cast("double") /
+          nullif(col("n_bigrams"), lit(0L)).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Term burstiness per source: for the top-k terms by document
     * frequency, the variance-to-mean ratio (Fano factor) of the
     * term's per-document count, over the documents that CONTAIN it.

@@ -798,6 +798,60 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("anisotropy: aligned cloud scores 1, balanced cloud scores 0") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 0.0f), 2), (3L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.anisotropy(embs).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Double]("anisotropy"), r.getAs[Double]("mean_shift"))).toMap
+    assert(got(1) == ((1.0, 1.0)))   // identical vectors: mean == each
+    assert(got(2) == ((0.0, 0.0)))   // opposing vectors: mean cancels
+    val rows = SparkEntry.queries("embed_anisotropy")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("anisotropy"); a >= 0.0 && a <= 1.0 })
+  }
+
+  test("kcore: erosion is monotone in both nodes and edges") {
+    val rows = SparkEntry.queries("sim_knn_kcore")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).sameElements(
+      0L to Similarity.KcoreRounds))
+    val alive = rows.map(_.getAs[Long]("n_alive"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(alive.zip(alive.tail).forall { case (a, b) => b <= a })
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a })
+    assert(alive.head > 0)
+  }
+
+  test("quality-length correlation: |r| bounded, degenerate source is null") {
+    import spark.implicits._
+    val df = Seq((1L, "solo", "one doc only here")).toDF("doc_id", "source", "text")
+    val solo = TextAnalysis.qualityLengthCorr(df, col("text")).collect().head
+    assert(solo.isNullAt(solo.fieldIndex("r")))  // zero variance
+    val rows = SparkEntry.queries("corpus_quality_length_corr")(spark, sf)
+      .collect()
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      val v = r.getAs[Double]("r"); assert(v >= -1.0 && v <= 1.0) }
+  }
+
+  test("char LM: hand-computed bigram surprise") {
+    import spark.implicits._
+    // doc 1 "aa": bigram "aa" (bf=1), unigram a (uf=2+1 from doc 2)
+    //   = 3 → surprise ⌊log2(3 div 1)⌋ = 1
+    // doc 2 "a": no bigrams → zero counts, null avg
+    val df = Seq((1L, "aa"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.charLm(df, col("text")).collect()
+    assert(got(0).getAs[Long]("n_bigrams") == 1L)
+    assert(got(0).getAs[Long]("n_novel") == 1L)
+    assert(got(0).getAs[Long]("sum_surprise") == 1L)
+    assert(got(0).getAs[Double]("avg_surprise") == 1.0)
+    assert(got(1).getAs[Long]("n_bigrams") == 0L)
+    assert(got(1).isNullAt(got(1).fieldIndex("avg_surprise")))
+  }
+
   test("graph search: beam invariants; more hops never regress the beam") {
     val embs = Tables.load(spark, sf, "embeddings")
     val beam = SparkEntry.queries("sim_ann_graph")(spark, sf).collect()

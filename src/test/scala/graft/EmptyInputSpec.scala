@@ -73,4 +73,35 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.topKBruteForce(
       Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).count() === 0L)
   }
+
+  test("round-10 text/corpus cores run on zero rows") {
+    import graft.ml.TextAnalysis
+    val docs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "source", "text", "n_chars")
+    assert(TextAnalysis.burstiness(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.zipfOctaves(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.asciiProfile(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.importanceResample(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.qualityLengthCorr(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.charLm(docs, col("text")).count() === 0L)
+    assert(Corpus.dedupImpact(docs).count() === 0L)
+    assert(Corpus.annealMix(docs).count() === 0L)
+  }
+
+  test("round-10 graph/embedding cores run on zero rows") {
+    val embs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.tripletMining(embs).count() === 0L)
+    assert(Similarity.anisotropy(embs).count() === 0L)
+    assert(Similarity.graphSearch(embs).count() === 0L)
+    assert(Similarity.prefixRecallCurve(embs).count() === 0L)
+    assert(Similarity.pageRank(embs).count() === 0L)
+    // fixed-round census operators emit their census rows with zero
+    // counts rather than an empty relation — the round axis is the
+    // contract, the counts carry the emptiness
+    val kcore = Similarity.knnKcore(embs).collect()
+    assert(kcore.length === Similarity.KcoreRounds + 1 &&
+      kcore.forall(_.getAs[Long]("n_alive") === 0L))
+    assert(Analytics.markovStationary(emptyEvents).count() === 0L)
+  }
 }

@@ -641,13 +641,6 @@ object SparkEntry {
       TextAnalysis.asciiProfile(Tables.load(s, dir, "documents"),
         col("text"))),
 
-    // Deterministic quality-proportional resampling: per-mille hash
-    // gate realizes P(keep) = quality_score; expected-vs-realized
-    // agreement audits the gate.
-    "corpus_importance_resample" -> ((s, dir) =>
-      TextAnalysis.importanceResample(Tables.load(s, dir, "documents"),
-        col("text"))),
-
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.load(s, dir, "documents"), col("text"))
         .select(col("doc_id") +: col("lang") +: col("pred_lang") +:
@@ -4374,36 +4367,6 @@ object SparkEntry {
          |      AS DOUBLE)
          |    / CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE) AS excess_share
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "corpus_importance_resample" -> {
-      val nTok = "CAST(n_tokens AS DOUBLE)"
-      s"""WITH s AS (SELECT doc_id, source,
-         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
-         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
-         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
-         |FROM documents),
-         |q AS (SELECT source,
-         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
-         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
-         |    + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
-         |    END AS qs,
-         |  ${Portable.duckHash("('rs#' || CAST(doc_id AS VARCHAR))")} % 1000 AS gate
-         |FROM s),
-         |g AS (SELECT source,
-         |    CAST(floor(qs * CAST(1000 AS DOUBLE)) AS BIGINT) AS pm, gate
-         |  FROM q)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(pm) AS BIGINT) AS expected_pm,
-         |  CAST(sum(CASE WHEN gate < pm THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_sampled,
-         |  CAST(CAST(sum(pm) AS BIGINT) AS DOUBLE)
-         |    / CAST(count(*) * 1000 AS DOUBLE) AS expected_share,
-         |  CAST(CAST(sum(CASE WHEN gate < pm THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS realized_share
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
-    },
 
     "text_langid" -> {
       val scores = TextAnalysis.markers

@@ -827,47 +827,14 @@ object TextAnalysis {
           col("n_chars").cast("double"))
       .orderBy(col("source"))
 
-  /** Quality-proportional importance resampling — the corpus-shaping
-    * pass between scoring and training: each document is kept with
-    * probability quality_score (realized as a DETERMINISTIC per-mille
-    * hash gate, so the sample is reproducible across runs, engines,
-    * and partitionings — no RNG), which biases the surviving corpus
-    * toward high-quality text without the hard cliff of a threshold
-    * filter. Per source: expected acceptance mass (Σ per-mille, an
-    * exact integer), realized picks, and both shares — the
-    * gate-vs-expectation agreement IS the audit that the hash gate
-    * is unbiased on this corpus.
-    *
-    * Scale shape: map-only scoring + gate, one |sources|-row rollup.
-    * The only doubles are the shared [[quality]] score (already
-    * engine-identical) and two final divisions.
-    */
-  def importanceResample(docs: DataFrame, text: Column): DataFrame = {
-    val scored = quality(docs, text)
-      .withColumn("pm", floor(col("quality_score") * lit(1000.0)))
-    val gate = Portable.pHash(
-      concat(lit("rs#"), col("doc_id").cast("string"))) % 1000
-    scored.withColumn("take", gate < col("pm"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("pm")).as("expected_pm"),
-        sum(when(col("take"), 1L).otherwise(0L)).as("n_sampled"))
-      .withColumn("expected_share",
-        col("expected_pm").cast("double") /
-          (col("n_docs") * lit(1000L)).cast("double"))
-      .withColumn("realized_share",
-        col("n_sampled").cast("double") / col("n_docs").cast("double"))
-      .orderBy(col("source"))
-  }
-
   /** Quality–length correlation per source — the LENGTH-BIAS audit
     * of the quality signal itself: a strongly positive Pearson r
     * says the "quality" score is mostly measuring document length,
     * so gating or importance-resampling on it silently reshapes the
     * corpus's length distribution (the classic filtered-corpus
     * artifact). x = token count, y = the same per-mille quality
-    * integer [[importanceResample]] gates on, so this audits exactly
-    * the signal that drives sampling.
+    * integer the Corpus.weightedSample gate acts on, so this audits
+    * exactly the signal that drives importance sampling.
     *
     * Determinism: all five moments (Σx, Σy, Σxy, Σx², Σy²) reduce as
     * EXACT integers; r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))

@@ -81,7 +81,6 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.burstiness(docs, col("text")).count() === 0L)
     assert(TextAnalysis.zipfOctaves(docs, col("text")).count() === 0L)
     assert(TextAnalysis.asciiProfile(docs, col("text")).count() === 0L)
-    assert(TextAnalysis.importanceResample(docs, col("text")).count() === 0L)
     assert(TextAnalysis.qualityLengthCorr(docs, col("text")).count() === 0L)
     assert(TextAnalysis.charLm(docs, col("text")).count() === 0L)
     assert(Corpus.dedupImpact(docs).count() === 0L)

@@ -904,27 +904,6 @@ class MlSpec extends AnyFunSuite {
       x.getAs[Long]("n_bytes") >= x.getAs[Long]("n_chars")))
   }
 
-  test("importance resample: quality 0 never sampled, quality 1 always sampled") {
-    import spark.implicits._
-    // 64 non-stopword 8-char tokens → quality exactly 1.0 → pm 1000
-    // (gate ∈ [0,1000) always passes); empty text → quality 0 → pm 0
-    val perfect = Array.fill(64)("abcdefgh").mkString(" ")
-    val df = Seq((1L, "hi", perfect), (2L, "hi", perfect),
-      (3L, "lo", ""), (4L, "lo", "")).toDF("doc_id", "source", "text")
-    val got = TextAnalysis.importanceResample(df, col("text")).collect()
-      .map(r => r.getAs[String]("source") ->
-        (r.getAs[Long]("expected_pm"), r.getAs[Long]("n_sampled"))).toMap
-    assert(got("hi") == ((2000L, 2L)) && got("lo") == ((0L, 0L)))
-    // corpus: sampled never exceeds docs; expected share in [0,1]
-    val rows = SparkEntry.queries("corpus_importance_resample")(spark, sf)
-      .collect()
-    rows.foreach { r =>
-      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
-      val es = r.getAs[Double]("expected_share")
-      assert(es >= 0.0 && es <= 1.0)
-    }
-  }
-
   test("dedup impact: survivors agree with dedup_exact; mirror source fully removed") {
     import spark.implicits._
     // doc 3 mirrors doc 1's text from another source: the global

@@ -973,9 +973,18 @@ object Similarity {
   def knnKcore(
       embs: DataFrame,
       k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame =
+    kcoreCensus(knnEdges(embs), k, rounds)
+
+  /** The peeling census on an arbitrary directed (src, dst) edge
+    * relation (symmetrized internally) — the unit the random-graph
+    * property suite pins against a driver-side peel.
+    */
+  def kcoreCensus(
+      e: DataFrame,
+      k: Int = KcoreK,
       rounds: Int = KcoreRounds): DataFrame = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
-    val e = knnEdges(embs)
     val sym = materialize(e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())

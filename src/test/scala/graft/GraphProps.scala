@@ -71,6 +71,89 @@ object GraphProps extends Properties("graft.graph") {
       got == simulatePageRank(pairs, graft.ml.Similarity.PageRankIters)
     }
 
+  /** Driver-side k-core peel — the arithmetic twin of
+    * Similarity.kcoreCensus (symmetrize, fixed rounds, strictly-
+    * less-than-k removal), so equality is exact.
+    */
+  private def simulateKcore(pairs: List[(Long, Long)], k: Int, rounds: Int)
+      : Seq[(Long, Long, Long)] = {
+    val sym = pairs.flatMap(p => Seq(p, p.swap)).distinct
+    var alive = sym.map(_._1).toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 0 to rounds) {
+      val aliveE = sym.filter(p => alive(p._1) && alive(p._2))
+      out += ((r.toLong, alive.size.toLong, (aliveE.size / 2).toLong))
+      if (r < rounds)
+        alive = aliveE.groupBy(_._1).collect {
+          case (v, es) if es.size >= k => v
+        }.toSet
+    }
+    out.toSeq
+  }
+
+  property("kcoreCensus == driver peel on random graphs") =
+    Prop.forAll(edgeList.suchThat(_.nonEmpty)) { pairs =>
+      import spark.implicits._
+      val clean = pairs.distinct
+      val got = graft.ml.Similarity.kcoreCensus(clean.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      got == simulateKcore(clean, graft.ml.Similarity.KcoreK,
+        graft.ml.Similarity.KcoreRounds)
+    }
+
+  /** Random user event streams for the stationary-chain property:
+    * a few users, each a short random walk over 4 event types at
+    * distinct timestamps.
+    */
+  private val eventStream: Gen[List[(Long, Long, String)]] =
+    Gen.chooseNum(2, 25).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, 3L), Gen.oneOf("A", "B", "C", "D")))
+    }.map(_.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) })
+
+  /** Driver twin of Analytics.markovStationary: transitions from
+    * per-user (ts, event_id)-ordered timelines, then the weighted
+    * fixed-point iteration with the same floor chain.
+    */
+  private def simulateStationary(
+      evs: List[(Long, Long, String)], iters: Int): Map[String, Long] = {
+    val S = graft.operators.Analytics.StationaryScale
+    val trans = evs.groupBy(_._2).values.toSeq.flatMap { tl =>
+      val ordered = tl.sortBy(_._1).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    if (trans.isEmpty) return Map.empty
+    val nFrom = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val nodes = trans.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    val n = nodes.length
+    val base = math.floor(0.15 * (S.toDouble / n)).toLong
+    var pi = nodes.map(v => v -> math.floor(S.toDouble / n).toLong).toMap
+    for (_ <- 1 to iters) {
+      val contrib = trans.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((f, _), c) =>
+          math.floor(pi(f).toDouble * (c.toDouble / nFrom(f).toDouble)).toLong
+      }.sum).toMap
+      val dang = nodes.filterNot(nFrom.contains).map(pi).sum
+      val dShare = math.floor(dang.toDouble / n).toLong
+      pi = nodes.map(v => v -> (base +
+        math.floor(0.85 * (contrib.getOrElse(v, 0L) + dShare).toDouble)
+          .toLong)).toMap
+    }
+    pi
+  }
+
+  property("markovStationary == driver fixed-point on random event streams") =
+    Prop.forAll(eventStream) { evs =>
+      import spark.implicits._
+      val df = evs.map { case (id, u, t) =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 60000L), u, t)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.Analytics.markovStationary(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == simulateStationary(evs, graft.operators.Analytics.StationaryIters)
+    }
+
   private val perMille: Gen[Int] = Gen.chooseNum(0, 1000)
 
   property("hash-gate sampling is monotone in rate and deterministic") =

@@ -308,6 +308,17 @@ object SparkEntry {
     "events_stream_attribution" -> ((s, dir) =>
       streaming.CdcPipeline.attributionJoinStream(s, dir)),
 
+    // EventTimeTimeout-driven quiet-user verdicts: the engine emits
+    // on watermark passage (absence as signal), state removed on
+    // emission; per-user batch aggregate is the oracle.
+    "events_stream_quiet" -> ((s, dir) =>
+      streaming.CdcPipeline.quietUsersStream(s, dir)),
+
+    // Consecutive-duplicate census per type (the collapse-pass
+    // price, measured before anyone deletes data).
+    "events_dedup_consecutive" -> ((s, dir) =>
+      Analytics.dedupConsecutive(Tables.load(s, dir, "events"))),
+
     // Session windows through the streaming engine: native
     // session_window(ts, 30 min) gap-merge; the batch
     // gaps-and-islands formula is the oracle.
@@ -715,6 +726,12 @@ object SparkEntry {
       TextAnalysis.zipfOctaves(Tables.load(s, dir, "documents"),
         col("text"))),
 
+    // Per-source bigram keyphrases (tf × integer idf) — the
+    // multi-word topical identity unigram keywords can't see.
+    "text_keyphrase_bigrams" -> ((s, dir) =>
+      TextAnalysis.keyphrases(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy(col("fp"))),
@@ -888,6 +905,11 @@ object SparkEntry {
     // geometry on the same measuring stick (LSH / IVF / PQ / graph).
     "sim_ann_graph_recall" -> ((s, dir) =>
       Similarity.graphSearchRecall(Tables.load(s, dir, "embeddings"))),
+
+    // efSearch-style tuning curve: recall@k per walk length, three
+    // snapshots of ONE traversal.
+    "sim_ann_graph_curve" -> ((s, dir) =>
+      Similarity.graphSearchCurve(Tables.load(s, dir, "embeddings"))),
 
     // Corpus-level media census: per (source, kind) the doc count
     // and total container bytes — "what's in my multimodal corpus".
@@ -2523,6 +2545,28 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(max(n) AS BIGINT) AS max_session_events
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_stream_quiet" ->
+      """SELECT user_id, max(ts) AS last_seen_ts,
+        |  count(*) AS n_events,
+        |  max(ts) + INTERVAL 30 MINUTE AS quiet_since
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_dedup_consecutive" ->
+      """WITH g AS (SELECT event_type, value,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(value) OVER w AS prev_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev_type = event_type
+        |    AND prev_value = value THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_consecutive_dups,
+        |  CAST(sum(CASE WHEN prev_type = event_type
+        |    AND prev_value = value THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_share
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_stream_attribution" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
@@ -4475,6 +4519,28 @@ object SparkEntry {
          |FROM base b LEFT JOIN scs ON scs.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
+    "text_keyphrase_bigrams" ->
+      s"""WITH toksrc AS (SELECT doc_id, source, $toksT AS toks
+         |  FROM documents),
+         |bi AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) > 1
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INTEGER)] || ' '
+         |        || toks[CAST(i + 1 AS INTEGER)])
+         |    ELSE [] END) AS bg FROM toksrc),
+         |dfr AS (SELECT bg, count(DISTINCT doc_id) AS df FROM bi
+         |  GROUP BY 1),
+         |tf AS (SELECT source, bg, count(*) AS tf FROM bi GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.source, tf.bg, tf.tf, dfr.df,
+         |    CAST(length(bin(nd.n_docs // dfr.df)) - 1 AS BIGINT) AS idf
+         |  FROM tf JOIN dfr ON dfr.bg = tf.bg, nd),
+         |r AS (SELECT source, bg, tf, df, tf * idf AS score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY tf * idf DESC, bg) AS BIGINT) AS rk FROM sc)
+         |SELECT source, bg AS keyphrase, tf, df, score, rk
+         |FROM r WHERE rk <= ${TextAnalysis.KeyphraseK}
+         |ORDER BY source, rk""".stripMargin,
+
     "text_burstiness" ->
       s"""WITH toks AS (SELECT source, doc_id, unnest($toksT) AS tok
          |  FROM documents),
@@ -5043,6 +5109,25 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, node) AS BIGINT) AS rk
          |FROM gf${Similarity.GraphSearchHops}
          |ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_graph_curve" -> {
+      def hopSelect(h: Int): String =
+        s"""SELECT CAST($h AS BIGINT) AS hops, b.probe_id,
+           |  CAST(count(g.node) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS recall_at_k
+           |FROM bfk b LEFT JOIN gf$h g
+           |  ON g.probe_id = b.probe_id AND g.node = b.node
+           |GROUP BY 1, 2""".stripMargin
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$graphWalkCtes,
+         |bfk AS (SELECT probe_id, node FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, node) AS rk FROM pc)
+         |  WHERE rk <= ${Similarity.TopK})
+         |${Similarity.GraphCurveHops.map(hopSelect).mkString("\nUNION ALL\n")}
+         |ORDER BY hops, probe_id""".stripMargin
+    },
 
     "sim_ann_graph_recall" ->
       s"""WITH $embCtes,

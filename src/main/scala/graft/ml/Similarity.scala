@@ -779,6 +779,22 @@ object Similarity {
       embs: DataFrame,
       beam: Int = GraphSearchBeam,
       hops: Int = GraphSearchHops): DataFrame = {
+    val frontier = walkFrontiers(embs, beam, hops)(hops)
+    frontier.withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("node"))).cast("long"))
+      .select(col("probe_id"), col("node").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** The walk itself, snapshotting the frontier after every hop —
+    * [[graphSearch]] reads the last snapshot, [[graphSearchCurve]]
+    * reads several from ONE walk (each snapshot is already
+    * checkpoint-materialized, so reading three costs nothing extra).
+    */
+  private def walkFrontiers(
+      embs: DataFrame, beam: Int, hops: Int): Map[Int, DataFrame] = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
     val qv = materialize(Vectors.quantized(embs))
     val edges = knnEdges(embs, GraphSearchDegree)
@@ -798,7 +814,8 @@ object Similarity {
         .withColumn("rk", row_number().over(w0))
         .filter(col("rk") <= beam)
         .select(col("probe_id"), col("node"), col("cos_sim")))
-    for (_ <- 1 to hops) {
+    val snapshots = scala.collection.mutable.Map(0 -> frontier)
+    for (h <- 1 to hops) {
       val candidates = frontier.select(col("probe_id"), col("node"))
         .join(edges, col("node") === col("src"))
         .select(col("probe_id"), col("dst").as("node"))
@@ -811,13 +828,37 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
         .select(col("probe_id"), col("node"), col("cos_sim")))
+      snapshots(h) = frontier
     }
-    frontier.withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("cos_sim").desc, col("node"))).cast("long"))
-      .select(col("probe_id"), col("node").as("neighbor_id"),
-        col("cos_sim"), col("rk"))
-      .orderBy(col("probe_id"), col("rk"))
+    snapshots.toMap
+  }
+
+  val GraphCurveHops: Seq[Int] = Seq(1, 2, 4)
+
+  /** The graph index's tuning curve — recall@k per WALK LENGTH
+    * (hops ∈ {1, 2, 4}), the efSearch-style cost/recall trade a
+    * graph-ANN deployment tunes first (each hop is one more
+    * frontier expansion of scan budget; the curve says where recall
+    * saturates). Sibling of `sim_ann_ivf_curve`'s nProbe sweep and
+    * `embed_prefix_curve`'s width sweep: every index family here
+    * carries its own knob curve on the same measuring stick.
+    *
+    * ONE walk serves every point: the per-hop frontiers are already
+    * checkpoint-materialized by [[walkFrontiers]], so the curve
+    * reads three snapshots of a single traversal instead of
+    * re-walking per hop count.
+    */
+  def graphSearchCurve(
+      embs: DataFrame, hopsList: Seq[Int] = GraphCurveHops): DataFrame = {
+    val snapshots = walkFrontiers(embs, GraphSearchBeam, hopsList.max)
+    val exact = materialize(topKBruteForce(embs))
+    hopsList.map { h =>
+      recallAtK(exact,
+        snapshots(h).select(col("probe_id"), col("node").as("neighbor_id")))
+        .withColumn("hops", lit(h.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("hops"), col("probe_id"), col("recall_at_k"))
+      .orderBy(col("hops"), col("probe_id"))
   }
 
   /** Recall@k of [[graphSearch]]'s final beam against the exact

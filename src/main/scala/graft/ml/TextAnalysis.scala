@@ -914,6 +914,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  val KeyphraseK = 5
+
+  /** Top-k bigram KEYPHRASES per source — the multi-word unit
+    * [[keywords]]' unigram argmax can't see ("machine learning",
+    * "new york"): per-source bigram frequency × the corpus-wide
+    * integer idf ⌊log2(n_docs div df)⌋ (bin-length, no libm), ranked
+    * with a deterministic (score desc, phrase) tie-break. The
+    * source-level (not doc-level) rank is the deliberate contrast:
+    * keyphrases describe a SOURCE's topical identity for mix
+    * curation, where keywords tag individual documents.
+    *
+    * Scale shape: the bigram relation is a map-only adjacent-pair
+    * transform; tf and df reduce on the bigram-vocabulary key
+    * (map-side combined); n_docs is a 1-row broadcast; per-source
+    * top-k is WindowGroupLimit-prunable.
+    */
+  def keyphrases(docs: DataFrame, text: Column, k: Int = KeyphraseK): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"), tokens(text).as("toks"))
+    val bi = toks.select(col("doc_id"), col("source"), explode(
+        when(size(col("toks")) > 1,
+          expr("transform(sequence(0, size(toks) - 2)," +
+            " i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val dfr = bi.select(col("doc_id"), col("bg")).distinct()
+      .groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val tf = bi.groupBy(col("source"), col("bg")).agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfr, "bg").crossJoin(nDocs)
+      .withColumn("idf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("score", col("tf") * col("idf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("bg"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("bg").as("keyphrase"), col("tf"),
+        col("df"), col("score"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Term burstiness per source: for the top-k terms by document
     * frequency, the variance-to-mean ratio (Fano factor) of the
     * term's per-document count, over the documents that CONTAIN it.

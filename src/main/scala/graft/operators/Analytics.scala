@@ -1048,6 +1048,32 @@ object Analytics {
     * transition group. The transition matrix is |event_type|² rows —
     * partial aggregation collapses the stream map-side.
     */
+  /** Consecutive-duplicate census per event type — the sensor/
+    * at-least-once-delivery cleaning gauge: an event is a
+    * consecutive dup when it repeats its user-timeline predecessor's
+    * (type, value) exactly (double retries, stuck emitters, UI
+    * double-fires). Reported per type: events, dups, and the share a
+    * collapse pass would drop — measured BEFORE anyone deletes data,
+    * the same price-it-first shape as corpus_dedup_impact. ONE lag
+    * window on the user exchange (both lags in one Window node),
+    * |types|-row rollup, one double division.
+    */
+  def dedupConsecutive(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type"), col("value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev_type") === col("event_type") &&
+          col("prev_value") === col("value"), 1L).otherwise(0L))
+          .as("n_consecutive_dups"))
+      .withColumn("dup_share",
+        col("n_consecutive_dups").cast("double") /
+          col("n_events").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
   def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

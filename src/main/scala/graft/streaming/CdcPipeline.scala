@@ -965,6 +965,87 @@ object CdcPipeline {
     } finally removeRecursively(stage)
   }
 
+  case class QuietState(last_ts: Timestamp, n_events: Long)
+  case class QuietVerdict(
+      user_id: Long, last_seen_ts: Timestamp, n_events: Long,
+      quiet_since: Timestamp)
+
+  /** Timeout-DRIVEN emission through the engine — the one
+    * GroupStateTimeout mode the rest of the stateful suite doesn't
+    * exercise (apply/dedup/scd2 run NoTimeout; sessions use the
+    * native session_window): per user, keep only (last event time,
+    * count) in state and arm an EVENT-TIME TIMEOUT at last_ts +
+    * quiet. The verdict row is emitted by the ENGINE when the
+    * watermark passes the armed timestamp — i.e. when no event can
+    * any longer precede the quiet horizon — not by any arriving
+    * data, and the state is removed on emission. This is the
+    * abandoned-session / gone-quiet alert shape: the absence of
+    * data is the signal, and timeouts are the only streaming
+    * construct that can observe absence.
+    *
+    * Scale shape: one state row per live user (two fields), removed
+    * at timeout — state is bounded by users active within the quiet
+    * horizon, never stream history. The finite-replay check arms
+    * every timeout in batch 1 and the sentinel's watermark advance
+    * fires them all; the sentinel's own state never times out (the
+    * watermark cannot pass its armed horizon) and its reserved key
+    * is filtered from the summary. Batch equality: per-user
+    * max(ts)/count over the same feed.
+    */
+  def quietUsersStream(
+      spark: SparkSession,
+      dir: String,
+      quietMinutes: Int = 30,
+      delay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val quietMicros = quietMinutes * 60L * 1000000L
+    val stage = stageWithSentinel(spark, dir, marginSeconds = 3 * 3600L)
+    try {
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.Tables.withEventTime(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+        .filter(col("ts").isNotNull)
+        .withWatermark("ts", delay)
+      val verdicts = raw.select(col("user_id"), col("ts"))
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          quietUpdate(quietMicros))
+      drainToLocal(spark, verdicts, OutputMode.Append)
+        .filter(col("user_id") =!= SentinelUser)
+        .orderBy(col("user_id"))
+    } finally removeRecursively(stage)
+  }
+
+  private def quietUpdate(quietMicros: Long)(
+      user: Long,
+      events: Iterator[(Long, Timestamp)],
+      state: GroupState[QuietState]): Iterator[QuietVerdict] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      val quietSince = new Timestamp(0L)
+      quietSince.setTime((micros(s.last_ts) + quietMicros) / 1000L)
+      quietSince.setNanos((((micros(s.last_ts) + quietMicros) % 1000000L)
+        * 1000L).toInt)
+      Iterator.single(
+        QuietVerdict(user, s.last_ts, s.n_events, quietSince))
+    } else {
+      var cur = state.getOption.getOrElse(QuietState(null, 0L))
+      events.foreach { case (_, ts) =>
+        val later = cur.last_ts == null || micros(ts) > micros(cur.last_ts)
+        cur = QuietState(if (later) ts else cur.last_ts, cur.n_events + 1)
+      }
+      state.update(cur)
+      // arm (or re-arm) the quiet horizon after this batch's events
+      state.setTimeoutTimestamp((micros(cur.last_ts) + quietMicros) / 1000L)
+      Iterator.empty
+    }
+  }
+
   /** Reserved key for the watermark-advancing sentinel row. */
   val SentinelUser = -1L
 

@@ -123,6 +123,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byGid(7L).length == 1)
   }
 
+  test("consecutive dedup: only exact (type, value) repeats count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "A", 1.0, null: String),
+      (2L, Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "A", 1.0, null: String),
+      (3L, Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "A", 2.0, null: String),
+      (4L, Timestamp.valueOf("2024-01-01 00:04:00"), 1L, "B", 1.0, null: String),
+      (5L, Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "B", 1.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Analytics.dedupConsecutive(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_consecutive_dups"))).toMap
+    // event 2 repeats (A, 1.0); event 3 changes value — NOT a dup;
+    // event 5 repeats (B, 1.0)
+    assert(got("A") == ((3L, 1L)) && got("B") == ((2L, 1L)))
+  }
+
+  test("keyphrases: corpus-wide idf, per-source rank, hand-computed scores") {
+    import spark.implicits._
+    // "big data" appears in 1 of 2 docs → idf ⌊log2 2⌋ = 1, tf 2 →
+    // score 2; "data lake" in both docs → idf ⌊log2 1⌋ = 0 → score 0
+    val docs = Seq(
+      (1L, "s", "big data big data lake"),
+      (2L, "s", "data lake")).toDF("doc_id", "source", "text")
+    val got = graft.ml.TextAnalysis.keyphrases(docs,
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getAs[String]("keyphrase") ->
+        (r.getAs[Long]("score"), r.getAs[Long]("rk"))).toMap
+    assert(got("big data") == ((2L, 1L)))
+    assert(got("data lake")._1 == 0L)
+  }
+
   test("markov stationary: symmetric two-state chain equalizes; mass ≈ scale") {
     import spark.implicits._
     import java.sql.Timestamp

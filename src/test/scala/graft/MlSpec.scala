@@ -878,6 +878,20 @@ class MlSpec extends AnyFunSuite {
     h1.foreach { case (p, c1) => assert(h4(p) >= c1, s"probe $p regressed") }
   }
 
+  test("graph curve: per-probe recall monotone in walk length") {
+    val rows = SparkEntry.queries("sim_ann_graph_curve")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("hops")).distinct.sorted.sameElements(
+      Similarity.GraphCurveHops.map(_.toLong)))
+    // a true top-k neighbor can never be evicted from a beam ≥ k
+    // (only nodes ranking above it could, and those ARE top-k), so
+    // recall per probe never decreases as the walk lengthens
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { g =>
+      val byHop = g.sortBy(_.getAs[Long]("hops"))
+        .map(_.getAs[Double]("recall_at_k"))
+      assert(byHop.zip(byHop.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("prefix curve: recall in [0,1]; the widest prefix dominates the narrowest") {
     val rows = SparkEntry.queries("embed_prefix_curve")(spark, sf).collect()
     assert(rows.forall { r =>

@@ -51,3 +51,37 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 }
+
+/** Pins the timeout-driven quiet-user path (`events_stream_quiet` →
+  * CdcPipeline.quietUsersStream): EventTimeTimeout emission fires
+  * once per user when the watermark passes last_ts + quiet, state
+  * removed on emission, sentinel never emits.
+  */
+class QuietStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("timeout emission: one verdict per user, equal to the batch aggregate") {
+    val out = graft.streaming.CdcPipeline.quietUsersStream(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("user_id")).distinct.length == out.length)
+    assert(!out.exists(_.getAs[Long]("user_id") ==
+      graft.streaming.CdcPipeline.SentinelUser))
+    val batch = Tables.load(spark, sf, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen_ts"), count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[java.sql.Timestamp]("last_seen_ts"),
+          r.getAs[Long]("n_events"))).toMap
+    assert(out.length == batch.size)
+    out.foreach { r =>
+      val (ts, n) = batch(r.getAs[Long]("user_id"))
+      assert(r.getAs[java.sql.Timestamp]("last_seen_ts") == ts)
+      assert(r.getAs[Long]("n_events") == n)
+      // the quiet horizon is exactly last_ts + 30 min, micros-exact
+      assert(r.getAs[java.sql.Timestamp]("quiet_since").getTime ==
+        ts.getTime + 30L * 60 * 1000)
+    }
+  }
+}

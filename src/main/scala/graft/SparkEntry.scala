@@ -1848,6 +1848,33 @@ object SparkEntry {
   private val cosSql =
     Vectors.duckCosine("d.dot", "na.n2", "nb.n2")
 
+  /** kNN edge CTE chain — the SQL twin of Similarity.knnEdges (SRP
+    * bucket candidates → exact cosine → per-src top-k), shared by
+    * every graph-family oracle so the edge construction cannot
+    * drift between them. Emits ${p}cand/${p}dd/${p}sc/${p}rr and
+    * the edge relation ${p}e; splice after [[embCtes]] + [[srpCtes]].
+    */
+  private def knnEdgeCtes(k: Int, p: String = ""): String =
+    s"""${p}cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM buckets a JOIN buckets b
+       |  ON b.band = a.band AND b.bucket = a.bucket
+       |    AND b.vec_id <> a.vec_id),
+       |${p}dd AS (SELECT c.src, c.dst,
+       |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+       |  FROM ${p}cand c
+       |  JOIN flat fa ON fa.vec_id = c.src
+       |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |${p}sc AS (SELECT ${p}dd.src, ${p}dd.dst,
+       |    ${Vectors.duckCosine(s"${p}dd.dot", "na.n2", "nb.n2")} AS cos_sim
+       |  FROM ${p}dd
+       |  JOIN norms na ON na.vec_id = ${p}dd.src
+       |  JOIN norms nb ON nb.vec_id = ${p}dd.dst
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |${p}rr AS (SELECT *, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos_sim DESC, dst) AS rk FROM ${p}sc),
+       |${p}e AS (SELECT src, dst FROM ${p}rr WHERE rk <= $k)""".stripMargin
+
   /** Shared CTE chain for the graph-walk ANN pair (sim_ann_graph /
     * sim_ann_graph_recall): knn edges `ge` (same construction as
     * sim_knn_graph's), probe-corpus cosines `pc`, fixed entry `gen`,
@@ -1870,25 +1897,7 @@ object SparkEntry {
          |  WHERE rk <= $beam)""".stripMargin
     val hops = (1 to Similarity.GraphSearchHops)
       .map(i => hop(i, s"gf${i - 1}")).mkString(",\n")
-    s"""gcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM buckets a JOIN buckets b
-       |  ON b.band = a.band AND b.bucket = a.bucket
-       |    AND b.vec_id <> a.vec_id),
-       |gdd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-       |  FROM gcand c
-       |  JOIN flat fa ON fa.vec_id = c.src
-       |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
-       |  GROUP BY 1, 2),
-       |gsc AS (SELECT gdd.src, gdd.dst,
-       |    ${Vectors.duckCosine("gdd.dot", "na.n2", "nb.n2")} AS cos_sim
-       |  FROM gdd
-       |  JOIN norms na ON na.vec_id = gdd.src
-       |  JOIN norms nb ON nb.vec_id = gdd.dst
-       |  WHERE na.n2 > 0 AND nb.n2 > 0),
-       |grr AS (SELECT *, row_number() OVER (PARTITION BY src
-       |    ORDER BY cos_sim DESC, dst) AS rk FROM gsc),
-       |ge AS (SELECT src, dst FROM grr
-       |  WHERE rk <= ${Similarity.GraphSearchDegree}),
+    s"""${knnEdgeCtes(Similarity.GraphSearchDegree, "g")},
        |gpd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS node,
        |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
        |  FROM flat fp
@@ -5036,24 +5045,7 @@ object SparkEntry {
         .map(i => s"SELECT * FROM cc$i").mkString(" UNION ALL ")
       s"""WITH $embCtes,
          |$srpCtes,
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM buckets a JOIN buckets b
-         |  ON b.band = a.band AND b.bucket = a.bucket
-         |    AND b.vec_id <> a.vec_id),
-         |dd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN flat fa ON fa.vec_id = c.src
-         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |sc AS (SELECT dd.src, dd.dst,
-         |    ${Vectors.duckCosine("dd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM dd
-         |  JOIN norms na ON na.vec_id = dd.src
-         |  JOIN norms nb ON nb.vec_id = dd.dst
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY cos_sim DESC, dst) AS rk FROM sc),
-         |e AS (SELECT src, dst FROM rr WHERE rk <= ${Similarity.KnnGraphK}),
+         |${knnEdgeCtes(Similarity.KnnGraphK)},
          |gsym AS (SELECT DISTINCT src, dst FROM
          |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
          |a0 AS (SELECT DISTINCT src AS v FROM gsym),
@@ -5073,24 +5065,7 @@ object SparkEntry {
     "sim_knn_graph" ->
       s"""WITH $embCtes,
          |$srpCtes,
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM buckets a JOIN buckets b
-         |  ON b.band = a.band AND b.bucket = a.bucket
-         |    AND b.vec_id <> a.vec_id),
-         |d AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN flat fa ON fa.vec_id = c.src
-         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |s AS (SELECT d.src, d.dst,
-         |    ${Vectors.duckCosine("d.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM d
-         |  JOIN norms na ON na.vec_id = d.src
-         |  JOIN norms nb ON nb.vec_id = d.dst
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY cos_sim DESC, dst) AS rk FROM s),
-         |e AS (SELECT src, dst FROM r WHERE rk <= ${Similarity.KnnGraphK}),
+         |${knnEdgeCtes(Similarity.KnnGraphK)},
          |e2 AS (SELECT e.src, e.dst,
          |    CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mut
          |  FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src)
@@ -5170,24 +5145,7 @@ object SparkEntry {
         .map(i => iterCtes(i, s"pr${i - 1}")).mkString(",\n")
       s"""WITH $embCtes,
          |$srpCtes,
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM buckets a JOIN buckets b
-         |  ON b.band = a.band AND b.bucket = a.bucket
-         |    AND b.vec_id <> a.vec_id),
-         |dd AS (SELECT c.src, c.dst, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN flat fa ON fa.vec_id = c.src
-         |  JOIN flat fb ON fb.vec_id = c.dst AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |s AS (SELECT dd.src, dd.dst,
-         |    ${Vectors.duckCosine("dd.dot", "na.n2", "nb.n2")} AS cos_sim
-         |  FROM dd
-         |  JOIN norms na ON na.vec_id = dd.src
-         |  JOIN norms nb ON nb.vec_id = dd.dst
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY cos_sim DESC, dst) AS rk FROM s),
-         |e AS (SELECT src, dst FROM rr WHERE rk <= ${Similarity.KnnGraphK}),
+         |${knnEdgeCtes(Similarity.KnnGraphK)},
          |pn AS (SELECT DISTINCT v FROM
          |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
          |nn AS (SELECT count(*) AS n FROM pn),

@@ -779,7 +779,7 @@ object Similarity {
       embs: DataFrame,
       beam: Int = GraphSearchBeam,
       hops: Int = GraphSearchHops): DataFrame = {
-    val frontier = walkFrontiers(embs, beam, hops)(hops)
+    val frontier = walkFrontiers(embs, beam, hops)._1(hops)
     frontier.withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cos_sim").desc, col("node"))).cast("long"))
@@ -792,9 +792,14 @@ object Similarity {
     * [[graphSearch]] reads the last snapshot, [[graphSearchCurve]]
     * reads several from ONE walk (each snapshot is already
     * checkpoint-materialized, so reading three costs nothing extra).
+    * Also returns the cached probe-cosine relation: it IS the exact
+    * probe-corpus scoring, so the recall gauges rank THEIR exact
+    * side from it instead of paying topKBruteForce's second
+    * quantize-and-score corpus scan.
     */
   private def walkFrontiers(
-      embs: DataFrame, beam: Int, hops: Int): Map[Int, DataFrame] = {
+      embs: DataFrame, beam: Int, hops: Int)
+      : (Map[Int, DataFrame], DataFrame) = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
     val qv = materialize(Vectors.quantized(embs))
     val edges = knnEdges(embs, GraphSearchDegree)
@@ -830,8 +835,20 @@ object Similarity {
         .select(col("probe_id"), col("node"), col("cos_sim")))
       snapshots(h) = frontier
     }
-    snapshots.toMap
+    (snapshots.toMap, pcos)
   }
+
+  /** Exact top-k per probe from the walk's cached cosine relation —
+    * the same ranking topKBruteForce produces (identical quantized
+    * cosines, identical (cos desc, id) tie-break), without a second
+    * corpus scan.
+    */
+  private def exactFromPcos(pcos: DataFrame): DataFrame =
+    pcos.withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("node"))))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("node").as("neighbor_id"))
 
   val GraphCurveHops: Seq[Int] = Seq(1, 2, 4)
 
@@ -850,8 +867,8 @@ object Similarity {
     */
   def graphSearchCurve(
       embs: DataFrame, hopsList: Seq[Int] = GraphCurveHops): DataFrame = {
-    val snapshots = walkFrontiers(embs, GraphSearchBeam, hopsList.max)
-    val exact = materialize(topKBruteForce(embs))
+    val (snapshots, pcos) = walkFrontiers(embs, GraphSearchBeam, hopsList.max)
+    val exact = materialize(exactFromPcos(pcos))
     hopsList.map { h =>
       recallAtK(exact,
         snapshots(h).select(col("probe_id"), col("node").as("neighbor_id")))
@@ -867,8 +884,12 @@ object Similarity {
     * (PQ): four index geometries, one measuring stick.
     */
   def graphSearchRecall(embs: DataFrame): DataFrame = {
-    val exact = topKBruteForce(embs)
-    recallAtK(exact, graphSearch(embs)).orderBy(col("probe_id"))
+    val (snapshots, pcos) =
+      walkFrontiers(embs, GraphSearchBeam, GraphSearchHops)
+    recallAtK(exactFromPcos(pcos),
+        snapshots(GraphSearchHops)
+          .select(col("probe_id"), col("node").as("neighbor_id")))
+      .orderBy(col("probe_id"))
   }
 
   val PageRankIters = 3

@@ -1048,6 +1048,21 @@ object Analytics {
     * transition group. The transition matrix is |event_type|² rows —
     * partial aggregation collapses the stream map-side.
     */
+  def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000000.0)).as("avg_gap_sec"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Consecutive-duplicate census per event type — the sensor/
     * at-least-once-delivery cleaning gauge: an event is a
     * consecutive dup when it repeats its user-timeline predecessor's
@@ -1072,21 +1087,6 @@ object Analytics {
         col("n_consecutive_dups").cast("double") /
           col("n_events").cast("double"))
       .orderBy(col("event_type"))
-  }
-
-  def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.select(col("event_type"),
-        lag(col("event_type"), 1).over(w).as("prev_type"),
-        (unix_micros(col("ts")) -
-          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("gap_us")).cast("double") / count(lit(1)).cast("double") /
-          lit(1000000.0)).as("avg_gap_sec"))
-      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** Last-touch conversion attribution: each purchase is credited to
@@ -1238,14 +1238,23 @@ object Analytics {
     * event_type) relation — split out so the property suite can
     * drive it with generated timelines.
     */
-  def markovTransitions(ev: DataFrame): DataFrame = {
+  /** The (from, to, n_trans) transition matrix both markov operators
+    * reduce from — ONE definition of the user-timeline ordering and
+    * lag extraction, so events_markov and events_markov_stationary
+    * can never disagree about the chain (the knnEdges rule applied
+    * to the behavioral graph).
+    */
+  def transitionCounts(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val trans = ev
-      .select(lag(col("event_type"), 1).over(w).as("from_type"),
+    ev.select(lag(col("event_type"), 1).over(w).as("from_type"),
         col("event_type").as("to_type"))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
+  }
+
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    val trans = transitionCounts(ev)
     val byFrom = Window.partitionBy(col("from_type"))
     val byTo = Window.partitionBy(col("to_type"))
     val all = Window.partitionBy()
@@ -1291,13 +1300,7 @@ object Analytics {
     */
   def markovStationary(ev: DataFrame, iters: Int = StationaryIters): DataFrame = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val trans = graft.CacheScope.materialize(ev
-      .select(lag(col("event_type"), 1).over(w).as("from_type"),
-        col("event_type").as("to_type"))
-      .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n_trans")))
+    val trans = graft.CacheScope.materialize(transitionCounts(ev))
     val outm = graft.CacheScope.materialize(trans
       .groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from")))
     val nodes = graft.CacheScope.materialize(

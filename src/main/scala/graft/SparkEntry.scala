@@ -319,6 +319,11 @@ object SparkEntry {
     "events_dedup_consecutive" -> ((s, dir) =>
       Analytics.dedupConsecutive(Tables.load(s, dir, "events"))),
 
+    // Exact per-type value percentiles through the two-phase rank
+    // (|types| is small — a plain window would one-task each type).
+    "events_value_percentiles" -> ((s, dir) =>
+      Analytics.valuePercentiles(Tables.load(s, dir, "events"))),
+
     // Session windows through the streaming engine: native
     // session_window(ts, 30 min) gap-merge; the batch
     // gaps-and-islands formula is the oracle.
@@ -2561,6 +2566,24 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS quiet_since
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_value_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rn = (cnt * 25 + 99) // 100 THEN value END)
+        |    AS p25_value,
+        |  max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN value END)
+        |    AS p50_value,
+        |  max(CASE WHEN rn = (cnt * 75 + 99) // 100 THEN value END)
+        |    AS p75_value,
+        |  max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN value END)
+        |    AS p95_value,
+        |  max(value) AS max_value
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_dedup_consecutive" ->
       """WITH g AS (SELECT event_type, value,

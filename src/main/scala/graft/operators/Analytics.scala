@@ -1042,6 +1042,32 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exact value percentiles per event type (p25/50/75/95 + max) —
+    * the metric-distribution profile behind alerting thresholds and
+    * anomaly baselines (events_anomaly's z-scores assume these
+    * shapes were looked at first). Rank selection, not an
+    * approximate sketch: the cut rank ⌈cnt·p/100⌉ picks an ACTUAL
+    * observed value, and the rank runs through Ranks.grouped's
+    * range-partition + per-partition windows — with only |types|
+    * groups, a plain per-type window would collapse each type's
+    * full history onto one task at 100 TB (the exact skew the
+    * two-phase rank exists to avoid; corpus_percentiles gets away
+    * with plain windows only because sources are many).
+    */
+  def valuePercentiles(ev: DataFrame): DataFrame = {
+    val ranked = graft.functions.Ranks.grouped(
+      ev.select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq("value", "event_id"))
+    def pick(p: Int) =
+      max(when(col("rank") === expr(s"(grp_total * $p + 99) DIV 100"),
+        col("value"))).as(s"p${p}_value")
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("grp_total")).as("n_events"),
+        pick(25), pick(50), pick(75), pick(95),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Dwell time between consecutive events per (from, to) transition:
     * one lag window per user timeline (single shuffle on user_id),
     * gaps summed as exact integer micros, ONE double division per

@@ -123,6 +123,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byGid(7L).length == 1)
   }
 
+  test("value percentiles: rank cuts pick actual observations") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 100 values 1..100 of one type: cut rank ⌈100·p/100⌉ = p, so
+    // each percentile is exactly its value
+    val ev = (1 to 100).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d"),
+        (i % 7).toLong, "T", i.toDouble, null: String)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Analytics.valuePercentiles(ev).collect().head
+    assert(r.getAs[Double]("p25_value") == 25.0)
+    assert(r.getAs[Double]("p50_value") == 50.0)
+    assert(r.getAs[Double]("p75_value") == 75.0)
+    assert(r.getAs[Double]("p95_value") == 95.0)
+    assert(r.getAs[Double]("max_value") == 100.0)
+    // sf data: every percentile is an observed value of its type,
+    // monotone across the cuts
+    val rows = SparkEntry.queries("events_value_percentiles")(spark, sf)
+      .collect()
+    val byType = Tables.load(spark, sf, "events").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).toSet).toMap
+    rows.foreach { row =>
+      val vals = byType(row.getAs[String]("event_type"))
+      val ps = Seq("p25_value", "p50_value", "p75_value", "p95_value")
+        .map(row.getAs[Double])
+      ps.foreach(p => assert(vals.contains(p)))
+      assert(ps.zip(ps.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("consecutive dedup: only exact (type, value) repeats count") {
     import spark.implicits._
     import java.sql.Timestamp

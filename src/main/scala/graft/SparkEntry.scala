@@ -66,6 +66,12 @@ object SparkEntry {
     */
   private val D = "DECIMAL(18,2)"
 
+  /** Limited-LOB-mode byte budget for `cdc_lob_truncation` — the
+    * LobMaxSize analog under audit (documents median ≈ 306 B, so the
+    * split is non-degenerate at every SF).
+    */
+  private val LobBudgetBytes = 384L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> ((s, dir) => Analytics.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Analytics.q3ShippingPriority(s, dir)),
@@ -247,6 +253,14 @@ object SparkEntry {
 
     "cdc_table_statistics" -> ((s, dir) =>
       TableStatistics.compute(ChangeFeed.fromEvents(s, dir))),
+
+    // Limited-LOB-mode truncation audit (DMS default task settings
+    // truncate LOBs at LobMaxSize; the reference replicates a BLOB
+    // under those defaults): per source, overflow rows, bytes lost,
+    // and the whole-KB budget that would make truncation zero.
+    "cdc_lob_truncation" -> ((s, dir) =>
+      TableStatistics.lobAudit(Tables.load(s, dir, "documents"),
+        col("source"), col("text"), LobBudgetBytes)),
 
     "cdc_selection_rules" -> ((s, dir) => {
       val docs = graft.Tables.load(s, dir, "documents")
@@ -868,6 +882,12 @@ object SparkEntry {
     "embed_prefix_curve" -> ((s, dir) =>
       Similarity.prefixRecallCurve(Tables.load(s, dir, "embeddings"))),
 
+    // Scalar-quantization recall curve: recall@k at {2,4,6,8}-bit
+    // symmetric requantization — what embed_quantize's err_ppm does
+    // to retrieval, the bytes-per-component budget knee.
+    "embed_quantize_recall" -> ((s, dir) =>
+      Similarity.quantRecallCurve(Tables.load(s, dir, "embeddings"))),
+
     // Embedding collision census: bitwise-identical quantized
     // vectors per label (an upstream-dedup-failure smoke signal).
     "embed_exact_dups" -> ((s, dir) => {
@@ -1372,6 +1392,12 @@ object SparkEntry {
     // Hour-of-day × type seasonality with lift vs the type's overall
     // share; totals are windows over the 24·|types| post-aggregate.
     "events_seasonality" -> ((s, dir) => Analytics.eventsSeasonality(s, dir)),
+
+    // Seasonal-naive forecast backtest: dow-mean vs overall-mean
+    // daily-count predictors over a 21d train / 7d holdout split,
+    // integer-exact MAEs (capacity planning, closed-loop).
+    "events_forecast_backtest" -> ((s, dir) =>
+      Analytics.forecastBacktest(Tables.load(s, dir, "events"))),
 
     // Heaps'-law vocabulary growth per doc-id decile (1-row broadcast
     // bounds, term-keyed min aggregate, ≤10-row cumulative window).
@@ -2350,6 +2376,22 @@ object SparkEntry {
          |  count(*) AS total
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "cdc_lob_truncation" ->
+      s"""WITH s AS (SELECT source,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT source AS group_key, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN nb > $LobBudgetBytes THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_truncated,
+         |  CAST(sum(nb) AS BIGINT) AS bytes_total,
+         |  CAST(sum(least(nb, $LobBudgetBytes)) AS BIGINT) AS bytes_kept,
+         |  CAST(sum(greatest(nb - $LobBudgetBytes, 0)) AS BIGINT)
+         |    AS bytes_lost,
+         |  max(nb) AS max_lob_bytes,
+         |  CAST(ceil(CAST(max(nb) AS DOUBLE) / 1024.0) AS BIGINT)
+         |    AS suggested_lob_kb
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_selection_rules" ->
       s"""SELECT source AS table_name, count(*) AS n_rows,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -3176,6 +3218,65 @@ object SparkEntry {
          |${dims.map(dimBlock).mkString(",\n")}
          |${dims.map(dimSelect).mkString("\nUNION ALL\n")}
          |ORDER BY prefix_dim, probe_id""".stripMargin
+    },
+
+    "embed_quantize_recall" -> {
+      // per-bit requantized flat + rank block; the exact ranking
+      // (bd/bs/br/bfk) is shared by every bit width
+      def bitBlock(b: Int): String = {
+        val l = (1L << (b - 1)) - 1
+        s"""qf$b AS (SELECT f.vec_id, f.i,
+           |    CAST(round(CAST(f.v * $l AS DOUBLE) / m.m) AS BIGINT) AS v
+           |  FROM flat f JOIN mm m ON m.vec_id = f.vec_id),
+           |qn$b AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2
+           |  FROM qf$b GROUP BY 1),
+           |qd$b AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+           |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+           |  FROM qf$b fp
+           |  JOIN qf$b f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+           |  WHERE fp.vec_id < ${Similarity.NumProbes}
+           |  GROUP BY 1, 2),
+           |qs$b AS (SELECT qd$b.probe_id, qd$b.neighbor_id,
+           |    ${Vectors.duckCosine(s"qd$b.dot", "na.n2", "nb.n2")} AS cos_sim
+           |  FROM qd$b
+           |  JOIN qn$b na ON na.vec_id = qd$b.probe_id
+           |  JOIN qn$b nb ON nb.vec_id = qd$b.neighbor_id
+           |  WHERE na.n2 > 0 AND nb.n2 > 0),
+           |qr$b AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM qs$b),
+           |qk$b AS (SELECT probe_id, neighbor_id FROM qr$b
+           |  WHERE rk <= ${Similarity.TopK})""".stripMargin
+      }
+      def bitSelect(b: Int): String =
+        s"""SELECT CAST($b AS BIGINT) AS n_bits, b.probe_id,
+           |  CAST(count(p.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS recall_at_k
+           |FROM bfk b LEFT JOIN qk$b p
+           |  ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      val bits = Similarity.QuantCurveBits
+      s"""WITH $embCtes,
+         |mm AS (SELECT vec_id, greatest(max(abs(v)), 1) AS m
+         |  FROM flat GROUP BY 1),
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |bfk AS (SELECT probe_id, neighbor_id FROM br
+         |  WHERE rk <= ${Similarity.TopK}),
+         |${bits.map(bitBlock).mkString(",\n")}
+         |${bits.map(bitSelect).mkString("\nUNION ALL\n")}
+         |ORDER BY n_bits, probe_id""".stripMargin
     },
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
@@ -5538,6 +5639,34 @@ object SparkEntry {
          |    CAST(sum(n) OVER (PARTITION BY hr)
          |      * sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS lift
          |FROM cells ORDER BY 1, 2""".stripMargin,
+
+    "events_forecast_backtest" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |h AS (SELECT max(day) AS maxd FROM d),
+        |g AS (SELECT t.event_type,
+        |    CAST(h.maxd - 27 + CAST(r.i AS INTEGER) AS DATE) AS day, h.maxd
+        |  FROM (SELECT DISTINCT event_type FROM d) t, h, range(28) r(i)),
+        |c AS (SELECT g.event_type, g.day, coalesce(d.n, 0) AS n,
+        |    date_diff('day', DATE '1970-01-05', g.day) % 7 AS dow,
+        |    g.day > g.maxd - 7 AS is_test
+        |  FROM g LEFT JOIN d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |td AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s_dow
+        |  FROM c WHERE NOT is_test GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_tot
+        |  FROM c WHERE NOT is_test GROUP BY 1)
+        |SELECT c.event_type, max(tt.s_tot) AS n_train,
+        |  CAST(sum(c.n) AS BIGINT) AS n_test,
+        |  CAST(sum(abs(3 * c.n - td.s_dow)) AS DOUBLE) / 21.0
+        |    AS mae_seasonal,
+        |  CAST(sum(abs(21 * c.n - tt.s_tot)) AS DOUBLE) / 147.0
+        |    AS mae_naive
+        |FROM c
+        |JOIN td ON td.event_type = c.event_type AND td.dow = c.dow
+        |JOIN tt ON tt.event_type = c.event_type
+        |WHERE c.is_test GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_vocab_growth" ->
       s"""WITH shf AS (${Dedup.duckShingles}),

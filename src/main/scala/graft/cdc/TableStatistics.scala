@@ -25,6 +25,42 @@ object TableStatistics {
         count(lit(1)).as("total"))
       .orderBy(col("schema_name"), col("table_name"))
 
+  /** Limited-LOB-mode truncation audit. The reference replicates a
+    * BLOB column (accounts.profile_picture, lib/query.py:11) under
+    * DEFAULT task settings (stack.py:329-330 sets only Logging) — and
+    * DMS's default is limited LOB mode with a fixed LobMaxSize
+    * budget: any LOB longer than the budget is silently truncated at
+    * the source read. This is the audit an operator runs BEFORE
+    * enabling that default on a new table: per group (the
+    * schema/table analog), how many rows overflow the budget, how
+    * many bytes the truncation would discard, the largest LOB seen,
+    * and the smallest whole-KB budget that would make truncation
+    * zero (the LobMaxSize to configure instead). Sizes are UTF-8
+    * octet lengths — the wire size of the value, not its char count.
+    *
+    * Scale shape: ONE pass, map-side-combined sums keyed by the
+    * bounded group column — output |groups| rows, identical plan at
+    * 100 TB. The per-row octet_length is codegen'd; nothing shuffles
+    * but the |groups|-row partials.
+    */
+  def lobAudit(rows: DataFrame, group: Column, lob: Column,
+      budgetBytes: Long): DataFrame =
+    rows.select(group.as("group_key"),
+        octet_length(lob).cast("long").as("nb"))
+      .filter(col("nb").isNotNull)
+      .groupBy(col("group_key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("nb") > budgetBytes, 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("nb")).as("bytes_total"),
+        sum(least(col("nb"), lit(budgetBytes))).as("bytes_kept"),
+        sum(greatest(col("nb") - budgetBytes, lit(0L))).as("bytes_lost"),
+        max(col("nb")).as("max_lob_bytes"),
+        ceil(max(col("nb")).cast("double") / 1024.0).cast("long")
+          .as("suggested_lob_kb"))
+      .orderBy(col("group_key"))
+
   /** Replication-lag monitor: each table's high-water mark against
     * the newest event anywhere in the feed (the task-level CDC
     * latency view an operator watches next to [[compute]] — a table

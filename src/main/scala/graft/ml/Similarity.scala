@@ -122,6 +122,50 @@ object Similarity {
       .orderBy(col("prefix_dim"), col("probe_id"))
   }
 
+  val QuantCurveBits: Seq[Int] = Seq(2, 4, 6, 8)
+
+  /** Scalar-quantization recall curve: recall@k of the top-k ranked
+    * over per-vector symmetric int-b requantized components (the
+    * `embed_quantize` quantizer at b bits: q_b = round(q·L/m),
+    * L = 2^(b-1)−1, m = max|q_i|) against the exact ranking — the
+    * SCALAR-precision budget on the same measuring stick as
+    * `embed_prefix_curve` (dimension budget), `sim_ann_pq_recall`
+    * (codebook budget) and `sim_ann_ivf_curve` (probe budget). Where
+    * `embed_quantize` reports the representation error (err_ppm),
+    * this reports what that error does to RETRIEVAL: b=8 is the
+    * standard int8 serving format, b=2 is ternary sign-quantization.
+    * Memory is linear in b, so the knee of this curve is the
+    * bytes-per-component a 100 TB index actually needs.
+    *
+    * Scale shape: the exact ranking computes ONCE (materialized,
+    * consumed by every width); each bit width re-ranks by a map-only
+    * requantization of the SAME cached quantized relation (the
+    * per-vector scale m is an in-row array fold, no shuffle) + the
+    * broadcast-probe scan. Output |bits|·|probes| rows. A vector
+    * with m ≥ 1 keeps its max component nonzero at every b, so the
+    * n2 > 0 probe/corpus membership is identical across the curve.
+    */
+  def quantRecallCurve(
+      embs: DataFrame, bits: Seq[Int] = QuantCurveBits): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    val exact = materialize(topKOn(qv))
+    val m = greatest(aggregate(transform(col("q"), x => abs(x)), lit(0L),
+      (acc, x) => greatest(acc, x)), lit(1L))
+    bits.map { b =>
+      val levels = (1L << (b - 1)) - 1
+      val rq = qv.withColumn("m", m)
+        .select(col("vec_id"),
+          transform(col("q"),
+            x => round((x * levels).cast("double") / col("m"))
+              .cast("long")).as("q"))
+        .withColumn("n2", Vectors.norm2(col("q")))
+      recallAtK(exact, topKOn(rq))
+        .withColumn("n_bits", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("n_bits"), col("probe_id"), col("recall_at_k"))
+      .orderBy(col("n_bits"), col("probe_id"))
+  }
+
   val HardNegK = 3
 
   /** Hard-negative mining: per probe, the most-similar neighbors

@@ -1612,6 +1612,68 @@ object Analytics {
       .orderBy(col("hr"), col("event_type"))
   }
 
+  /** Seasonal-naive forecast backtest: per event type, predict each
+    * of the last 7 days' event counts from the preceding 21 training
+    * days — the day-of-week mean (3 samples per dow) vs the overall
+    * daily mean — and report both predictors' holdout MAE. This is
+    * the capacity-planning loop closed: `events_seasonality` SHOWS
+    * the time structure; this measures whether exploiting it beats
+    * the naive rate on data the model didn't see (mae_seasonal <
+    * mae_naive ⇒ the dow profile is real signal, not noise).
+    *
+    * Exactness: with a fixed 3-sample dow window the prediction
+    * error |c − S/3| = |3c − S|/3 has an integer numerator, so both
+    * MAEs aggregate exactly and divide ONCE at the end (a
+    * float-mean-then-subtract formulation would be order-dependent
+    * and engine-divergent). Days with no events count as zero via
+    * the zero-filled grid — a silent day is a forecast input, not a
+    * missing row. Dow is epoch-anchored (days since Monday
+    * 1970-01-05, mod 7) so both engines bucket identically.
+    *
+    * Scale shape: ONE (type, day) pre-aggregate over the stream
+    * (map-side combined, |types|·|days| rows); everything after —
+    * the 1-row horizon, the 28-day grid, the dow/total folds — runs
+    * on that bounded post-aggregate. Broadcast joins only; nothing
+    * keyed by user or event.
+    */
+  def forecastBacktest(ev: DataFrame): DataFrame = {
+    // materialized: the horizon, the type list, and the grid join all
+    // consume this — without the cache each branch would re-scan the
+    // full stream for the same |types|·|days| post-aggregate
+    val days = graft.CacheScope.materialize(
+      ev.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+    val horizon = days.groupBy().agg(max(col("day")).as("maxd"))
+    val grid = days.select("event_type").distinct()
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"), col("maxd"),
+        explode(sequence(date_sub(col("maxd"), 27), col("maxd"))).as("day"))
+    val cells = grid.join(days, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        pmod(datediff(col("day"),
+          lit(java.sql.Date.valueOf("1970-01-05"))), lit(7)).as("dow"),
+        (col("day") > date_sub(col("maxd"), 7)).as("is_test"))
+    val train = cells.filter(!col("is_test"))
+    val trainDow = train.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s_dow"))
+    val trainTot = train.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s_tot"))
+    cells.filter(col("is_test"))
+      .join(broadcast(trainDow), Seq("event_type", "dow"))
+      .join(broadcast(trainTot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("s_tot")).as("n_train"),
+        sum(col("n")).as("n_test"),
+        (sum(abs(lit(3L) * col("n") - col("s_dow"))).cast("double") /
+          21.0).as("mae_seasonal"),
+        (sum(abs(lit(21L) * col("n") - col("s_tot"))).cast("double") /
+          147.0).as("mae_naive"))
+      .orderBy(col("event_type"))
+  }
+
   /** Inter-arrival time distribution: ⌊log2 gap_µs⌋ histogram of the
     * gap to the user's previous event, attributed to the later
     * event's type — the latency/burstiness profile a capacity planner

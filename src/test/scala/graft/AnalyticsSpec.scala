@@ -154,6 +154,49 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast backtest: exact weekly pattern zeroes the seasonal MAE") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.time.LocalDate
+    val maxd = LocalDate.of(2024, 2, 4)
+    val start = maxd.minusDays(27)
+    // type P: count on day i is 5 + (i % 7) — identical across all 4
+    // weeks, so the dow-mean predicts the test week perfectly.
+    // type Q: train-silent, all events on the last day (zero-filled
+    // grid: 21 silent train days are inputs, not missing rows).
+    val ev = ((0 until 28).flatMap { i =>
+      val day = start.plusDays(i.toLong)
+      (0 until 5 + (i % 7)).map { j =>
+        (i * 100L + j, Timestamp.valueOf(day.atTime(12, 0, j)),
+          j.toLong, "P", 1.0, null: String)
+      }
+    } ++ (0 until 14).map { j =>
+      (10000L + j, Timestamp.valueOf(maxd.atTime(9, 0, j)),
+        j.toLong, "Q", 1.0, null: String)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Analytics.forecastBacktest(ev)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = got("P")
+    assert(p.getAs[Long]("n_train") == 168L) // 21·5 + 3·(0+…+6)
+    assert(p.getAs[Long]("n_test") == 56L)   // 7·5 + (0+…+6)
+    assert(p.getAs[Double]("mae_seasonal") == 0.0)
+    assert(p.getAs[Double]("mae_naive") == 252.0 / 147.0)
+    val qr = got("Q")
+    assert(qr.getAs[Long]("n_train") == 0L)
+    assert(qr.getAs[Long]("n_test") == 14L)
+    // one nonzero test day against an all-zero train: both
+    // predictors predict 0, MAE = 14/7 = 2 events/day
+    assert(qr.getAs[Double]("mae_seasonal") == 2.0)
+    assert(qr.getAs[Double]("mae_naive") == 2.0)
+    // sf data: MAEs non-negative, train+test consistent with the grid
+    SparkEntry.queries("events_forecast_backtest")(spark, sf)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("mae_seasonal") >= 0.0)
+        assert(r.getAs[Double]("mae_naive") >= 0.0)
+        assert(r.getAs[Long]("n_train") >= 0L)
+      }
+  }
+
   test("consecutive dedup: only exact (type, value) repeats count") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -612,4 +612,39 @@ class CdcSpec extends AnyFunSuite {
         (r.getAs[String]("last_op") != "delete"))
     }
   }
+
+  test("LOB audit: octet (not char) sizes, budget boundary inclusive") {
+    import spark.implicits._
+    // "é" is 1 char / 2 UTF-8 bytes — the char-count trap the audit
+    // must not fall into. Budget 10: exactly-at-budget is NOT
+    // truncated; one byte over is.
+    val rows = Seq(
+      ("t1", "abc"),          //  3 B
+      ("t1", "ééééé"),        // 10 B = budget: kept whole
+      ("t1", "éééééé"),       // 12 B: truncated, 2 lost
+      ("t2", "aé"))           //  3 B
+      .toDF("source", "text")
+    val got = TableStatistics.lobAudit(rows, col("source"), col("text"), 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t1 = got("t1")
+    assert(t1.getAs[Long]("n_rows") == 3L)
+    assert(t1.getAs[Long]("n_truncated") == 1L)
+    assert(t1.getAs[Long]("bytes_total") == 25L)
+    assert(t1.getAs[Long]("bytes_kept") == 23L)
+    assert(t1.getAs[Long]("bytes_lost") == 2L)
+    assert(t1.getAs[Long]("max_lob_bytes") == 12L)
+    assert(t1.getAs[Long]("suggested_lob_kb") == 1L)
+    val t2 = got("t2")
+    assert(t2.getAs[Long]("n_truncated") == 0L)
+    assert(t2.getAs[Long]("bytes_lost") == 0L)
+    // sf corpus: ledger identity bytes_kept + bytes_lost = total, and
+    // a zero-truncation group's suggested budget covers its max
+    SparkEntry.queries("cdc_lob_truncation")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("bytes_kept") + r.getAs[Long]("bytes_lost")
+        == r.getAs[Long]("bytes_total"))
+      assert(r.getAs[Long]("suggested_lob_kb") * 1024L
+        >= r.getAs[Long]("max_lob_bytes"))
+      assert(r.getAs[Long]("n_truncated") <= r.getAs[Long]("n_rows"))
+    }
+  }
 }

@@ -322,6 +322,13 @@ object SparkEntry {
     "events_stream_attribution" -> ((s, dir) =>
       streaming.CdcPipeline.attributionJoinStream(s, dir)),
 
+    // Stream-stream LEFT OUTER interval join: every purchase emits,
+    // unattributed ones as watermark-driven null rows (two
+    // per-split sentinels advance the min-global watermark);
+    // batch left interval join is the oracle.
+    "events_stream_attribution_outer" -> ((s, dir) =>
+      streaming.CdcPipeline.attributionJoinOuterStream(s, dir)),
+
     // EventTimeTimeout-driven quiet-user verdicts: the engine emits
     // on watermark passage (absence as signal), state removed on
     // emission; per-user batch aggregate is the oracle.
@@ -1057,6 +1064,11 @@ object SparkEntry {
     "corpus_quality_filter" -> ((s, dir) =>
       Corpus.qualityFiltered(Tables.load(s, dir, "documents"))
         .orderBy(col("source"), col("rk"))),
+
+    // Greedy token-budget planner: global quality-rank prefix cut
+    // via the distributed prefix sum; per-source admission stats.
+    "corpus_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudget(Tables.load(s, dir, "documents"))),
 
     // Passage-level duplication census over chunk fingerprints.
     "corpus_chunk_dedup" -> ((s, dir) =>
@@ -2657,6 +2669,23 @@ object SparkEntry {
          |  count(DISTINCT touch_id) AS n_touches
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "events_stream_attribution_outer" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    ts AS purchase_ts FROM events
+         |  WHERE event_type = 'purchase' AND ts IS NOT NULL),
+         |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+         |    event_type AS touch_type FROM events
+         |  WHERE event_type <> 'purchase' AND ts IS NOT NULL),
+         |j AS (SELECT t.touch_type, p.purchase_id, t.touch_id
+         |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+         |    AND t.touch_ts >= p.purchase_ts - INTERVAL 7 DAY
+         |    AND t.touch_ts < p.purchase_ts)
+         |SELECT coalesce(touch_type, '(none)') AS touch_type,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT purchase_id) AS n_purchases,
+         |  count(DISTINCT touch_id) AS n_touches
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_conflict_resolution" ->
       s"""$C,
          |m AS (
@@ -3123,6 +3152,36 @@ object SparkEntry {
          |  FROM q)
          |SELECT source, doc_id, quality_score, rk
          |FROM r WHERE rk * 2 <= n_docs + 1 ORDER BY source, rk""".stripMargin
+    },
+
+    "corpus_token_budget" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |  ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |  CAST(list_sum(list_transform($toksT, x -> length(x))) AS BIGINT) AS sum_len
+         |FROM documents),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |    CAST(0.4 AS DOUBLE) * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |      + CAST(0.3 AS DOUBLE) * least((CAST(sum_len AS DOUBLE) / $nTok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    END AS quality_score
+         |FROM s),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    ORDER BY quality_score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps
+         |  FROM q),
+         |a AS (SELECT *, ps + n_tokens <= ${Corpus.TokenBudget} AS admitted
+         |  FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(sum(CASE WHEN admitted THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_admitted,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  min(CASE WHEN admitted THEN quality_score END) AS cut_quality
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "embed_prefix_recall" ->

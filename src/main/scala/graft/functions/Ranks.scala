@@ -103,6 +103,43 @@ object Ranks {
       .drop("_pm_pid", "_pm_inc")
   }
 
+  /** EXCLUSIVE running sum of `valueCol` (a long column) over the
+    * global `orderCols` ascending order — 0 for the first row(s).
+    * Same two-phase shape as [[prefixMax]]: per-partition exclusive
+    * running sum inside the range partitioning, plus the partition's
+    * incoming offset from the |partitions|-row per-partition-sums
+    * relation, exclusive-prefix-summed over the partition id and
+    * joined back broadcast. A naive `sum() OVER (ORDER BY ...)`
+    * collapses the relation to one task.
+    *
+    * `orderCols` must be a total order for the per-row prefix to be
+    * deterministic under retries (budget cuts attach meaning to
+    * every row's prefix, unlike [[prefixMax]]'s monotone uses).
+    */
+  def prefixSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.CacheScope.materialize(df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("_ps_pid", spark_partition_id()))
+    val incoming = ranged.groupBy(col("_ps_pid"))
+      .agg(sum(col(valueCol)).as("_ps_sum"))
+      .withColumn("_ps_inc",
+        coalesce(sum(col("_ps_sum")).over(Window.orderBy(col("_ps_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_ps_pid"), col("_ps_inc"))
+    val local = Window.partitionBy(col("_ps_pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(incoming), "_ps_pid")
+      .withColumn("prefix_sum",
+        coalesce(sum(col(valueCol)).over(local), lit(0L)) + col("_ps_inc"))
+      .drop("_ps_pid", "_ps_inc")
+  }
+
   /** SQL NTILE(n) over a precomputed 1-based `rank` within a group
     * of `total` rows: the first `total % n` tiles take
     * ceil(total/n) rows, the rest floor(total/n). Pure arithmetic —

@@ -307,6 +307,46 @@ object Corpus {
       .select(col("source"), col("doc_id"), col("quality_score"), col("rk"))
   }
 
+  val TokenBudget = 12000L
+
+  /** Greedy token-budget planner: rank the whole corpus by quality
+    * (desc, doc_id tiebreak) and admit documents in rank order while
+    * the running token total still fits the budget — the "best N
+    * tokens we can afford" selection a training run makes when
+    * compute, not data, is the binding constraint. Per source: how
+    * many docs/tokens made the cut and the admitted quality floor —
+    * the mixing consequence of a GLOBAL quality cut (vs
+    * [[qualityFiltered]]'s per-source median, which fixes the mix
+    * and moves the bar).
+    *
+    * The cut is a pure prefix: token counts are non-negative, so
+    * once the inclusive running sum passes the budget every later
+    * rank fails too — a deterministic cutline, not a knapsack.
+    *
+    * Scale shape: scoring is map-only; the global rank order runs
+    * through [[graft.functions.Ranks.prefixSum]]'s range partition +
+    * per-partition windows + broadcast |partitions|-row offsets (a
+    * plain `sum() OVER (ORDER BY quality)` would collapse the corpus
+    * onto one task); the rollup is a |sources|-row aggregate.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val scored = TextAnalysis.quality(docs, col("text"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"))
+      .withColumn("neg_q", -col("quality_score"))
+    graft.functions.Ranks
+      .prefixSum(scored, Seq("neg_q", "doc_id"), "n_tokens")
+      .withColumn("admitted", col("prefix_sum") + col("n_tokens") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"),
+        sum(col("n_tokens")).as("tokens_total"),
+        min(when(col("admitted"), col("quality_score"))).as("cut_quality"))
+      .orderBy(col("source"))
+  }
+
   val ChunkSize = 32
   val ChunkStride = 24
 

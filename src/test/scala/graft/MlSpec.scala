@@ -1739,4 +1739,45 @@ class MlSpec extends AnyFunSuite {
         ea.map(_._2(i)).sum.toDouble / ea.length.toDouble)
     }
   }
+
+  test("token budget: greedy prefix cut equals a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val got = ml.Corpus.tokenBudget(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // independent replay: score via the operator's own scorer (the
+    // scoring formula has its own oracle through
+    // corpus_quality_filter), then the greedy cut as a plain fold
+    val scored = ml.TextAnalysis.quality(docs, col("text"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_score")))
+      .sortBy { case (id, _, _, q) => (-q, id) }
+    var run = 0L
+    val admitted = scored.map { case (id, src, n, q) =>
+      val ok = run + n <= ml.Corpus.TokenBudget
+      run += n
+      (id, src, n, q, ok)
+    }
+    // the running total keeps accumulating past the cut, so the cut
+    // is a prefix: once one doc fails, all later docs fail
+    val flags = admitted.map(_._5)
+    assert(!flags.dropWhile(identity).contains(true))
+    val bySrc = admitted.groupBy(_._2)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val g = got(src)
+      assert(g.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(g.getAs[Long]("n_admitted") == rows.count(_._5).toLong)
+      assert(g.getAs[Long]("tokens_admitted") ==
+        rows.filter(_._5).map(_._3).sum)
+      assert(g.getAs[Long]("tokens_total") == rows.map(_._3).sum)
+      val cut = rows.filter(_._5).map(_._4)
+      if (cut.nonEmpty) assert(g.getAs[Double]("cut_quality") == cut.min)
+      else assert(g.isNullAt(g.fieldIndex("cut_quality")))
+    }
+    // the budget binds: something admitted, something rejected
+    assert(admitted.exists(_._5) && admitted.exists(!_._5))
+  }
 }

@@ -60,6 +60,23 @@ object RanksProps extends Properties("graft.ranks") {
       got == expect
     }
 
+  property("two-phase prefixSum == single-partition exclusive cumsum") =
+    Prop.forAll(rows) { rs =>
+      import spark.implicits._
+      val distinctRows = rs.groupBy(_._3).map(_._2.head).toList
+      val df = distinctRows.map { case (_, v, id) => (v.toLong, id) }
+        .toDF("v", "id")
+      val got = Ranks.prefixSum(df, Seq("v", "id"), "v")
+        .select(col("id"), col("prefix_sum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sorted = distinctRows.map { case (_, v, id) => (v.toLong, id) }
+        .sortBy(identity)
+      val expect = sorted.zipWithIndex.map { case ((_, id), i) =>
+        id -> sorted.take(i).map(_._1).sum
+      }.toMap
+      got == expect
+    }
+
   property("skyline operator == quadratic dominance filter") =
     Prop.forAll(rows) { rs =>
       import spark.implicits._

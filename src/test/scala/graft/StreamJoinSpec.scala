@@ -50,6 +50,44 @@ class StreamJoinSpec extends AnyFunSuite {
         r.getAs[Long]("n_touches"))).toMap
     assert(stream == batch)
   }
+
+  test("LEFT OUTER interval join: null rows flushed by watermark, batch equality") {
+    val out = CdcPipeline.attributionJoinOuterStream(spark, sf).collect()
+    assert(!out.exists(_.getAs[String]("touch_type") == "sentinel"))
+
+    val ev = Tables.load(spark, sf, "events").filter(col("ts").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val batch = p.join(t,
+        col("t_user") === col("p_user") &&
+          col("touch_ts") >= col("purchase_ts") - expr("interval 7 days") &&
+          col("touch_ts") < col("purchase_ts"),
+        "leftOuter")
+      .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        countDistinct(col("touch_id")).as("n_touches"))
+      .collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_touches"))).toMap
+    val stream = out.map(r => r.getAs[String]("touch_type") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("n_touches"))).toMap
+    assert(stream == batch)
+    // the null-emission path was actually exercised: the feed has
+    // purchases with no preceding touch in the window, and every one
+    // of them came out of the ENGINE as a watermark-flushed outer row
+    assert(stream.contains("(none)") && stream("(none)")._1 > 0)
+    assert(stream("(none)")._3 == 0L) // no touches under '(none)'
+    // every purchase emitted at least once across the groups
+    val batchPurchases = p.count()
+    assert(stream.values.map(_._2).sum >= batchPurchases)
+  }
 }
 
 /** Pins the timeout-driven quiet-user path (`events_stream_quiet` →

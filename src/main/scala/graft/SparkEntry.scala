@@ -895,6 +895,12 @@ object SparkEntry {
     "embed_quantize_recall" -> ((s, dir) =>
       Similarity.quantRecallCurve(Tables.load(s, dir, "embeddings"))),
 
+    // MMR diversified re-ranking: k greedy picks from the top-C
+    // candidates, λ·rel − (1−λ)·max-sim-to-selected; the serving
+    // re-rank stage over any of the ANN indexes' raw neighbors.
+    "embed_mmr_diversify" -> ((s, dir) =>
+      Similarity.mmrDiversify(Tables.load(s, dir, "embeddings"))),
+
     // Embedding collision census: bitwise-identical quantized
     // vectors per label (an upstream-dedup-failure smoke signal).
     "embed_exact_dups" -> ((s, dir) => {
@@ -1640,6 +1646,14 @@ object SparkEntry {
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
       Binary.vadSegments(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
+
+    // Loudness-contour fingerprint census from the real PCM parse:
+    // windowed energy-delta sign bits folded to one integer; docs
+    // sharing (windows, fingerprint) have the same contour (the
+    // audio member of the per-modality near-dup family).
+    "multimodal_audio_fingerprint" -> ((s, dir) =>
+      Binary.audioFingerprintCensus(
+        Binary.mediaPayload(Tables.load(s, dir, "documents")))),
 
     // Per-label energy along the dominant principal axis (exact
     // integer projections onto the pca_power eigenvector) — the
@@ -3336,6 +3350,65 @@ object SparkEntry {
          |${bits.map(bitBlock).mkString(",\n")}
          |${bits.map(bitSelect).mkString("\nUNION ALL\n")}
          |ORDER BY n_bits, probe_id""".stripMargin
+    },
+
+    "embed_mmr_diversify" -> {
+      // unrolled greedy: sel0 empty; step t picks argmax of
+      // 0.5·rel − 0.5·max-sim-to-sel(t−1) among unselected candidates
+      def step(t: Int): String = {
+        val prev = s"sel${t - 1}"
+        s"""pen$t AS (SELECT c.probe_id, c.vec_id, c.rel,
+           |    0.5 * c.rel - 0.5 * coalesce(mx.p, 0) AS mmr
+           |  FROM cand c
+           |  LEFT JOIN (SELECT s.probe_id, s.a, max(s.sim) AS p FROM csim s
+           |      JOIN $prev sp ON sp.probe_id = s.probe_id
+           |        AND sp.vec_id = s.b
+           |      GROUP BY 1, 2) mx
+           |    ON mx.probe_id = c.probe_id AND mx.a = c.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev sp
+           |    WHERE sp.probe_id = c.probe_id AND sp.vec_id = c.vec_id)),
+           |rk$t AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY mmr DESC, vec_id) AS prk FROM pen$t),
+           |pick$t AS (SELECT probe_id, vec_id, rel, mmr,
+           |    CAST($t AS BIGINT) AS rk FROM rk$t WHERE prk = 1),
+           |sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$t)"""
+          .stripMargin
+      }
+      s"""WITH $embCtes,
+         |bd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |bs AS (SELECT bd.probe_id, bd.neighbor_id,
+         |    ${Vectors.duckCosine("bd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM bd
+         |  JOIN norms na ON na.vec_id = bd.probe_id
+         |  JOIN norms nb ON nb.vec_id = bd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bs),
+         |cand AS (SELECT probe_id, neighbor_id AS vec_id, cos_sim AS rel
+         |  FROM br WHERE rk <= ${Similarity.MmrC}),
+         |pd AS (SELECT ca.probe_id, ca.vec_id AS a, cb.vec_id AS b,
+         |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand ca
+         |  JOIN cand cb ON cb.probe_id = ca.probe_id
+         |    AND cb.vec_id <> ca.vec_id
+         |  JOIN flat fa ON fa.vec_id = ca.vec_id
+         |  JOIN flat fb ON fb.vec_id = cb.vec_id AND fb.i = fa.i
+         |  GROUP BY 1, 2, 3),
+         |csim AS (SELECT pd.probe_id, pd.a, pd.b,
+         |    ${Vectors.duckCosine("pd.dot", "na.n2", "nb.n2")} AS sim
+         |  FROM pd
+         |  JOIN norms na ON na.vec_id = pd.a
+         |  JOIN norms nb ON nb.vec_id = pd.b),
+         |sel0 AS (SELECT probe_id, vec_id, rel, CAST(0 AS DOUBLE) AS mmr,
+         |    CAST(0 AS BIGINT) AS rk FROM cand WHERE false),
+         |${(1 to Similarity.MmrK).map(step).mkString(",\n")}
+         |SELECT probe_id, rk, vec_id, rel, mmr AS mmr_score
+         |FROM sel${Similarity.MmrK} ORDER BY probe_id, rk""".stripMargin
     },
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
@@ -6018,6 +6091,33 @@ object SparkEntry {
          |  CAST(max(abs(dev)) AS BIGINT) AS peak_dev,
          |  CAST(max(n) * 1000000 // max(rate) AS BIGINT) AS duration_us
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Fingerprint oracle: recomputes the windowed energies from the
+    // synthesized-content formula (dev = (doc_id·31+k) mod 256 − 128
+    // over the data chunk), then folds the strict-increase bits
+    // MSB-first exactly as the parser does.
+    "multimodal_audio_fingerprint" ->
+      s"""WITH a AS (SELECT doc_id, 64 + doc_id % 101 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (SELECT doc_id,
+         |    unnest(range(0, (n // ${Binary.AudioFpWindow})
+         |      * ${Binary.AudioFpWindow})) AS k
+         |  FROM a),
+         |d AS (SELECT doc_id, k // ${Binary.AudioFpWindow} AS w,
+         |    (doc_id * 31 + k) % 256 - 128 AS dev FROM s),
+         |e AS (SELECT doc_id, w, sum(dev * dev) AS en
+         |  FROM d GROUP BY 1, 2),
+         |b AS (SELECT doc_id, w, en,
+         |    lag(en) OVER (PARTITION BY doc_id ORDER BY w) AS prev FROM e),
+         |nwc AS (SELECT doc_id, max(w) + 1 AS nw FROM e GROUP BY 1),
+         |f AS (SELECT b.doc_id, CAST(nwc.nw AS BIGINT) AS n_windows,
+         |    CAST(coalesce(sum(CASE WHEN b.prev IS NOT NULL AND b.en > b.prev
+         |      THEN CAST(1 AS BIGINT) << CAST(nwc.nw - 1 - b.w AS INT)
+         |      ELSE 0 END), 0) AS BIGINT) AS fingerprint
+         |  FROM b JOIN nwc ON nwc.doc_id = b.doc_id GROUP BY 1, 2)
+         |SELECT n_windows, fingerprint, count(*) AS n_docs,
+         |  min(doc_id) AS canonical_id
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Scene-cut oracle: frame i's luma plane covers content bytes
     // [i·(w·h·3/2), i·(w·h·3/2)+w·h) of the C420 stream (the frame

@@ -166,6 +166,77 @@ object Similarity {
       .orderBy(col("n_bits"), col("probe_id"))
   }
 
+  val MmrK = 5
+  val MmrC = 10
+  val MmrLambda = 0.5
+
+  /** Maximal-Marginal-Relevance re-ranking: per probe, greedily pick
+    * k results from the top-C relevance candidates, each step taking
+    * the argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the
+    * diversified-retrieval pass a serving stack runs AFTER the ANN
+    * index returns raw neighbors (raw top-k from a near-duplicated
+    * corpus is k copies of one document; MMR trades relevance for
+    * coverage). First pick pays no penalty (empty-set max = 0), ties
+    * break on vec_id, λ = 0.5.
+    *
+    * Scale shape: candidate generation is the broadcast-probe scan
+    * (the corpus streams once, WindowGroupLimit prunes to C); the
+    * greedy loop then runs k − 1 bounded iterations over the
+    * |probes|·C candidate and |probes|·C² pairwise-sim relations —
+    * both cached, both independent of corpus size (the loop is
+    * sequential by nature; what matters is that NOTHING in it
+    * rescans the corpus). At 100 TB candidates come from the
+    * IVF/PQ/graph index instead; this re-rank stage is unchanged.
+    */
+  def mmrDiversify(embs: DataFrame): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    val probes = broadcast(probeSide(qv))
+    val scored = corpusSide(qv).join(probes, col("vec_id") =!= col("probe_id"))
+      .withColumn("rel",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+    val cw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = materialize(scored
+      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= MmrC)
+      .select(col("probe_id"), col("vec_id"), col("rel"), col("q"), col("n2")))
+    val sims = materialize(cand
+      .select(col("probe_id"), col("vec_id").as("a"),
+        col("q").as("qa"), col("n2").as("n2a"))
+      .join(cand.select(col("probe_id"), col("vec_id").as("b"),
+        col("q").as("qb"), col("n2").as("n2b")), "probe_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("probe_id"), col("a"), col("b"),
+        Vectors.cosine(Vectors.dot(col("qa"), col("qb")),
+          col("n2a"), col("n2b")).as("sim")))
+    val bare = cand.select(col("probe_id"), col("vec_id"), col("rel"))
+    val empty = bare
+      .withColumn("mmr_score", lit(0.0)).withColumn("rk", lit(0L)).limit(0)
+    (1 to MmrK).foldLeft(empty) { (sel, t) =>
+      val remaining = bare.join(
+        sel.select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"), "left_anti")
+      val selB = sel.select(col("probe_id"), col("vec_id").as("b"))
+      val pen = remaining
+        .join(selB, Seq("probe_id"), "left")
+        .join(sims.withColumnRenamed("a", "vec_id"),
+          Seq("probe_id", "vec_id", "b"), "left")
+        .groupBy(col("probe_id"), col("vec_id"), col("rel"))
+        .agg(coalesce(max(col("sim")), lit(0.0)).as("penalty"))
+        .withColumn("mmr_score",
+          lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("penalty"))
+      val pw = Window.partitionBy(col("probe_id"))
+        .orderBy(col("mmr_score").desc, col("vec_id"))
+      val pick = pen.withColumn("prk", row_number().over(pw))
+        .filter(col("prk") === 1)
+        .select(col("probe_id"), col("vec_id"), col("rel"),
+          col("mmr_score"), lit(t.toLong).as("rk"))
+      materialize(sel.unionByName(pick))
+    }
+      .select(col("probe_id"), col("rk"), col("vec_id"),
+        col("rel"), col("mmr_score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val HardNegK = 3
 
   /** Hard-negative mining: per probe, the most-similar neighbors

@@ -432,6 +432,74 @@ object Binary {
     Some(AudioFeatures(id, rate, n, ssq, cross, peak, n * 1000000L / rate))
   }
 
+  /** Energy-contour fingerprint census — the audio member of the
+    * per-modality near-dup family (text: minhash shingles, image:
+    * `imagePhashClusters`' perceptual hash): the PCM run is cut into
+    * fixed [[AudioFpWindow]]-sample windows, each window's exact
+    * integer energy Σdev² is compared to its predecessor, and the
+    * strict-increase bits fold MSB-first into one integer — the
+    * loudness-contour signature (the Chromaprint idea with energy
+    * deltas standing in for the chroma filterbank the container's
+    * 8-bit PCM can't feed). Docs sharing (window count, fingerprint)
+    * have the same loudness shape — re-encoded or re-leveled copies
+    * land together, which a byte-exact hash misses. Trailing samples
+    * short of a full window are ignored (a sub-window tail is noise,
+    * not contour).
+    *
+    * Scale shape: the parse+fold is flatMap-per-partition (bytes
+    * force it, same seam as [[audioFeatures]]); the census is ONE
+    * map-side-combined aggregate on the (windows, fingerprint) key —
+    * output bounded by distinct contours, ≤ 2^windows.
+    */
+  case class AudioFp(doc_id: Long, n_windows: Long, fingerprint: Long)
+
+  val AudioFpWindow = 16
+
+  def audioFingerprintCensus(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parseAudioFp(id, p) })
+      .toDF()
+      .groupBy(col("n_windows"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("n_windows"), col("fingerprint"))
+  }
+
+  private[graft] def parseAudioFp(id: Long, p: Array[Byte]): Option[AudioFp] = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    riffChunks(id, p).collectFirst { case ("data", payload, csz) =>
+      val nw = csz / AudioFpWindow
+      if (nw == 0) None
+      else {
+        val energies = new Array[Long](nw)
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var k = payload + w * AudioFpWindow
+          val end = k + AudioFpWindow
+          while (k < end) {
+            val dev = (p(k) & 0xff) - 128
+            e += dev.toLong * dev
+            k += 1
+          }
+          energies(w) = e
+          w += 1
+        }
+        var fp = 0L
+        var i = 1
+        while (i < nw) {
+          fp = fp * 2 + (if (energies(i) > energies(i - 1)) 1L else 0L)
+          i += 1
+        }
+        Some(AudioFp(id, nw.toLong, fp))
+      }
+    }.flatten
+  }
+
   /** 2:1 decimation of the REAL PCM sample run — the audio "resize":
     * keep every other sample (the naive downsample an 8 kHz→4 kHz
     * pipeline starts from; a real one low-passes first, which is a

@@ -1740,6 +1740,80 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint: hand WAV folds the right bits, tail ignored") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 53 samples: window0 dev=0 (E=0), window1 dev=10 (E=1600),
+    // window2 dev=1 (E=16), then a 5-sample tail that must NOT
+    // become a window. Bits (strict increase): E1>E0 → 1, E2>E1 → 0
+    // → fp = 0b10 = 2, n_windows = 3.
+    val n = 53
+    val wav = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    wav.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    wav.put("data".getBytes("US-ASCII")).putInt(n)
+    (0 until n).foreach { k =>
+      val v = if (k < 16) 128 else if (k < 32) 138 else if (k < 48) 129 else 200
+      wav.put(v.toByte)
+    }
+    val got = multimodal.Binary.parseAudioFp(1L, wav.array()).get
+    assert(got.n_windows == 3L)
+    assert(got.fingerprint == 2L)
+    // non-WAV payloads emit nothing
+    assert(multimodal.Binary.parseAudioFp(2L, Array[Byte](1, 2, 3)).isEmpty)
+    // census ledger on sf data: every audio doc lands in exactly one
+    // contour class
+    val census = SparkEntry.queries("multimodal_audio_fingerprint")(spark, sf)
+      .collect()
+    val nAudio = multimodal.Binary
+      .mediaPayload(Tables.load(spark, sf, "documents"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1).count()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == nAudio)
+    census.foreach { r =>
+      // a fingerprint of nw windows has nw−1 bits
+      assert(r.getAs[Long]("fingerprint") <
+        (1L << (r.getAs[Long]("n_windows") - 1).toInt))
+    }
+  }
+
+  test("mmr: duplicate demoted below the diverse candidate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // probe 0 → candidates: 1 = top relevance, 2 = SAME direction as
+    // 1 (sim 1.0 — the duplicate), 3 = diverse with decent relevance.
+    // Step 2 must pick 3 over the duplicate: 0.5·(rel₃ − sim(3,1)) ≈
+    // +0.041 beats 0.5·(rel₂ − 1) ≈ −0.003. Step 3 takes the dup.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.8f, 0.2f), 0),   // ×2 scale of vec 1: cosine twin
+      (3L, Array(0.7f, -0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = ml.Similarity.mmrDiversify(embs)
+      .filter(col("probe_id") === 0L).orderBy(col("rk")).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(got.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
+    // first pick pays no penalty: score = λ·rel exactly
+    assert(got(0).getAs[Double]("mmr_score") ==
+      0.5 * got(0).getAs[Double]("rel"))
+    // corpus invariants: rk1 is the relevance argmax, picks distinct,
+    // scores bounded by |cosine| ≤ 1 on both terms (the penalty may
+    // be NEGATIVE — an anti-similar candidate earns a bonus, which
+    // is correct MMR behavior)
+    val rows = SparkEntry.queries("embed_mmr_diversify")(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.head.getAs[Double]("rel") ==
+        rs.map(_.getAs[Double]("rel")).max)
+      val ids = rs.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == ids.length)
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("mmr_score")) <= 1.0))
+    }
+  }
+
   test("token budget: greedy prefix cut equals a driver-side replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sf, "documents")

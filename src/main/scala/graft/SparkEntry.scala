@@ -901,6 +901,13 @@ object SparkEntry {
     "embed_mmr_diversify" -> ((s, dir) =>
       Similarity.mmrDiversify(Tables.load(s, dir, "embeddings"))),
 
+    // Hybrid retrieval: Reciprocal-Rank Fusion of the vector top-k
+    // and the lexical TF-IDF top-k (doc_id = vec_id), rrf =
+    // sum of 1/(60 + rank) over the rankings holding the candidate.
+    "sim_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(Tables.load(s, dir, "embeddings"),
+        Tables.load(s, dir, "documents"))),
+
     // Embedding collision census: bitwise-identical quantized
     // vectors per label (an upstream-dedup-failure smoke signal).
     "embed_exact_dups" -> ((s, dir) => {
@@ -1646,6 +1653,13 @@ object SparkEntry {
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
       Binary.vadSegments(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
+
+    // Luma-contour fingerprint census over the real frame walk:
+    // strict-increase bits of consecutive frames' luma sums folded
+    // LSB-first (the video member of the near-dup family).
+    "multimodal_video_fingerprint" -> ((s, dir) =>
+      Binary.videoFingerprintCensus(Binary.frameSample(
+        Binary.mediaPayload(Tables.load(s, dir, "documents"))))),
 
     // Loudness-contour fingerprint census from the real PCM parse:
     // windowed energy-delta sign bits folded to one integer; docs
@@ -3409,6 +3423,75 @@ object SparkEntry {
          |${(1 to Similarity.MmrK).map(step).mkString(",\n")}
          |SELECT probe_id, rk, vec_id, rel, mmr AS mmr_score
          |FROM sel${Similarity.MmrK} ORDER BY probe_id, rk""".stripMargin
+    },
+
+    // RRF fusion oracle: the vector chain is sim_topk_bruteforce's,
+    // the lexical chain text_tfidf_topk's with l-prefixed names;
+    // rrf = sum of CAST(1 AS DOUBLE)/(K + rank) contributions in the
+    // same left-to-right order as the engine expression.
+    "sim_hybrid_rrf" -> {
+      val k = Similarity.RrfK
+      s"""WITH $embCtes,
+         |vd AS (SELECT fp.vec_id AS probe_id, f.vec_id AS neighbor_id,
+         |    CAST(sum(fp.v * f.v) AS BIGINT) AS dot
+         |  FROM flat fp
+         |  JOIN flat f ON f.i = fp.i AND f.vec_id <> fp.vec_id
+         |  WHERE fp.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY 1, 2),
+         |vs AS (SELECT vd.probe_id, vd.neighbor_id,
+         |    ${Vectors.duckCosine("vd.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM vd
+         |  JOIN norms na ON na.vec_id = vd.probe_id
+         |  JOIN norms nb ON nb.vec_id = vd.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |vr AS (SELECT probe_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS vec_rk
+         |  FROM vs),
+         |vk AS (SELECT * FROM vr WHERE vec_rk <= ${Similarity.TopK}),
+         |ltoks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |ltf AS (SELECT doc_id, tok, count(*) AS tf FROM ltoks GROUP BY 1, 2),
+         |ldfr AS (SELECT tok, count(*) AS df FROM ltf GROUP BY 1),
+         |ln AS (SELECT count(*) AS n_docs FROM documents),
+         |lflat AS (SELECT ltf.doc_id,
+         |    ${Portable.duckHash("tok")} % ${TextAnalysis.TfidfDim} AS i,
+         |    CAST(sum(ltf.tf * length(bin(n_docs // ldfr.df)))
+         |      AS BIGINT) AS v
+         |  FROM ltf JOIN ldfr USING (tok), ln GROUP BY 1, 2),
+         |lnorms AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+         |  FROM lflat GROUP BY 1),
+         |ld AS (SELECT pf.doc_id AS probe_id, f.doc_id AS neighbor_id,
+         |    CAST(sum(pf.v * f.v) AS BIGINT) AS dot
+         |  FROM lflat pf
+         |  JOIN lflat f ON f.i = pf.i AND f.doc_id <> pf.doc_id
+         |  WHERE pf.doc_id < ${TextAnalysis.TfidfProbes}
+         |  GROUP BY 1, 2),
+         |lscored AS (SELECT ld.probe_id, ld.neighbor_id,
+         |    ${Vectors.duckCosine("ld.dot", "na.n2", "nb.n2")} AS cos_sim
+         |  FROM ld
+         |  JOIN lnorms na ON na.doc_id = ld.probe_id
+         |  JOIN lnorms nb ON nb.doc_id = ld.neighbor_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |lr AS (SELECT probe_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS lex_rk
+         |  FROM lscored),
+         |lk AS (SELECT * FROM lr WHERE lex_rk <= ${TextAnalysis.TfidfTopK}),
+         |fu AS (SELECT coalesce(v.probe_id, l.probe_id) AS probe_id,
+         |    coalesce(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+         |    CAST(coalesce(v.vec_rk, 0) AS BIGINT) AS vec_rk,
+         |    CAST(coalesce(l.lex_rk, 0) AS BIGINT) AS lex_rk,
+         |    coalesce(CAST(1 AS DOUBLE) / ($k + v.vec_rk),
+         |        CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / ($k + l.lex_rk),
+         |        CAST(0 AS DOUBLE)) AS rrf_score
+         |  FROM vk v FULL JOIN lk l
+         |    ON l.probe_id = v.probe_id AND l.neighbor_id = v.neighbor_id),
+         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rk FROM fu)
+         |SELECT probe_id, rk, neighbor_id, vec_rk, lex_rk, rrf_score
+         |FROM rr WHERE rk <= ${Similarity.TopK}
+         |ORDER BY probe_id, rk""".stripMargin
     },
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
@@ -6116,6 +6199,34 @@ object SparkEntry {
          |      ELSE 0 END), 0) AS BIGINT) AS fingerprint
          |  FROM b JOIN nwc ON nwc.doc_id = b.doc_id GROUP BY 1, 2)
          |SELECT n_windows, fingerprint, count(*) AS n_docs,
+         |  min(doc_id) AS canonical_id
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Video-fingerprint oracle: same luma recomputation as the
+    // scene-cut oracle, then the LSB-first strict-increase fold
+    // (transition into frame i -> bit i-1, capped at the 63rd).
+    "multimodal_video_fingerprint" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    4 + 2 * (doc_id % 6) AS w,
+         |    2 + 2 * (doc_id % 4) AS h,
+         |    1 + doc_id % 3 AS frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, w, h, frames, w * h * 3 // 2 AS fb,
+         |    unnest(range(0, frames)) AS i FROM v),
+         |luma AS (SELECT doc_id, frames, i,
+         |    CAST(list_sum(list_transform(range(i * fb, i * fb + w * h),
+         |      k -> (doc_id * 31 + k) % 256)) AS BIGINT) AS ls
+         |  FROM fr),
+         |b AS (SELECT doc_id, frames, i, ls,
+         |    lag(ls) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |  FROM luma),
+         |f AS (SELECT doc_id, CAST(max(frames) AS BIGINT) AS n_frames,
+         |    CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND ls > prev
+         |        AND i <= 63
+         |      THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+         |      ELSE 0 END), 0) AS BIGINT) AS fingerprint
+         |  FROM b GROUP BY 1)
+         |SELECT n_frames, fingerprint, count(*) AS n_docs,
          |  min(doc_id) AS canonical_id
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -237,6 +237,48 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  val RrfK = 60
+
+  /** Hybrid retrieval via Reciprocal-Rank Fusion: the vector top-k
+    * ([[topKBruteForce]]) and the lexical hashed-TF-IDF top-k
+    * ([[TextAnalysis.tfidfTopK]] — doc_id and vec_id are the same id
+    * space) fused per probe by rrf = Σ 1/(K + rank) over the
+    * rankings that returned the candidate (K = 60, the Cormack et
+    * al. constant). The production shape of "BM25 + dense" serving:
+    * rank fusion needs no score calibration between a cosine in
+    * [−1,1] and a lexical cosine over integer TF-IDF weights —
+    * ranks are the only common currency. Candidates missing from a
+    * ranking contribute 0 from it (rank reported as 0); ties break
+    * on neighbor_id; the fused list is cut back to [[TopK]].
+    *
+    * Scale shape: both input rankers are the existing scale-safe
+    * paths (broadcast probes, corpus streamed once each); the fusion
+    * itself joins two ≤|probes|·k relations — constant-size work
+    * regardless of corpus scale. At 100 TB the inputs swap to the
+    * IVF/PQ index and an inverted-index lexical ranker; the fusion
+    * stage is unchanged.
+    */
+  def hybridRrf(embs: DataFrame, docs: DataFrame): DataFrame = {
+    def contrib(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank), lit(0.0))
+    val vec = topKBruteForce(embs)
+      .select(col("probe_id"), col("neighbor_id"), col("rk").as("vec_rk"))
+    val lex = TextAnalysis.tfidfTopK(docs)
+      .select(col("probe_id"), col("neighbor_id"), col("rk").as("lex_rk"))
+    val fused = vec.join(lex, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score",
+        contrib(col("vec_rk")) + contrib(col("lex_rk")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        coalesce(col("vec_rk"), lit(0L)).as("vec_rk"),
+        coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+        col("rrf_score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val HardNegK = 3
 
   /** Hard-negative mining: per probe, the most-similar neighbors

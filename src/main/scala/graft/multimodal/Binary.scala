@@ -672,6 +672,41 @@ object Binary {
         coalesce(max(col("diff")), lit(0L)).as("max_diff"))
   }
 
+  /** Luma-contour fingerprint census — the video member of the
+    * per-modality near-dup family (text: minhash, image: phash,
+    * audio: [[audioFingerprintCensus]]): per video, the
+    * strict-increase bits between consecutive frames' luma sums fold
+    * LSB-first into one integer (transition into frame i → bit i−1),
+    * and docs sharing (frame count, fingerprint) have the same
+    * brightness SHAPE over time — re-encoded / re-graded copies land
+    * together where a byte hash separates them. Transitions past the
+    * 63rd are ignored: one Long of opening-scene contour is the
+    * bucket key (a 100 TB census key must be fixed-width; copies
+    * agree on their opening frames as much as any others, and
+    * collisions within a bucket are for a verify stage anyway).
+    *
+    * Scale shape: rides [[frameSample]]'s fan-out like [[sceneCuts]]
+    * — ONE (doc) window and the per-doc fold share an exchange; the
+    * census is a second map-side-combined aggregate, output bounded
+    * by distinct contours.
+    */
+  def videoFingerprintCensus(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val bit = when(
+      col("prev_luma").isNotNull && col("luma_sum") > col("prev_luma") &&
+        col("frame_idx") <= lit(63L),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx - 1 AS INT))"))
+      .otherwise(lit(0L))
+    frames.filter(col("kind") === "video")
+      .withColumn("prev_luma", lag(col("luma_sum"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(bit).as("fingerprint"))
+      .groupBy(col("n_frames"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("n_frames"), col("fingerprint"))
+  }
+
   // --- voice-activity segmentation --------------------------------
 
   case class VadFrame(doc_id: Long, frame_idx: Long, energy: Long)

@@ -1854,4 +1854,60 @@ class MlSpec extends AnyFunSuite {
     // the budget binds: something admitted, something rejected
     assert(admitted.exists(_._5) && admitted.exists(!_._5))
   }
+
+  test("rrf fusion: driver replay over the two component rankings") {
+    val vec = SparkEntry.queries("sim_topk_bruteforce")(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Long]("rk"))).toMap
+    val lex = SparkEntry.queries("text_tfidf_topk")(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Long]("rk"))).toMap
+    val k = ml.Similarity.RrfK
+    val expected = (vec.keySet ++ lex.keySet).toSeq
+      .map { key =>
+        val score = vec.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+          lex.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0)
+        (key._1, key._2, vec.getOrElse(key, 0L), lex.getOrElse(key, 0L), score)
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, cands) =>
+        cands.sortBy { case (_, nid, _, _, s) => (-s, nid) }
+          .take(ml.Similarity.TopK).zipWithIndex
+          .map { case ((p, nid, vr, lr, s), i) => (p, i + 1L, nid, vr, lr, s) }
+      }.toSet
+    val got = SparkEntry.queries("sim_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("vec_rk"),
+        r.getAs[Long]("lex_rk"), r.getAs[Double]("rrf_score"))).toSet
+    assert(got == expected)
+    // both rankers contribute somewhere: some fused row carries a
+    // nonzero rank from each side, and some row fuses BOTH
+    assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
+    assert(got.exists(r => r._4 > 0 && r._5 > 0))
+  }
+
+  test("video fingerprint: hand frames fold LSB-first, cap at bit 62") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: luma 10 -> 50 -> 20 -> 60: transitions up/down/up ->
+    // bits 0 and 2 -> fp = 5. doc 2: 70 frames strictly increasing:
+    // 69 up-transitions but only the first 63 fold -> fp = 2^63 - 1.
+    // doc 3 (kind=image) must be excluded.
+    val rows =
+      Seq((10L, 0), (50L, 1), (20L, 2), (60L, 3)).map { case (l, i) =>
+        (1L, "video", i.toLong, l)
+      } ++ (0 until 70).map(i => (2L, "video", i.toLong, 100L + i)) ++
+        Seq((3L, "image", 0L, 5L))
+    val frames = rows.toDF("doc_id", "kind", "frame_idx", "luma_sum")
+    val got = multimodal.Binary.videoFingerprintCensus(frames).collect()
+      .map(r => (r.getAs[Long]("n_frames"), r.getAs[Long]("fingerprint"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("canonical_id"))).toSet
+    assert(got == Set((4L, 5L, 1L, 1L), (70L, Long.MaxValue, 1L, 2L)))
+    // census ledger on sf data: every video doc in exactly one class
+    val census = SparkEntry.queries("multimodal_video_fingerprint")(spark, sf)
+      .collect()
+    val nVideo = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 2).count()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == nVideo)
+  }
 }

@@ -1104,6 +1104,12 @@ object SparkEntry {
     "sim_kmeans_train" -> ((s, dir) =>
       Similarity.kmeansTrain(Tables.load(s, dir, "embeddings"))),
 
+    // Spherical-k-means elbow: cohesion objective (exact integer
+    // sum of dot(q, final centroid)) across k in {2,4,8,16} — the
+    // k-selection knob curve for the kmeans/IVF family.
+    "sim_kmeans_elbow" -> ((s, dir) =>
+      Similarity.kmeansElbow(Tables.load(s, dir, "embeddings"))),
+
     // IVF recall over the TRAINED coarse quantizer (vs the label
     // stand-in the other IVF gauges use) — what training buys the
     // index on this corpus.
@@ -2118,36 +2124,38 @@ object SparkEntry {
     * cell). Same rounded-mean centroids, cosine-direction scoring
     * and smaller-cell tie-break as the one-step kmeansAssignCtes.
     */
-  private def kmeansTrainCtes(nIter: Int): String = {
+  private def kmeansTrainCtes(
+      nIter: Int, p: String = "km", seed: String = "label"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""kmq AS (SELECT vec_id, label AS cell,
+      s"""${p}q AS (SELECT vec_id, $seed AS cell,
          |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
-         |kmf0 AS (SELECT vec_id, cell, generate_subscripts(q, 1) - 1 AS i,
-         |    unnest(q) AS v FROM kmq),
-         |kmfb AS (SELECT vec_id, i, v FROM kmf0)""".stripMargin)
+         |${p}f0 AS (SELECT vec_id, cell, generate_subscripts(q, 1) - 1 AS i,
+         |    unnest(q) AS v FROM ${p}q),
+         |${p}fb AS (SELECT vec_id, i, v FROM ${p}f0)""".stripMargin)
     for (r <- 1 to nIter) {
       sb.append(
         s""",
-           |kmcomp$r AS (SELECT cell, i,
+           |${p}comp$r AS (SELECT cell, i,
            |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS s
-           |  FROM kmf${r - 1} GROUP BY 1, 2),
-           |kmcells$r AS (SELECT cell,
+           |  FROM ${p}f${r - 1} GROUP BY 1, 2),
+           |${p}cells$r AS (SELECT cell,
            |    greatest(CAST(sum(s * s) AS BIGINT), 1) AS sn2
-           |  FROM kmcomp$r GROUP BY 1),
-           |kmd$r AS (SELECT f.vec_id, f.cell AS old_cell, c.cell AS cand,
+           |  FROM ${p}comp$r GROUP BY 1),
+           |${p}d$r AS (SELECT f.vec_id, f.cell AS old_cell, c.cell AS cand,
            |    CAST(sum(f.v * c.s) AS BIGINT) AS dot
-           |  FROM kmf${r - 1} f JOIN kmcomp$r c ON c.i = f.i
+           |  FROM ${p}f${r - 1} f JOIN ${p}comp$r c ON c.i = f.i
            |  GROUP BY 1, 2, 3),
-           |kma$r AS (SELECT vec_id, old_cell, cand AS cell FROM (
+           |${p}a$r AS (SELECT vec_id, old_cell, cand AS cell FROM (
            |    SELECT d.vec_id, d.old_cell, d.cand,
            |      row_number() OVER (PARTITION BY d.vec_id
            |        ORDER BY CAST(d.dot AS DOUBLE)
            |          / sqrt(CAST(ce.sn2 AS DOUBLE)) DESC, d.cand) AS rk
-           |    FROM kmd$r d JOIN kmcells$r ce ON ce.cell = d.cand) t
+           |    FROM ${p}d$r d JOIN ${p}cells$r ce ON ce.cell = d.cand) t
            |  WHERE rk = 1),
-           |kmf$r AS (SELECT a.vec_id, a.cell, fb.i, fb.v
-           |  FROM kma$r a JOIN kmfb fb ON fb.vec_id = a.vec_id)""".stripMargin)
+           |${p}f$r AS (SELECT a.vec_id, a.cell, fb.i, fb.v
+           |  FROM ${p}a$r a JOIN ${p}fb fb ON fb.vec_id = a.vec_id)"""
+          .stripMargin)
     }
     sb.toString
   }
@@ -3506,6 +3514,32 @@ object SparkEntry {
            |FROM kma$r""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH ${kmeansTrainCtes(n)}\n$rounds\nORDER BY iter"
+    },
+
+    // Elbow oracle: one seeded train chain per k (vec_id % k cells,
+    // ElbowIters rounds), then the final-assignment centroids and
+    // the exact-integer cohesion total.
+    "sim_kmeans_elbow" -> {
+      val n = Similarity.ElbowIters
+      val chains = Similarity.ElbowKs
+        .map(k => kmeansTrainCtes(n, s"e$k", s"vec_id % $k"))
+        .mkString(",\n")
+      val rows = Similarity.ElbowKs.map { k =>
+        val p = s"e$k"
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM ${p}a$n)
+           |    AS n_live_cells,
+           |  CAST(sum(dt) AS BIGINT) AS total_dot,
+           |  CAST(sum(dt) AS DOUBLE) / count(*) AS avg_dot
+           |FROM (SELECT f.vec_id, CAST(sum(f.v * c.s) AS BIGINT) AS dt
+           |  FROM ${p}f$n f
+           |  JOIN (SELECT cell, i, CAST(round(CAST(sum(v) AS DOUBLE)
+           |      / count(*)) AS BIGINT) AS s
+           |    FROM ${p}f$n GROUP BY 1, 2) c
+           |    ON c.cell = f.cell AND c.i = f.i
+           |  GROUP BY 1) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $chains\n$rows\nORDER BY k"
     },
 
     "sim_ann_ivf_trained" -> ivfRecallSql(Similarity.IvfNProbe,

@@ -768,6 +768,55 @@ object Similarity {
     (stats.reduce(_ unionByName _).orderBy(col("iter")), asg)
   }
 
+  val ElbowKs = Seq(2, 4, 8, 16)
+  val ElbowIters = 2
+
+  /** Spherical-k-means model-selection curve — the k-choosing knob
+    * the rest of the family leaves untuned (IVF sweeps nProbe,
+    * Matryoshka sweeps width, PQ sweeps code budget; nothing sweeps
+    * k itself): for each k ∈ [[ElbowKs]], seed cells by `vec_id % k`,
+    * run [[ElbowIters]] E/M refinement rounds, recompute the final
+    * centroids from the final assignment, and report the cohesion
+    * objective Σ dot(q, m(cell)) — an EXACT integer total (the
+    * spherical-k-means analogue of inertia; order-independent across
+    * engines/partitions where a float inertia sum is not) plus the
+    * per-vector mean as one double division. The elbow reads the
+    * CURVATURE of cohesion across k — two refinement rounds shape
+    * the curve; absolute convergence is `sim_kmeans_train`'s job.
+    *
+    * Scale shape: each round is the [[eStepFrom]] shape (k-row
+    * broadcast centroids, corpus×k map-side fan-out, max-of-struct
+    * reduce); the objective is one more |cells|-row broadcast join +
+    * a single map-side-combined aggregate. The k sweep multiplies
+    * passes, not shuffle width — 4 bounded-loop trainings over the
+    * same cached quantized relation.
+    */
+  def kmeansElbow(embs: DataFrame): DataFrame = {
+    val spread = materialize(Vectors.spread(embs)
+      .select(col("vec_id"), Vectors.quantize(col("embedding")).as("q")))
+    ElbowKs.map { k =>
+      var asg = spread
+        .withColumn("cell", col("vec_id") % k)
+        .select(col("vec_id"), col("cell"), col("q"))
+      (1 to ElbowIters).foreach { _ =>
+        asg = materialize(eStepFrom(asg).select(col("vec_id"),
+          col("assigned_cell").as("cell"), col("q")))
+      }
+      val cells = asg.groupBy(col("cell"))
+        .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", transform(col("s"),
+          x => round(x.cast("double") / col("n")).cast("long")))
+        .select(col("cell"), col("m"))
+      asg.join(broadcast(cells), "cell")
+        .select(col("cell"), Vectors.dot(col("q"), col("m")).as("dt"))
+        .agg(lit(k.toLong).as("k"),
+          countDistinct(col("cell")).as("n_live_cells"),
+          sum(col("dt")).as("total_dot"),
+          (sum(col("dt")).cast("double") / count(lit(1))).as("avg_dot"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   /** IVF recall with the TRAINED coarse quantizer: the same
     * cell-prune + exact-rank + recall gauge as `sim_ann_ivf_recall`,
     * but over [[kmeansTrainedCells]] instead of the corpus label

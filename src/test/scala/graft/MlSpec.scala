@@ -1855,6 +1855,36 @@ class MlSpec extends AnyFunSuite {
     assert(admitted.exists(_._5) && admitted.exists(!_._5))
   }
 
+  test("kmeans elbow: two clean clusters cohere at every k") {
+    import spark.implicits._
+    // 3 copies of (1,0) and 3 of (0,1): every k recovers the two
+    // directions (k=2 seeds are mixed {0,2,4}/{1,3,5} and one E-step
+    // unmixes them; k>=8 seeds singletons and the smallest-cell
+    // tie-break collapses each direction onto its first id), so
+    // n_live_cells = 2 and cohesion = 6 * 1000*1000 everywhere.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0), (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = ml.Similarity.kmeansElbow(embs).collect()
+    assert(got.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L, 16L))
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_live_cells") == 2L)
+      assert(r.getAs[Long]("total_dot") == 6000000L)
+      assert(r.getAs[Double]("avg_dot") == 1000000.0)
+    }
+    // corpus invariants at sf: live cells bounded by k, the mean is
+    // exactly total / |corpus|
+    val rows = SparkEntry.queries("sim_kmeans_elbow")(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_live_cells") <= r.getAs[Long]("k"))
+      assert(r.getAs[Double]("avg_dot") ==
+        r.getAs[Long]("total_dot").toDouble / n)
+    }
+  }
+
   test("rrf fusion: driver replay over the two component rankings") {
     val vec = SparkEntry.queries("sim_topk_bruteforce")(spark, sf).collect()
       .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")),

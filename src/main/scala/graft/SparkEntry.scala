@@ -120,6 +120,10 @@ object SparkEntry {
     "q_window_range_30d"   -> ((s, dir) => Analytics.qWindowRange30d(s, dir)),
     "events_anomaly_mad"   -> ((s, dir) => Analytics.eventsAnomalyMad(s, dir)),
     "events_funnel_windowed" -> ((s, dir) => Analytics.eventsFunnelWindowed(s, dir)),
+    // Sequential drift detection: exact-integer CUSUM over daily
+    // volumes per type (prefix-sum identity, zero-filled day spine).
+    "events_cusum"         -> ((s, dir) =>
+      Analytics.cusum(Tables.load(s, dir, "events"))),
 
     // Semi-structured payload discovery: per (event_type, JSON key)
     // presence and numeric profile over the props payload.
@@ -1348,6 +1352,13 @@ object SparkEntry {
     // corpus_dup_ngrams' per-source census).
     "corpus_source_overlap" -> ((s, dir) =>
       Corpus.sourceOverlap(Tables.load(s, dir, "documents"))),
+
+    // Per-source total-variation distance from the corpus token
+    // distribution (exact integer numerator via the cross-product
+    // trick) — the out-of-distribution ranking a mixture designer
+    // reads before weighting.
+    "corpus_source_divergence" -> ((s, dir) =>
+      Corpus.sourceDivergence(Tables.load(s, dir, "documents"))),
 
     // Per-doc TF-IDF argmax keyword with exact integer idf — document
     // tagging with engine-identical scoring and tie-breaks.
@@ -3000,6 +3011,42 @@ object SparkEntry {
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TV-divergence oracle: the same exact-integer cross-product
+    // numerator, absent-token mass in closed form, smallest-token
+    // tie-break for the top contributor.
+    "corpus_source_divergence" ->
+      s"""WITH tc AS (SELECT source, unnest($toksT) AS tok FROM documents),
+         |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tc GROUP BY 1, 2),
+         |corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+         |  FROM cnt GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |  FROM cnt GROUP BY 1),
+         |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM corpus),
+         |contrib AS (SELECT cnt.source, cnt.tok,
+         |    abs(cnt.c * nt.n_total - corpus.ct * ns.n_s) AS gap,
+         |    corpus.ct
+         |  FROM cnt JOIN corpus USING (tok) JOIN ns USING (source), nt),
+         |agg AS (SELECT c.source, max(ns.n_s) AS n_s,
+         |    max(nt.n_total) AS n_total,
+         |    CAST(sum(c.gap) AS BIGINT) AS present_gap,
+         |    CAST(sum(c.ct) AS BIGINT) AS covered_ct,
+         |    CAST(max(c.gap) AS BIGINT) AS max_gap
+         |  FROM contrib c JOIN ns USING (source), nt GROUP BY 1),
+         |top AS (SELECT c.source, min(c.tok) AS top_token
+         |  FROM contrib c JOIN agg a
+         |    ON a.source = c.source AND c.gap = a.max_gap
+         |  GROUP BY 1)
+         |SELECT a.source, a.n_s AS n_tokens,
+         |  CAST(a.present_gap + a.n_s * (a.n_total - a.covered_ct) AS DOUBLE)
+         |    / (CAST(2 AS DOUBLE) * CAST(a.n_s AS DOUBLE)
+         |      * CAST(a.n_total AS DOUBLE)) AS tv_distance,
+         |  t.top_token,
+         |  CAST(a.max_gap AS DOUBLE) / (CAST(a.n_s AS DOUBLE)
+         |    * CAST(a.n_total AS DOUBLE)) AS top_share_gap
+         |FROM agg a JOIN top t ON t.source = a.source
+         |ORDER BY a.source""".stripMargin,
+
     // Cross-source overlap: distinct (source, shingle) sets pair-
     // joined in SQL (the oracle may self-join; the Spark plan
     // collects per-shingle source sets instead — values must agree).
@@ -4312,6 +4359,46 @@ object SparkEntry {
         |  (SELECT CAST(max(CASE WHEN rn = (n + 1) // 2 THEN convert_us END)
         |    AS BIGINT) FROM comp) AS median_convert_us
         |FROM per""".stripMargin,
+
+    // CUSUM oracle: same D-scaled integer units, same prefix-sum /
+    // running-min identity, same zero-filled global day spine.
+    "events_cusum" -> {
+      val t = operators.Analytics.CusumThreshDiv
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (SELECT t.event_type, i.day_idx
+         |  FROM (SELECT DISTINCT event_type FROM daily) t,
+         |    (SELECT unnest(range(0,
+         |      CAST(date_diff('day', d0, d1) AS BIGINT) + 1)) AS day_idx
+         |     FROM b) i),
+         |dd AS (SELECT d.event_type,
+         |    CAST(date_diff('day', b.d0, d.day) AS BIGINT) AS day_idx, d.x
+         |  FROM daily d, b),
+         |fl AS (SELECT s.event_type, s.day_idx, coalesce(dd.x, 0) AS x
+         |  FROM spine s LEFT JOIN dd ON dd.event_type = s.event_type
+         |    AND dd.day_idx = s.day_idx),
+         |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS n_days FROM fl GROUP BY 1),
+         |sc AS (SELECT f.event_type, f.day_idx, t.total, t.n_days,
+         |    CAST(sum(f.x * t.n_days - t.total) OVER (
+         |      PARTITION BY f.event_type ORDER BY f.day_idx) AS BIGINT) AS p
+         |  FROM fl f JOIN tot t USING (event_type)),
+         |s2 AS (SELECT *, p - least(min(p) OVER (
+         |    PARTITION BY event_type ORDER BY day_idx), 0) AS s
+         |  FROM sc)
+         |SELECT event_type, max(n_days) AS n_days,
+         |  max(total) AS total_events,
+         |  CAST(count(*) FILTER (WHERE s * $t > total * n_days) AS BIGINT)
+         |    AS n_alarm_days,
+         |  CAST(coalesce(min(day_idx) FILTER (
+         |    WHERE s * $t > total * n_days), -1) AS BIGINT)
+         |    AS first_alarm_idx,
+         |  CAST(max(s) AS BIGINT) AS max_stat_scaled,
+         |  CAST(max(s) AS DOUBLE) / CAST(max(n_days) AS DOUBLE)
+         |    AS max_excess_events
+         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "events_anomaly_mad" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt

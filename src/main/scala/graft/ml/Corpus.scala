@@ -898,4 +898,59 @@ object Corpus {
         col("w_half"), col("w_quarter"), col("epochs_half"))
       .orderBy(col("source"))
   }
+
+  /** Per-source total-variation distance from the corpus token
+    * distribution — the "which source is most out-of-distribution"
+    * ranking a mixture designer reads before weighting (KL is the
+    * textbook choice, but its log makes the sum a float reduction
+    * whose value depends on partition order AND on each engine's
+    * non-correctly-rounded ln; TV = ½·Σ|p_s − p_c| has an EXACT
+    * integer numerator via the cross-product trick Σ|c_st·N −
+    * C_t·n_s| — `text_term_drift`'s identity — so the statistic is
+    * reproducible to the last bit). Tokens the source never uses
+    * enter through the closed form n_s·(N − Σ_{t∈s}C_t) rather than
+    * a vocab×sources fan-out; the top-contributing token (largest
+    * |share gap|, smallest token on ties, among tokens PRESENT in
+    * the source — an absent token's gap is pure corpus mass, not a
+    * signature of the source) is reported with its share gap.
+    *
+    * Scale shape: ONE vocabulary-bounded (source, token) reduce
+    * (map-side combined); corpus totals reduce off it; n_s and N are
+    * |sources|-row / 1-row broadcasts; the argmax is a per-source
+    * max + an equi-join back — no window over the full vocabulary
+    * relation is ever globally sorted. Same int64 headroom caveat as
+    * `text_term_drift`: cross-products are exact out to ~10⁹-count
+    * terms against 10⁹-token corpora; past that, compare per-mille
+    * shares.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val corpus = tc.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val ns = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val n = corpus.agg(sum(col("ct")).as("n_total"))
+    val contrib = tc.join(corpus, "tok")
+      .join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .withColumn("gap",
+        abs(col("c") * col("n_total") - col("ct") * col("n_s")))
+    val agg = contrib.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n_total")).as("n_total"),
+        sum(col("gap")).as("present_gap"),
+        sum(col("ct")).as("covered_ct"), max(col("gap")).as("max_gap"))
+      .withColumn("tv_distance",
+        (col("present_gap") + col("n_s") * (col("n_total") - col("covered_ct")))
+          .cast("double")
+          / (lit(2.0) * col("n_s").cast("double") * col("n_total").cast("double")))
+    val top = contrib.join(
+      agg.select(col("source"), col("max_gap")), "source")
+      .filter(col("gap") === col("max_gap"))
+      .groupBy(col("source")).agg(min(col("tok")).as("top_token"))
+    agg.join(top, "source")
+      .withColumn("top_share_gap", col("max_gap").cast("double")
+        / (col("n_s").cast("double") * col("n_total").cast("double")))
+      .select(col("source"), col("n_s").as("n_tokens"), col("tv_distance"),
+        col("top_token"), col("top_share_gap"))
+      .orderBy(col("source"))
+  }
 }

@@ -1960,4 +1960,62 @@ object Analytics {
       .drop("rank_mass")
       .orderBy(col("event_type"))
   }
+
+  val CusumThreshDiv = 20
+
+  /** CUSUM change-point detection over daily event volumes, per
+    * type: the classic sequential drift detector S_d = max(0,
+    * S_{d−1} + (x_d − μ)) computed via the prefix-sum identity
+    * S_d = P_d − min(0, min_{j≤d} P_j) — which turns the clamped
+    * recursion (window-hostile) into two plain running windows.
+    * Everything stays in EXACT integers by working in D-scaled
+    * units: dev_d = x_d·D − total (so μ = total/D never becomes a
+    * float), and a day alarms when the scaled statistic exceeds
+    * total·D/[[CusumThreshDiv]] — i.e. the cumulative excess above
+    * the mean passes 5% of the type's whole volume. Missing calendar
+    * days count as zero-volume days (a silent feed IS a change), via
+    * a global day spine. Complements `events_anomaly`/`_mad` (point
+    * outliers) and `events_rate_drift` (two-window mean shift) with
+    * the sequential accumulate-small-drift detector between them.
+    *
+    * Scale shape: ONE corpus-scale map-side-combined reduce to the
+    * (type, day) relation; everything after operates on that bounded
+    * |types|·|days| relation — the spine join, both running windows
+    * (one (type) exchange), and the per-type rollup.
+    */
+  def cusum(ev: DataFrame, threshDiv: Int = CusumThreshDiv): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(0, datediff(d1, d0))")).as("di"))
+      .select(col("event_type"), col("di").cast("long").as("day_idx"))
+    val indexed = daily.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("day_idx"), col("x"))
+    val full = spine.join(indexed, Seq("event_type", "day_idx"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = full.join(broadcast(tot), "event_type")
+      .withColumn("p", sum(col("x") * col("n_days") - col("total")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("alarm",
+        col("s") * threshDiv > col("total") * col("n_days"))
+    scored.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("total")).as("total_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        coalesce(min(when(col("alarm"), col("day_idx"))), lit(-1L))
+          .as("first_alarm_idx"),
+        max(col("s")).as("max_stat_scaled"))
+      .withColumn("max_excess_events",
+        col("max_stat_scaled").cast("double") / col("n_days").cast("double"))
+      .orderBy(col("event_type"))
+  }
 }

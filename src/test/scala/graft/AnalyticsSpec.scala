@@ -786,4 +786,61 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
     }
   }
+
+  test("cusum: window identity equals the clamped recursion replay") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // type "shift": 2/day for days 0-9, then 12/day for days 10-14 —
+    // the accumulating drift a point-outlier detector misses; type
+    // "flat": 4/day throughout — never alarms. Day 7 is silent for
+    // "shift" (the spine must zero-fill it).
+    def at(day: Int, n: Int, tpe: String): Seq[(Long, Timestamp, Long, String, Double, String)] =
+      (0 until n).map { j =>
+        (day * 100L + j, Timestamp.valueOf(f"2024-03-${day + 1}%02d 08:00:$j%02d"),
+          j.toLong, tpe, 1.0, null: String)
+      }
+    val rows = (0 to 14).flatMap { d =>
+      val shift = if (d == 7) Nil
+        else at(d, if (d < 10) 2 else 12, "shift")
+      shift ++ at(d, 4, "flat")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Analytics.cusum(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // driver replay of S_t = max(0, S_{t-1} + x_t*D - total) per type
+    def replay(xs: Seq[Long]): (Seq[Long], Long) = {
+      val d = xs.length
+      val total = xs.sum
+      val stats = xs.scanLeft(0L) { (s, x) =>
+        math.max(0L, s + x * d - total)
+      }.tail
+      (stats, total)
+    }
+    Seq(
+      "shift" -> (0 to 14).map(d => if (d == 7) 0L else if (d < 10) 2L else 12L),
+      "flat" -> Seq.fill(15)(4L)).foreach { case (tpe, xs) =>
+      val (stats, total) = replay(xs)
+      val alarms = stats.zipWithIndex.filter { case (s, _) =>
+        s * graft.operators.Analytics.CusumThreshDiv > total * xs.length
+      }
+      val r = got(tpe)
+      assert(r.getAs[Long]("n_days") == xs.length.toLong)
+      assert(r.getAs[Long]("total_events") == total)
+      assert(r.getAs[Long]("n_alarm_days") == alarms.length.toLong)
+      assert(r.getAs[Long]("first_alarm_idx") ==
+        alarms.headOption.map(_._2.toLong).getOrElse(-1L))
+      assert(r.getAs[Long]("max_stat_scaled") == stats.max)
+    }
+    // the construction behaves as designed: the shift alarms, the
+    // flat baseline never does
+    assert(got("shift").getAs[Long]("n_alarm_days") > 0)
+    assert(got("flat").getAs[Long]("n_alarm_days") == 0)
+    // sf invariants: stat nonnegative, alarms consistent with count
+    SparkEntry.queries("events_cusum")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("max_stat_scaled") >= 0)
+      if (r.getAs[Long]("n_alarm_days") == 0)
+        assert(r.getAs[Long]("first_alarm_idx") == -1L)
+      else assert(r.getAs[Long]("first_alarm_idx") >= 0)
+    }
+  }
 }

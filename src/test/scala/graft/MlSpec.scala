@@ -1855,6 +1855,32 @@ class MlSpec extends AnyFunSuite {
     assert(admitted.exists(_._5) && admitted.exists(!_._5))
   }
 
+  test("source divergence: hand TV distances, absent-token closed form") {
+    import spark.implicits._
+    // s1 = "a a b" (p = 2/3, 1/3, 0), s2 = "b c" (p = 0, 1/2, 1/2),
+    // corpus = (0.4, 0.4, 0.2). TV(s1) = (|2/3-.4|+|1/3-.4|+.2)/2 =
+    // 8/30; TV(s2) = (.4+.1+.3)/2 = 8/20. Integer numerators: s1
+    // present |2*5-2*3|+|1*5-2*3| = 5, absent 3*(5-4) = 3; s2
+    // present 1+3 = 4, absent 2*(5-3) = 4.
+    val docs = Seq((0L, "s1", "a a b"), (1L, "s2", "b c"))
+      .toDF("doc_id", "source", "text")
+    val got = ml.Corpus.sourceDivergence(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("s1").getAs[Long]("n_tokens") == 3L)
+    assert(got("s1").getAs[Double]("tv_distance") == 8.0 / (2.0 * 3.0 * 5.0))
+    assert(got("s1").getAs[String]("top_token") == "a")
+    assert(got("s1").getAs[Double]("top_share_gap") == 4.0 / (3.0 * 5.0))
+    assert(got("s2").getAs[Double]("tv_distance") == 8.0 / (2.0 * 2.0 * 5.0))
+    assert(got("s2").getAs[String]("top_token") == "c")
+    // sf invariants: TV in [0,1], top gap bounded by 2*TV
+    SparkEntry.queries("corpus_source_divergence")(spark, sf).collect()
+      .foreach { r =>
+        val tv = r.getAs[Double]("tv_distance")
+        assert(tv >= 0.0 && tv <= 1.0)
+        assert(r.getAs[Double]("top_share_gap") <= 2.0 * tv + 1e-12)
+      }
+  }
+
   test("kmeans elbow: two clean clusters cohere at every k") {
     import spark.implicits._
     // 3 copies of (1,0) and 3 of (0,1): every k recovers the two

@@ -1984,9 +1984,11 @@ object Analytics {
     * (one (type) exchange), and the per-type rollup.
     */
   def cusum(ev: DataFrame, threshDiv: Int = CusumThreshDiv): DataFrame = {
-    val daily = ev
+    // materialized: bounds, the type spine, and the indexed counts
+    // all read it — uncached, each consumer would re-scan the corpus
+    val daily = graft.CacheScope.materialize(ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))

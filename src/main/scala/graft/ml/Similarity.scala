@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,12 +181,14 @@ object Similarity {
     *
     * Scale shape: candidate generation is the broadcast-probe scan
     * (the corpus streams once, WindowGroupLimit prunes to C); the
-    * greedy loop then runs k − 1 bounded iterations over the
-    * |probes|·C candidate and |probes|·C² pairwise-sim relations —
-    * both cached, both independent of corpus size (the loop is
-    * sequential by nature; what matters is that NOTHING in it
-    * rescans the corpus). At 100 TB candidates come from the
-    * IVF/PQ/graph index instead; this re-rank stage is unchanged.
+    * greedy loop then runs ENTIRELY in-row — each probe's ≤C
+    * candidates collapse to one array row and a single
+    * `aggregate(sequence(1,k), …)` expression replays the k greedy
+    * picks over that array (pairwise sims computed on demand inside
+    * the lambda — C·k dots per probe, no C² relation, no per-step
+    * Spark job). One keyed shuffle total, independent of corpus
+    * size. At 100 TB candidates come from the IVF/PQ/graph index
+    * instead; this re-rank stage is unchanged.
     */
   def mmrDiversify(embs: DataFrame): DataFrame = {
     val qv = materialize(Vectors.quantized(embs))
@@ -196,44 +198,42 @@ object Similarity {
         Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("rel").desc, col("vec_id"))
-    val cand = materialize(scored
+    val cand = scored
       .withColumn("crk", row_number().over(cw)).filter(col("crk") <= MmrC)
-      .select(col("probe_id"), col("vec_id"), col("rel"), col("q"), col("n2")))
-    val sims = materialize(cand
-      .select(col("probe_id"), col("vec_id").as("a"),
-        col("q").as("qa"), col("n2").as("n2a"))
-      .join(cand.select(col("probe_id"), col("vec_id").as("b"),
-        col("q").as("qb"), col("n2").as("n2b")), "probe_id")
-      .filter(col("a") =!= col("b"))
-      .select(col("probe_id"), col("a"), col("b"),
-        Vectors.cosine(Vectors.dot(col("qa"), col("qb")),
-          col("n2a"), col("n2b")).as("sim")))
-    val bare = cand.select(col("probe_id"), col("vec_id"), col("rel"))
-    val empty = bare
-      .withColumn("mmr_score", lit(0.0)).withColumn("rk", lit(0L)).limit(0)
-    (1 to MmrK).foldLeft(empty) { (sel, t) =>
-      val remaining = bare.join(
-        sel.select(col("probe_id"), col("vec_id")),
-        Seq("probe_id", "vec_id"), "left_anti")
-      val selB = sel.select(col("probe_id"), col("vec_id").as("b"))
-      val pen = remaining
-        .join(selB, Seq("probe_id"), "left")
-        .join(sims.withColumnRenamed("a", "vec_id"),
-          Seq("probe_id", "vec_id", "b"), "left")
-        .groupBy(col("probe_id"), col("vec_id"), col("rel"))
-        .agg(coalesce(max(col("sim")), lit(0.0)).as("penalty"))
-        .withColumn("mmr_score",
-          lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("penalty"))
-      val pw = Window.partitionBy(col("probe_id"))
-        .orderBy(col("mmr_score").desc, col("vec_id"))
-      val pick = pen.withColumn("prk", row_number().over(pw))
-        .filter(col("prk") === 1)
-        .select(col("probe_id"), col("vec_id"), col("rel"),
-          col("mmr_score"), lit(t.toLong).as("rk"))
-      materialize(sel.unionByName(pick))
-    }
-      .select(col("probe_id"), col("rk"), col("vec_id"),
-        col("rel"), col("mmr_score"))
+      .select(col("probe_id"), col("vec_id"), col("rel"), col("q"), col("n2"))
+    // (mmr desc, vec_id) argmax as an array_sort comparator — the
+    // in-row twin of the old per-step row_number window.
+    def byMmr(a: Column, b: Column): Column =
+      when(a("mmr") > b("mmr"), -1).when(a("mmr") < b("mmr"), 1)
+        .when(a("vec_id") < b("vec_id"), -1)
+        .when(a("vec_id") > b("vec_id"), 1).otherwise(0)
+    val selType = "array<struct<vec_id:bigint,rel:double,mmr:double," +
+      "rk:bigint,q:array<bigint>,n2:bigint>>"
+    val sel = aggregate(
+      sequence(lit(1L), lit(MmrK.toLong)),
+      expr(s"CAST(array() AS $selType)"),
+      (acc, t) => {
+        val rem = filter(col("cands"),
+          c => !exists(acc, s => s("vec_id") === c("vec_id")))
+        val scoredArr = transform(rem, c => struct(
+          c("vec_id").as("vec_id"),
+          c("rel").as("rel"),
+          (lit(MmrLambda) * c("rel") - lit(1 - MmrLambda) *
+            coalesce(array_max(transform(acc, s =>
+              Vectors.cosine(Vectors.dotHof(c("q"), s("q")),
+                c("n2"), s("n2")))), lit(0.0))).as("mmr"),
+          t.as("rk"),
+          c("q").as("q"),
+          c("n2").as("n2")))
+        concat(acc, slice(array_sort(scoredArr, byMmr), 1, 1))
+      })
+    cand.groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel"),
+        col("q"), col("n2"))).as("cands"))
+      .select(col("probe_id"), explode(sel).as("s"))
+      .select(col("probe_id"), col("s.rk").as("rk"),
+        col("s.vec_id").as("vec_id"), col("s.rel").as("rel"),
+        col("s.mmr").as("mmr_score"))
       .orderBy(col("probe_id"), col("rk"))
   }
 

@@ -722,6 +722,13 @@ object SparkEntry {
       TextAnalysis.bpeEncode(Tables.load(s, dir, "documents"),
         col("text"), 8)),
 
+    // Merges-vs-compression knob curve: per merge round the corpus
+    // piece total / pieces-per-token over the trained vocabulary —
+    // the "how many merges is enough" elbow of the tokenizer family.
+    "text_bpe_compression" -> ((s, dir) =>
+      TextAnalysis.bpeCompressionCurve(Tables.load(s, dir, "documents"),
+        col("text"), 8)),
+
     // Hapax-legomena share per source (lexical health gauge).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
@@ -1119,6 +1126,13 @@ object SparkEntry {
     // index on this corpus.
     "sim_ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedRecall(Tables.load(s, dir, "embeddings"))),
+
+    // IVF maintenance audit: per trained cell occupancy, load ratio
+    // vs perfect balance, and the integer-exact split/merge/dead
+    // verdict — when to re-shard the index (recall gauges say how
+    // well it answers; this says when to rebuild).
+    "sim_ivf_balance" -> ((s, dir) =>
+      Similarity.ivfBalance(Tables.load(s, dir, "embeddings"))),
 
     // Cluster purity of the E-step assignment vs the true labels:
     // per cell the majority label and its share.
@@ -3551,6 +3565,30 @@ object SparkEntry {
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
 
+    // Balance audit over the same trained chain: per seed cell the
+    // final-assignment occupancy, load ratio, and the integer
+    // cross-product split/merge/dead verdict.
+    "sim_ivf_balance" -> {
+      val n = Similarity.KmeansIters
+      s"""WITH ${kmeansTrainCtes(n)},
+         |seeds AS (SELECT DISTINCT CAST(label AS BIGINT) AS cell
+         |  FROM embeddings),
+         |occ AS (SELECT CAST(cell AS BIGINT) AS cell,
+         |    CAST(count(*) AS BIGINT) AS n_vecs FROM kma$n GROUP BY 1),
+         |aud AS (SELECT s.cell, COALESCE(o.n_vecs, 0) AS n_vecs
+         |  FROM seeds s LEFT JOIN occ o ON o.cell = s.cell),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM aud)
+         |SELECT a.cell, a.n_vecs,
+         |  CAST(a.n_vecs * t.n_cells AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+         |    AS load_ratio,
+         |  CASE WHEN a.n_vecs = 0 THEN 'dead'
+         |    WHEN a.n_vecs * t.n_cells > t.n_total * 2 THEN 'split'
+         |    WHEN a.n_vecs * t.n_cells * 2 < t.n_total THEN 'merge'
+         |    ELSE 'ok' END AS verdict
+         |FROM aud a, tot t ORDER BY a.cell""".stripMargin
+    },
+
     "sim_kmeans_train" -> {
       val n = Similarity.KmeansIters
       val rounds = (1 to n).map { r =>
@@ -5092,6 +5130,9 @@ object SparkEntry {
 
     "text_bpe_encode" ->
       TextAnalysis.duckBpeEncode("text", "documents", 8),
+
+    "text_bpe_compression" ->
+      TextAnalysis.duckBpeCompression("text", "documents", 8),
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

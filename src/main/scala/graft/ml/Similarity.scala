@@ -768,6 +768,48 @@ object Similarity {
     (stats.reduce(_ unionByName _).orderBy(col("iter")), asg)
   }
 
+  /** IVF index-maintenance audit over the trained coarse quantizer
+    * ([[kmeansTrainedCells]]): per seed cell its posting-list
+    * occupancy and load ratio vs perfect balance (n_vecs·|cells| /
+    * n_total — 1.0 = balanced), plus the maintenance verdict the
+    * index operator acts on: 'dead' (the cell lost every vector —
+    * reclaim the centroid), 'split' (load ratio above 2 — the hot
+    * cell whose posting list starts to dominate every probe's scan
+    * cost), 'merge' (below ½ — wasted centroid budget), else 'ok'.
+    * The operational companion of the recall gauges: they say how
+    * well the index ANSWERS, this says when to RE-SHARD it — the
+    * `cdc_reshard` decision applied to the vector index.
+    *
+    * Determinism: verdicts compare integer cross-products
+    * (n_vecs·n_cells vs 2·n_total) — no float thresholds; the load
+    * ratio is one double division at the end.
+    *
+    * Scale shape: rides [[kmeansLoop]]'s E/M rounds (bounded
+    * broadcast centroids, corpus×|cells| map-side fan-out, no corpus
+    * self-join); the audit itself is a |cells|-row aggregate, a
+    * broadcast 1-row total, and a broadcast |labels|-row seed join.
+    * Output |cells| rows.
+    */
+  def ivfBalance(embs: DataFrame): DataFrame = {
+    val occ = kmeansTrainedCells(embs)
+      .groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val seeds = embs.select(col("label").cast("long").as("cell")).distinct()
+    val aud = seeds.join(occ, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = aud.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    aud.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        ((col("n_vecs") * col("n_cells")).cast("double") /
+          col("n_total").cast("double")).as("load_ratio"),
+        when(col("n_vecs") === 0, "dead")
+          .when(col("n_vecs") * col("n_cells") > col("n_total") * 2, "split")
+          .when(col("n_vecs") * col("n_cells") * 2 < col("n_total"), "merge")
+          .otherwise("ok").as("verdict"))
+      .orderBy(col("cell"))
+  }
+
   val ElbowKs = Seq(2, 4, 8, 16)
   val ElbowIters = 2
 

@@ -609,19 +609,24 @@ object TextAnalysis {
 
   /** Shared trainer core: the merged-vocabulary relation
     * (tok, w = delimited symbols, n = corpus count) after `nMerges`
-    * rounds, plus the merge table rows. [[bpeTrain]] reports the
-    * table; [[bpeEncode]] applies the vocabulary.
+    * rounds, plus the merge table rows, plus the CACHED pre-merge
+    * census the loop rewrote (so [[bpeCompressionCurve]] can replay
+    * intermediate states without a second corpus reduce).
+    * [[bpeTrain]] reports the table; [[bpeEncode]] applies the
+    * vocabulary.
     */
   private def trainBpe(
       docs: DataFrame,
       text: Column,
-      nMerges: Int): (DataFrame, Seq[(Long, String, String, String, Long)]) = {
-    var vocab = graft.CacheScope.materialize(
+      nMerges: Int)
+    : (DataFrame, Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val base = graft.CacheScope.materialize(
       docs.select(explode(tokens(text)).as("tok"))
         .filter(col("tok").rlike("^[a-z]+$"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .select(col("tok"),
           regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("n")))
+    var vocab = base
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (round <- 1 to nMerges) {
       val top = vocab
@@ -648,7 +653,7 @@ object TextAnalysis {
           col("n"))
       }
     }
-    (vocab, merges.result())
+    (vocab, merges.result(), base)
   }
 
   /** Tokenizer application — the payoff of [[bpeTrain]]: encode the
@@ -667,7 +672,7 @@ object TextAnalysis {
     * vocabulary relation during training.
     */
   def bpeEncode(docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
-    val (vocab, _) = trainBpe(docs, text, nMerges)
+    val (vocab, _, _) = trainBpe(docs, text, nMerges)
     val nSym = vocab.select(col("tok"),
       size(split(expr("substring(w, 2, char_length(w) - 2)"), "\\)\\("))
         .cast("long").as("n_sym"))
@@ -693,6 +698,63 @@ object TextAnalysis {
         (col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .as("chars_per_piece"))
       .orderBy(col("source"))
+  }
+
+  /** Merges-vs-compression knob curve — the "how many merges is
+    * enough" companion of [[bpeTrain]] (the tokenizer's analogue of
+    * `sim_kmeans_elbow`'s k curve): after each merge round r ∈
+    * [0, nMerges], the corpus-weighted piece total over the trained
+    * vocabulary, pieces per token, and chars per piece, next to the
+    * pair merged that round and its census count. Round 0 is the
+    * un-merged character baseline; the curve's flattening marginal
+    * gain is what picks the vocabulary budget. Rounds past
+    * vocabulary exhaustion (no pair left to merge) repeat the final
+    * state with an empty pair — mirroring the oracle's LIMIT-1-of-
+    * empty convention so both engines emit nMerges + 1 rows always.
+    *
+    * Scale shape: the corpus reduces ONCE to the cached census
+    * ([[trainBpe]]'s); each round's statistic replays the ≤r
+    * vocabulary rewrites on that cached relation and reduces to ONE
+    * row (map-side combined, vocabulary-bounded) — the corpus is
+    * never re-tokenized. Output nMerges + 1 rows.
+    */
+  def bpeCompressionCurve(
+      docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
+    val (_, merges, base) = trainBpe(docs, text, nMerges)
+    def stat(round: Int, pair: String, cnt: Long, w: Column): DataFrame =
+      base.select(col("n"), char_length(col("tok")).cast("long").as("chars"),
+        w.as("wr"))
+        .select(col("n"), col("chars"),
+          size(split(expr("substring(wr, 2, char_length(wr) - 2)"),
+            "\\)\\(")).cast("long").as("pieces"))
+        .agg(lit(round.toLong).as("round"), lit(pair).as("merged_pair"),
+          lit(cnt).as("merge_count"),
+          sum(col("n") * col("pieces")).as("total_pieces"),
+          sum(col("n") * col("chars")).as("total_chars"),
+          sum(col("n")).as("n_tokens"))
+    var w: Column = col("w")
+    val rows = Seq.newBuilder[DataFrame]
+    rows += stat(0, "", 0L, w)
+    val byRound = merges.map(m => m._1.toInt -> m).toMap
+    for (round <- 1 to nMerges) {
+      byRound.get(round) match {
+        case Some((_, a, b, merged, cnt)) =>
+          w = regexp_replace(w,
+            java.util.regex.Pattern.quote(s"($a)($b)"),
+            java.util.regex.Matcher.quoteReplacement(s"($merged)"))
+          rows += stat(round, s"($a)($b)", cnt, w)
+        case None =>
+          rows += stat(round, "", 0L, w)
+      }
+    }
+    rows.result().reduce(_ unionByName _)
+      .select(col("round"), col("merged_pair"), col("merge_count"),
+        col("total_pieces"), col("total_chars"), col("n_tokens"),
+        (col("total_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("pieces_per_token"),
+        (col("total_chars").cast("double") / col("total_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("round"))
   }
 
   /** Oracle twin of [[bpeTrain]]: the merge loop unrolled as chained
@@ -740,6 +802,38 @@ object TextAnalysis {
          |  cnt AS pair_count FROM t$r""".stripMargin
     }.mkString("\nUNION ALL\n")
     sb.append(s"\n$rounds\nORDER BY round")
+    sb.toString
+  }
+
+  /** Oracle twin of [[bpeCompressionCurve]]: one statistics row per
+    * vocabulary state v0..vN of the unrolled chain, the round's pair
+    * and count pulled from t$r by scalar subquery (COALESCE('')
+    * matches the engine's repeat-final-state convention when merges
+    * exhaust early).
+    */
+  def duckBpeCompression(
+      textExpr: String, table: String, nMerges: Int): String = {
+    val sb = duckBpeChain(textExpr, table, nMerges)
+    val pieces = "len(string_split(substring(w, 2, length(w) - 2), ')('))"
+    def row(r: Int): String = {
+      val pair =
+        if (r == 0) "''" else s"COALESCE((SELECT pair FROM t$r), '')"
+      val cnt =
+        if (r == 0) "CAST(0 AS BIGINT)"
+        else s"COALESCE((SELECT cnt FROM t$r), 0)"
+      s"""SELECT CAST($r AS BIGINT) AS round, $pair AS merged_pair,
+         |  $cnt AS merge_count,
+         |  CAST(sum(n * $pieces) AS BIGINT) AS total_pieces,
+         |  CAST(sum(n * length(tok)) AS BIGINT) AS total_chars,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * $pieces) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         |    AS pieces_per_token,
+         |  CAST(sum(n * length(tok)) AS DOUBLE)
+         |    / CAST(sum(n * $pieces) AS DOUBLE) AS chars_per_piece
+         |FROM v$r""".stripMargin
+    }
+    sb.append("\n" + (0 to nMerges).map(row).mkString("\nUNION ALL\n") +
+      "\nORDER BY round")
     sb.toString
   }
 

@@ -95,6 +95,38 @@ class HardNegBpeSpec extends AnyFunSuite {
     assert(got(3L) === (("bc", "d", "bcd", 5L)))
   }
 
+  test("bpeCompressionCurve: round 0 = chars, totals shrink by merge count, exhausted rounds repeat") {
+    import spark.implicits._
+    // vocab = {ab: n=2}. Round 1 merges (a)(b) count 2 → total pieces
+    // 4 → 2; rounds 2-3 have no pair left → repeat final state with
+    // the empty pair, so both engines always emit nMerges+1 rows.
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeCompressionCurve(docs, col("text"), 3)
+      .collect().map(r => r.getAs[Long]("round") ->
+        ((r.getAs[String]("merged_pair"), r.getAs[Long]("merge_count"),
+          r.getAs[Long]("total_pieces"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("n_tokens")))).toMap
+    assert(got.size === 4)
+    assert(got(0L) === (("", 0L, 4L, 4L, 2L)))
+    assert(got(1L) === (("(a)(b)", 2L, 2L, 4L, 2L)))
+    assert(got(2L) === (("", 0L, 2L, 4L, 2L)))
+    assert(got(3L) === (("", 0L, 2L, 4L, 2L)))
+    // on the real corpus: totals only shrink, strictly so whenever a
+    // pair was actually merged (greedy non-overlapping contraction
+    // removes between ⌈cnt/2⌉ and cnt pieces — cnt exactly unless the
+    // pair self-overlaps like (a)(a) in aaaa)
+    val curve = TextAnalysis.bpeCompressionCurve(
+      Tables.load(spark, sf, "documents"), col("text"), 4).collect()
+      .sortBy(_.getAs[Long]("round"))
+    curve.sliding(2).foreach { case Array(a, b) =>
+      val removed = a.getAs[Long]("total_pieces") - b.getAs[Long]("total_pieces")
+      val cnt = b.getAs[Long]("merge_count")
+      assert(removed >= (cnt + 1) / 2 && removed <= cnt,
+        s"round ${b.getAs[Long]("round")}: removed $removed outside [⌈cnt/2⌉, cnt] for cnt $cnt")
+      case _ => ()
+    }
+  }
+
   test("bpeEncode: trained tokens cost merged symbols, others fall back to chars") {
     import spark.implicits._
     // one merge: (a,b) with count 2 -> 'ab' encodes to ONE piece;

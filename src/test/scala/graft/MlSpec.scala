@@ -198,6 +198,44 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBalance: occupancy partitions the corpus; verdicts follow the integer thresholds") {
+    val rows = Similarity.ivfBalance(embs).collect()
+    val seeded = embs.collect().map(_.getAs[Number]("label").longValue()).toSet
+    assert(rows.map(_.getAs[Long]("cell")).toSet === seeded)
+    val nTotal = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(nTotal === embs.count())
+    val nCells = rows.length.toLong
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_vecs")
+      val expect =
+        if (nv == 0) "dead"
+        else if (nv * nCells > nTotal * 2) "split"
+        else if (nv * nCells * 2 < nTotal) "merge"
+        else "ok"
+      assert(r.getAs[String]("verdict") === expect)
+      assert(math.abs(r.getAs[Double]("load_ratio") -
+        nv.toDouble * nCells / nTotal) < 1e-12)
+    }
+  }
+
+  test("ivfBalance: planted hot / starved / abandoned cells get split / merge / dead") {
+    import spark.implicits._
+    // cells 0 and 2 share direction (1,0): the E-step tie-breaks to
+    // the smaller cell id, so cell 2 is abandoned. Cell 0 then holds
+    // 7 of 8 vectors (21 > 2·8 → split); cell 1 holds 1 (2 < 8 via
+    // 1·3·2 = 6 < 8 → merge).
+    val vecs =
+      (0 until 6).map(i => (i.toLong, Array(1f, 0f), 0)) ++
+        Seq((6L, Array(0f, 1f), 1), (7L, Array(1f, 0f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfBalance(df).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[String]("verdict"))).toMap
+    assert(got(0L) === ((7L, "split")))
+    assert(got(1L) === ((1L, "merge")))
+    assert(got(2L) === ((0L, "dead")))
+  }
+
   test("kmeansTrain: movement decays, cells stay within the seeded id space") {
     val curve = Similarity.kmeansTrain(embs).collect()
     assert(curve.length === Similarity.KmeansIters)

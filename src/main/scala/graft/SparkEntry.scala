@@ -1134,6 +1134,13 @@ object SparkEntry {
     "sim_ivf_balance" -> ((s, dir) =>
       Similarity.ivfBalance(Tables.load(s, dir, "embeddings"))),
 
+    // Cross-geometry cost/recall Pareto frontier: exact scan, LSH,
+    // IVF nProbe sweep, PQ-ADC, graph walk on ONE stick — integer
+    // micro-averaged recall vs candidates scored, with the
+    // dominance verdict a serving deployment picks its index by.
+    "sim_ann_frontier" -> ((s, dir) =>
+      Similarity.annFrontier(Tables.load(s, dir, "embeddings"))),
+
     // Cluster purity of the E-step assignment vs the true labels:
     // per cell the majority label and its share.
     "embed_cluster_purity" -> ((s, dir) =>
@@ -3564,6 +3571,124 @@ object SparkEntry {
     },
 
     "sim_ann_ivf_recall" -> ivfRecallSql(Similarity.IvfNProbe),
+
+    // Cross-geometry Pareto frontier: every chunk is the family's
+    // own shared CTE text (exact baseline, SRP buckets, IVF cell
+    // selection, PQ chain, graph walk) so the frontier CANNOT drift
+    // from the per-geometry gauges; candidate counts come from the
+    // same scored relations the rankers rank.
+    "sim_ann_frontier" -> {
+      val nps = Similarity.IvfCurveProbes
+      val k = Similarity.TopK
+      val hops = Similarity.GraphSearchHops
+      val ivfCuts = nps.map { n =>
+        s"""ic$n AS (SELECT probe_id, label FROM (
+           |    SELECT isc.*, row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cell_cos DESC, label) AS crk FROM isc) t
+           |  WHERE crk <= $n),
+           |iv$n AS (SELECT bs.probe_id, bs.neighbor_id, bs.cos_sim
+           |  FROM (SELECT t.probe_id, l.vec_id FROM ic$n t
+           |    JOIN lab l ON l.label = t.label
+           |    WHERE l.vec_id <> t.probe_id) c
+           |  JOIN bs ON bs.probe_id = c.probe_id
+           |    AND bs.neighbor_id = c.vec_id),
+           |ir$n AS (SELECT probe_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM iv$n)
+           |  WHERE rk <= $k)""".stripMargin
+      }.mkString(",\n")
+      val ivfRows = nps.map { n =>
+        s"""SELECT 'ivf' AS method, CAST($n AS BIGINT) AS param,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b JOIN ir$n a
+           |      ON a.probe_id = b.probe_id
+           |      AND a.neighbor_id = b.neighbor_id) AS n_matched,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM bfk) AS n_exact,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM iv$n)
+           |      AS n_candidates""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val gssUnion = (1 to hops)
+        .map(h => s"SELECT probe_id, node FROM gss$h")
+        .mkString("\n    UNION ALL ")
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$exactTopKCtes,
+         |${ivfCellCtes(nps.max)},
+         |${pqCtes(pqNormHead)},
+         |$graphWalkCtes,
+         |lcand AS (SELECT DISTINCT b.vec_id AS probe_id,
+         |    a.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets b ON a.band = b.band
+         |    AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE b.vec_id < ${Similarity.NumProbes}),
+         |lsc AS (SELECT bs.probe_id, bs.neighbor_id, bs.cos_sim
+         |  FROM lcand c JOIN bs ON bs.probe_id = c.probe_id
+         |    AND bs.neighbor_id = c.neighbor_id),
+         |lrk AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM lsc)
+         |  WHERE rk <= $k),
+         |$ivfCuts,
+         |pcodes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
+         |ppf AS (SELECT vec_id AS probe_id, sub, il, v FROM f
+         |  WHERE vec_id < ${Similarity.NumProbes}),
+         |plut AS (SELECT p.probe_id, c.sub, c.code,
+         |    CAST(sum((p.v - c.m) * (p.v - c.m)) AS BIGINT) AS pd2
+         |  FROM ppf p JOIN comp c ON c.sub = p.sub AND c.il = p.il
+         |  GROUP BY 1, 2, 3),
+         |psc AS (SELECT l.probe_id, cd.vec_id AS neighbor_id,
+         |    CAST(sum(l.pd2) AS BIGINT) AS approx_d2
+         |  FROM pcodes cd JOIN plut l ON l.sub = cd.sub
+         |    AND l.code = cd.code
+         |  WHERE cd.vec_id <> l.probe_id
+         |  GROUP BY 1, 2),
+         |prk AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx_d2, neighbor_id) AS rk FROM psc)
+         |  WHERE rk <= $k),
+         |gvis AS (SELECT DISTINCT probe_id, node FROM (
+         |    $gssUnion
+         |    UNION ALL SELECT pc.probe_id, pc.node FROM pc
+         |      JOIN gen ON pc.node = gen.entry)),
+         |conf AS (
+         |  SELECT 'exact' AS method, CAST(0 AS BIGINT) AS param,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk) AS n_matched,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bs) AS n_candidates
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(0 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b JOIN lrk a
+         |      ON a.probe_id = b.probe_id
+         |      AND a.neighbor_id = b.neighbor_id),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lsc)
+         |  UNION ALL
+         |  $ivfRows
+         |  UNION ALL
+         |  SELECT 'pq', CAST(0 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b JOIN prk a
+         |      ON a.probe_id = b.probe_id
+         |      AND a.neighbor_id = b.neighbor_id),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM psc)
+         |  UNION ALL
+         |  SELECT 'graph', CAST($hops AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b
+         |      JOIN gf$hops a ON a.probe_id = b.probe_id
+         |      AND a.node = b.neighbor_id),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM gvis))
+         |SELECT c.method, c.param, c.n_matched, c.n_exact,
+         |  c.n_candidates,
+         |  CAST(c.n_matched AS DOUBLE) / CAST(c.n_exact AS DOUBLE)
+         |    AS recall,
+         |  NOT EXISTS (SELECT 1 FROM conf o
+         |    WHERE (o.method <> c.method OR o.param <> c.param)
+         |      AND o.n_matched >= c.n_matched
+         |      AND o.n_candidates <= c.n_candidates
+         |      AND (o.n_matched > c.n_matched
+         |        OR o.n_candidates < c.n_candidates)) AS pareto
+         |FROM conf c ORDER BY c.method, c.param""".stripMargin
+    },
 
     // Balance audit over the same trained chain: per seed cell the
     // final-assignment occupancy, load ratio, and the integer

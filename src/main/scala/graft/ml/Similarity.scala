@@ -428,7 +428,15 @@ object Similarity {
     * cosine — (probe_id, label) rows, NumProbes·nProbe of them.
     */
   private[graft] def ivfTopCells(
-      qv: DataFrame, lab: DataFrame, nProbe: Int): DataFrame = {
+      qv: DataFrame, lab: DataFrame, nProbe: Int): DataFrame =
+    ivfCellRanks(qv, lab).filter(col("crk") <= nProbe)
+      .select(col("probe_id"), col("label"))
+
+  /** The full per-probe cell ranking [[ivfTopCells]] cuts at nProbe
+    * — kept separate so a consumer sweeping several nProbe values
+    * ([[annFrontier]]) ranks the cells ONCE and filters per point.
+    */
+  private def ivfCellRanks(qv: DataFrame, lab: DataFrame): DataFrame = {
     val flat = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
     // rounded-mean components per cell: #cells × dim rows
     val comp = flat.join(lab, "vec_id")
@@ -453,8 +461,7 @@ object Similarity {
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("cell_cos").desc, col("label"))
     scoredCells.withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= nProbe)
-      .select(col("probe_id"), col("label"))
+      .select(col("probe_id"), col("label"), col("crk"))
   }
 
   private def topKAnnIvfOn(
@@ -1027,7 +1034,7 @@ object Similarity {
       embs: DataFrame,
       beam: Int = GraphSearchBeam,
       hops: Int = GraphSearchHops): DataFrame = {
-    val frontier = walkFrontiers(embs, beam, hops)._1(hops)
+    val frontier = walkFrontiers(embs, beam, hops).snapshots(hops)
     frontier.withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cos_sim").desc, col("node"))).cast("long"))
@@ -1045,9 +1052,19 @@ object Similarity {
     * side from it instead of paying topKBruteForce's second
     * quantize-and-score corpus scan.
     */
+  /** Everything a consumer of the beam walk can reuse: the per-hop
+    * frontier snapshots, the cached probe-corpus cosine relation,
+    * the search graph's edges, and the per-label entry vertices
+    * ([[annFrontier]] rebuilds the walk's scored set from these).
+    */
+  private case class GraphWalk(
+      snapshots: Map[Int, DataFrame],
+      pcos: DataFrame,
+      edges: DataFrame,
+      entries: DataFrame)
+
   private def walkFrontiers(
-      embs: DataFrame, beam: Int, hops: Int)
-      : (Map[Int, DataFrame], DataFrame) = {
+      embs: DataFrame, beam: Int, hops: Int): GraphWalk = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
     val qv = materialize(Vectors.quantized(embs))
     val edges = knnEdges(embs, GraphSearchDegree)
@@ -1083,7 +1100,7 @@ object Similarity {
         .select(col("probe_id"), col("node"), col("cos_sim")))
       snapshots(h) = frontier
     }
-    (snapshots.toMap, pcos)
+    GraphWalk(snapshots.toMap, pcos, edges, entries)
   }
 
   /** Exact top-k per probe from the walk's cached cosine relation —
@@ -1115,7 +1132,8 @@ object Similarity {
     */
   def graphSearchCurve(
       embs: DataFrame, hopsList: Seq[Int] = GraphCurveHops): DataFrame = {
-    val (snapshots, pcos) = walkFrontiers(embs, GraphSearchBeam, hopsList.max)
+    val walk = walkFrontiers(embs, GraphSearchBeam, hopsList.max)
+    val (snapshots, pcos) = (walk.snapshots, walk.pcos)
     val exact = materialize(exactFromPcos(pcos))
     hopsList.map { h =>
       recallAtK(exact,
@@ -1132,12 +1150,174 @@ object Similarity {
     * (PQ): four index geometries, one measuring stick.
     */
   def graphSearchRecall(embs: DataFrame): DataFrame = {
-    val (snapshots, pcos) =
-      walkFrontiers(embs, GraphSearchBeam, GraphSearchHops)
-    recallAtK(exactFromPcos(pcos),
-        snapshots(GraphSearchHops)
+    val walk = walkFrontiers(embs, GraphSearchBeam, GraphSearchHops)
+    recallAtK(exactFromPcos(walk.pcos),
+        walk.snapshots(GraphSearchHops)
           .select(col("probe_id"), col("node").as("neighbor_id")))
       .orderBy(col("probe_id"))
+  }
+
+  /** Cross-geometry cost/recall Pareto frontier — the serving-config
+    * chooser that puts the family's four index geometries on ONE
+    * stick: for each configuration (the exact scan, SRP-LSH buckets,
+    * IVF at every nProbe of [[IvfCurveProbes]], the PQ-ADC full code
+    * scan, and the beam-walk graph index) the micro-averaged
+    * recall@k against the exact cosine baseline next to the number
+    * of candidates each configuration actually SCORED, plus the
+    * Pareto verdict: a config is on the frontier unless some other
+    * config reaches ≥ its recall at ≤ its cost with one inequality
+    * strict. This is the table an ANN deployment reads to pick its
+    * index; the per-geometry knob curves (`sim_ann_ivf_curve`,
+    * `sim_ann_graph_curve`, …) sweep WITHIN a geometry, this
+    * compares ACROSS them.
+    *
+    * Determinism: recall is micro-averaged from integer totals
+    * (Σ matched / Σ exact — no cross-row double sums), candidate
+    * counts are exact integers, and the Pareto dominance test
+    * compares only integers, so the whole table is reproducible to
+    * the last bit (a per-probe-mean double recall would depend on
+    * partition summation order).
+    *
+    * Scale shape: every candidate relation reuses the family's own
+    * bounded construction (broadcast probes, bucket/cell equi-joins,
+    * materialized walk snapshots) — nothing new shuffles; the
+    * corpus-sized scored relations (exact, PQ) are deliberately NOT
+    * cached — each is consumed by one count and one rank pass over
+    * the already-cached quantized relation rather than pinning
+    * probes×corpus rows in memory. The frontier itself is a ≤7-row
+    * relation; its dominance join is trivial.
+    */
+  def annFrontier(embs: DataFrame): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    val qv = materialize(Vectors.quantized(embs))
+    val exactK = materialize(
+      topKOn(qv).select(col("probe_id"), col("neighbor_id")))
+    val hitK = broadcast(exactK.withColumn("hit", lit(1L)))
+    val nExact = exactK.agg(count(lit(1)).as("n_exact"))
+
+    // ONE pass per geometry: every scored candidate row carries its
+    // in-config rank; rows inside the top-k that hit the exact set
+    // count toward recall, every row counts toward cost.
+    def row(method: String, param: Long, ranked: DataFrame): DataFrame =
+      ranked
+        .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("hit").isNotNull && col("rk") <= TopK, 1L)
+            .otherwise(0L)), lit(0L)).as("n_matched"))
+        .crossJoin(nExact)
+        .select(lit(method).as("method"), lit(param).as("param"),
+          col("n_matched"), col("n_exact"), col("n_candidates"))
+
+    def cosRanked(cands: DataFrame): DataFrame = cands
+      .join(corpusSide(qv), "vec_id")
+      .join(broadcast(probeSide(qv)), "probe_id")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")),
+          col("n2_p"), col("n2")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+
+    // exact: matched = exact by construction; the scan size has the
+    // closed form |probes with direction| · (|corpus with direction|
+    // − 1) — no second probes×corpus pass just to count it
+    val eExact = nExact
+      .crossJoin(probeSide(qv).agg(count(lit(1)).as("np")))
+      .crossJoin(corpusSide(qv).agg(count(lit(1)).as("nc")))
+      .select(lit("exact").as("method"), lit(0L).as("param"),
+        col("n_exact").as("n_matched"), col("n_exact"),
+        (col("np") * (col("nc") - 1)).as("n_candidates"))
+
+    // SRP-LSH: distinct bucket-mates (topKAnnLsh's candidate set)
+    val qvB = materialize(Vectors.quantizedWithBuckets(embs,
+      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
+    val flatB = qvB.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val probeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
+        col("bucket").as("bucket_p")))
+    val lshCands = flatB.join(probeFlat,
+        col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val eLsh = row("lsh", 0L, cosRanked(lshCands))
+
+    // IVF: rank the cells ONCE, cut per nProbe of the curve
+    val cellRanks = materialize(ivfCellRanks(qv, lab))
+    val ivfEntries = IvfCurveProbes.map { np =>
+      val cands = cellRanks.filter(col("crk") <= np)
+        .join(lab.toDF("vec_id", "label"), "label")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      row("ivf", np.toLong, cosRanked(cands))
+    }
+
+    // PQ-ADC full code scan (topKAnnPq's scored relation)
+    val (flatN, compN, chosen) = pqParts(embs, normalized = true)
+    val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
+    val pflat = flatN.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
+    val lut = pflat.join(broadcast(compN), Seq("sub", "il"))
+      .groupBy(col("probe_id"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+    val pqRanked = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("approx_d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("approx_d2"), col("neighbor_id"))))
+    val ePq = row("pq", 0L, pqRanked)
+
+    // graph: recall from the final beam, cost from the full visited
+    // set (entry vertices + every frontier expansion that reached
+    // the cosine relation)
+    val walk = walkFrontiers(embs, GraphSearchBeam, GraphSearchHops)
+    val pcKeys = walk.pcos.select(col("probe_id"), col("node"))
+    val gVisited = (1 to GraphSearchHops).map { h =>
+      val prev = walk.snapshots(h - 1).select(col("probe_id"), col("node"))
+      prev.join(walk.edges, col("node") === col("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+        .union(prev)
+    }.reduce(_ union _)
+      .union(pcKeys.join(broadcast(walk.entries), Seq("node"))
+        .select(col("probe_id"), col("node")))
+      .distinct()
+      .join(pcKeys, Seq("probe_id", "node"))
+    val eGraph = walk.snapshots(GraphSearchHops)
+      .select(col("probe_id"), col("node").as("neighbor_id"))
+      .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+      .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_matched"))
+      .crossJoin(gVisited.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(nExact)
+      .select(lit("graph").as("method"),
+        lit(GraphSearchHops.toLong).as("param"),
+        col("n_matched"), col("n_exact"), col("n_candidates"))
+
+    val allC = materialize(
+      (Seq(eExact, eLsh) ++ ivfEntries ++ Seq(ePq, eGraph))
+        .reduce(_ unionByName _))
+    val others = allC.select(col("method").as("m2"), col("param").as("p2"),
+      col("n_matched").as("nm2"), col("n_candidates").as("nc2"))
+    allC.join(others,
+        (col("m2") =!= col("method") || col("p2") =!= col("param")) &&
+          col("nm2") >= col("n_matched") &&
+          col("nc2") <= col("n_candidates") &&
+          (col("nm2") > col("n_matched") ||
+            col("nc2") < col("n_candidates")),
+        "left")
+      .groupBy(col("method"), col("param"), col("n_matched"),
+        col("n_exact"), col("n_candidates"))
+      .agg((count(col("m2")) === 0).as("pareto"))
+      .select(col("method"), col("param"), col("n_matched"),
+        col("n_exact"), col("n_candidates"),
+        (col("n_matched").cast("double") / col("n_exact").cast("double"))
+          .as("recall"),
+        col("pareto"))
+      .orderBy(col("method"), col("param"))
   }
 
   val PageRankIters = 3

@@ -198,6 +198,43 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("annFrontier: shared exact denominator, nested-IVF monotonicity, dominance verdicts") {
+    val rows = Similarity.annFrontier(embs).collect()
+    assert(rows.length === 4 + Similarity.IvfCurveProbes.length)
+    val nExact = rows.map(_.getAs[Long]("n_exact")).toSet
+    assert(nExact.size === 1, "every config scores against the same exact set")
+    val byKey = rows.map(r =>
+      (r.getAs[String]("method"), r.getAs[Long]("param")) -> r).toMap
+    val ex = byKey(("exact", 0L))
+    assert(ex.getAs[Long]("n_matched") === ex.getAs[Long]("n_exact"))
+    assert(ex.getAs[Double]("recall") === 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_candidates"))
+    }
+    // nested candidate sets under the same scoring: recall and cost
+    // both monotone in nProbe
+    val ivf = Similarity.IvfCurveProbes.map(np => byKey(("ivf", np.toLong)))
+    ivf.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+      assert(a.getAs[Long]("n_matched") <= b.getAs[Long]("n_matched"))
+      case _ => ()
+    }
+    // pareto flags must equal the dominance rule recomputed here
+    rows.foreach { r =>
+      val dominated = rows.exists { o =>
+        (o.getAs[String]("method") != r.getAs[String]("method") ||
+          o.getAs[Long]("param") != r.getAs[Long]("param")) &&
+          o.getAs[Long]("n_matched") >= r.getAs[Long]("n_matched") &&
+          o.getAs[Long]("n_candidates") <= r.getAs[Long]("n_candidates") &&
+          (o.getAs[Long]("n_matched") > r.getAs[Long]("n_matched") ||
+            o.getAs[Long]("n_candidates") < r.getAs[Long]("n_candidates"))
+      }
+      assert(r.getAs[Boolean]("pareto") === !dominated,
+        s"${r.getAs[String]("method")}/${r.getAs[Long]("param")}")
+    }
+  }
+
   test("ivfBalance: occupancy partitions the corpus; verdicts follow the integer thresholds") {
     val rows = Similarity.ivfBalance(embs).collect()
     val seeded = embs.collect().map(_.getAs[Number]("label").longValue()).toSet

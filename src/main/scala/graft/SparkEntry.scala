@@ -1501,6 +1501,14 @@ object SparkEntry {
     // Semantic dedup clusters: exact connected components over the
     // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
     // step; embedding twin of dedup_clusters).
+    // SemDeDup impact attribution: what semantic (embedding-CC)
+    // dedup would remove per source, in docs and character mass —
+    // the near-dup twin of corpus_dedup_impact, same global
+    // min-canonical rule.
+    "corpus_semdedup_impact" -> ((s, dir) =>
+      Dedup.semDedupImpact(Tables.load(s, dir, "embeddings"),
+        Tables.load(s, dir, "documents"))),
+
     "dedup_embedding_clusters" -> ((s, dir) =>
       Dedup.embeddingClusters(Tables.load(s, dir, "embeddings"))
         .orderBy(col("cluster_id"))),
@@ -6370,6 +6378,46 @@ object SparkEntry {
          |FROM bfk b LEFT JOIN ak a ON a.probe_id = b.probe_id
          |  AND a.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same recursive-CC chain as dedup_embedding_clusters, then the
+    // removal rollup joined onto documents (vec_id = doc_id space).
+    "corpus_semdedup_impact" ->
+      s"""WITH RECURSIVE $embCtes,
+         |$srpCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.v1
+         |  JOIN flat fb ON fb.vec_id = c.v2 AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT d.v1, d.v2 FROM d
+         |  JOIN norms na ON na.vec_id = d.v1
+         |  JOIN norms nb ON nb.vec_id = d.v2
+         |  WHERE na.n2 > 0 AND nb.n2 > 0
+         |    AND $cosSql >= CAST(${Dedup.CosineTau} AS DOUBLE)),
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+         |  UNION ALL SELECT v2 AS src, v1 AS dst FROM pairs),
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v),
+         |mk AS (SELECT doc.source, doc.n_chars,
+         |    CASE WHEN l.v IS NULL OR l.label = doc.doc_id THEN 1
+         |      ELSE 0 END AS keep
+         |  FROM documents doc LEFT JOIN lab l ON l.v = doc.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(1 - keep) AS BIGINT) AS n_removed,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum((1 - keep) * n_chars) AS BIGINT) AS chars_removed,
+         |  CAST(CAST(sum(1 - keep) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS docs_removed_share,
+         |  CAST(CAST(sum((1 - keep) * n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         |    AS chars_removed_share
+         |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embCtes,

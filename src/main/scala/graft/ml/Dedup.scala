@@ -756,4 +756,52 @@ object Dedup {
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec_id"))
   }
+
+  /** SemDeDup impact attribution per source — the near-dup twin of
+    * `corpus_dedup_impact`: what SEMANTIC dedup (the
+    * [[embeddingClusters]] components over the SRP near-dup graph,
+    * keep the min-doc_id representative per component — vec_id and
+    * doc_id share an id space) would remove from each source, in
+    * documents and character mass. Exact dedup prices verbatim
+    * copies; this prices paraphrase/near-copy mass — the removal a
+    * SemDeDup pass actually performs, attributed before anyone runs
+    * it. A document with no near-dup edge is its own component and
+    * survives; a cross-source component keeps its GLOBAL canonical,
+    * so a paraphrasing mirror shows ~100% removal while the
+    * originating source keeps its copy — the same canonical rule as
+    * the exact-impact gauge, so the two never disagree about
+    * survivors.
+    *
+    * Scale shape: the component labels ride [[clusterLabels]]'s
+    * checkpoint-truncated contraction over SRP-bucketed edges (never
+    * all-pairs); the attribution is ONE broadcast-ready join of the
+    * (near-dup nodes only) label relation onto the corpus and a
+    * |sources|-row rollup. Shares divide exact BIGINTs once.
+    */
+  def semDedupImpact(embs: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = materialize(
+      embeddingPairs(embs).select(col("vec_id_a"), col("vec_id_b")))
+    val edges =
+      pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
+        .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
+    val lab = clusterLabels(edges, knownEdgeCount = Some(2L * pairs.count()))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(lab.select(col("v").as("doc_id"), col("label")), Seq("doc_id"),
+        "left")
+      .withColumn("keep",
+        col("label").isNull || col("label") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(!col("keep"), col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("chars_total"), col("chars_removed"),
+        (col("n_removed").cast("double") / col("n_docs").cast("double"))
+          .as("docs_removed_share"),
+        (col("chars_removed").cast("double") /
+          col("chars_total").cast("double")).as("chars_removed_share"))
+      .orderBy(col("source"))
+  }
 }

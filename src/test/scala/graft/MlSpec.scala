@@ -198,6 +198,34 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupImpact: mirror loses to the global canonical; removals equal cluster mass") {
+    import spark.implicits._
+    // docs 1 and 2 are semantic near-dups across sources: component
+    // {1,2} keeps canonical 1, so source b loses its copy; 3 is a
+    // singleton and survives.
+    val ones = Array.fill(64)(1f)
+    val alt = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val e = Seq(
+      (1L, ones, 0), (2L, ones, 0),
+      (3L, alt, 1)).toDF("vec_id", "embedding", "label")
+    val d = Seq(
+      (1L, "a", 10L), (2L, "b", 12L), (3L, "b", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Dedup.semDedupImpact(e, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("chars_removed")))).toMap
+    assert(got("a") === ((1L, 0L, 0L)))
+    assert(got("b") === ((2L, 1L, 12L)))
+    // on the real corpus: total removals = Σ (component size − 1)
+    val removed = Dedup.semDedupImpact(embs, docs).collect()
+      .map(_.getAs[Long]("n_removed")).sum
+    val clusterMass = Dedup.embeddingClusters(embs).collect()
+      .map(r => r.getAs[Long]("n_vecs") - 1).sum
+    assert(removed === clusterMass,
+      "impact removals must equal the cluster gauge's non-canonical mass")
+  }
+
   test("annFrontier: shared exact denominator, nested-IVF monotonicity, dominance verdicts") {
     val rows = Similarity.annFrontier(embs).collect()
     assert(rows.length === 4 + Similarity.IvfCurveProbes.length)

@@ -3614,9 +3614,24 @@ object SparkEntry {
            |    (SELECT CAST(count(*) AS BIGINT) FROM iv$n)
            |      AS n_candidates""".stripMargin
       }.mkString("\n  UNION ALL\n")
-      val gssUnion = (1 to hops)
-        .map(h => s"SELECT probe_id, node FROM gss$h")
-        .mkString("\n    UNION ALL ")
+      val gvisCtes = Similarity.GraphCurveHops.map { h =>
+        val gssUnion = (1 to h)
+          .map(x => s"SELECT probe_id, node FROM gss$x")
+          .mkString("\n    UNION ALL ")
+        s"""gvis$h AS (SELECT DISTINCT probe_id, node FROM (
+           |    $gssUnion
+           |    UNION ALL SELECT pc.probe_id, pc.node FROM pc
+           |      JOIN gen ON pc.node = gen.entry))""".stripMargin
+      }.mkString(",\n")
+      val graphRows = Similarity.GraphCurveHops.map { h =>
+        s"""SELECT 'graph' AS method, CAST($h AS BIGINT) AS param,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b
+           |      JOIN gf$h a ON a.probe_id = b.probe_id
+           |      AND a.node = b.neighbor_id) AS n_matched,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM bfk) AS n_exact,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM gvis$h)
+           |      AS n_candidates""".stripMargin
+      }.mkString("\n  UNION ALL\n")
       s"""WITH $embCtes,
          |$srpCtes,
          |$exactTopKCtes,
@@ -3653,10 +3668,7 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY probe_id
          |      ORDER BY approx_d2, neighbor_id) AS rk FROM psc)
          |  WHERE rk <= $k),
-         |gvis AS (SELECT DISTINCT probe_id, node FROM (
-         |    $gssUnion
-         |    UNION ALL SELECT pc.probe_id, pc.node FROM pc
-         |      JOIN gen ON pc.node = gen.entry)),
+         |$gvisCtes,
          |conf AS (
          |  SELECT 'exact' AS method, CAST(0 AS BIGINT) AS param,
          |    (SELECT CAST(count(*) AS BIGINT) FROM bfk) AS n_matched,
@@ -3679,12 +3691,7 @@ object SparkEntry {
          |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
          |    (SELECT CAST(count(*) AS BIGINT) FROM psc)
          |  UNION ALL
-         |  SELECT 'graph', CAST($hops AS BIGINT),
-         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b
-         |      JOIN gf$hops a ON a.probe_id = b.probe_id
-         |      AND a.node = b.neighbor_id),
-         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
-         |    (SELECT CAST(count(*) AS BIGINT) FROM gvis))
+         |  $graphRows)
          |SELECT c.method, c.param, c.n_matched, c.n_exact,
          |  c.n_candidates,
          |  CAST(c.n_matched AS DOUBLE) / CAST(c.n_exact AS DOUBLE)

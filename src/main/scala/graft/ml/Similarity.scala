@@ -1161,10 +1161,11 @@ object Similarity {
     * chooser that puts the family's four index geometries on ONE
     * stick: for each configuration (the exact scan, SRP-LSH buckets,
     * IVF at every nProbe of [[IvfCurveProbes]], the PQ-ADC full code
-    * scan, and the beam-walk graph index) the micro-averaged
-    * recall@k against the exact cosine baseline next to the number
-    * of candidates each configuration actually SCORED, plus the
-    * Pareto verdict: a config is on the frontier unless some other
+    * scan, and the beam-walk graph index at every hop count of
+    * [[GraphCurveHops]] — prefixes of ONE materialized traversal)
+    * the micro-averaged recall@k against the exact cosine baseline
+    * next to the number of candidates each configuration actually
+    * SCORED, plus the Pareto verdict: a config is on the frontier unless some other
     * config reaches ≥ its recall at ≤ its cost with one inequality
     * strict. This is the table an ANN deployment reads to pick its
     * index; the per-geometry knob curves (`sim_ann_ivf_curve`,
@@ -1271,34 +1272,41 @@ object Similarity {
           .orderBy(col("approx_d2"), col("neighbor_id"))))
     val ePq = row("pq", 0L, pqRanked)
 
-    // graph: recall from the final beam, cost from the full visited
-    // set (entry vertices + every frontier expansion that reached
-    // the cosine relation)
-    val walk = walkFrontiers(embs, GraphSearchBeam, GraphSearchHops)
+    // graph at every walk length of the curve: recall from that
+    // hop's beam, cost from the visited-so-far set (entry vertices +
+    // every frontier expansion through hop h that reached the cosine
+    // relation) — the walk snapshots are already materialized, so
+    // the sweep reads prefixes of ONE traversal, mirroring the IVF
+    // nProbe sweep.
+    val walk = walkFrontiers(embs, GraphSearchBeam, GraphCurveHops.max)
     val pcKeys = walk.pcos.select(col("probe_id"), col("node"))
-    val gVisited = (1 to GraphSearchHops).map { h =>
-      val prev = walk.snapshots(h - 1).select(col("probe_id"), col("node"))
-      prev.join(walk.edges, col("node") === col("src"))
-        .select(col("probe_id"), col("dst").as("node"))
-        .union(prev)
-    }.reduce(_ union _)
-      .union(pcKeys.join(broadcast(walk.entries), Seq("node"))
-        .select(col("probe_id"), col("node")))
-      .distinct()
-      .join(pcKeys, Seq("probe_id", "node"))
-    val eGraph = walk.snapshots(GraphSearchHops)
-      .select(col("probe_id"), col("node").as("neighbor_id"))
-      .join(hitK, Seq("probe_id", "neighbor_id"), "left")
-      .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
-        lit(0L)).as("n_matched"))
-      .crossJoin(gVisited.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(nExact)
-      .select(lit("graph").as("method"),
-        lit(GraphSearchHops.toLong).as("param"),
-        col("n_matched"), col("n_exact"), col("n_candidates"))
+    val entryScored = pcKeys
+      .join(broadcast(walk.entries), Seq("node"))
+      .select(col("probe_id"), col("node"))
+    def gVisited(hops: Int): DataFrame =
+      (1 to hops).map { h =>
+        val prev = walk.snapshots(h - 1).select(col("probe_id"), col("node"))
+        prev.join(walk.edges, col("node") === col("src"))
+          .select(col("probe_id"), col("dst").as("node"))
+          .union(prev)
+      }.reduce(_ union _)
+        .union(entryScored)
+        .distinct()
+        .join(pcKeys, Seq("probe_id", "node"))
+    val graphEntries = GraphCurveHops.map { h =>
+      walk.snapshots(h)
+        .select(col("probe_id"), col("node").as("neighbor_id"))
+        .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_matched"))
+        .crossJoin(gVisited(h).agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(nExact)
+        .select(lit("graph").as("method"), lit(h.toLong).as("param"),
+          col("n_matched"), col("n_exact"), col("n_candidates"))
+    }
 
     val allC = materialize(
-      (Seq(eExact, eLsh) ++ ivfEntries ++ Seq(ePq, eGraph))
+      (Seq(eExact, eLsh) ++ ivfEntries ++ Seq(ePq) ++ graphEntries)
         .reduce(_ unionByName _))
     val others = allC.select(col("method").as("m2"), col("param").as("p2"),
       col("n_matched").as("nm2"), col("n_candidates").as("nc2"))

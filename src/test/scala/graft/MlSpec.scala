@@ -228,7 +228,8 @@ class MlSpec extends AnyFunSuite {
 
   test("annFrontier: shared exact denominator, nested-IVF monotonicity, dominance verdicts") {
     val rows = Similarity.annFrontier(embs).collect()
-    assert(rows.length === 4 + Similarity.IvfCurveProbes.length)
+    assert(rows.length === 3 + Similarity.IvfCurveProbes.length +
+      Similarity.GraphCurveHops.length)
     val nExact = rows.map(_.getAs[Long]("n_exact")).toSet
     assert(nExact.size === 1, "every config scores against the same exact set")
     val byKey = rows.map(r =>
@@ -246,6 +247,13 @@ class MlSpec extends AnyFunSuite {
     ivf.sliding(2).foreach { case Seq(a, b) =>
       assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
       assert(a.getAs[Long]("n_matched") <= b.getAs[Long]("n_matched"))
+      case _ => ()
+    }
+    // the walk's visited set only grows with hops (the beam itself
+    // may regress a hit, so only cost is asserted monotone)
+    val gr = Similarity.GraphCurveHops.map(h => byKey(("graph", h.toLong)))
+    gr.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
       case _ => ()
     }
     // pareto flags must equal the dominance rule recomputed here

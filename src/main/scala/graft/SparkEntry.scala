@@ -125,6 +125,18 @@ object SparkEntry {
     "events_cusum"         -> ((s, dir) =>
       Analytics.cusum(Tables.load(s, dir, "events"))),
 
+    // Count-Min sketch priced against exact truth: d×w integer
+    // counter matrix (merge-by-addition at shard scale), per-type
+    // min-over-rows estimate, overestimate ≥ 0 always.
+    "events_countmin"      -> ((s, dir) =>
+      Analytics.countMinAccuracy(Tables.load(s, dir, "events"))),
+
+    // Declared-vs-sniffed modality census with planted mislabeled
+    // containers (doc_id % 17 ships the next modality's bytes) —
+    // the feed on-boarding gate before per-modality decode routing.
+    "multimodal_sniff_mismatch" -> ((s, dir) =>
+      Binary.sniffMismatch(Tables.load(s, dir, "documents"))),
+
     // Semi-structured payload discovery: per (event_type, JSON key)
     // presence and numeric profile over the props payload.
     "events_props_profile" -> ((s, dir) =>
@@ -4540,6 +4552,55 @@ object SparkEntry {
 
     // CUSUM oracle: same D-scaled integer units, same prefix-sum /
     // running-min identity, same zero-filled global day spine.
+    // CMS twin: same seeded portable hash, same d×w matrix, integer
+    // min estimate — collisions only ever add; same sketch-ordered
+    // top-N cut.
+    "events_countmin" -> {
+      val d = Analytics.CmsRows
+      val w = Analytics.CmsWidth
+      val hash = Portable.duckHash(
+        "'u#' || CAST(user_id AS VARCHAR) || '#cms#' || CAST(r AS VARCHAR)")
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |hx AS (SELECT user_id, r, $hash % $w AS cms_col
+         |  FROM ev, range($d) t(r)),
+         |cnt AS (SELECT r, cms_col, CAST(count(*) AS BIGINT) AS c
+         |  FROM hx GROUP BY 1, 2),
+         |tt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM ev GROUP BY 1),
+         |keys AS (SELECT DISTINCT user_id, r, cms_col FROM hx),
+         |est AS (SELECT k.user_id,
+         |    CAST(min(c.c) AS BIGINT) AS cms_estimate
+         |  FROM keys k JOIN cnt c ON c.r = k.r AND c.cms_col = k.cms_col
+         |  GROUP BY 1),
+         |rk AS (SELECT tt.user_id, tt.n_true, est.cms_estimate,
+         |    CAST(row_number() OVER (ORDER BY est.cms_estimate DESC,
+         |      tt.user_id) AS BIGINT) AS rk
+         |  FROM tt JOIN est ON est.user_id = tt.user_id)
+         |SELECT rk, user_id, n_true, cms_estimate,
+         |  cms_estimate - n_true AS overestimate
+         |FROM rk WHERE rk <= ${Analytics.CmsTopN}
+         |ORDER BY rk""".stripMargin
+    },
+
+    // Expectations recomputed from the planting rule alone — the
+    // engine must SNIFF its way to the same census.
+    "multimodal_sniff_mismatch" ->
+      s"""WITH k AS (SELECT
+         |    CAST(doc_id % 3 AS BIGINT) AS dk,
+         |    CAST(CASE WHEN doc_id % 17 = 0 THEN (doc_id + 1) % 3
+         |      ELSE doc_id % 3 END AS BIGINT) AS sk
+         |  FROM documents),
+         |n AS (SELECT
+         |    CASE dk WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS declared_kind,
+         |    CASE sk WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS sniffed_kind
+         |  FROM k)
+         |SELECT declared_kind, sniffed_kind,
+         |  count(*) AS n_docs,
+         |  declared_kind <> sniffed_kind AS mismatch
+         |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_cusum" -> {
       val t = operators.Analytics.CusumThreshDiv
       s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

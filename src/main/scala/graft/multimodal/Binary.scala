@@ -92,7 +92,10 @@ object Binary {
   }
 
   private[graft] def encodeMedia(id: Long): Array[Byte] =
-    java.lang.Math.floorMod(id, 3L) match {
+    encodeMediaKind(id, java.lang.Math.floorMod(id, 3L))
+
+  private[graft] def encodeMediaKind(id: Long, kind: Long): Array[Byte] =
+    kind match {
       case 0L => encodeBmp(id)
       case 1L => encodeWav(id)
       case _  => encodeY4m(id)
@@ -187,6 +190,60 @@ object Binary {
         rows.map { case (id, p) => parseMedia(id, p) }
       }
       .toDF()
+  }
+
+  /** Magic-byte container sniff alone (the dispatch half of
+    * [[parseMedia]], without the parse): BM → image, RIFF/WAVE →
+    * audio, YUV4MPEG2 → video, anything else → unknown.
+    */
+  private[graft] def sniffKind(p: Array[Byte]): String = {
+    def ascii(from: Int, len: Int): String =
+      if (p.length < from + len) "" else new String(p, from, len, "US-ASCII")
+    if (ascii(0, 2) == "BM") "image"
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") "audio"
+    else if (ascii(0, 9) == "YUV4MPEG2") "video"
+    else "unknown"
+  }
+
+  private def kindName(k: Long): String = k match {
+    case 0L => "image"
+    case 1L => "audio"
+    case _  => "video"
+  }
+
+  /** Ingest-validation gate: declared modality (the catalog's
+    * doc_id mod 3 contract) vs what the BYTES actually sniff as.
+    * Real multimodal feeds carry mislabeled payloads (wrong
+    * extension, wrong uploader pipeline); the fault is planted
+    * deterministically — every doc_id % 17 == 0 ships the NEXT
+    * modality's container — and the audit reports the (declared,
+    * sniffed) census with the mismatch flag, the table a feed
+    * on-boarding step reads before routing payloads to per-modality
+    * decoders. The engine SNIFFS the synthesized bytes (same
+    * magic-byte dispatch as [[decodeMedia]]); the oracle recomputes
+    * expectations from the planting rule alone — a sniffer bug, not
+    * just a planting bug, breaks the compare.
+    *
+    * Scale shape: map-only synthesize+sniff per document (no
+    * shuffle before the census), then one ≤9-row aggregate.
+    */
+  def sniffMismatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val declared = java.lang.Math.floorMod(id, 3L)
+        val actual =
+          if (java.lang.Math.floorMod(id, 17L) == 0L)
+            java.lang.Math.floorMod(id + 1, 3L)
+          else declared
+        (kindName(declared), sniffKind(encodeMediaKind(id, actual)))
+      })
+      .toDF("declared_kind", "sniffed_kind")
+      .groupBy(col("declared_kind"), col("sniffed_kind"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("mismatch", col("declared_kind") =!= col("sniffed_kind"))
+      .orderBy(col("declared_kind"), col("sniffed_kind"))
   }
 
   private[graft] def parseMedia(id: Long, p: Array[Byte]): MediaInfo = {

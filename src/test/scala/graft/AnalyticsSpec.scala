@@ -843,4 +843,51 @@ class AnalyticsSpec extends AnyFunSuite {
       else assert(r.getAs[Long]("first_alarm_idx") >= 0)
     }
   }
+
+  test("countmin: estimates never undercount, and a planted colliding stream is exact-summed") {
+    val rows = SparkEntry.queries("events_countmin")(spark, sf).collect()
+    assert(rows.length <= graft.operators.Analytics.CmsTopN)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"user ${r.getAs[Long]("user_id")}: CMS undercounted")
+      assert(r.getAs[Long]("cms_estimate") ===
+        r.getAs[Long]("n_true") + r.getAs[Long]("overestimate"))
+    }
+    // sketch-order ranking: estimates non-increasing down the cut
+    val est = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("cms_estimate"))
+    est.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    // hand case: two users forced into one stream each; a single-user
+    // sketch row is exact when it owns all four of its counters, and
+    // the estimate equals truth + exactly its co-resident mass when
+    // it collides in every row (pigeonhole over w=256 can't be
+    // forced, so assert only the two-sided bound)
+    import spark.implicits._
+    val ev = (1 to 30).map(i => (100L, s"e$i")) ++ (1 to 7).map(i => (200L, s"x$i"))
+    val df = ev.toDF("user_id", "event_type")
+    val got = graft.operators.Analytics.countMinAccuracy(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("cms_estimate"))).toMap
+    assert(got(100L)._1 === 30L && got(100L)._2 >= 30L && got(100L)._2 <= 37L)
+    assert(got(200L)._1 === 7L && got(200L)._2 >= 7L && got(200L)._2 <= 37L)
+  }
+
+  test("sniff mismatch: every planted wrong-container doc is caught, none invented") {
+    val rows = SparkEntry.queries("multimodal_sniff_mismatch")(spark, sf)
+      .collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.count(id => Math.floorMod(id, 17L) == 0L)
+    val mism = rows.filter(_.getAs[Boolean]("mismatch"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(mism === planted, "mismatch census must equal the planted fault count")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length)
+    // nothing sniffs as unknown: every synthesized container is valid
+    assert(!rows.exists(_.getAs[String]("sniffed_kind") == "unknown"))
+    // the planted fault maps declared k to sniffed (k+1) mod 3 only
+    rows.filter(_.getAs[Boolean]("mismatch")).foreach { r =>
+      val next = Map("image" -> "audio", "audio" -> "video", "video" -> "image")
+      assert(r.getAs[String]("sniffed_kind") ===
+        next(r.getAs[String]("declared_kind")))
+    }
+  }
 }

@@ -2052,16 +2052,29 @@ object Analytics {
     * |users|·d key relation; the top-N is a rank over the |users|-row
     * post-aggregate. No corpus self-join.
     */
-  def countMinAccuracy(ev: DataFrame): DataFrame = {
-    val hashed = ev.select(col("user_id"))
+  /** The (user, row, col) hash fan-out the sketch is built from. */
+  private def cmsHashed(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"))
       .select(col("user_id"),
         explode(sequence(lit(0L), lit(CmsRows - 1L))).as("r"))
       .withColumn("cms_col",
         graft.functions.Portable.pHash(
           concat(lit("u#"), col("user_id"), lit("#cms#"), col("r")))
           % CmsWidth)
-    val counters = hashed.groupBy(col("r"), col("cms_col"))
+
+  /** The sketch itself: the (r, col) → count counter matrix. Exposed
+    * so the merge-by-addition claim (sketch(A ∪ B) = sketch(A) +
+    * sketch(B), counter-wise) is spec-pinned, not just asserted in
+    * prose — it is the property that makes the sketch a shard-local
+    * pre-aggregation at 100 TB.
+    */
+  private[graft] def cmsCounters(ev: DataFrame): DataFrame =
+    cmsHashed(ev).groupBy(col("r"), col("cms_col"))
       .agg(count(lit(1)).as("c"))
+
+  def countMinAccuracy(ev: DataFrame): DataFrame = {
+    val hashed = cmsHashed(ev)
+    val counters = cmsCounters(ev)
     val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
     val keys = hashed.select(col("user_id"), col("r"), col("cms_col"))
       .distinct()

@@ -871,6 +871,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(200L)._1 === 7L && got(200L)._2 >= 7L && got(200L)._2 <= 37L)
   }
 
+  test("countmin: shard sketches merge by addition (counter matrices are distributive)") {
+    // THE 100 TB claim: build the sketch on two disjoint shards,
+    // add the counter matrices, and get exactly the whole-stream
+    // sketch — no other sketch state, no ordering sensitivity.
+    val ev = Tables.load(spark, sf, "events")
+    val whole = graft.operators.Analytics.cmsCounters(ev).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("cms_col")) ->
+        r.getAs[Long]("c")).toMap
+    def shard(pred: String) =
+      graft.operators.Analytics.cmsCounters(ev.filter(pred)).collect()
+        .map(r => (r.getAs[Long]("r"), r.getAs[Long]("cms_col")) ->
+          r.getAs[Long]("c")).toMap
+    val a = shard("event_id % 2 = 0")
+    val b = shard("event_id % 2 <> 0")
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === whole,
+      "adding per-shard counter matrices must reproduce the whole-stream sketch")
+  }
+
   test("sniff mismatch: every planted wrong-container doc is caught, none invented") {
     val rows = SparkEntry.queries("multimodal_sniff_mismatch")(spark, sf)
       .collect()

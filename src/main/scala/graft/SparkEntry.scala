@@ -1510,9 +1510,6 @@ object SparkEntry {
     "embed_pq" -> ((s, dir) =>
       Similarity.pqReport(Tables.load(s, dir, "embeddings"))),
 
-    // Semantic dedup clusters: exact connected components over the
-    // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
-    // step; embedding twin of dedup_clusters).
     // SemDeDup impact attribution: what semantic (embedding-CC)
     // dedup would remove per source, in docs and character mass —
     // the near-dup twin of corpus_dedup_impact, same global
@@ -1521,6 +1518,9 @@ object SparkEntry {
       Dedup.semDedupImpact(Tables.load(s, dir, "embeddings"),
         Tables.load(s, dir, "documents"))),
 
+    // Semantic dedup clusters: exact connected components over the
+    // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
+    // step; embedding twin of dedup_clusters).
     "dedup_embedding_clusters" -> ((s, dir) =>
       Dedup.embeddingClusters(Tables.load(s, dir, "embeddings"))
         .orderBy(col("cluster_id"))),
@@ -4567,7 +4567,8 @@ object SparkEntry {
          |  FROM hx GROUP BY 1, 2),
          |tt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_true
          |  FROM ev GROUP BY 1),
-         |keys AS (SELECT DISTINCT user_id, r, cms_col FROM hx),
+         |keys AS (SELECT user_id, r, $hash % $w AS cms_col
+         |  FROM tt, range($d) t(r)),
          |est AS (SELECT k.user_id,
          |    CAST(min(c.c) AS BIGINT) AS cms_estimate
          |  FROM keys k JOIN cnt c ON c.r = k.r AND c.cms_col = k.cms_col

@@ -746,15 +746,23 @@ object Dedup {
     * cluster path, swapping the shingle pipeline for per-row
     * quantized-cosine math.
     */
-  def embeddingClusters(embs: DataFrame): DataFrame = {
+  def embeddingClusters(embs: DataFrame): DataFrame =
+    embeddingComponentLabels(embs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec_id"))
+
+  /** Component labels of the embedding near-dup graph — the ONE
+    * construction behind both [[embeddingClusters]] and
+    * [[semDedupImpact]], so the two gauges cannot disagree about
+    * components (label = min vec_id reachable).
+    */
+  private def embeddingComponentLabels(embs: DataFrame): DataFrame = {
     val pairs = materialize(
       embeddingPairs(embs).select(col("vec_id_a"), col("vec_id_b")))
     val edges =
       pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
         .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
     clusterLabels(edges, knownEdgeCount = Some(2L * pairs.count()))
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec_id"))
   }
 
   /** SemDeDup impact attribution per source — the near-dup twin of
@@ -779,12 +787,7 @@ object Dedup {
     * |sources|-row rollup. Shares divide exact BIGINTs once.
     */
   def semDedupImpact(embs: DataFrame, docs: DataFrame): DataFrame = {
-    val pairs = materialize(
-      embeddingPairs(embs).select(col("vec_id_a"), col("vec_id_b")))
-    val edges =
-      pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
-        .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst")))
-    val lab = clusterLabels(edges, knownEdgeCount = Some(2L * pairs.count()))
+    val lab = embeddingComponentLabels(embs)
     docs.select(col("doc_id"), col("source"), col("n_chars"))
       .join(lab.select(col("v").as("doc_id"), col("label")), Seq("doc_id"),
         "left")

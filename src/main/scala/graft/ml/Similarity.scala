@@ -1043,15 +1043,6 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
-  /** The walk itself, snapshotting the frontier after every hop —
-    * [[graphSearch]] reads the last snapshot, [[graphSearchCurve]]
-    * reads several from ONE walk (each snapshot is already
-    * checkpoint-materialized, so reading three costs nothing extra).
-    * Also returns the cached probe-cosine relation: it IS the exact
-    * probe-corpus scoring, so the recall gauges rank THEIR exact
-    * side from it instead of paying topKBruteForce's second
-    * quantize-and-score corpus scan.
-    */
   /** Everything a consumer of the beam walk can reuse: the per-hop
     * frontier snapshots, the cached probe-corpus cosine relation,
     * the search graph's edges, and the per-label entry vertices
@@ -1063,6 +1054,15 @@ object Similarity {
       edges: DataFrame,
       entries: DataFrame)
 
+  /** The walk itself, snapshotting the frontier after every hop —
+    * [[graphSearch]] reads the last snapshot, [[graphSearchCurve]]
+    * reads several from ONE walk (each snapshot is already
+    * checkpoint-materialized, so reading three costs nothing extra).
+    * Also returns the cached probe-cosine relation: it IS the exact
+    * probe-corpus scoring, so the recall gauges rank THEIR exact
+    * side from it instead of paying topKBruteForce's second
+    * quantize-and-score corpus scan.
+    */
   private def walkFrontiers(
       embs: DataFrame, beam: Int, hops: Int): GraphWalk = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
@@ -1280,19 +1280,20 @@ object Similarity {
     // nProbe sweep.
     val walk = walkFrontiers(embs, GraphSearchBeam, GraphCurveHops.max)
     val pcKeys = walk.pcos.select(col("probe_id"), col("node"))
-    val entryScored = pcKeys
-      .join(broadcast(walk.entries), Seq("node"))
-      .select(col("probe_id"), col("node"))
-    def gVisited(hops: Int): DataFrame =
-      (1 to hops).map { h =>
+    // visited-so-far accumulates ONCE across hops (each prefix
+    // extends the previous union — the graph twin of "rank the
+    // cells once, cut per nProbe"); the per-point distinct + pc
+    // join runs on the lazily-shared prefix
+    val visitedAt = (1 to GraphCurveHops.max)
+      .scanLeft(pcKeys.join(broadcast(walk.entries), Seq("node"))
+        .select(col("probe_id"), col("node"))) { (acc, h) =>
         val prev = walk.snapshots(h - 1).select(col("probe_id"), col("node"))
-        prev.join(walk.edges, col("node") === col("src"))
-          .select(col("probe_id"), col("dst").as("node"))
+        acc.union(prev.join(walk.edges, col("node") === col("src"))
+          .select(col("probe_id"), col("dst").as("node")))
           .union(prev)
-      }.reduce(_ union _)
-        .union(entryScored)
-        .distinct()
-        .join(pcKeys, Seq("probe_id", "node"))
+      }
+    def gVisited(hops: Int): DataFrame =
+      visitedAt(hops).distinct().join(pcKeys, Seq("probe_id", "node"))
     val graphEntries = GraphCurveHops.map { h =>
       walk.snapshots(h)
         .select(col("probe_id"), col("node").as("neighbor_id"))

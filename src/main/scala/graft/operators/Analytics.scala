@@ -2052,9 +2052,13 @@ object Analytics {
     * |users|·d key relation; the top-N is a rank over the |users|-row
     * post-aggregate. No corpus self-join.
     */
-  /** The (user, row, col) hash fan-out the sketch is built from. */
-  private def cmsHashed(ev: DataFrame): DataFrame =
-    ev.select(col("user_id"))
+  /** The (user, row, col) hash fan-out — applied to the raw event
+    * stream to build the sketch, and to the |users|-row truth
+    * relation to derive each key's probe coordinates (same formula,
+    * so they can't drift).
+    */
+  private def cmsHashed(users: DataFrame): DataFrame =
+    users.select(col("user_id"))
       .select(col("user_id"),
         explode(sequence(lit(0L), lit(CmsRows - 1L))).as("r"))
       .withColumn("cms_col",
@@ -2073,11 +2077,12 @@ object Analytics {
       .agg(count(lit(1)).as("c"))
 
   def countMinAccuracy(ev: DataFrame): DataFrame = {
-    val hashed = cmsHashed(ev)
     val counters = cmsCounters(ev)
     val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
-    val keys = hashed.select(col("user_id"), col("r"), col("cms_col"))
-      .distinct()
+    // probe coordinates from the already-reduced |users|-row truth
+    // relation (a |users|·d map) — NOT a distinct over the d×|events|
+    // fan-out, which would be a second corpus-scale shuffle
+    val keys = cmsHashed(truth)
     val est = keys.join(broadcast(counters), Seq("r", "cms_col"))
       .groupBy(col("user_id"))
       .agg(min(col("c")).as("cms_estimate"))

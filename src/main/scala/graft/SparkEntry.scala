@@ -131,6 +131,12 @@ object SparkEntry {
     "events_countmin"      -> ((s, dir) =>
       Analytics.countMinAccuracy(Tables.load(s, dir, "events"))),
 
+    // Daily-count autocorrelation at lags 1..7: the seasonality
+    // STRENGTH next to events_seasonality's shape — integer-exact
+    // Pearson r over the zero-filled day spine.
+    "events_autocorr"      -> ((s, dir) =>
+      Analytics.eventsAutocorr(Tables.load(s, dir, "events"))),
+
     // Declared-vs-sniffed modality census with planted mislabeled
     // containers (doc_id % 17 ships the next modality's bytes) —
     // the feed on-boarding gate before per-modality decode routing.
@@ -4601,6 +4607,46 @@ object SparkEntry {
          |  count(*) AS n_docs,
          |  declared_kind <> sniffed_kind AS mismatch
          |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same zero-filled day spine as the cusum oracle; Pearson r from
+    // the same integer cross-products as corpus_quality_length_corr.
+    "events_autocorr" -> {
+      val maxLag = operators.Analytics.AutocorrMaxLag
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (SELECT t.event_type, i.day_idx
+         |  FROM (SELECT DISTINCT event_type FROM daily) t,
+         |    (SELECT unnest(range(0,
+         |      CAST(date_diff('day', d0, d1) AS BIGINT) + 1)) AS day_idx
+         |     FROM b) i),
+         |dd AS (SELECT d.event_type,
+         |    CAST(date_diff('day', b.d0, d.day) AS BIGINT) AS day_idx, d.x
+         |  FROM daily d, b),
+         |fl AS (SELECT s.event_type, s.day_idx, coalesce(dd.x, 0) AS x
+         |  FROM spine s LEFT JOIN dd ON dd.event_type = s.event_type
+         |    AND dd.day_idx = s.day_idx),
+         |pr AS (SELECT a.event_type, l.lag, a.x, bb.x AS y
+         |  FROM fl a
+         |  CROSS JOIN (SELECT unnest(range(1, $maxLag + 1)) AS lag) l
+         |  JOIN fl bb ON bb.event_type = a.event_type
+         |    AND bb.day_idx = a.day_idx + l.lag),
+         |st AS (SELECT event_type, lag,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  CASE WHEN n_pairs * sxx - sx * sx > 0
+         |      AND n_pairs * syy - sy * sy > 0
+         |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+         |    ELSE NULL END AS r
+         |FROM st ORDER BY 1, 2""".stripMargin
+    },
 
     "events_cusum" -> {
       val t = operators.Analytics.CusumThreshDiv

@@ -2021,6 +2021,72 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  val AutocorrMaxLag = 7
+
+  /** Daily-count autocorrelation at lags 1..[[AutocorrMaxLag]] per
+    * event type — the seasonality-STRENGTH gauge that completes the
+    * time-structure trio: `events_seasonality` shows the SHAPE
+    * (hour×type lift), `events_forecast_backtest` prices the PAYOFF
+    * of exploiting it, and this measures HOW PERIODIC the series
+    * actually is (r at lag 7 ≫ lags 1-6 ⇒ weekly structure; all
+    * lags ≈ 0 ⇒ the profile is noise and the seasonal forecast
+    * should not be trusted).
+    *
+    * The day spine is zero-filled (a day with no events is a 0
+    * sample, not a missing row — without the fill the lag pairs
+    * silently misalign around gaps and every r inflates). Pearson r
+    * comes from integer cross-products (the qualityLengthCorr
+    * pattern): every sum is exact int64 and order-independent; the
+    * only float op is one final division, identical in the oracle.
+    * A constant window (zero variance on either side) yields null.
+    *
+    * Scale shape: ONE (type, day) reduce (map-side combined — the
+    * relation is |types|·|days|, bounded by the retention window,
+    * not the corpus); the lag pairs are an equi-join of that
+    * bounded relation against itself on (type, day+lag) after a ≤7×
+    * lag fan-out; output |types|·maxLag rows.
+    */
+  def eventsAutocorr(
+      ev: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame = {
+    val daily = graft.CacheScope.materialize(ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(0, datediff(d1, d0))")).as("di"))
+      .select(col("event_type"), col("di").cast("long").as("day_idx"))
+    val indexed = daily.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("day_idx"), col("x"))
+    val full = graft.CacheScope.materialize(
+      spine.join(indexed, Seq("event_type", "day_idx"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L))))
+    val pairs = full
+      .withColumn("lag", explode(expr(s"sequence(1L, ${maxLag}L)")))
+      .withColumn("day_y", col("day_idx") + col("lag"))
+      .join(full.select(col("event_type"), col("day_idx").as("day_y"),
+        col("x").as("y")), Seq("event_type", "day_y"))
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val dx = m("n_pairs") * m("sxx") - m("sx") * m("sx")
+    val dy = m("n_pairs") * m("syy") - m("sy") * m("sy")
+    m.withColumn("r",
+        when(dx > 0 && dy > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .otherwise(lit(null).cast("double")))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"), col("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   val CmsRows = 4
   val CmsWidth = 256
   val CmsTopN = 64

@@ -871,6 +871,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(200L)._1 === 7L && got(200L)._2 >= 7L && got(200L)._2 <= 37L)
   }
 
+  test("autocorr: a period-2 daily series scores exactly 1.0 at lag 2") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 days alternating 1/3 events: at lag 2 the lagged series IS
+    // the original (r = 1.0 exactly — integer cross-products, no
+    // rounding slack needed); at lag 1 it anti-correlates.
+    val rows = for {
+      d <- 0 until 10
+      k <- 0 until (if (d % 2 == 0) 1 else 3)
+    } yield (Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:0$k"), "t")
+    val ev = rows.toDF("ts", "event_type")
+    val got = graft.operators.Analytics.eventsAutocorr(ev).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(got(2L).getAs[Double]("r") === 1.0)
+    assert(got(1L).getAs[Double]("r") < 0.0)
+    got.foreach { case (l, r) =>
+      assert(r.getAs[Long]("n_pairs") === 10 - l)
+      if (!r.isNullAt(r.fieldIndex("r"))) {
+        val v = r.getAs[Double]("r")
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12)
+      }
+    }
+  }
+
   test("countmin: shard sketches merge by addition (counter matrices are distributive)") {
     // THE 100 TB claim: build the sketch on two disjoint shards,
     // add the counter matrices, and get exactly the whole-stream

@@ -211,6 +211,12 @@ object SparkEntry {
         retentionHours = 24, atTs = "2024-01-29 00:00:00",
         checkpointTs = "2024-01-30 12:00:00")),
 
+    // Contiguous-acked-prefix frontier per shard: the only seq an
+    // out-of-order-ack consumer may checkpoint, plus the replay
+    // volume a restart from it redelivers.
+    "cdc_checkpoint_frontier" -> ((s, dir) =>
+      cdc.Retention.checkpointFrontier(ChangeFeed.fromEvents(s, dir))),
+
     // Full-load → CDC cutover: snapshot taken ACROSS an in-flight
     // change window, merged with the overlapping stream by position
     // (snapshot row at (read_ts, +inf)); per table the cached/
@@ -752,6 +758,19 @@ object SparkEntry {
       TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
         col("text"))),
 
+    // Top-N vocabulary coverage elbow at power-of-two budgets: the
+    // tokenizer-sizing curve (rank + running mass from ONE range
+    // exchange via Ranks.groupedWithSum).
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"),
+        col("text"))),
+
+    // CCNet triage: language × perplexity head/middle/tail tertiles
+    // (NTILE-parity rank cuts per predicted language, two-phase rank).
+    "corpus_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "text_topk_terms" -> ((s, dir) =>
       TextAnalysis.topKTerms(Tables.load(s, dir, "documents"),
           col("source"), col("text"), 10)
@@ -964,6 +983,11 @@ object SparkEntry {
     // graph erodes when low-degree periphery is stripped.
     "sim_knn_kcore" -> ((s, dir) =>
       Similarity.knnKcore(Tables.load(s, dir, "embeddings"))),
+
+    // Triangle/wedge closure census per label: degree-oriented
+    // (compact-forward) enumeration, hub-safe at any scale.
+    "sim_knn_triangles" -> ((s, dir) =>
+      Similarity.knnTriangles(Tables.load(s, dir, "embeddings"))),
 
     // Per-label anisotropy (‖mean‖²/mean‖v‖²): the common-direction
     // artifact gauge; exact integer moments, one double expression.
@@ -1524,6 +1548,12 @@ object SparkEntry {
       Dedup.semDedupImpact(Tables.load(s, dir, "embeddings"),
         Tables.load(s, dir, "documents"))),
 
+    // MinHash-LSH impact attribution: the LEXICAL near-dup leg of
+    // the impact trio (exact / minhash / semdedup), components over
+    // exact-Jaccard-VERIFIED pairs at the curve's τ=0.80 cutoff.
+    "corpus_minhash_impact" -> ((s, dir) =>
+      Dedup.minhashImpact(Tables.load(s, dir, "documents"))),
+
     // Semantic dedup clusters: exact connected components over the
     // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
     // step; embedding twin of dedup_clusters).
@@ -1557,6 +1587,20 @@ object SparkEntry {
     // completes the per-modality content-feature triple.
     "multimodal_image_features" -> ((s, dir) =>
       Binary.imageFeatures(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
+    // Variance-of-Laplacian blur gate over the REAL BMP pixel walk:
+    // exact integer moments, one double variance expression.
+    "multimodal_blur" -> ((s, dir) =>
+      Binary.blurStats(
+          Binary.mediaPayload(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
+    // Dominant 64-cell quantized color per image: the palette triage
+    // census (exact counts, lowest-cell argmax tie-break).
+    "multimodal_palette" -> ((s, dir) =>
+      Binary.paletteStats(
           Binary.mediaPayload(Tables.load(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
@@ -2403,6 +2447,33 @@ object SparkEntry {
          |SELECT *, CASE WHEN n_lost = 0 THEN 'ok' ELSE 'data-loss' END
          |  AS verdict
          |FROM u ORDER BY shard, iterator_type""".stripMargin,
+
+    // Same one-shard-exchange chain as cdc_consume_resume; the
+    // prefix-acked running min turns the gap census into plain sums.
+    "cdc_checkpoint_frontier" ->
+      s"""$C, s0 AS (SELECT ts, event_id,
+         |    ${Portable.duckHash("partition_key")} % 8 AS shard
+         |  FROM c WHERE ts IS NOT NULL),
+         |q AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY ts, event_id) AS BIGINT) AS seq FROM s0),
+         |q2 AS (SELECT *, (event_id % 37 <> 0) AS acked FROM q),
+         |q3 AS (SELECT *, min(CASE WHEN acked THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY shard ORDER BY seq
+         |    ROWS UNBOUNDED PRECEDING) AS pfx FROM q2),
+         |g AS (SELECT shard,
+         |    CAST(count(*) AS BIGINT) AS n_records,
+         |    CAST(count(*) FILTER (WHERE acked) AS BIGINT) AS n_acked,
+         |    CAST(sum(pfx) AS BIGINT) AS frontier_seq,
+         |    arg_max(ts, seq) FILTER (WHERE pfx = 1) AS frontier_ts,
+         |    arg_max(event_id, seq) FILTER (WHERE pfx = 1)
+         |      AS frontier_event_id,
+         |    min(seq) FILTER (WHERE NOT acked) AS first_gap_seq
+         |  FROM q3 GROUP BY 1)
+         |SELECT shard, n_records, n_acked, frontier_seq, frontier_ts,
+         |  frontier_event_id, first_gap_seq,
+         |  n_acked - frontier_seq AS n_beyond_frontier,
+         |  n_records - frontier_seq AS n_redelivered
+         |FROM g ORDER BY shard""".stripMargin,
 
     "cdc_snapshot_handoff" ->
       s"""$handoffKCtes,
@@ -5404,6 +5475,60 @@ object SparkEntry {
          |    CAST(count(*) AS DOUBLE) AS hapax_share
          |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Window cumsum over the (tf desc, tok) total order; the
+    // power-of-two gate is the branchless rank & (rank-1) = 0 test.
+    "text_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |r AS (SELECT tok, tf,
+         |    row_number() OVER (ORDER BY tf DESC, tok) AS rank,
+         |    sum(tf) OVER (ORDER BY tf DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS covered,
+         |    count(*) OVER () AS n_vocab,
+         |    sum(tf) OVER () AS total FROM tf)
+         |SELECT CAST(rank AS BIGINT) AS vocab_size, tok,
+         |  CAST(tf AS BIGINT) AS tf,
+         |  CAST(covered AS BIGINT) AS covered_tokens,
+         |  CAST(total AS BIGINT) AS total_tokens,
+         |  CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         |FROM r WHERE (rank & (rank - 1)) = 0 OR rank = n_vocab
+         |ORDER BY vocab_size""".stripMargin,
+
+    // text_perplexity_filter's exact-integer LM score + text_langid's
+    // marker argmax, then SQL NTILE(3) per language — the Spark side
+    // cuts with Ranks.ntileExpr, spec-pinned NTILE-parity.
+    "corpus_ccnet_buckets" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, unnest($toksT) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(length(bin(tf)) - 1) AS BIGINT) AS sum_log2_tf
+         |  FROM toks JOIN tf USING (tok) GROUP BY doc_id),
+         |lm AS (SELECT d.doc_id,
+         |    COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |    COALESCE(CAST(sc.sum_log2_tf AS DOUBLE)
+         |        / CAST(sc.n_tokens AS DOUBLE),
+         |      CAST(-1.0 AS DOUBLE)) AS score
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM documents),
+         |p AS (SELECT doc_id, $langPredSql AS pred_lang FROM s),
+         |r AS (SELECT lm.n_tokens, lm.score, p.pred_lang,
+         |    ntile(3) OVER (PARTITION BY p.pred_lang
+         |      ORDER BY lm.score DESC, lm.doc_id) AS bucket
+         |  FROM lm JOIN p ON p.doc_id = lm.doc_id)
+         |SELECT pred_lang, CAST(bucket AS BIGINT) AS bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket_name,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+    },
+
     "dedup_exact" ->
       s"""SELECT md5($normT) AS fp, count(*) AS n_docs,
          |  min(doc_id) AS canonical_id
@@ -5822,6 +5947,48 @@ object SparkEntry {
          |  count(*) AS n_edges, CAST(sum(mut) AS BIGINT) AS n_mutual,
          |  CAST(sum(mut) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
          |FROM e2 JOIN embeddings l ON l.vec_id = e2.src
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same gsym construction as sim_knn_kcore; the orientation,
+    // wedge join, and corner explode mirror the Spark plan exactly,
+    // so every count is the same exact integer.
+    "sim_knn_triangles" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |${knnEdgeCtes(Similarity.KnnGraphK)},
+         |gsym AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+         |deg AS (SELECT src AS v, count(*) AS deg FROM gsym GROUP BY 1),
+         |und AS (SELECT g.src, g.dst, ds.deg AS deg_s, dd.deg AS deg_d
+         |  FROM gsym g
+         |  JOIN deg ds ON ds.v = g.src
+         |  JOIN deg dd ON dd.v = g.dst
+         |  WHERE g.src < g.dst),
+         |orr AS (SELECT
+         |    CASE WHEN deg_s < deg_d OR (deg_s = deg_d AND src < dst)
+         |      THEN src ELSE dst END AS lo,
+         |    CASE WHEN deg_s < deg_d OR (deg_s = deg_d AND src < dst)
+         |      THEN dst ELSE src END AS hi
+         |  FROM und),
+         |tri AS (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+         |  FROM orr w1 JOIN orr w2 ON w2.lo = w1.lo AND w2.hi > w1.hi
+         |  WHERE EXISTS (SELECT 1 FROM gsym g
+         |    WHERE g.src = w1.hi AND g.dst = w2.hi)),
+         |pn AS (SELECT v, count(*) AS n_tri FROM
+         |    (SELECT unnest([a, b, c]) AS v FROM tri)
+         |  GROUP BY 1)
+         |SELECT l.label, count(*) AS n_nodes,
+         |  CAST(sum(CASE WHEN d.deg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_deg_ge2,
+         |  CAST(sum(d.deg * (d.deg - 1)) // 2 AS BIGINT) AS n_wedges,
+         |  CAST(sum(coalesce(pn.n_tri, 0)) AS BIGINT) AS n_closed,
+         |  CASE WHEN sum(d.deg * (d.deg - 1)) > 0
+         |    THEN CAST(sum(coalesce(pn.n_tri, 0)) AS DOUBLE) * 2.0
+         |      / CAST(sum(d.deg * (d.deg - 1)) AS DOUBLE)
+         |    ELSE NULL END AS closure
+         |FROM deg d
+         |LEFT JOIN pn ON pn.v = d.v
+         |JOIN embeddings l ON l.vec_id = d.v
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_graph" ->
@@ -6494,6 +6661,45 @@ object SparkEntry {
          |  AND a.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // dedup_ngram_jaccard's verify chain (exact intersections over
+    // banding candidates), integer keep test at τ=80, then the same
+    // recursive-CC + removal rollup as the other two impact gauges.
+    "corpus_minhash_impact" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.d1
+         |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT i.d1, i.d2 FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.d1
+         |  JOIN sizes sb ON sb.doc_id = i.d2
+         |  WHERE 100 * i.n_inter >= ${Dedup.MinhashImpactTau}
+         |    * (sa.set_size + sb.set_size - i.n_inter)),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM ver
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM ver),
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v),
+         |mk AS (SELECT doc.source, doc.n_chars,
+         |    CASE WHEN l.v IS NULL OR l.label = doc.doc_id THEN 1
+         |      ELSE 0 END AS keep
+         |  FROM documents doc LEFT JOIN lab l ON l.v = doc.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(1 - keep) AS BIGINT) AS n_removed,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum((1 - keep) * n_chars) AS BIGINT) AS chars_removed,
+         |  CAST(CAST(sum(1 - keep) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS docs_removed_share,
+         |  CAST(CAST(sum((1 - keep) * n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         |    AS chars_removed_share
+         |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Same recursive-CC chain as dedup_embedding_clusters, then the
     // removal rollup joined onto documents (vec_id = doc_id space).
     "corpus_semdedup_impact" ->
@@ -6807,6 +7013,71 @@ object SparkEntry {
          |  CAST(sum(byte) AS DOUBLE) / (CAST(3 AS DOUBLE) * max(w) * max(h))
          |    AS mean_brightness
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The Laplacian is recomputed arithmetically from the generator's
+    // closed form (byte k = (id·31+k) % 256): s_at(j) is the pixel-j
+    // channel sum, neighbors are j±1 / j±w — no byte materialization.
+    // The engine's storage-order walk is a vertical mirror of this
+    // content-order walk; the moment sums are invariant to it.
+    "multimodal_blur" -> {
+      def sAt(j: String): String =
+        s"""(((doc_id * 31 + ($j) * 3) % 256)
+           | + ((doc_id * 31 + ($j) * 3 + 1) % 256)
+           | + ((doc_id * 31 + ($j) * 3 + 2) % 256))""".stripMargin
+      val lap = s"4 * ${sAt("j")} - ${sAt("j - 1")} - ${sAt("j + 1")}" +
+        s" - ${sAt("j - w")} - ${sAt("j + w")}"
+      s"""WITH im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (SELECT doc_id, w, h, j, j % w AS x, j // w AS y
+         |  FROM (SELECT doc_id, w, h,
+         |    unnest(range(0, w * h)) AS j FROM im)),
+         |lp AS (SELECT doc_id, w, h,
+         |    CAST($lap AS BIGINT) AS lap
+         |  FROM px
+         |  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2),
+         |g AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+         |    CAST(count(*) AS BIGINT) AS n_interior,
+         |    CAST(sum(lap) AS BIGINT) AS sum_lap,
+         |    CAST(sum(lap * lap) AS BIGINT) AS sum_lap_sq
+         |  FROM lp GROUP BY 1)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height, n_interior, sum_lap, sum_lap_sq,
+         |  CAST(n_interior * sum_lap_sq - sum_lap * sum_lap AS DOUBLE)
+         |    / CAST(n_interior * n_interior AS DOUBLE) AS var_lap
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // Same byte arithmetic as multimodal_image_features' oracle, with
+    // the per-pixel 3-byte fold into the 64-cell (b,g,r)÷64 bucket.
+    "multimodal_palette" ->
+      s"""WITH im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |b AS (SELECT doc_id, w, h,
+         |    unnest(range(0, w * h * 3)) AS j FROM im),
+         |v AS (SELECT doc_id, w, h, j // 3 AS pix, j % 3 AS ch,
+         |    (doc_id * 31 + j) % 256 AS byte FROM b),
+         |cells AS (SELECT doc_id, w, h, pix,
+         |    CAST(sum(CASE CAST(ch AS INT)
+         |      WHEN 0 THEN (byte // 64) * 16
+         |      WHEN 1 THEN (byte // 64) * 4
+         |      ELSE byte // 64 END) AS BIGINT) AS cell
+         |  FROM v GROUP BY 1, 2, 3, 4),
+         |cc AS (SELECT doc_id, w, h, cell, count(*) AS cnt
+         |  FROM cells GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, cell) AS rk,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_cells
+         |  FROM cc)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  CAST(n_cells AS BIGINT) AS n_cells_used,
+         |  cell AS top_cell, CAST(cnt AS BIGINT) AS top_count,
+         |  CAST(cnt AS DOUBLE) / CAST(w * h AS DOUBLE) AS top_share
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "events_interarrival" ->
       s"""WITH g AS (SELECT event_type,

@@ -96,6 +96,53 @@ object Retention {
     * the unique sequence. The 3-way unpivot runs over the |shards|-row
     * post-aggregate. Output = |shards|·|types| rows.
     */
+  /** Ack-frontier audit — the checkpointing primitive under every
+    * exactly-once consumer whose downstream acks arrive OUT OF
+    * ORDER (async batch writes, parallel appliers): the only seq a
+    * shard may checkpoint is the CONTIGUOUS-ACKED PREFIX frontier —
+    * the largest n with records 1..n all acked. Acked records beyond
+    * the first gap are delivered work the checkpoint cannot cover:
+    * on restart they replay, and the gauge prices exactly that
+    * (`n_beyond_frontier` = duplicates the idempotent apply must
+    * absorb, `n_redelivered` = total replay volume from the
+    * frontier). In-flight (unacked) records are planted
+    * deterministically (event_id % 37 = 0), so the oracle recomputes
+    * the same gaps.
+    *
+    * Scale shape: ONE shard exchange — the sequence row_number and
+    * the running prefix-acked min are chained windows on the same
+    * partitioning (the [[resumePlaybook]] pattern); everything else
+    * is one conditional aggregate per shard. The frontier position
+    * rides a struct-max on the unique seq. Output = |shards| rows.
+    */
+  def checkpointFrontier(changes: DataFrame, nShards: Int = 8): DataFrame = {
+    val feed = ChangeFeed.withShard(
+      changes.filter(col("ts").isNotNull), nShards)
+    val seqW = Window.partitionBy(col("shard"))
+      .orderBy(col("ts"), col("event_id"))
+    val q = feed
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .withColumn("acked", col("event_id") % 37L =!= 0L)
+      .withColumn("pfx",
+        min(when(col("acked"), 1L).otherwise(0L))
+          .over(seqW.rowsBetween(Window.unboundedPreceding, 0)))
+    val g = q.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_records"),
+      sum(when(col("acked"), 1L).otherwise(0L)).as("n_acked"),
+      sum(col("pfx")).as("frontier_seq"),
+      max(when(col("pfx") === 1L, struct(col("seq"), col("ts"),
+        col("event_id")))).as("frontier_rec"),
+      min(when(!col("acked"), col("seq"))).as("first_gap_seq"))
+    g.select(col("shard"), col("n_records"), col("n_acked"),
+        col("frontier_seq"),
+        col("frontier_rec.ts").as("frontier_ts"),
+        col("frontier_rec.event_id").as("frontier_event_id"),
+        col("first_gap_seq"),
+        (col("n_acked") - col("frontier_seq")).as("n_beyond_frontier"),
+        (col("n_records") - col("frontier_seq")).as("n_redelivered"))
+      .orderBy(col("shard"))
+  }
+
   def resumePlaybook(
       changes: DataFrame,
       retentionHours: Int,

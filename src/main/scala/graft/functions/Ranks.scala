@@ -65,6 +65,53 @@ object Ranks {
       .drop("_rk_pid", "_rk_off")
   }
 
+  /** [[grouped]] PLUS the exclusive per-group running sum of
+    * `valueCol` over the same order, from the SAME single range
+    * exchange — for cumulative-coverage shapes (rank a vocabulary by
+    * frequency AND accumulate the mass it covers) that would
+    * otherwise pay two range sorts through [[grouped]] +
+    * [[prefixSum]]. Adds `rank`, `grp_total` (group row count),
+    * `prefix_sum` (exclusive running sum of `valueCol`, 0 for the
+    * first row), and `grp_value_total` (the group's full `valueCol`
+    * sum — the coverage denominator, free from the same offsets
+    * relation). Same contract as [[grouped]]: the only cross-row
+    * windows run over the |partitions|·|groups| offsets relation,
+    * and `orderCols` must totally order each group.
+    */
+  def groupedWithSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val gc = groupCols.map(col)
+    val ranged = graft.CacheScope.materialize(df
+      .repartitionByRange(n, (groupCols ++ orderCols).map(col): _*)
+      .withColumn("_rk_pid", spark_partition_id()))
+    val byGroup = Window.partitionBy(gc: _*)
+    val prior = byGroup.orderBy(col("_rk_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("_rk_pid") +: gc: _*)
+      .agg(count(lit(1)).as("_rk_cnt"), sum(col(valueCol)).as("_rk_vsum"))
+      .withColumn("_rk_off",
+        coalesce(sum(col("_rk_cnt")).over(prior), lit(0L)))
+      .withColumn("_rk_voff",
+        coalesce(sum(col("_rk_vsum")).over(prior), lit(0L)))
+      .withColumn("grp_total", sum(col("_rk_cnt")).over(byGroup))
+      .withColumn("grp_value_total", sum(col("_rk_vsum")).over(byGroup))
+      .select(col("_rk_pid") +: (gc :+ col("_rk_off") :+ col("_rk_voff")
+        :+ col("grp_total") :+ col("grp_value_total")): _*)
+    val wp = Window.partitionBy(col("_rk_pid") +: gc: _*)
+      .orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offs), "_rk_pid" +: groupCols)
+      .withColumn("rank", col("_rk_off") + row_number().over(wp))
+      .withColumn("prefix_sum", col("_rk_voff") +
+        coalesce(sum(col(valueCol))
+          .over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_rk_pid", "_rk_off", "_rk_voff")
+  }
+
   /** Exclusive running maximum of `valueCol` (a numeric column) over
     * the global `orderCols` ascending order — NULL for the first
     * row(s). The scan-shaped sibling of [[grouped]]: a naive

@@ -765,6 +765,69 @@ object Dedup {
     clusterLabels(edges, knownEdgeCount = Some(2L * pairs.count()))
   }
 
+  /** Jaccard threshold (hundredths) the MinHash impact gauge keeps
+    * edges at — the τ=0.80 point of [[jaccardCurve]], the common
+    * production near-dup cutoff.
+    */
+  val MinhashImpactTau = 80L
+
+  /** MinHash-LSH dedup impact attribution per source — the third leg
+    * of the impact trio: `corpus_dedup_impact` prices VERBATIM
+    * copies, `corpus_semdedup_impact` prices semantic near-copies
+    * (embedding space), this prices LEXICAL near-copies (n-gram
+    * space) — the removal a MinHash pipeline at the τ=0.80 verify
+    * cutoff would actually perform. The three disagreeing is itself
+    * the signal: exact ≪ minhash ⇒ the corpus is full of
+    * lightly-edited mirrors; minhash ≪ semdedup ⇒ paraphrase mass
+    * no lexical dedup can see.
+    *
+    * Components run over the VERIFIED edge set (exact-Jaccard keep
+    * test `100·|∩| ≥ τ·|∪|`, integers only — the same keep test as
+    * the yield curve, so the curve's τ=80 row predicts exactly this
+    * gauge's pair set), NOT the raw banding candidates: banding
+    * false positives would otherwise chain unrelated docs into one
+    * component and overstate removal. Keep-rule: global min-doc_id
+    * canonical per component, identical to the other two gauges, so
+    * the three never disagree about survivors.
+    *
+    * Scale shape: candidate generation and verification are the
+    * dedup_ngram_jaccard pipeline (bucketed equi-joins, candidate-
+    * bounded intersections — never all-pairs); components ride
+    * [[clusterLabels]]' checkpoint-truncated contraction; the
+    * attribution is ONE join of the label relation onto the corpus
+    * and a |sources|-row rollup.
+    */
+  def minhashImpact(docs: DataFrame): DataFrame = {
+    val verified = materialize(ngramJaccardPairs(docs)
+      .filter(lit(100L) * col("n_inter") >=
+        lit(MinhashImpactTau) *
+          (col("size_a") + col("size_b") - col("n_inter")))
+      .select(col("doc_id_a"), col("doc_id_b")))
+    val edges =
+      verified.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .union(verified.select(col("doc_id_b").as("src"),
+          col("doc_id_a").as("dst")))
+    val lab = clusterLabels(edges, knownEdgeCount = Some(2L * verified.count()))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(lab.select(col("v").as("doc_id"), col("label")), Seq("doc_id"),
+        "left")
+      .withColumn("keep",
+        col("label").isNull || col("label") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(!col("keep"), col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("chars_total"), col("chars_removed"),
+        (col("n_removed").cast("double") / col("n_docs").cast("double"))
+          .as("docs_removed_share"),
+        (col("chars_removed").cast("double") /
+          col("chars_total").cast("double")).as("chars_removed_share"))
+      .orderBy(col("source"))
+  }
+
   /** SemDeDup impact attribution per source — the near-dup twin of
     * `corpus_dedup_impact`: what SEMANTIC dedup (the
     * [[embeddingClusters]] components over the SRP near-dup graph,

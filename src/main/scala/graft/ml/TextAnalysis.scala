@@ -457,6 +457,52 @@ object TextAnalysis {
           .as("kept"))
   }
 
+  /** CCNet-style language × perplexity bucketing — the corpus
+    * triage table the CCNet pipeline ships: per PREDICTED language,
+    * docs split into head/middle/tail tertiles by LM familiarity
+    * (head = most familiar = lowest perplexity, the band CCNet
+    * keeps for pretraining; tail = the band it drops or routes to
+    * heavier filtering). Composes [[langId]] (the routing key — a
+    * per-language LM must not be asked to judge another language's
+    * text) with [[unigramLm]]'s familiarity score; tokenless docs
+    * score −1.0 and land deterministically in the tail.
+    *
+    * Buckets are SQL-NTILE(3) semantics over the exact (score desc,
+    * doc_id) order per language — a pure rank cut (the
+    * perplexityFilter contract: no float threshold, ties impossible
+    * by doc_id), so both engines cut identically.
+    *
+    * Scale shape: scoring is unigramLm's vocabulary-bounded
+    * shuffles; langId is map-only; the per-language rank is the
+    * two-phase [[graft.functions.Ranks.grouped]] (no language ever
+    * collapses to one task — 'en' at 100 TB is billions of rows);
+    * output is ≤ |langs|·3 census rows.
+    */
+  def ccnetBuckets(docs: DataFrame, text: Column): DataFrame = {
+    val lm = unigramLm(docs, text)
+      .withColumn("score", coalesce(col("avg_log2_tf"), lit(-1.0)))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val lang = langId(docs, text).select(col("doc_id"), col("pred_lang"))
+    val scored = lm.join(lang, "doc_id")
+      .withColumn("neg_score", -col("score"))
+    graft.functions.Ranks.grouped(
+        scored, Seq("pred_lang"), Seq("neg_score", "doc_id"))
+      .withColumn("bucket",
+        expr(graft.functions.Ranks.ntileExpr("rank", "grp_total", 3))
+          .cast("long"))
+      .groupBy(col("pred_lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .select(col("pred_lang"), col("bucket"),
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === 2L, "middle")
+          .otherwise("tail").as("bucket_name"),
+        col("n_docs"), col("n_tokens"), col("min_score"), col("max_score"))
+      .orderBy(col("pred_lang"), col("bucket"))
+  }
+
   /** Term-distribution drift between the corpus's two ingestion
     * epochs (first/second half of the doc-id range — the
     * embed_epoch_drift convention, applied to text): per term the
@@ -895,6 +941,47 @@ object TextAnalysis {
       .withColumn("hapax_share",
         col("n_hapax").cast("double") / col("n_terms").cast("double"))
       .orderBy(col("source"))
+
+  /** Top-N vocabulary coverage elbow — the tokenizer-sizing curve:
+    * rank the corpus vocabulary by frequency and report, at every
+    * power-of-two vocabulary size (plus the full-vocabulary row),
+    * how much of the corpus token mass the top N types cover. The
+    * read is direct: the N where coverage flattens is the vocabulary
+    * budget a tokenizer/embedding table should buy; the gap between
+    * the elbow and 1.0 is the long-tail mass subword pieces must
+    * absorb. Next to `text_bpe_compression` (merges → compression on
+    * the TRAINED pieces) this prices the WHOLE-WORD ceiling; next to
+    * `corpus_vocab_growth` (Heaps' law over ingestion) it holds the
+    * corpus fixed and sweeps the budget.
+    *
+    * Every number is an exact integer until the final coverage
+    * division. The boundary token itself is emitted per row — ties
+    * at the boundary are deterministic ((tf desc, tok) total order).
+    *
+    * Scale shape: one map-side-combined (tok) reduce bounded by
+    * vocabulary, then ONE range exchange through
+    * [[graft.functions.Ranks.groupedWithSum]] — rank and running
+    * coverage come from the same distributed sort (never a global
+    * single-task window), the coverage denominator rides the same
+    * broadcast offsets relation, and the power-of-two gate prunes
+    * output to ≤ log₂|V|+1 rows.
+    */
+  def vocabCoverage(docs: DataFrame, text: Column): DataFrame = {
+    val tf = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("neg_tf", -col("tf"))
+    graft.functions.Ranks.groupedWithSum(
+        tf, Nil, Seq("neg_tf", "tok"), "tf")
+      .withColumn("covered_tokens", col("prefix_sum") + col("tf"))
+      .filter(col("rank").bitwiseAND(col("rank") - 1) === 0 ||
+        col("rank") === col("grp_total"))
+      .select(col("rank").as("vocab_size"), col("tok"), col("tf"),
+        col("covered_tokens"),
+        col("grp_value_total").as("total_tokens"),
+        (col("covered_tokens").cast("double") /
+          col("grp_value_total").cast("double")).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
 
   /** UTF-8 byte-vs-char census per source — the cheap encoding-health
     * gauge run before any text op: `n_bytes − n_chars` counts exactly

@@ -706,6 +706,118 @@ object Binary {
       (sums(0) + sums(1) + sums(2)).toDouble / (3.0 * n)))
   }
 
+  /** Variance-of-Laplacian sharpness per image — the classic blur
+    * gate a vision-data pipeline runs before spending encoder
+    * compute (a defocused/duplicated-and-rescaled image has a
+    * near-flat Laplacian response; a sharp one spikes at edges).
+    * The 4-neighbor Laplacian runs over the per-pixel CHANNEL-SUM
+    * plane (b+g+r, 0..765): every lap value and both moment sums
+    * are exact integers; the variance is one double expression
+    * (n·Σl² − (Σl)²)/n² over them. Interior pixels only
+    * (x ∈ [1,w−2], y ∈ [1,h−2]); an image too small to have an
+    * interior reports n_interior = 0 and a null variance.
+    */
+  case class BlurStats(
+      doc_id: Long, width: Long, height: Long, n_interior: Long,
+      sum_lap: Long, sum_lap_sq: Long, var_lap: Option[Double])
+
+  /** Blur census over the image stratum: magic-byte-gated BMP walk
+    * (same flatMap seam as [[imageFeatures]] — non-images emit no
+    * row). Map-only at any scale.
+    */
+  def blurStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parseBlur(id, p) })
+      .toDF()
+  }
+
+  private[graft] def parseBlur(id: Long, p: Array[Byte]): Option[BlurStats] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val (dataOff, w, h, stride) = bmpHeader(id, p)
+    // channel-sum plane in storage row order (a vertical mirror of
+    // content order — the Laplacian moment sums are invariant to it)
+    def s(x: Int, y: Int): Long = {
+      val rowStart = dataOff + y * stride
+      ((p(rowStart + x * 3) & 0xff) + (p(rowStart + x * 3 + 1) & 0xff) +
+        (p(rowStart + x * 3 + 2) & 0xff)).toLong
+    }
+    var n = 0L
+    var sl = 0L
+    var sl2 = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val lap = 4 * s(x, y) - s(x - 1, y) - s(x + 1, y) -
+          s(x, y - 1) - s(x, y + 1)
+        n += 1; sl += lap; sl2 += lap * lap
+        x += 1
+      }
+      y += 1
+    }
+    val v = if (n > 0)
+      Some((n * sl2 - sl * sl).toDouble / (n * n).toDouble)
+    else None
+    Some(BlurStats(id, w.toLong, h.toLong, n, sl, sl2, v))
+  }
+
+  /** Dominant quantized color per image — the palette census a
+    * near-dup triage keys on before any perceptual hash (two images
+    * sharing a dominant 64-cell RGB bucket are palette candidates;
+    * a corpus whose top cells collapse to one value is screenshots/
+    * letterboxing). Each pixel maps to cell
+    * (b÷64)·16 + (g÷64)·4 + (r÷64) ∈ [0,64); the per-image argmax
+    * tie-breaks on the lowest cell id. All counts exact integers;
+    * `top_share` is the one double division.
+    */
+  case class PaletteStats(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      n_cells_used: Long, top_cell: Long, top_count: Long,
+      top_share: Double)
+
+  def paletteStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parsePalette(id, p) })
+      .toDF()
+  }
+
+  private[graft] def parsePalette(
+      id: Long, p: Array[Byte]): Option[PaletteStats] = {
+    if (p.length < 2 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val (dataOff, w, h, stride) = bmpHeader(id, p)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val rowStart = dataOff + y * stride
+      var x = 0
+      while (x < w) {
+        val b = (p(rowStart + x * 3) & 0xff) / 64
+        val g = (p(rowStart + x * 3 + 1) & 0xff) / 64
+        val r = (p(rowStart + x * 3 + 2) & 0xff) / 64
+        counts(b * 16 + g * 4 + r) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var top = 0
+    var used = 0L
+    var cell = 0
+    while (cell < 64) {
+      if (counts(cell) > 0) used += 1
+      if (counts(cell) > counts(top)) top = cell
+      cell += 1
+    }
+    val n = w.toLong * h
+    Some(PaletteStats(id, w.toLong, h.toLong, n, used, top.toLong,
+      counts(top), counts(top).toDouble / n.toDouble))
+  }
+
   /** Scene-cut detection over the REAL frame walk: per video, the
     * absolute luma-sum difference between consecutive frames — the
     * shot-boundary signal a frame-sampling pipeline keys on (sample

@@ -101,6 +101,50 @@ object GraphProps extends Properties("graft.graph") {
         graft.ml.Similarity.KcoreRounds)
     }
 
+  /** Driver-side triangle census — the arithmetic twin of
+    * Similarity.triangleCensus (symmetrize, per-node triangle count
+    * as closed neighbor pairs, per-label rollup), so equality is
+    * exact on any graph shape the generator produces. The driver
+    * counts naively per center; agreement proves the oriented
+    * enumeration finds every triangle exactly once.
+    */
+  private def simulateTriangles(pairs: List[(Long, Long)])
+      : Set[(Long, Long, Long, Long, Long, Option[Double])] = {
+    val sym = pairs.flatMap(p => Seq(p, p.swap)).distinct
+    val nbr = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbr.keys.toSeq.sorted
+    val rows = nodes.map { v =>
+      val ns = nbr(v).toSeq.sorted
+      val tv = (for {
+        i <- ns.indices; j <- (i + 1) until ns.length
+        if nbr(ns(i)).contains(ns(j))
+      } yield 1).size.toLong
+      (v, v % 3, ns.length.toLong, tv)
+    }
+    rows.groupBy(_._2).map { case (label, rs) =>
+      val wedges2 = rs.map(r => r._3 * (r._3 - 1)).sum
+      val closed = rs.map(_._4).sum
+      (label, rs.size.toLong, rs.count(_._3 >= 2).toLong,
+        wedges2 / 2, closed,
+        if (wedges2 > 0) Some(closed.toDouble * 2.0 / wedges2.toDouble)
+        else None)
+    }.toSet
+  }
+
+  property("triangleCensus == driver count on random graphs") =
+    Prop.forAll(edgeList.suchThat(_.nonEmpty)) { pairs =>
+      import spark.implicits._
+      val clean = pairs.distinct
+      val nodes = clean.flatMap(p => Seq(p._1, p._2)).distinct
+      val labels = nodes.map(v => (v, v % 3)).toDF("vec_id", "label")
+      val got = graft.ml.Similarity.triangleCensus(
+          clean.toDF("src", "dst"), labels)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      got == simulateTriangles(clean)
+    }
+
   /** Random user event streams for the stationary-chain property:
     * a few users, each a short random walk over 4 event types at
     * distinct timestamps.

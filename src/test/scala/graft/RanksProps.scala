@@ -42,6 +42,28 @@ object RanksProps extends Properties("graft.ranks") {
       got == expect
     }
 
+  property("groupedWithSum == window row_number + exclusive cumsum + totals") =
+    Prop.forAll(rows) { rs =>
+      import spark.implicits._
+      val distinctRows = rs.groupBy(r => (r._1, r._3)).map(_._2.head).toList
+      val df = distinctRows.map { case (g, v, id) => (g, v.toLong, id) }
+        .toDF("g", "v", "id")
+      val got = Ranks.groupedWithSum(df, Seq("g"), Seq("v", "id"), "v")
+        .select(col("g"), col("id"), col("rank"), col("grp_total"),
+          col("prefix_sum"), col("grp_value_total"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val expect = distinctRows.groupBy(_._1).flatMap { case (g, grp) =>
+        val sorted = grp.sortBy(r => (r._2, r._3))
+        val total = grp.map(_._2.toLong).sum
+        sorted.zipWithIndex.map { case (r, i) =>
+          (g, r._3) -> ((i + 1).toLong, grp.size.toLong,
+            sorted.take(i).map(_._2.toLong).sum, total)
+        }
+      }
+      got == expect
+    }
+
   property("two-phase prefixMax == single-partition running max") =
     Prop.forAll(rows) { rs =>
       import spark.implicits._

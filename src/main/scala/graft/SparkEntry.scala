@@ -771,6 +771,12 @@ object SparkEntry {
       TextAnalysis.ccnetBuckets(Tables.load(s, dir, "documents"),
         col("text"))),
 
+    // Code-vs-prose routing gate: exact symbol/digit censuses over
+    // RAW text, integer 5% verdict — map-only.
+    "text_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     "text_topk_terms" -> ((s, dir) =>
       TextAnalysis.topKTerms(Tables.load(s, dir, "documents"),
           col("source"), col("text"), 10)
@@ -897,6 +903,22 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.topKAnnLsh(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
+
+    // Multi-probe LSH: +Hamming-1 bucket probes per band — recall
+    // without more tables; index memory identical to sim_ann_lsh.
+    "sim_ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.topKAnnMultiprobe(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    // Recall gauge for the multi-probe index: candidates are a strict
+    // superset of plain LSH, so this row dominates sim_ann_recall.
+    "sim_ann_multiprobe_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnMultiprobe(embs))
+        .orderBy(col("probe_id"))
+    }),
 
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.topKAnnIvf(Tables.load(s, dir, "embeddings"))
@@ -1513,6 +1535,12 @@ object SparkEntry {
     // in delivery order; the lateness bound a streaming apply needs.
     "cdc_ordering_audit" -> ((s, dir) =>
       TableStatistics.orderingAudit(ChangeFeed.fromEvents(s, dir))),
+
+    // Schema-drift timeline: per (table, payload column) first/last
+    // delivery + added/retired/transient/stable verdict — the DDL
+    // propagation audit from the schema side.
+    "cdc_schema_timeline" -> ((s, dir) =>
+      TableStatistics.schemaTimeline(ChangeFeed.fromEvents(s, dir))),
 
     // Per-label centroid-distance outliers (integer d²·n > 4·Σd²
     // test) — the per-cluster encoder-drift gate.
@@ -2171,6 +2199,40 @@ object SparkEntry {
     * text shared by every recall oracle so the baseline cannot
     * drift between gauges.
     */
+  /** Multi-probe LSH candidate + ranking chain (twin of
+    * Similarity.topKAnnMultiprobe): per probe band bucket, the code
+    * itself plus its rowsPerBand Hamming-1 variants, then the shared
+    * dot/cosine/rank tail. Assumes embCtes + srpCtes in scope; ends
+    * at `mr` (ranked candidates). m-prefixed so it composes next to
+    * exactTopKCtes for the recall gauge.
+    */
+  private lazy val multiprobeCtes: String = {
+    val variants = ("pb.bucket" +:
+      (0 until Dedup.EmbRowsPerBand).map(b => s"xor(pb.bucket, ${1L << b})"))
+      .mkString(", ")
+    s"""mp AS (SELECT pb.vec_id AS probe_id, pb.band,
+       |    unnest([$variants]) AS bucket
+       |  FROM buckets pb WHERE pb.vec_id < ${Similarity.NumProbes}),
+       |mcand AS (SELECT DISTINCT mp.probe_id, b.vec_id AS neighbor_id
+       |  FROM mp JOIN buckets b ON b.band = mp.band AND b.bucket = mp.bucket
+       |    AND b.vec_id <> mp.probe_id),
+       |md AS (SELECT c.probe_id, c.neighbor_id,
+       |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+       |  FROM mcand c
+       |  JOIN flat fa ON fa.vec_id = c.probe_id
+       |  JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |ms AS (SELECT md.probe_id, md.neighbor_id,
+       |    ${Vectors.duckCosine("md.dot", "na.n2", "nb.n2")} AS cos_sim
+       |  FROM md
+       |  JOIN norms na ON na.vec_id = md.probe_id
+       |  JOIN norms nb ON nb.vec_id = md.neighbor_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |mr AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM ms)"""
+      .stripMargin
+  }
+
   private val exactTopKCtes: String =
     s"""bd AS (SELECT fp.vec_id AS probe_id, fx.vec_id AS neighbor_id,
        |    CAST(sum(fp.v * fx.v) AS BIGINT) AS dot
@@ -5475,6 +5537,27 @@ object SparkEntry {
          |    CAST(count(*) AS DOUBLE) AS hapax_share
          |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // RAW text (normalization would strip the symbols); DuckDB's
+    // len(regexp_extract_all) == Spark's regexp_count on the
+    // metacharacter-free classes.
+    "text_code_detect" ->
+      s"""SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.CodeSymbolPattern}')) AS BIGINT) AS n_symbols,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+         |    AS n_digits,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST(len(regexp_extract_all(text,
+         |      '${TextAnalysis.CodeSymbolPattern}')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) END AS symbol_share,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) END AS digit_share,
+         |  length(text) > 0 AND 20 * len(regexp_extract_all(text,
+         |    '${TextAnalysis.CodeSymbolPattern}')) >= length(text)
+         |    AS is_code
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Window cumsum over the (tf desc, tok) total order; the
     // power-of-two gate is the branchless rank & (rank-1) = 0 test.
     "text_vocab_coverage" ->
@@ -6101,6 +6184,27 @@ object SparkEntry {
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
 
+    "sim_ann_lsh_multiprobe" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$multiprobeCtes
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM mr
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_multiprobe_recall" ->
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |$exactTopKCtes,
+         |$multiprobeCtes,
+         |mk AS (SELECT probe_id, neighbor_id FROM mr
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(m.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM bfk b LEFT JOIN mk m
+         |  ON m.probe_id = b.probe_id AND m.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "sim_ann_ivf" ->
       s"""WITH $embCtes,
          |${ivfCellCtes(Similarity.IvfNProbe)},
@@ -6494,6 +6598,29 @@ object SparkEntry {
          |    AS n_affected_keys,
          |  max(CASE WHEN late THEN prev_max_us - ts_us END) AS max_late_us
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Key explode mirrors events_props_profile's json_keys; bounds
+    // and verdicts are plain exact-timestamp comparisons.
+    "cdc_schema_timeline" ->
+      s"""WITH f AS (${ChangeFeed.duckFromEvents}),
+         |b AS (SELECT table_name, min(ts) AS tf, max(ts) AS tl,
+         |    count(*) AS n FROM f WHERE ts IS NOT NULL GROUP BY 1),
+         |k AS (SELECT table_name, ts, unnest(json_keys(props))
+         |    AS column_name
+         |  FROM f WHERE ts IS NOT NULL AND props IS NOT NULL),
+         |g AS (SELECT table_name, column_name, count(*) AS n_events,
+         |    min(ts) AS first_seen_ts, max(ts) AS last_seen_ts
+         |  FROM k GROUP BY 1, 2)
+         |SELECT g.table_name, g.column_name, g.n_events,
+         |  g.first_seen_ts, g.last_seen_ts,
+         |  CAST(g.n_events AS DOUBLE) / CAST(b.n AS DOUBLE)
+         |    AS presence_share,
+         |  CASE WHEN g.first_seen_ts > b.tf AND g.last_seen_ts < b.tl
+         |      THEN 'transient'
+         |    WHEN g.first_seen_ts > b.tf THEN 'added'
+         |    WHEN g.last_seen_ts < b.tl THEN 'retired'
+         |    ELSE 'stable' END AS verdict
+         |FROM g JOIN b USING (table_name) ORDER BY 1, 2""".stripMargin,
 
     "embed_outliers" ->
       s"""WITH q0 AS (SELECT vec_id, label,

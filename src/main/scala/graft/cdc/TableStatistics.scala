@@ -157,6 +157,52 @@ object TableStatistics {
       .orderBy(col("table_name"), col("day"))
   }
 
+  /** Schema-drift timeline per replicated table — the DDL-propagation
+    * audit DMS users run when a source table evolves under a live
+    * task: per (table, payload column) the first/last time the
+    * column was delivered, its presence share, and a drift verdict
+    * against the table's own delivery window ('added' = appeared
+    * after the table's first event, 'retired' = stopped before its
+    * last, 'transient' = both, 'stable' = spans the window). The
+    * column population is the semi-structured props payload's keys —
+    * exactly the part of the envelope a fixed reader schema silently
+    * drops when the source adds a column (the `cdc_drifted_defaults`
+    * failure mode, seen from the schema side instead of the value
+    * side).
+    *
+    * Scale shape: one map-side-combined (table, column) reduce over
+    * the key explode (bounded by |tables|·|columns|, not the feed);
+    * table bounds are a |tables|-row aggregate broadcast back. All
+    * verdict comparisons are exact timestamps.
+    */
+  def schemaTimeline(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val base = changes.filter(col("ts").isNotNull)
+    val bounds = base.groupBy(col("table_name"))
+      .agg(min(col("ts")).as("table_first_ts"),
+        max(col("ts")).as("table_last_ts"),
+        count(lit(1)).as("table_events"))
+    val cols = base.filter(col("props").isNotNull)
+      .select(col("table_name"), col("ts"),
+        explode(map_keys(from_json(col("props"),
+          MapType(StringType, StringType)))).as("column_name"))
+      .groupBy(col("table_name"), col("column_name"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_seen_ts"),
+        max(col("ts")).as("last_seen_ts"))
+    cols.join(broadcast(bounds), "table_name")
+      .select(col("table_name"), col("column_name"), col("n_events"),
+        col("first_seen_ts"), col("last_seen_ts"),
+        (col("n_events").cast("double") /
+          col("table_events").cast("double")).as("presence_share"),
+        when(col("first_seen_ts") > col("table_first_ts") &&
+            col("last_seen_ts") < col("table_last_ts"), "transient")
+          .when(col("first_seen_ts") > col("table_first_ts"), "added")
+          .when(col("last_seen_ts") < col("table_last_ts"), "retired")
+          .otherwise("stable").as("verdict"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
   /** Out-of-order delivery audit: per table, events whose commit
     * timestamp is OLDER than the running maximum already delivered
     * for their key (delivery order = event_id, the binlog position).

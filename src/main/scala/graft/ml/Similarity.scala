@@ -935,6 +935,51 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  /** Multi-probe SRP-LSH ANN (the Lv et al. multi-probe trick): each
+    * probe queries its own band bucket PLUS every Hamming-1 bucket
+    * code per band — the candidates a single bit-flip of the sign
+    * pattern would have landed in. Near-threshold vectors sit one
+    * flipped hyperplane away far more often than chance, so recall
+    * rises WITHOUT more hash tables (bands) or a bigger index —
+    * memory stays identical to [[topKAnnLsh]]; only the probe
+    * fan-out grows, ×(1+rowsPerBand) per band. The plain-LSH
+    * candidate set is a strict subset by construction, so
+    * recall(multiprobe) ≥ recall(lsh) per probe — spec-pinned.
+    *
+    * Scale shape: identical to topKAnnLsh — the probe relation
+    * (broadcast) carries the extra variant rows; the corpus-side
+    * bucket relation and the equi-join key are unchanged, so the
+    * index side never fans out.
+    */
+  def topKAnnMultiprobe(embs: DataFrame): DataFrame = {
+    val qv = materialize(Vectors.quantizedWithBuckets(embs,
+      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
+    val flat = qv.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val variants = array(col("bucket") +:
+      (0 until Dedup.EmbRowsPerBand).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val probeFlat = broadcast(flat.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
+        explode(variants).as("bucket_p")))
+    val cands = flat.join(probeFlat,
+        col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val scored = cands
+      .join(corpusSide(qv), "vec_id")
+      .join(broadcast(probeSide(qv)), "probe_id")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"),
+          col("n2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+  }
+
   val KnnGraphK = 3
 
   /** Mutual-kNN census over the LSH candidate graph: every vector's

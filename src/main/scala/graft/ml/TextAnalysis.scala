@@ -942,6 +942,41 @@ object TextAnalysis {
         col("n_hapax").cast("double") / col("n_terms").cast("double"))
       .orderBy(col("source"))
 
+  /** Code-symbol class for [[codeDetect]] — literal characters only
+    * (no class metacharacters), so both engines' regex dialects read
+    * it identically.
+    */
+  val CodeSymbolPattern = "[{}();=<>#&|+*/%]"
+
+  /** Code-vs-prose detection — the routing gate a pretraining
+    * pipeline runs before language-specific filtering (code must NOT
+    * flow through prose quality/perplexity gates: braces and
+    * semicolons read as "noise" to a prose LM and the corpus loses
+    * its code split). Per doc: exact symbol/digit censuses over the
+    * RAW text (normalization would strip exactly the signal) and an
+    * integer verdict — code iff symbols are ≥ 5% of characters
+    * (20·n_symbols ≥ n_chars), no float threshold.
+    *
+    * Map-only at any scale; shares are one double division each,
+    * null for empty docs.
+    */
+  def codeDetect(docs: DataFrame, text: Column): DataFrame = {
+    val symbols = regexp_count(text, lit(CodeSymbolPattern)).cast("long")
+    val digits = regexp_count(text, lit("[0-9]")).cast("long")
+    docs.select(col("doc_id"), col("source"),
+        length(text).cast("long").as("n_chars"),
+        symbols.as("n_symbols"), digits.as("n_digits"))
+      .withColumn("symbol_share",
+        when(col("n_chars") > 0,
+          col("n_symbols").cast("double") / col("n_chars").cast("double")))
+      .withColumn("digit_share",
+        when(col("n_chars") > 0,
+          col("n_digits").cast("double") / col("n_chars").cast("double")))
+      .withColumn("is_code",
+        col("n_chars") > 0 && lit(20L) * col("n_symbols") >= col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-N vocabulary coverage elbow — the tokenizer-sizing curve:
     * rank the corpus vocabulary by frequency and report, at every
     * power-of-two vocabulary size (plus the full-vocabulary row),

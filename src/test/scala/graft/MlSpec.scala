@@ -442,6 +442,23 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH: candidate superset of plain LSH, recall dominates") {
+    import graft.ml.Similarity
+    // every plain-LSH result pair appears in the multiprobe CANDIDATE
+    // set (flip set includes the unflipped code), so per-probe recall
+    // can only rise
+    val bf = Similarity.topKBruteForce(embs)
+    val lsh = Similarity.recallAtK(bf, Similarity.topKAnnLsh(embs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mp = Similarity.recallAtK(bf, Similarity.topKAnnMultiprobe(embs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mp.keySet === lsh.keySet)
+    lsh.foreach { case (p, r) =>
+      assert(mp(p) >= r, s"probe $p: multiprobe ${mp(p)} < lsh $r")
+      assert(mp(p) <= 1.0)
+    }
+  }
+
   test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {
     import graft.ml.Corpus
     val rates = Map("src1" -> 1000, "src2" -> 0)

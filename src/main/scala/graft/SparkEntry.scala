@@ -1785,6 +1785,14 @@ object SparkEntry {
     // Welch t as one fixed double expression.
     "events_ab_test" -> ((s, dir) => Analytics.eventsAbTest(s, dir)),
 
+    // CUPED variance-reduction readout: pre-period covariate, pooled
+    // theta, adjusted arm means; rho2 = the sample-size payoff.
+    "events_ab_cuped" -> ((s, dir) => Analytics.eventsCuped(s, dir)),
+
+    // Sample-ratio-mismatch guardrail: chi-square vs the 50/50
+    // assignment with an integer 3.84-critical verdict.
+    "events_srm" -> ((s, dir) => Analytics.eventsSrm(s, dir)),
+
     // Voice-activity segmentation from the real PCM parse: 16-sample
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
@@ -7577,6 +7585,70 @@ object SparkEntry {
          |  (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE)
          |    + var_b / CAST(n_b AS DOUBLE)) AS t_stat
          |FROM m ORDER BY 1""".stripMargin,
+
+    // Integer-cents per-user sums; all moments reduce exactly
+    // (HUGEINT here, decimal(38,0) on the Spark side), then the same
+    // fixed chain of double expressions.
+    "events_ab_cuped" ->
+      s"""WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+         |    AS mid_us FROM events WHERE ts IS NOT NULL),
+         |pu AS (SELECT event_type, user_id,
+         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |    CAST(sum(CASE WHEN epoch_us(ts) <= b.mid_us
+         |      THEN CAST(value AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN epoch_us(ts) > b.mid_us
+         |      THEN CAST(value AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS y
+         |  FROM events, b WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+         |p AS (SELECT event_type, count(*) AS n_users,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM pu GROUP BY 1),
+         |ar AS (SELECT event_type, arm, count(*) AS n,
+         |    sum(x) AS ax, sum(y) AS ay FROM pu GROUP BY 1, 2),
+         |j AS (SELECT p.*, a.n AS n_a, a.ax AS ax_a, a.ay AS ay_a,
+         |    bb.n AS n_b, bb.ax AS ax_b, bb.ay AS ay_b
+         |  FROM p
+         |  JOIN ar a ON a.event_type = p.event_type AND a.arm = 'A'
+         |  JOIN ar bb ON bb.event_type = p.event_type AND bb.arm = 'B'),
+         |m AS (SELECT *,
+         |    CASE WHEN n_users * sxx - sx * sx > 0
+         |      THEN CAST(n_users * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n_users * sxx - sx * sx AS DOUBLE) END AS theta,
+         |    CASE WHEN n_users * sxx - sx * sx > 0
+         |        AND n_users * syy - sy * sy > 0
+         |      THEN CAST(n_users * sxy - sx * sy AS DOUBLE)
+         |        * CAST(n_users * sxy - sx * sy AS DOUBLE)
+         |        / (CAST(n_users * sxx - sx * sx AS DOUBLE)
+         |          * CAST(n_users * syy - sy * sy AS DOUBLE)) END AS rho2,
+         |    CAST(ay_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_y_a,
+         |    CAST(ay_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_y_b,
+         |    CAST(ax_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_x_a,
+         |    CAST(ax_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_x_b,
+         |    CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+         |      AS mean_x_all
+         |  FROM j)
+         |SELECT event_type, n_users, n_a, n_b, theta, rho2,
+         |  mean_y_a, mean_y_b, mean_y_b - mean_y_a AS lift_raw,
+         |  mean_y_a - theta * (mean_x_a - mean_x_all) AS adj_mean_a,
+         |  mean_y_b - theta * (mean_x_b - mean_x_all) AS adj_mean_b,
+         |  (mean_y_b - theta * (mean_x_b - mean_x_all))
+         |    - (mean_y_a - theta * (mean_x_a - mean_x_all)) AS lift_adj
+         |FROM m ORDER BY 1""".stripMargin,
+
+    "events_srm" ->
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE ts IS NOT NULL),
+         |g AS (SELECT event_type,
+         |    CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+         |    CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b
+         |  FROM u GROUP BY 1)
+         |SELECT event_type, n_a, n_b,
+         |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+         |  100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) AS srm_flag
+         |FROM g ORDER BY 1""".stripMargin,
 
     // Sample k of audio doc id is (id*31+k)%256 (64+id%101 samples);
     // the oracle replays the frame energies and the islands reduce.

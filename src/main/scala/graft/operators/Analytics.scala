@@ -1758,6 +1758,126 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** CUPED variance reduction for the A/B readout (Deng et al.,
+    * WSDM'13 — the controlled-experiment industry standard): split
+    * the feed at its time midpoint, use each user's PRE-period value
+    * mass as the covariate X against the POST-period outcome Y,
+    * pool θ = cov(X,Y)/var(X) across arms, and report both the raw
+    * and the adjusted (Y − θ(X − X̄)) arm means. ρ² IS the variance
+    * reduction CUPED buys — the experiment reads as if it had
+    * 1/(1−ρ²)× the sample.
+    *
+    * Exactness: per-user sums become integer CENTS (×100 of the
+    * 2-decimal sums — exact int64); every moment (Σx, Σy, Σxy, Σx²,
+    * Σy²) reduces in decimal(38,0) (the anisotropy widening), and
+    * θ/ρ²/means are a fixed chain of double expressions over those
+    * exact integers — bit-identical cross-engine. Zero pre-period
+    * variance yields null θ and null adjusted columns.
+    *
+    * Scale shape: ONE corpus reduce to the (type, user) relation
+    * (map-side combined, cached — two consumers), then a pooled and
+    * a per-arm aggregate on it (|types| and |types|·2 rows); the
+    * midpoint is a 1-row broadcast.
+    */
+  def eventsCuped(spark: SparkSession, dir: String): DataFrame =
+    cupedOn(Tables.load(spark, dir, "events"))
+
+  /** [[eventsCuped]] on an arbitrary (event_type, user_id, ts, value)
+    * frame — the unit the planted-θ spec drives directly.
+    */
+  def cupedOn(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid_us"))
+    val dec = col("value").cast("decimal(18,2)")
+    val zero = lit(0).cast("decimal(18,2)")
+    val perUser = graft.CacheScope.materialize(
+      ev.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          (sum(when(unix_micros(col("ts")) <= col("mid_us"), dec)
+            .otherwise(zero)) * 100).cast("long").as("x"),
+          (sum(when(unix_micros(col("ts")) > col("mid_us"), dec)
+            .otherwise(zero)) * 100).cast("long").as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B")))
+    val d38 = "decimal(38,0)"
+    def wide(c: String) = col(c).cast(d38)
+    val pooled = perUser.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_users"),
+      sum(wide("x")).as("sx"), sum(wide("y")).as("sy"),
+      sum(wide("x") * wide("y")).as("sxy"),
+      sum(wide("x") * wide("x")).as("sxx"),
+      sum(wide("y") * wide("y")).as("syy"))
+    val arms = perUser.groupBy(col("event_type"), col("arm")).agg(
+      count(lit(1)).as("n"), sum(wide("x")).as("ax"), sum(wide("y")).as("ay"))
+    def side(a: String) = arms.filter(col("arm") === a)
+      .select(col("event_type"), col("n").as(s"n_$a"),
+        col("ax").as(s"ax_$a"), col("ay").as(s"ay_$a"))
+    val covN = (col("n_users").cast(d38) * col("sxy") -
+      col("sx") * col("sy")).cast("double")
+    val varXN = (col("n_users").cast(d38) * col("sxx") -
+      col("sx") * col("sx")).cast("double")
+    val varYN = (col("n_users").cast(d38) * col("syy") -
+      col("sy") * col("sy")).cast("double")
+    def meanY(a: String) =
+      col(s"ay_$a").cast("double") / col(s"n_$a").cast("double") / 100.0
+    def meanX(a: String) =
+      col(s"ax_$a").cast("double") / col(s"n_$a").cast("double") / 100.0
+    val meanXAll =
+      col("sx").cast("double") / col("n_users").cast("double") / 100.0
+    pooled.join(side("A"), "event_type").join(side("B"), "event_type")
+      .withColumn("theta", when(varXN > 0, covN / varXN))
+      .withColumn("rho2",
+        when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN)))
+      .withColumn("mean_y_a", meanY("A"))
+      .withColumn("mean_y_b", meanY("B"))
+      .withColumn("adj_mean_a",
+        meanY("A") - col("theta") * (meanX("A") - meanXAll))
+      .withColumn("adj_mean_b",
+        meanY("B") - col("theta") * (meanX("B") - meanXAll))
+      .select(col("event_type"), col("n_users"), col("n_A").as("n_a"),
+        col("n_B").as("n_b"), col("theta"), col("rho2"),
+        col("mean_y_a"), col("mean_y_b"),
+        (col("mean_y_b") - col("mean_y_a")).as("lift_raw"),
+        col("adj_mean_a"), col("adj_mean_b"),
+        (col("adj_mean_b") - col("adj_mean_a")).as("lift_adj"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sample-ratio mismatch guardrail for the A/B assignment — the
+    * first check every experimentation platform runs before reading
+    * means: with a 50/50 split, user counts per arm should differ
+    * only by chance; χ²(df=1) = (n_A−n_B)²/(n_A+n_B), flagged past
+    * the 3.84 critical value (p < 0.05) with an INTEGER test
+    * (100·(n_A−n_B)² > 384·(n_A+n_B)) so no float threshold enters
+    * the verdict. An SRM flag means the assignment/logging is broken
+    * and `events_ab_test` / `events_ab_cuped` readouts are invalid.
+    *
+    * One distinct (type, user) reduce, |types|-row output.
+    */
+  def eventsSrm(spark: SparkSession, dir: String): DataFrame =
+    srmOn(Tables.load(spark, dir, "events"))
+
+  def srmOn(events: DataFrame): DataFrame = {
+    val users = events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    users.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2",
+        (col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("srm_flag",
+        lit(100L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(384L) * (col("n_a") + col("n_b")))
+      .orderBy(col("event_type"))
+  }
+
   /** Automation/bot detection by cadence: flag users whose EXACT
     * median inter-arrival gap is under 120 s — the traffic-hygiene
     * gate an events pipeline runs before engagement analytics (a

@@ -1582,6 +1582,12 @@ object SparkEntry {
     "corpus_minhash_impact" -> ((s, dir) =>
       Dedup.minhashImpact(Tables.load(s, dir, "documents"))),
 
+    // Dup-survivorship direction: per (winner, loser) source pair,
+    // what the loser surrenders under the global canonical rule —
+    // mirrors lose consistently to their originators.
+    "corpus_dup_survivorship" -> ((s, dir) =>
+      Dedup.minhashSurvivorship(Tables.load(s, dir, "documents"))),
+
     // Semantic dedup clusters: exact connected components over the
     // SRP-bucketed embedding near-dup graph (the SemDeDup grouping
     // step; embedding twin of dedup_clusters).
@@ -1792,6 +1798,10 @@ object SparkEntry {
     // Sample-ratio-mismatch guardrail: chi-square vs the 50/50
     // assignment with an integer 3.84-critical verdict.
     "events_srm" -> ((s, dir) => Analytics.eventsSrm(s, dir)),
+
+    // Cohort-LTV triangle: first-week cohorts × week-of-age, exact
+    // cents mass + running per-user LTV (calendar-free integer weeks).
+    "events_cohort_ltv" -> ((s, dir) => Analytics.eventsCohortLtv(s, dir)),
 
     // Voice-activity segmentation from the real PCM parse: 16-sample
     // frame energies, threshold, gaps-and-islands segments per doc.
@@ -6835,6 +6845,41 @@ object SparkEntry {
          |    AS chars_removed_share
          |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Same verified-CC chain as corpus_minhash_impact; winners are
+    // the label-fixed-point rows, losers everything else.
+    "corpus_dup_survivorship" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.d1
+         |  JOIN shd y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT i.d1, i.d2 FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.d1
+         |  JOIN sizes sb ON sb.doc_id = i.d2
+         |  WHERE 100 * i.n_inter >= ${Dedup.MinhashImpactTau}
+         |    * (sa.set_size + sb.set_size - i.n_inter)),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM ver
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM ver),
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v),
+         |win AS (SELECT l.label, d.source AS winner_source
+         |  FROM lab l JOIN documents d ON d.doc_id = l.v
+         |  WHERE l.v = l.label),
+         |lose AS (SELECT l.label, d.source, d.n_chars
+         |  FROM lab l JOIN documents d ON d.doc_id = l.v
+         |  WHERE l.v <> l.label)
+         |SELECT w.winner_source, lo.source AS loser_source,
+         |  count(*) AS n_docs_lost,
+         |  CAST(sum(lo.n_chars) AS BIGINT) AS chars_lost
+         |FROM lose lo JOIN win w ON w.label = lo.label
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Same recursive-CC chain as dedup_embedding_clusters, then the
     // removal rollup joined onto documents (vec_id = doc_id space).
     "corpus_semdedup_impact" ->
@@ -7636,6 +7681,37 @@ object SparkEntry {
          |  (mean_y_b - theta * (mean_x_b - mean_x_all))
          |    - (mean_y_a - theta * (mean_x_a - mean_x_all)) AS lift_adj
          |FROM m ORDER BY 1""".stripMargin,
+
+    // Calendar-free integer weeks against the feed's own start; the
+    // cumulative window runs over the |weeks|²-bounded triangle.
+    "events_cohort_ltv" -> {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value
+         |  FROM events WHERE ts IS NOT NULL),
+         |fu AS (SELECT user_id, min(us) AS first_us FROM ev GROUP BY 1),
+         |o AS (SELECT min(first_us) AS origin_us FROM fu),
+         |cells AS (SELECT
+         |    (f.first_us - o.origin_us) // $weekUs AS cohort_week,
+         |    (e.us - f.first_us) // $weekUs AS age_weeks,
+         |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+         |    count(*) AS n_events,
+         |    CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS value_cents
+         |  FROM ev e JOIN fu f ON f.user_id = e.user_id, o
+         |  GROUP BY 1, 2),
+         |cs AS (SELECT cohort_week, max(CASE WHEN age_weeks = 0
+         |    THEN n_active END) AS cohort_size FROM cells GROUP BY 1),
+         |r AS (SELECT c.*, cs.cohort_size,
+         |    sum(c.value_cents) OVER (PARTITION BY c.cohort_week
+         |      ORDER BY c.age_weeks ROWS UNBOUNDED PRECEDING)
+         |      AS cum_value_cents
+         |  FROM cells c JOIN cs ON cs.cohort_week = c.cohort_week)
+         |SELECT cohort_week, age_weeks, n_active, n_events, value_cents,
+         |  CAST(cohort_size AS BIGINT) AS cohort_size,
+         |  CAST(cum_value_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         |    / 100.0 AS cum_ltv_per_user
+         |FROM r ORDER BY 1, 2""".stripMargin
+    },
 
     "events_srm" ->
       s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events

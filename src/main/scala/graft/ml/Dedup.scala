@@ -797,7 +797,12 @@ object Dedup {
     * attribution is ONE join of the label relation onto the corpus
     * and a |sources|-row rollup.
     */
-  def minhashImpact(docs: DataFrame): DataFrame = {
+  /** Component labels (min-id canonical) over the exact-Jaccard-
+    * VERIFIED near-dup graph at [[MinhashImpactTau]] — shared by the
+    * impact and survivorship attributions so they can never disagree
+    * about components.
+    */
+  private def minhashComponentLabels(docs: DataFrame): DataFrame = {
     val verified = materialize(ngramJaccardPairs(docs)
       .filter(lit(100L) * col("n_inter") >=
         lit(MinhashImpactTau) *
@@ -807,7 +812,11 @@ object Dedup {
       verified.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .union(verified.select(col("doc_id_b").as("src"),
           col("doc_id_a").as("dst")))
-    val lab = clusterLabels(edges, knownEdgeCount = Some(2L * verified.count()))
+    clusterLabels(edges, knownEdgeCount = Some(2L * verified.count()))
+  }
+
+  def minhashImpact(docs: DataFrame): DataFrame = {
+    val lab = minhashComponentLabels(docs)
     docs.select(col("doc_id"), col("source"), col("n_chars"))
       .join(lab.select(col("v").as("doc_id"), col("label")), Seq("doc_id"),
         "left")
@@ -826,6 +835,35 @@ object Dedup {
         (col("chars_removed").cast("double") /
           col("chars_total").cast("double")).as("chars_removed_share"))
       .orderBy(col("source"))
+  }
+
+  /** Dup-survivorship direction matrix — WHO keeps the canonical
+    * when near-dup components cross sources: per ordered
+    * (winner_source, loser_source), the documents and character mass
+    * the loser would surrender to the winner's canonical under the
+    * same global min-id rule as [[minhashImpact]]. The asymmetry IS
+    * the signal: a mirror/scraper loses consistently to its
+    * originator (its ids arrive later), while a symmetric pair is
+    * genuine cross-posting; the diagonal rows are ordinary
+    * intra-source duplication. Shares the component labels with the
+    * impact gauge, so the two attributions can never disagree.
+    *
+    * Scale shape: the label relation (near-dup nodes only) joins
+    * documents twice — winners (label = doc) and losers — then ONE
+    * |sources|²-bounded rollup.
+    */
+  def minhashSurvivorship(docs: DataFrame): DataFrame = {
+    val lab = materialize(minhashComponentLabels(docs))
+    val labeled = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(lab.select(col("v").as("doc_id"), col("label")), "doc_id")
+    val winners = labeled.filter(col("doc_id") === col("label"))
+      .select(col("label"), col("source").as("winner_source"))
+    labeled.filter(col("doc_id") =!= col("label"))
+      .join(winners, "label")
+      .groupBy(col("winner_source"), col("source").as("loser_source"))
+      .agg(count(lit(1)).as("n_docs_lost"),
+        sum(col("n_chars")).as("chars_lost"))
+      .orderBy(col("winner_source"), col("loser_source"))
   }
 
   /** SemDeDup impact attribution per source — the near-dup twin of

@@ -1846,6 +1846,58 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Cohort-LTV triangle — the retention-REVENUE matrix next to
+    * `events_retention`'s activity view: users cohorted by
+    * first-event week, each cohort's distinct actives and value mass
+    * accumulated per week-of-age, with the running cumulative LTV
+    * per user that growth models fit against. Weeks are pure integer
+    * µs arithmetic against the feed's own start ((first−min) div 7d
+    * — no calendar, no timezone), value mass is exact integer cents,
+    * and cum_ltv_per_user is the one double division per cell.
+    *
+    * Scale shape: one (user) reduce for first-seen (map-side
+    * combined), joined back on the SAME user key (co-partitioned at
+    * scale), one (cohort, age) reduce — the triangle is
+    * |weeks|²-bounded regardless of corpus size — and the running
+    * sum is a per-cohort window over that bounded relation.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOn(Tables.load(spark, dir, "events"))
+
+  def cohortLtvOn(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val ev = events.filter(col("ts").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+    val first = ev.groupBy(col("user_id")).agg(min(col("us")).as("first_us"))
+    val origin = first.agg(min(col("first_us")).as("origin_us"))
+    val cells = ev.join(first, "user_id")
+      .crossJoin(broadcast(origin))
+      .select(
+        expr(s"(first_us - origin_us) div ${weekUs}L").as("cohort_week"),
+        expr(s"(us - first_us) div ${weekUs}L").as("age_weeks"),
+        col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"))
+    val cohorts = cells.groupBy(col("cohort_week"))
+      .agg(max(when(col("age_weeks") === 0, col("n_active")))
+        .as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    cells.join(cohorts, "cohort_week")
+      .withColumn("cum_value_cents",
+        sum(col("value_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("cohort_week"), col("age_weeks"), col("n_active"),
+        col("n_events"), col("value_cents"), col("cohort_size"),
+        (col("cum_value_cents").cast("double") /
+          col("cohort_size").cast("double") / 100.0)
+          .as("cum_ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   /** Sample-ratio mismatch guardrail for the A/B assignment — the
     * first check every experimentation platform runs before reading
     * means: with a 50/50 split, user counts per arm should differ

@@ -915,6 +915,30 @@ class AnalyticsSpec extends AnyFunSuite {
       "adding per-shard counter matrices must reproduce the whole-stream sketch")
   }
 
+  test("cohort LTV triangle ties out on a planted two-cohort feed") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    // users 1,2 start week 0; user 3 starts week 1 (day 9)
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "e", 1.00),  // w0 a0
+      (2L, ts(2, 0), 2L, "e", 2.00),  // w0 a0
+      (3L, ts(9, 0), 1L, "e", 3.00),  // w0 a1 (8d after u1's first)
+      (4L, ts(9, 12), 3L, "e", 4.00), // w1 a0
+      (5L, ts(17, 0), 3L, "e", 5.00)  // w1 a1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Analytics.cohortLtvOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("cum_ltv_per_user"))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 300L, 2L, 1.5)),   // u1+u2 first week
+      (0L, 1L) -> ((1L, 300L, 2L, 3.0)),   // u1 returns: cum 600/2
+      (1L, 0L) -> ((1L, 400L, 1L, 4.0)),
+      (1L, 1L) -> ((1L, 500L, 1L, 9.0))))
+  }
+
   test("sniff mismatch: every planted wrong-container doc is caught, none invented") {
     val rows = SparkEntry.queries("multimodal_sniff_mismatch")(spark, sf)
       .collect()

@@ -55,6 +55,21 @@ class CoverageBucketsSpec extends AnyFunSuite {
     }
   }
 
+  test("survivorship rows re-aggregate to exactly the impact removals") {
+    val docs = Tables.load(spark, sf, "documents")
+    val byLoser = Dedup.minhashSurvivorship(docs).collect()
+      .groupBy(_.getAs[String]("loser_source")).view
+      .mapValues(rs => (rs.map(_.getAs[Long]("n_docs_lost")).sum,
+        rs.map(_.getAs[Long]("chars_lost")).sum)).toMap
+    val impact = Dedup.minhashImpact(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_removed"), r.getAs[Long]("chars_removed"))).toMap
+    impact.foreach { case (src, (n, ch)) =>
+      assert(byLoser.getOrElse(src, (0L, 0L)) === ((n, ch)),
+        s"source $src: survivorship and impact disagree")
+    }
+  }
+
   test("impact dominance: exact-dup removal never exceeds MinHash removal") {
     val docs = Tables.load(spark, sf, "documents")
     // dedupImpact reports the KEPT side; removed = total − kept

@@ -920,6 +920,22 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // Binary-Hamming ANN: the 1-bit budget point of the quantization
+    // ladder — 16-byte signatures, popcount-only scan.
+    "sim_ann_hamming" -> ((s, dir) =>
+      Similarity.topKAnnHamming(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    // What the last compression step costs: recall@k of the
+    // sign-bit Hamming ranking vs the exact cosine top-k.
+    "embed_binary_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnHamming(embs))
+        .orderBy(col("probe_id"))
+    }),
+
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.topKAnnIvf(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
@@ -2250,6 +2266,28 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM ms)"""
       .stripMargin
   }
+
+  /** Sign-bit Hamming chain (twin of Similarity.topKAnnHamming):
+    * lo/hi 32-bit packs from the flat relation, popcount ranking.
+    * Assumes embCtes in scope; ends at `hr`. h-prefixed.
+    */
+  private lazy val hammingCtes: String =
+    s"""hs AS (SELECT f.vec_id,
+       |    CAST(sum(CASE WHEN f.v >= 0 AND f.i < 32
+       |      THEN (1::BIGINT << f.i) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN f.v >= 0 AND f.i >= 32
+       |      THEN (1::BIGINT << (f.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM flat f JOIN norms n ON n.vec_id = f.vec_id AND n.n2 > 0
+       |  GROUP BY 1),
+       |hp AS (SELECT vec_id AS probe_id, lo AS lo_p, hi AS hi_p
+       |  FROM hs WHERE vec_id < ${Similarity.NumProbes}),
+       |hsc AS (SELECT hp.probe_id, hs.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(hs.lo, hp.lo_p))
+       |      + bit_count(xor(hs.hi, hp.hi_p)) AS BIGINT) AS hamming
+       |  FROM hs JOIN hp ON hs.vec_id <> hp.probe_id),
+       |hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rk FROM hsc)"""
+      .stripMargin
 
   private val exactTopKCtes: String =
     s"""bd AS (SELECT fp.vec_id AS probe_id, fx.vec_id AS neighbor_id,
@@ -6201,6 +6239,25 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM scored)
          |SELECT probe_id, neighbor_id, cos_sim, rk FROM r
          |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "sim_ann_hamming" ->
+      s"""WITH $embCtes,
+         |$hammingCtes
+         |SELECT probe_id, neighbor_id, hamming, rk FROM hr
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "embed_binary_recall" ->
+      s"""WITH $embCtes,
+         |$exactTopKCtes,
+         |$hammingCtes,
+         |hk AS (SELECT probe_id, neighbor_id FROM hr
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(h.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM bfk b LEFT JOIN hk h
+         |  ON h.probe_id = b.probe_id AND h.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_lsh_multiprobe" ->
       s"""WITH $embCtes,

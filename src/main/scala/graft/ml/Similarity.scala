@@ -980,6 +980,52 @@ object Similarity {
         col("cos_sim"), col("rk"))
   }
 
+  /** Sign-bit binary signatures: component i of the quantized vector
+    * contributes bit (i mod 32) of the lo (i < 32) / hi (i ≥ 32)
+    * half. Two NON-NEGATIVE int32-range longs instead of one int64 —
+    * bit 63 would sign-flip a single long and the two engines'
+    * shift/sum conventions diverge on negative packs. Map-only.
+    */
+  private def binaryHalf(q: Column, from: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(q, from + i + 1) >= 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Binary-Hamming ANN — the 1-BIT budget point completing the
+    * quantization ladder (float64 exact → int scalar
+    * `embed_quantize_recall` → PQ codes `sim_ann_pq` → THIS, 64 bits
+    * per vector, a 64× memory cut vs float64): rank the corpus by
+    * Hamming distance between sign-bit signatures (for SRP-style
+    * sign patterns, P[bit mismatch] = θ/π — Hamming is a monotone
+    * cosine proxy in expectation). `embed_binary_recall` prices what
+    * that last compression step costs in recall@k; at 100 TB the
+    * signature relation is 16 bytes/vector and the scan is
+    * popcount-only — the re-rank-free candidate pass a billion-scale
+    * index runs FIRST.
+    *
+    * Deterministic: (hamming asc, neighbor_id) tie-break; same
+    * probe/corpus direction contract as every ranker here (zero-norm
+    * vectors excluded — their sign pattern is all-ones noise).
+    */
+  def topKAnnHamming(embs: DataFrame): DataFrame = {
+    val qv = materialize(Vectors.quantized(embs))
+    val sigs = qv.filter(col("n2") > 0).select(col("vec_id"),
+      binaryHalf(col("q"), 0).as("lo"), binaryHalf(col("q"), 32).as("hi"))
+    val probes = broadcast(sigs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("lo").as("lo_p"),
+        col("hi").as("hi_p")))
+    val scored = sigs.join(probes, col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("lo_p"))) +
+          bit_count(col("hi").bitwiseXOR(col("hi_p")))).cast("long"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rk"))
+  }
+
   val KnnGraphK = 3
 
   /** Mutual-kNN census over the LSH candidate graph: every vector's

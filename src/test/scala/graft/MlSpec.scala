@@ -459,6 +459,34 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming ranking: a sign-copy ranks first at 0, an antipode last at 64") {
+    import spark.implicits._
+    import graft.ml.Similarity
+    // 64-dim probe with strictly nonzero components; corpus holds an
+    // exact copy (hamming 0) and the antipode (every sign flips: 64)
+    val v = Array.tabulate(64)(i => if (i % 3 == 0) 0.5f else -0.5f)
+    val neg = v.map(-_)
+    val rows = Seq(
+      (0L, v, "p"), (10L, v, "c"), (11L, neg, "c"),
+      (12L, Array.tabulate(64)(i => if (i < 32) 0.5f else -0.5f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.topKAnnHamming(rows)
+      .filter(col("probe_id") === 0L).collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        (r.getAs[Long]("hamming"), r.getAs[Long]("rk"))).toMap
+    assert(got(10L) === ((0L, 1L)))
+    assert(got(11L) === ((64L, 3L)))
+    assert(got(12L)._1 > 0L && got(12L)._1 < 64L)
+    // recall against exact cosine: the sign-copy geometry is benign
+    // enough that every value stays in [0, 1]
+    val rec = Similarity.recallAtK(Similarity.topKBruteForce(embs),
+      Similarity.topKAnnHamming(embs)).collect()
+    rec.foreach { r =>
+      val x = r.getAs[Double]("recall_at_k")
+      assert(x >= 0.0 && x <= 1.0)
+    }
+  }
+
   test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {
     import graft.ml.Corpus
     val rates = Map("src1" -> 1000, "src2" -> 0)

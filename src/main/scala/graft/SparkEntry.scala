@@ -217,6 +217,12 @@ object SparkEntry {
     "cdc_checkpoint_frontier" -> ((s, dir) =>
       cdc.Retention.checkpointFrontier(ChangeFeed.fromEvents(s, dir))),
 
+    // The DEPLOYABLE streaming twin: the frontier maintained
+    // incrementally in per-shard state through the streaming engine;
+    // latest state per shard must equal the batch audit.
+    "cdc_stream_frontier" -> ((s, dir) =>
+      streaming.CdcPipeline.frontierRoundtrip(s, dir)),
+
     // Full-load → CDC cutover: snapshot taken ACROSS an in-flight
     // change window, merged with the overlapping stream by position
     // (snapshot row at (read_ts, +inf)); per table the cached/
@@ -2233,6 +2239,36 @@ object SparkEntry {
     * text shared by every recall oracle so the baseline cannot
     * drift between gauges.
     */
+  /** Shared oracle for cdc_checkpoint_frontier and its streaming
+    * twin cdc_stream_frontier (identical claimed semantics ⇒ one
+    * recomputation): shard + seq chain, planted acks, prefix-acked
+    * running min, replay arithmetic.
+    */
+  private lazy val checkpointFrontierSql: String =
+    s"""$C, s0 AS (SELECT ts, event_id,
+       |    ${Portable.duckHash("partition_key")} % 8 AS shard
+       |  FROM c WHERE ts IS NOT NULL),
+       |q AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY ts, event_id) AS BIGINT) AS seq FROM s0),
+       |q2 AS (SELECT *, (event_id % 37 <> 0) AS acked FROM q),
+       |q3 AS (SELECT *, min(CASE WHEN acked THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY shard ORDER BY seq
+       |    ROWS UNBOUNDED PRECEDING) AS pfx FROM q2),
+       |g AS (SELECT shard,
+       |    CAST(count(*) AS BIGINT) AS n_records,
+       |    CAST(count(*) FILTER (WHERE acked) AS BIGINT) AS n_acked,
+       |    CAST(sum(pfx) AS BIGINT) AS frontier_seq,
+       |    arg_max(ts, seq) FILTER (WHERE pfx = 1) AS frontier_ts,
+       |    arg_max(event_id, seq) FILTER (WHERE pfx = 1)
+       |      AS frontier_event_id,
+       |    min(seq) FILTER (WHERE NOT acked) AS first_gap_seq
+       |  FROM q3 GROUP BY 1)
+       |SELECT shard, n_records, n_acked, frontier_seq, frontier_ts,
+       |  frontier_event_id, first_gap_seq,
+       |  n_acked - frontier_seq AS n_beyond_frontier,
+       |  n_records - frontier_seq AS n_redelivered
+       |FROM g ORDER BY shard""".stripMargin
+
   /** Multi-probe LSH candidate + ranking chain (twin of
     * Similarity.topKAnnMultiprobe): per probe band bucket, the code
     * itself plus its rowsPerBand Hamming-1 variants, then the shared
@@ -2568,30 +2604,12 @@ object SparkEntry {
 
     // Same one-shard-exchange chain as cdc_consume_resume; the
     // prefix-acked running min turns the gap census into plain sums.
-    "cdc_checkpoint_frontier" ->
-      s"""$C, s0 AS (SELECT ts, event_id,
-         |    ${Portable.duckHash("partition_key")} % 8 AS shard
-         |  FROM c WHERE ts IS NOT NULL),
-         |q AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
-         |    ORDER BY ts, event_id) AS BIGINT) AS seq FROM s0),
-         |q2 AS (SELECT *, (event_id % 37 <> 0) AS acked FROM q),
-         |q3 AS (SELECT *, min(CASE WHEN acked THEN 1 ELSE 0 END) OVER (
-         |    PARTITION BY shard ORDER BY seq
-         |    ROWS UNBOUNDED PRECEDING) AS pfx FROM q2),
-         |g AS (SELECT shard,
-         |    CAST(count(*) AS BIGINT) AS n_records,
-         |    CAST(count(*) FILTER (WHERE acked) AS BIGINT) AS n_acked,
-         |    CAST(sum(pfx) AS BIGINT) AS frontier_seq,
-         |    arg_max(ts, seq) FILTER (WHERE pfx = 1) AS frontier_ts,
-         |    arg_max(event_id, seq) FILTER (WHERE pfx = 1)
-         |      AS frontier_event_id,
-         |    min(seq) FILTER (WHERE NOT acked) AS first_gap_seq
-         |  FROM q3 GROUP BY 1)
-         |SELECT shard, n_records, n_acked, frontier_seq, frontier_ts,
-         |  frontier_event_id, first_gap_seq,
-         |  n_acked - frontier_seq AS n_beyond_frontier,
-         |  n_records - frontier_seq AS n_redelivered
-         |FROM g ORDER BY shard""".stripMargin,
+    "cdc_checkpoint_frontier" -> checkpointFrontierSql,
+
+    // ONE oracle text for the batch audit and its streaming twin —
+    // the two operators claim the same semantics, so they must be
+    // held to the same recomputation.
+    "cdc_stream_frontier" -> checkpointFrontierSql,
 
     "cdc_snapshot_handoff" ->
       s"""$handoffKCtes,
@@ -3857,6 +3875,23 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY probe_id
          |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM lsc)
          |  WHERE rk <= $k),
+         |mpc AS (SELECT DISTINCT mp.probe_id, b.vec_id AS neighbor_id
+         |  FROM (SELECT pb.vec_id AS probe_id, pb.band, unnest([${
+        ("pb.bucket" +: (0 until Dedup.EmbRowsPerBand)
+          .map(b => s"xor(pb.bucket, ${1L << b})")).mkString(", ")
+      }]) AS bucket
+         |    FROM buckets pb WHERE pb.vec_id < ${Similarity.NumProbes}) mp
+         |  JOIN buckets b ON b.band = mp.band AND b.bucket = mp.bucket
+         |    AND b.vec_id <> mp.probe_id),
+         |msc AS (SELECT bs.probe_id, bs.neighbor_id, bs.cos_sim
+         |  FROM mpc c JOIN bs ON bs.probe_id = c.probe_id
+         |    AND bs.neighbor_id = c.neighbor_id),
+         |mrk AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM msc)
+         |  WHERE rk <= $k),
+         |$hammingCtes,
+         |hmk AS (SELECT probe_id, neighbor_id FROM hr WHERE rk <= $k),
          |$ivfCuts,
          |pcodes AS (SELECT vec_id, sub, code FROM best WHERE rk = 1),
          |ppf AS (SELECT vec_id AS probe_id, sub, il, v FROM f
@@ -3888,6 +3923,20 @@ object SparkEntry {
          |      AND a.neighbor_id = b.neighbor_id),
          |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
          |    (SELECT CAST(count(*) AS BIGINT) FROM lsc)
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', CAST(0 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b JOIN mrk a
+         |      ON a.probe_id = b.probe_id
+         |      AND a.neighbor_id = b.neighbor_id),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM msc)
+         |  UNION ALL
+         |  SELECT 'hamming', CAST(0 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk b JOIN hmk a
+         |      ON a.probe_id = b.probe_id
+         |      AND a.neighbor_id = b.neighbor_id),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bfk),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hsc)
          |  UNION ALL
          |  $ivfRows
          |  UNION ALL

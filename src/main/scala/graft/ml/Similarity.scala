@@ -1336,6 +1336,37 @@ object Similarity {
       .select(col("probe_id"), col("vec_id")).distinct()
     val eLsh = row("lsh", 0L, cosRanked(lshCands))
 
+    // multi-probe LSH: the Hamming-1 variant fan-out rides the same
+    // broadcast probe relation; candidates a strict superset of lsh's
+    val mpProbeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
+        explode(array(col("bucket") +:
+          (0 until Dedup.EmbRowsPerBand).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket_p")))
+    val mpCands = flatB.join(mpProbeFlat,
+        col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val eMp = row("lsh_multiprobe", 0L, cosRanked(mpCands))
+
+    // binary Hamming: the full popcount scan — exact's candidate
+    // count at 1-bit precision, the ladder's cheapest scorer
+    val hSigs = qv.filter(col("n2") > 0).select(col("vec_id"),
+      binaryHalf(col("q"), 0).as("lo"), binaryHalf(col("q"), 32).as("hi"))
+    val hProbes = broadcast(hSigs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("lo").as("lo_p"),
+        col("hi").as("hi_p")))
+    val hRanked = hSigs.join(hProbes, col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("lo_p"))) +
+          bit_count(col("hi").bitwiseXOR(col("hi_p")))).cast("long"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+    val eHam = row("hamming", 0L, hRanked)
+
     // IVF: rank the cells ONCE, cut per nProbe of the curve
     val cellRanks = materialize(ivfCellRanks(qv, lab))
     val ivfEntries = IvfCurveProbes.map { np =>
@@ -1398,7 +1429,8 @@ object Similarity {
     }
 
     val allC = materialize(
-      (Seq(eExact, eLsh) ++ ivfEntries ++ Seq(ePq) ++ graphEntries)
+      (Seq(eExact, eLsh, eMp) ++ ivfEntries ++ Seq(ePq, eHam) ++
+        graphEntries)
         .reduce(_ unionByName _))
     val others = allC.select(col("method").as("m2"), col("param").as("p2"),
       col("n_matched").as("nm2"), col("n_candidates").as("nc2"))

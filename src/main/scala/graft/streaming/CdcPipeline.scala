@@ -201,6 +201,94 @@ object CdcPipeline {
     out.result().iterator
   }
 
+  /** Running ack-frontier per shard — the streaming state. */
+  case class FrontierState(
+      shard: Long, n_records: Long, n_acked: Long, frontier_seq: Long,
+      frontier_ts: Option[Timestamp], frontier_event_id: Option[Long],
+      first_gap_seq: Option[Long])
+
+  /** Streaming twin of cdc/Retention.checkpointFrontier: per shard,
+    * the contiguous-acked-prefix frontier maintained INCREMENTALLY as
+    * records arrive — the state a live exactly-once consumer
+    * actually checkpoints from, not a batch audit after the fact.
+    * O(1) state per shard (counts + the frontier position + the
+    * first gap) under the delivery-time-ack model the gauge plants
+    * (an in-flight record never acks later); a deferred-ack
+    * deployment swaps in a pending-seq set bounded by the ack-lag
+    * window — the same trade `sessionizeStream` documents for its
+    * gap state.
+    *
+    * Ordering contract: per-shard in-order delivery across batches
+    * (the Kinesis shard guarantee, as [[transitionsStream]]);
+    * intra-batch order irrelevant (full-precision sort per batch).
+    * Update mode: each batch emits the shard's running frontier —
+    * the checkpoint a consumer could take at that instant.
+    */
+  def frontierStream(
+      feed: Dataset[(Long, Timestamp, Long)]): Dataset[FrontierState] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        advanceFrontier)
+  }
+
+  private def advanceFrontier(
+      shard: Long,
+      events: Iterator[(Long, Timestamp, Long)],
+      state: GroupState[FrontierState]): Iterator[FrontierState] = {
+    val sorted = events.toSeq.sortBy(e => (micros(e._2), e._3))
+    var s = state.getOption.getOrElse(
+      FrontierState(shard, 0L, 0L, 0L, None, None, None))
+    sorted.foreach { case (_, ts, id) =>
+      val seq = s.n_records + 1
+      val acked = id % 37L != 0L
+      s = s.copy(
+        n_records = seq,
+        n_acked = s.n_acked + (if (acked) 1L else 0L),
+        first_gap_seq =
+          if (!acked && s.first_gap_seq.isEmpty) Some(seq)
+          else s.first_gap_seq)
+      if (acked && s.first_gap_seq.isEmpty)
+        s = s.copy(frontier_seq = seq, frontier_ts = Some(ts),
+          frontier_event_id = Some(id))
+    }
+    if (sorted.nonEmpty) { state.update(s); Iterator.single(s) }
+    else Iterator.empty
+  }
+
+  /** Driver-checked roundtrip for [[frontierStream]]: file-stream
+    * source → annotate + shard → incremental frontier → update-mode
+    * memory sink; the LATEST state per shard (n_records is monotone,
+    * so max picks it batch-count-independently) plus the replay
+    * arithmetic must equal the batch audit exactly — which is what
+    * the shared oracle recomputes.
+    */
+  def frontierRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.Tables.withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val sharded = ChangeFeed.withShard(ChangeFeed.annotate(raw), 8)
+      .filter(col("ts").isNotNull)
+      .select(col("shard"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)]
+    val states = frontierStream(sharded)
+    val sink = drainToLocal(spark, states, OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("n_records").desc)
+    sink.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .select(col("shard"), col("n_records"), col("n_acked"),
+        col("frontier_seq"), col("frontier_ts"), col("frontier_event_id"),
+        col("first_gap_seq"),
+        (col("n_acked") - col("frontier_seq")).as("n_beyond_frontier"),
+        (col("n_records") - col("frontier_seq")).as("n_redelivered"))
+      .orderBy(col("shard"))
+  }
+
   /** Driver-checked roundtrip for [[scd2Stream]]: file-stream source
     * → streaming SCD2 → append memory sink; output = every closed
     * version, bit-comparable to the batch history minus its open

@@ -228,7 +228,8 @@ class MlSpec extends AnyFunSuite {
 
   test("annFrontier: shared exact denominator, nested-IVF monotonicity, dominance verdicts") {
     val rows = Similarity.annFrontier(embs).collect()
-    assert(rows.length === 3 + Similarity.IvfCurveProbes.length +
+    // exact, lsh, lsh_multiprobe, pq, hamming + the two knob sweeps
+    assert(rows.length === 5 + Similarity.IvfCurveProbes.length +
       Similarity.GraphCurveHops.length)
     val nExact = rows.map(_.getAs[Long]("n_exact")).toSet
     assert(nExact.size === 1, "every config scores against the same exact set")
@@ -249,6 +250,14 @@ class MlSpec extends AnyFunSuite {
       assert(a.getAs[Long]("n_matched") <= b.getAs[Long]("n_matched"))
       case _ => ()
     }
+    // multiprobe candidates are a strict superset of plain LSH's, so
+    // both its cost and its matches dominate; hamming scans exactly
+    // the exact ranker's candidate set at 1-bit precision
+    val (lsh, mp) = (byKey(("lsh", 0L)), byKey(("lsh_multiprobe", 0L)))
+    assert(mp.getAs[Long]("n_candidates") >= lsh.getAs[Long]("n_candidates"))
+    assert(mp.getAs[Long]("n_matched") >= lsh.getAs[Long]("n_matched"))
+    assert(byKey(("hamming", 0L)).getAs[Long]("n_candidates") ===
+      byKey(("exact", 0L)).getAs[Long]("n_candidates"))
     // the walk's visited set only grows with hops (the beam itself
     // may regress a hit, so only cost is asserted monotone)
     val gr = Similarity.GraphCurveHops.map(h => byKey(("graph", h.toLong)))

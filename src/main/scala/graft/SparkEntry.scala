@@ -942,6 +942,22 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // Two-stage serving: Hamming top-32 prefilter, exact cosine
+    // re-rank — float reads drop to 32 candidates per probe.
+    "sim_ann_hamming_rerank" -> ((s, dir) =>
+      Similarity.topKAnnHammingRerank(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("probe_id"), col("rk"))),
+
+    // What the re-rank buys back: recall@k of the two-stage pipeline
+    // (spec-pinned to dominate the plain-Hamming gauge per probe).
+    "embed_rerank_recall" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.topKBruteForce(embs),
+          Similarity.topKAnnHammingRerank(embs))
+        .orderBy(col("probe_id"))
+    }),
+
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.topKAnnIvf(Tables.load(s, dir, "embeddings"))
         .orderBy(col("probe_id"), col("rk"))),
@@ -6306,6 +6322,42 @@ object SparkEntry {
          |    AS recall_at_k
          |FROM bfk b LEFT JOIN hk h
          |  ON h.probe_id = b.probe_id AND h.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hamming top-C candidates re-scored against the exact cosine
+    // relation (bs) — the oracle of the two-stage pipeline.
+    "sim_ann_hamming_rerank" ->
+      s"""WITH $embCtes,
+         |$exactTopKCtes,
+         |$hammingCtes,
+         |hcand AS (SELECT probe_id, neighbor_id FROM hr
+         |  WHERE rk <= ${Similarity.RerankCandidates}),
+         |rsc AS (SELECT bs.probe_id, bs.neighbor_id, bs.cos_sim
+         |  FROM hcand c JOIN bs ON bs.probe_id = c.probe_id
+         |    AND bs.neighbor_id = c.neighbor_id),
+         |rrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM rsc)
+         |SELECT probe_id, neighbor_id, cos_sim, rk FROM rrk
+         |WHERE rk <= ${Similarity.TopK} ORDER BY probe_id, rk""".stripMargin,
+
+    "embed_rerank_recall" ->
+      s"""WITH $embCtes,
+         |$exactTopKCtes,
+         |$hammingCtes,
+         |hcand AS (SELECT probe_id, neighbor_id FROM hr
+         |  WHERE rk <= ${Similarity.RerankCandidates}),
+         |rsc AS (SELECT bs.probe_id, bs.neighbor_id, bs.cos_sim
+         |  FROM hcand c JOIN bs ON bs.probe_id = c.probe_id
+         |    AND bs.neighbor_id = c.neighbor_id),
+         |rk2 AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM rsc)
+         |  WHERE rk <= ${Similarity.TopK})
+         |SELECT b.probe_id,
+         |  CAST(count(r.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM bfk b LEFT JOIN rk2 r
+         |  ON r.probe_id = b.probe_id AND r.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_lsh_multiprobe" ->

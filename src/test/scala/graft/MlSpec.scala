@@ -496,6 +496,21 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("two-stage re-rank dominates the plain Hamming ranking per probe") {
+    import graft.ml.Similarity
+    // the Hamming top-k is inside the re-rank candidate set and exact
+    // cosine can only promote true neighbors within it
+    val bf = Similarity.topKBruteForce(embs)
+    val plain = Similarity.recallAtK(bf, Similarity.topKAnnHamming(embs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rr = Similarity.recallAtK(bf, Similarity.topKAnnHammingRerank(embs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rr.keySet === plain.keySet)
+    plain.foreach { case (p, v) =>
+      assert(rr(p) >= v, s"probe $p: rerank ${rr(p)} < hamming $v")
+    }
+  }
+
   test("corpus sampling is deterministic, rate-respecting, and stratum-scoped") {
     import graft.ml.Corpus
     val rates = Map("src1" -> 1000, "src2" -> 0)

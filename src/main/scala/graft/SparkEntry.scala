@@ -1841,6 +1841,11 @@ object SparkEntry {
     // cents mass + running per-user LTV (calendar-free integer weeks).
     "events_cohort_ltv" -> ((s, dir) => Analytics.eventsCohortLtv(s, dir)),
 
+    // Time-to-convert distribution (signup → first purchase): exact
+    // two-phase rank percentiles of integer-µs delays.
+    "events_conversion_lag" -> ((s, dir) =>
+      Analytics.eventsConversionLag(s, dir)),
+
     // Voice-activity segmentation from the real PCM parse: 16-sample
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
@@ -7870,6 +7875,38 @@ object SparkEntry {
          |    / 100.0 AS cum_ltv_per_user
          |FROM r ORDER BY 1, 2""".stripMargin
     },
+
+    // Exact ⌈n·q/100⌉ rank picks over the (delay, user_id) total
+    // order — corpus_percentiles' tie-break on the conversion delays.
+    "events_conversion_lag" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |  FROM events WHERE ts IS NOT NULL),
+         |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |d AS (SELECT e.user_id, min(e.us) - min(s1.t1) AS delay_us
+         |  FROM e JOIN s1 ON s1.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us >= s1.t1
+         |  GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY delay_us, user_id)
+         |    AS rn, count(*) OVER () AS n FROM d),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+         |    max(CASE WHEN rn = (n * 25 + 99) // 100 THEN delay_us END)
+         |      AS p25_delay_us,
+         |    max(CASE WHEN rn = (n * 50 + 99) // 100 THEN delay_us END)
+         |      AS p50_delay_us,
+         |    max(CASE WHEN rn = (n * 75 + 99) // 100 THEN delay_us END)
+         |      AS p75_delay_us,
+         |    max(CASE WHEN rn = (n * 90 + 99) // 100 THEN delay_us END)
+         |      AS p90_delay_us,
+         |    max(delay_us) AS max_delay_us
+         |  FROM r),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM s1)
+         |SELECT ns.n_signups, p.n_converted,
+         |  CAST(p.n_converted AS DOUBLE) / CAST(ns.n_signups AS DOUBLE)
+         |    AS conversion_rate,
+         |  p.p25_delay_us, p.p50_delay_us, p.p75_delay_us,
+         |  p.p90_delay_us, p.max_delay_us
+         |FROM p, ns""".stripMargin,
 
     "events_srm" ->
       s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events

@@ -1846,6 +1846,52 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Conversion-lag percentiles — the time-to-convert distribution
+    * between a user's first signup and their first subsequent
+    * purchase (the product metric funnels don't show: two funnels
+    * with equal conversion can hide a 10× latency difference, and
+    * the attribution window every marketing report picks comes FROM
+    * this table). Exact order statistics: delays are integer µs, the
+    * quantile picks are the two-phase rank cuts at ⌈n·q/100⌉ (the
+    * corpus_percentiles tie-break) — no sketch, no interpolation.
+    *
+    * Scale shape: two user-keyed reduces (first signup, first
+    * qualifying purchase — joined on the SAME user key), then ONE
+    * global rank through functions/Ranks (a billion converters never
+    * collapse to one task); the picks are a conditional aggregate on
+    * the ranked relation, the signup denominator a 1-row broadcast.
+    */
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLagOn(Tables.load(spark, dir, "events"))
+
+  def conversionLagOn(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .join(s1, "user_id")
+      .filter(col("us") >= col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      .select(col("user_id"), (col("t2") - col("t1")).as("delay_us"))
+    val ranked = graft.functions.Ranks.grouped(
+      delays, Nil, Seq("delay_us", "user_id"))
+    def pick(q: Int) =
+      max(when(col("rank") === expr(s"(grp_total * $q + 99) DIV 100"),
+        col("delay_us"))).as(s"p${q}_delay_us")
+    val stats = ranked.agg(
+      count(lit(1)).as("n_converted"),
+      pick(25), pick(50), pick(75), pick(90),
+      max(col("delay_us")).as("max_delay_us"))
+    stats.crossJoin(broadcast(s1.agg(count(lit(1)).as("n_signups"))))
+      .select(col("n_signups"), col("n_converted"),
+        (col("n_converted").cast("double") /
+          col("n_signups").cast("double")).as("conversion_rate"),
+        col("p25_delay_us"), col("p50_delay_us"), col("p75_delay_us"),
+        col("p90_delay_us"), col("max_delay_us"))
+  }
+
   /** Cohort-LTV triangle — the retention-REVENUE matrix next to
     * `events_retention`'s activity view: users cohorted by
     * first-event week, each cohort's distinct actives and value mass

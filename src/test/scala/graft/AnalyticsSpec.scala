@@ -939,6 +939,34 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 500L, 1L, 9.0))))
   }
 
+  test("conversion lag picks exact rank percentiles on planted delays") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // 4 converters with delays 1,2,3,4 minutes; 1 signup never converts;
+    // a pre-signup purchase must not count
+    val ev = (Seq(
+      (1L, ts(0), 1L, "signup", 0.0), (2L, ts(1), 1L, "purchase", 1.0),
+      (3L, ts(0), 2L, "signup", 0.0), (4L, ts(2), 2L, "purchase", 1.0),
+      (5L, ts(0), 3L, "signup", 0.0), (6L, ts(3), 3L, "purchase", 1.0),
+      (7L, ts(0), 4L, "signup", 0.0), (8L, ts(4), 4L, "purchase", 1.0),
+      (9L, ts(0), 5L, "signup", 0.0),
+      (10L, ts(0), 6L, "purchase", 1.0), (11L, ts(1), 6L, "signup", 0.0))
+    ).map { case (id, t, u, ty, v) => (id, t, u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Analytics.conversionLagOn(ev).collect().head
+    val min = 60000000L // one minute in µs
+    assert(r.getAs[Long]("n_signups") === 6L)
+    assert(r.getAs[Long]("n_converted") === 4L)
+    // ceil-rank picks over delays [1,2,3,4] min: p25→rank1, p50→rank2,
+    // p75→rank3, p90→rank4 (⌈4·90/100⌉ = 4)
+    assert(r.getAs[Long]("p25_delay_us") === 1 * min)
+    assert(r.getAs[Long]("p50_delay_us") === 2 * min)
+    assert(r.getAs[Long]("p75_delay_us") === 3 * min)
+    assert(r.getAs[Long]("p90_delay_us") === 4 * min)
+    assert(r.getAs[Long]("max_delay_us") === 4 * min)
+  }
+
   test("sniff mismatch: every planted wrong-container doc is caught, none invented") {
     val rows = SparkEntry.queries("multimodal_sniff_mismatch")(spark, sf)
       .collect()

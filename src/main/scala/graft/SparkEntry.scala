@@ -1846,6 +1846,17 @@ object SparkEntry {
     "events_conversion_lag" -> ((s, dir) =>
       Analytics.eventsConversionLag(s, dir)),
 
+    // Session-depth ⌊log2⌋ histogram: bounce share and marathon tail
+    // — the 30-minute-gap tuning readout.
+    "events_session_depth" -> ((s, dir) =>
+      Analytics.eventsSessionDepth(s, dir)),
+
+    // Language-router confidence: per predicted language the win
+    // margin census (0 = the alphabetical tie-break decided).
+    "text_langid_margin" -> ((s, dir) =>
+      TextAnalysis.langidMargin(Tables.load(s, dir, "documents"),
+        col("text"))),
+
     // Voice-activity segmentation from the real PCM parse: 16-sample
     // frame energies, threshold, gaps-and-islands segments per doc.
     "multimodal_wav_vad" -> ((s, dir) =>
@@ -7874,6 +7885,62 @@ object SparkEntry {
          |  CAST(cum_value_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
          |    / 100.0 AS cum_ltv_per_user
          |FROM r ORDER BY 1, 2""".stripMargin
+    },
+
+    // Same session chain as events_sessionize, then the ⌊log2⌋
+    // bucket census with a 1-row total for the share.
+    "events_session_depth" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM events
+         |), b AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |    THEN 1 ELSE 0 END AS is_break FROM g
+         |), s AS (
+         |  SELECT *, CAST(sum(is_break) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_id FROM b
+         |), se AS (
+         |  SELECT user_id, session_id, count(*) AS n_events
+         |  FROM s GROUP BY 1, 2
+         |), bu AS (
+         |  SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(min(n_events) AS BIGINT) AS min_depth,
+         |    CAST(max(n_events) AS BIGINT) AS max_depth,
+         |    CAST(sum(n_events) AS BIGINT) AS n_events_total
+         |  FROM se GROUP BY 1
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM se)
+         |SELECT bucket, n_sessions, min_depth, max_depth, n_events_total,
+         |  CAST(n_sessions AS DOUBLE) / CAST(t.total AS DOUBLE)
+         |    AS session_share
+         |FROM bu, t ORDER BY bucket""".stripMargin,
+
+    // text_langid's score CTE; margin from the exact integer sort of
+    // the 5-score vector (top minus second).
+    "text_langid_margin" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      val vec = TextAnalysis.markers.map { case (l, _) => s"score_$l" }
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT doc_id,
+         |  $scores
+         |FROM documents),
+         |m AS (SELECT $langPredSql AS pred_lang,
+         |    list_sort($vec)[5] - list_sort($vec)[4] AS margin
+         |  FROM s),
+         |c AS (SELECT pred_lang,
+         |    CAST(least(margin, 3) AS BIGINT) AS margin_bucket,
+         |    count(*) AS n_docs
+         |  FROM m GROUP BY 1, 2)
+         |SELECT pred_lang, margin_bucket, n_docs,
+         |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (
+         |    PARTITION BY pred_lang) AS DOUBLE) AS lang_share
+         |FROM c ORDER BY 1, 2""".stripMargin
     },
 
     // Exact ⌈n·q/100⌉ rank picks over the (delay, user_id) total

@@ -174,6 +174,35 @@ object TextAnalysis {
       when(total === 0, lit("und")).otherwise(pred._1))
   }
 
+  /** Language-router confidence census — the margin audit behind
+    * [[langId]]'s argmax: per predicted language, how many docs won
+    * by 0 (a TIE — the alphabetical tie-break decided, i.e. the
+    * router guessed), by 1, by 2, or by ≥3 marker hits. The
+    * zero-margin mass is the honest error bar on every downstream
+    * consumer (`text_langid_eval`'s confusion, `corpus_ccnet_buckets`'
+    * routing); a healthy corpus concentrates in the ≥3 bucket.
+    * Margin = top score − second score via an exact integer sort of
+    * the 5-score vector; all counts integers, the within-language
+    * share one division over the bounded census.
+    */
+  def langidMargin(docs: DataFrame, text: Column): DataFrame = {
+    val scored = langId(docs, text)
+    val arr = array_sort(array(
+      markers.map { case (l, _) => col(s"score_$l") }: _*))
+    val census = scored
+      .withColumn("margin",
+        element_at(arr, -1) - element_at(arr, -2))
+      .withColumn("margin_bucket", least(col("margin"), lit(3L)))
+      .groupBy(col("pred_lang"), col("margin_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    census.withColumn("lang_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("pred_lang"))).cast("double"))
+      .orderBy(col("pred_lang"), col("margin_bucket"))
+  }
+
   /** Unigram-LM familiarity scoring — the corpus-level half of a
     * perplexity quality filter (CCNet/Gopher-style: score each doc by
     * how probable its tokens are under a language model trained on

@@ -377,6 +377,35 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Session-depth histogram — the engagement-shape gauge over
+    * [[sessionize]]'s output: sessions bucketed by ⌊log2(events)⌋
+    * (bucket 0 = bounce singletons, the tail = marathon sessions),
+    * with each bucket's session count, depth range, event mass, and
+    * share. The bounce share and the depth tail are the two numbers
+    * a session-gap change moves first — the tuning readout for the
+    * 30-minute gap every sessionizer hardcodes.
+    *
+    * Adds ONE map-side-combined reduce over the session relation
+    * (≤64 buckets); shares divide by a 1-row broadcast total.
+    */
+  def eventsSessionDepth(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(Tables.load(spark, dir, "events"))
+    val buckets = sessions
+      .withColumn("bucket", (length(bin(col("n_events"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("n_events")).as("min_depth"),
+        max(col("n_events")).as("max_depth"),
+        sum(col("n_events")).as("n_events_total"))
+    val total = sessions.agg(count(lit(1)).as("total_sessions"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_sessions"), col("min_depth"),
+        col("max_depth"), col("n_events_total"),
+        (col("n_sessions").cast("double") /
+          col("total_sessions").cast("double")).as("session_share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Ordered-stage funnel over the event stream: per user, first
     * signup, first click at-or-after that signup, first purchase
     * at-or-after that click — then corpus-level stage counts.

@@ -70,6 +70,40 @@ class CoverageBucketsSpec extends AnyFunSuite {
     }
   }
 
+  test("langid margin: ties land in bucket 0 under the alphabetical winner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "der die the a"),        // de 2 vs en 2: tie → de, margin 0
+      (2L, "the a of and is"),      // en 5, margin 5 → bucket 3
+      (3L, "xyzzy plugh")           // no markers → und, margin 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langidMargin(docs, col("text")).collect()
+      .map(r => (r.getAs[String]("pred_lang"),
+        r.getAs[Long]("margin_bucket")) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === Map(
+      ("de", 0L) -> 1L, ("en", 3L) -> 1L, ("und", 0L) -> 1L))
+  }
+
+  test("session depth buckets partition the session relation") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("events_session_depth")(spark2, sf)
+      .collect()
+    val sessions = graft.operators.Analytics.sessionize(
+      Tables.load(spark2, sf, "events"))
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === sessions.count())
+    assert(rows.map(_.getAs[Long]("n_events_total")).sum ===
+      Tables.load(spark2, sf, "events").count())
+    assert(math.abs(rows.map(_.getAs[Double]("session_share")).sum - 1.0)
+      < 1e-9)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("min_depth") >= (1L << b))
+      assert(r.getAs[Long]("max_depth") < (2L << b))
+    }
+  }
+
   test("impact dominance: exact-dup removal never exceeds MinHash removal") {
     val docs = Tables.load(spark, sf, "documents")
     // dedupImpact reports the KEPT side; removed = total − kept

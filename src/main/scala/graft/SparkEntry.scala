@@ -7969,8 +7969,9 @@ object SparkEntry {
          |  FROM r),
          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM s1)
          |SELECT ns.n_signups, p.n_converted,
-         |  CAST(p.n_converted AS DOUBLE) / CAST(ns.n_signups AS DOUBLE)
-         |    AS conversion_rate,
+         |  CASE WHEN ns.n_signups > 0
+         |    THEN CAST(p.n_converted AS DOUBLE)
+         |      / CAST(ns.n_signups AS DOUBLE) END AS conversion_rate,
          |  p.p25_delay_us, p.p50_delay_us, p.p75_delay_us,
          |  p.p90_delay_us, p.max_delay_us
          |FROM p, ns""".stripMargin,

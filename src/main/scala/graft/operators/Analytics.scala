@@ -1913,10 +1913,14 @@ object Analytics {
       count(lit(1)).as("n_converted"),
       pick(25), pick(50), pick(75), pick(90),
       max(col("delay_us")).as("max_delay_us"))
+    // rate guarded: this is a global aggregate (always one row), so
+    // unlike the per-group censuses the division DOES evaluate on an
+    // empty feed — n_signups = 0 must yield null, not an ANSI error
     stats.crossJoin(broadcast(s1.agg(count(lit(1)).as("n_signups"))))
       .select(col("n_signups"), col("n_converted"),
-        (col("n_converted").cast("double") /
-          col("n_signups").cast("double")).as("conversion_rate"),
+        when(col("n_signups") > 0,
+          col("n_converted").cast("double") /
+            col("n_signups").cast("double")).as("conversion_rate"),
         col("p25_delay_us"), col("p50_delay_us"), col("p75_delay_us"),
         col("p90_delay_us"), col("max_delay_us"))
   }

@@ -87,6 +87,43 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.annealMix(docs).count() === 0L)
   }
 
+  test("round-10d cores run on zero rows") {
+    import graft.ml.TextAnalysis
+    // experimentation/growth set: empty feeds yield empty censuses —
+    // except conversionLag, whose global-aggregate contract is ONE
+    // row of zeros (the signup denominator exists even when nobody
+    // signed up; the rate is then 0/0 = NaN, matching the oracle)
+    assert(Analytics.cupedOn(emptyEvents).count() === 0L)
+    assert(Analytics.srmOn(emptyEvents).count() === 0L)
+    assert(Analytics.cohortLtvOn(emptyEvents).count() === 0L)
+    val lag = Analytics.conversionLagOn(emptyEvents).collect()
+    assert(lag.length === 1 && lag(0).getAs[Long]("n_converted") === 0L)
+    // checkpoint frontier + schema timeline on an empty feed
+    val changes = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "partition_key")
+    assert(graft.cdc.Retention.checkpointFrontier(changes).count() === 0L)
+    assert(graft.cdc.TableStatistics.schemaTimeline(
+      Seq.empty[(String, Timestamp, String)]
+        .toDF("table_name", "ts", "props")).count() === 0L)
+    // corpus-triage set over an empty corpus
+    val docs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(TextAnalysis.vocabCoverage(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.ccnetBuckets(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.codeDetect(docs, col("text")).count() === 0L)
+    assert(TextAnalysis.langidMargin(docs, col("text")).count() === 0L)
+    assert(Dedup.minhashImpact(docs).count() === 0L)
+    assert(Dedup.minhashSurvivorship(docs).count() === 0L)
+    // graph census on an empty edge relation
+    assert(Similarity.triangleCensus(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq.empty[(Long, Long)].toDF("vec_id", "label")).count() === 0L)
+    // the new rank helper on zero rows
+    assert(graft.functions.Ranks.groupedWithSum(
+      Seq.empty[(Long, Long)].toDF("v", "id"),
+      Nil, Seq("v", "id"), "v").count() === 0L)
+  }
+
   test("round-10 graph/embedding cores run on zero rows") {
     val embs = Seq.empty[(Long, Seq[Float], Int)]
       .toDF("vec_id", "embedding", "label")

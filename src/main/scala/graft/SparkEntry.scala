@@ -2308,12 +2308,17 @@ object SparkEntry {
     * at `mr` (ranked candidates). m-prefixed so it composes next to
     * exactTopKCtes for the recall gauge.
     */
-  private lazy val multiprobeCtes: String = {
-    val variants = ("pb.bucket" +:
-      (0 until Dedup.EmbRowsPerBand).map(b => s"xor(pb.bucket, ${1L << b})"))
+  /** Multi-probe variant list (duck twin of
+    * Similarity.multiprobeVariants) — one definition for the
+    * standalone ranker's chain and the frontier's config row.
+    */
+  private def duckMultiprobeVariants(b: String): String =
+    (b +: (0 until Dedup.EmbRowsPerBand).map(x => s"xor($b, ${1L << x})"))
       .mkString(", ")
+
+  private lazy val multiprobeCtes: String =
     s"""mp AS (SELECT pb.vec_id AS probe_id, pb.band,
-       |    unnest([$variants]) AS bucket
+       |    unnest([${duckMultiprobeVariants("pb.bucket")}]) AS bucket
        |  FROM buckets pb WHERE pb.vec_id < ${Similarity.NumProbes}),
        |mcand AS (SELECT DISTINCT mp.probe_id, b.vec_id AS neighbor_id
        |  FROM mp JOIN buckets b ON b.band = mp.band AND b.bucket = mp.bucket
@@ -2333,7 +2338,6 @@ object SparkEntry {
        |mr AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk FROM ms)"""
       .stripMargin
-  }
 
   /** Sign-bit Hamming chain (twin of Similarity.topKAnnHamming):
     * lo/hi 32-bit packs from the flat relation, popcount ranking.
@@ -3908,10 +3912,8 @@ object SparkEntry {
          |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM lsc)
          |  WHERE rk <= $k),
          |mpc AS (SELECT DISTINCT mp.probe_id, b.vec_id AS neighbor_id
-         |  FROM (SELECT pb.vec_id AS probe_id, pb.band, unnest([${
-        ("pb.bucket" +: (0 until Dedup.EmbRowsPerBand)
-          .map(b => s"xor(pb.bucket, ${1L << b})")).mkString(", ")
-      }]) AS bucket
+         |  FROM (SELECT pb.vec_id AS probe_id, pb.band,
+         |      unnest([${duckMultiprobeVariants("pb.bucket")}]) AS bucket
          |    FROM buckets pb WHERE pb.vec_id < ${Similarity.NumProbes}) mp
          |  JOIN buckets b ON b.band = mp.band AND b.bucket = mp.bucket
          |    AND b.vec_id <> mp.probe_id),

@@ -951,17 +951,22 @@ object Similarity {
     * bucket relation and the equi-join key are unchanged, so the
     * index side never fans out.
     */
+  /** A band bucket code plus its rowsPerBand Hamming-1 variants —
+    * the multi-probe fan-out, ONE definition for the standalone
+    * ranker and the frontier's config row.
+    */
+  private def multiprobeVariants(bucket: Column): Column =
+    array(bucket +: (0 until Dedup.EmbRowsPerBand)
+      .map(b => bucket.bitwiseXOR(lit(1L << b))): _*)
+
   def topKAnnMultiprobe(embs: DataFrame): DataFrame = {
     val qv = materialize(Vectors.quantizedWithBuckets(embs,
       Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
     val flat = qv.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val variants = array(col("bucket") +:
-      (0 until Dedup.EmbRowsPerBand).map(b =>
-        col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val probeFlat = broadcast(flat.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
-        explode(variants).as("bucket_p")))
+        explode(multiprobeVariants(col("bucket"))).as("bucket_p")))
     val cands = flat.join(probeFlat,
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
@@ -1378,9 +1383,7 @@ object Similarity {
     // broadcast probe relation; candidates a strict superset of lsh's
     val mpProbeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
-        explode(array(col("bucket") +:
-          (0 until Dedup.EmbRowsPerBand).map(b =>
-            col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket_p")))
+        explode(multiprobeVariants(col("bucket"))).as("bucket_p")))
     val mpCands = flatB.join(mpProbeFlat,
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))

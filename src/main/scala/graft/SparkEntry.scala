@@ -579,6 +579,71 @@ object SparkEntry {
           expectedCount = 600L)
         .orderBy(col("partition_key"))),
 
+    // Record-level consumer view (run.py:194-199): the reference
+    // prints each kept record's payload MERGED with its partition
+    // key — the row-by-row debugging view next to the consume
+    // summaries. Same threshold filter; one output row per message.
+    "cdc_consume_records" -> ((s, dir) => {
+      val c = ChangeFeed.fromEvents(s, dir)
+      val wrapped = Envelope.wrap(c, col("op"), col("schema_name"),
+        col("table_name"), col("ts"), col("event_id"),
+        Seq("event_id", "user_id", "value", "props"))
+      val feed = Envelope.parse(wrapped.select("message", "partition_key"),
+          "message", eventDataSchema)
+        .select(col("partition_key"),
+          col("metadata.timestamp").as("event_ts"),
+          col("metadata.operation").as("operation"),
+          col("metadata.`table-name`").as("table_name"),
+          col("data"))
+      graft.sources.EnvelopeSource.consumeRecords(feed, consumeThreshold)
+        .orderBy(col("partition_key"), col("event_id"))
+    }),
+
+    // Task-scoped table statistics (describe_table_statistics takes a
+    // task_arn — run.py:202-209, polled for BOTH tasks at
+    // run.py:262-265/317-321): each demo task's selection rules
+    // evaluated over the source catalog, counts from ONE shared
+    // per-table aggregate of the feed; a rule-selected table with no
+    // delivered changes (novels) reports all-zero counts, as DMS does.
+    "cdc_task_statistics" -> ((s, dir) =>
+      TableStatistics.taskStatistics(ChangeFeed.fromEvents(s, dir),
+        taskDemoTasks, taskDemoCatalog)),
+
+    // The kinesis target's OTHER partition-key-type: the same feed
+    // wrapped under schema-table AND transaction-id keys (the key
+    // type rides each message's metadata and is read back from it),
+    // shard routing compared per shard — schema-table pins each
+    // table's whole volume to one shard, transaction-id keying
+    // spreads a hot table across shards (the stream-layer remedy for
+    // what cdc_hot_keys measures).
+    "cdc_partition_key_txn" -> ((s, dir) => {
+      // globally-unique commit id: table-local minute-commit rank
+      // composed with the table index (binlog txn ids are global;
+      // withTxnId's rank alone is only table-unique)
+      val ev = SchemaEvolution.withTxnId(ChangeFeed.fromEvents(s, dir))
+        .withColumn("gtxn", col("txn_id") * 4 + pmod(col("user_id"), lit(4)))
+      def wrapOne(kt: Envelope.PartitionKeyType) =
+        Envelope.wrap(ev, col("op"), col("schema_name"), col("table_name"),
+            col("ts"), col("gtxn"), Seq("event_id"), keyType = kt)
+          .select(col("message"), col("partition_key"))
+      wrapOne(Envelope.SchemaTable).unionByName(wrapOne(Envelope.TransactionId))
+        .withColumn("kt", from_json(col("message"),
+          Envelope.messageSchema(eventDataSchema))
+          .getField("metadata").getField("partition-key-type"))
+        .withColumn("shard", Portable.pHash(col("partition_key")) % 8)
+        .groupBy(col("shard"))
+        .agg(
+          sum(when(col("kt") === "schema-table", 1L).otherwise(0L))
+            .as("n_schema_table"),
+          countDistinct(when(col("kt") === "schema-table",
+            col("partition_key"))).as("n_keys_schema_table"),
+          sum(when(col("kt") === "transaction-id", 1L).otherwise(0L))
+            .as("n_txn"),
+          countDistinct(when(col("kt") === "transaction-id",
+            col("partition_key"))).as("n_keys_txn"))
+        .orderBy(col("shard"))
+    }),
+
     // Full MariaDB type palette through the envelope: every type the
     // reference replicates survives wrap → JSON → parse value-exactly
     // (the *_ok columns count roundtrip equality row by row; the
@@ -1890,6 +1955,28 @@ object SparkEntry {
   private val selectionDemoRules = Seq(
     TableMapping.SelectionRule("graft", "src1%"),
     TableMapping.SelectionRule("graft", "src15", TableMapping.Exclude))
+
+  /** Two replication tasks sharing one stream (the reference runs
+    * two task pairs over ONE Kinesis stream, stack.py:96-180): a
+    * wildcard task excluding one table, and an exact-name task that
+    * also selects a catalog table with no delivered changes yet
+    * (novels — lib/query.py creates it; DMS reports it with all-zero
+    * statistics until its first write).
+    */
+  private val taskDemoTasks = Seq(
+    "task_pct" -> TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("graft", "users_%"),
+      TableMapping.SelectionRule("graft", "users_3", TableMapping.Exclude))),
+    "task_exact" -> TableMapping.Mapping(Seq(
+      TableMapping.SelectionRule("graft", "users_3"),
+      TableMapping.SelectionRule("graft", "novels"))))
+
+  /** The source catalog the task rules evaluate over: the four
+    * delivered change-feed tables plus the never-delivered novels.
+    */
+  private val taskDemoCatalog = Seq(
+    ("graft", "users_0"), ("graft", "users_1"), ("graft", "users_2"),
+    ("graft", "users_3"), ("graft", "novels"))
 
   /** Payload schema of the events change feed as wrapped by the CDC
     * demo queries — one definition so the envelope queries cannot
@@ -5360,6 +5447,68 @@ object SparkEntry {
          |  max(page_max_ts) AS consumed_through_ts
          |FROM sp WHERE stop_page IS NULL OR page <= stop_page
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_consume_records" -> {
+      val f = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+      s"""$C
+         |SELECT partition_key, $f AS event_ts, op AS operation,
+         |  table_name, event_id, user_id, value
+         |FROM c WHERE $f >= '$consumeThreshold'
+         |ORDER BY partition_key, event_id""".stripMargin
+    },
+
+    // The (task, table) row set is derived from the SAME mappings and
+    // catalog the query uses (like cdc_full_load), so editing the demo
+    // tasks cannot desynchronize the oracle.
+    "cdc_task_statistics" -> {
+      val rows = taskDemoTasks.flatMap { case (id, m) =>
+        m.selectTables(taskDemoCatalog).map { case (sch, t) =>
+          s"('$id', '$sch', '$t')"
+        }
+      }
+      s"""$C, per AS (SELECT schema_name, table_name,
+         |    CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+         |    CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+         |    CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+         |    CAST(sum(CASE WHEN op IN ('create-table','drop-table','alter-table')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS ddls,
+         |    CAST(sum(CASE WHEN op = 'load' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS full_load_rows,
+         |    count(*) AS total
+         |  FROM c GROUP BY 1, 2),
+         |tt AS (SELECT * FROM (VALUES ${rows.mkString(", ")})
+         |  AS v(task_id, schema_name, table_name))
+         |SELECT tt.task_id, tt.schema_name, tt.table_name,
+         |  CAST(coalesce(per.inserts, 0) AS BIGINT) AS inserts,
+         |  CAST(coalesce(per.updates, 0) AS BIGINT) AS updates,
+         |  CAST(coalesce(per.deletes, 0) AS BIGINT) AS deletes,
+         |  CAST(coalesce(per.ddls, 0) AS BIGINT) AS ddls,
+         |  CAST(coalesce(per.full_load_rows, 0) AS BIGINT) AS full_load_rows,
+         |  CAST(coalesce(per.total, 0) AS BIGINT) AS total
+         |FROM tt LEFT JOIN per USING (schema_name, table_name)
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "cdc_partition_key_txn" ->
+      s"""$C, t AS (SELECT *,
+         |    CAST(dense_rank() OVER (PARTITION BY table_name
+         |      ORDER BY date_trunc('minute', ts)) AS BIGINT) * 4
+         |      + user_id % 4 AS gtxn
+         |  FROM c),
+         |u AS (
+         |  SELECT 'schema-table' AS kt, partition_key AS k FROM t
+         |  UNION ALL
+         |  SELECT 'transaction-id', CAST(gtxn AS VARCHAR) FROM t)
+         |SELECT ${Portable.duckHash("k")} % 8 AS shard,
+         |  CAST(count(*) FILTER (WHERE kt = 'schema-table') AS BIGINT)
+         |    AS n_schema_table,
+         |  CAST(count(DISTINCT k) FILTER (WHERE kt = 'schema-table')
+         |    AS BIGINT) AS n_keys_schema_table,
+         |  CAST(count(*) FILTER (WHERE kt = 'transaction-id') AS BIGINT)
+         |    AS n_txn,
+         |  CAST(count(DISTINCT k) FILTER (WHERE kt = 'transaction-id')
+         |    AS BIGINT) AS n_keys_txn
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_envelope_types" ->
       s"""SELECT count(*) AS n,

@@ -35,6 +35,38 @@ object Envelope {
   val RecordTypeData = "data"
   val RecordTypeControl = "control"
 
+  /** DMS kinesis-target `partition-key-type` (stack.py:196-211 sets
+    * `partition_include_schema_table=True`, which selects
+    * schema-table; the target's other supported value routes by
+    * transaction id so one hot table fans out across shards instead
+    * of pinning its schema-table key's shard). The choice decides
+    * BOTH the metadata field and the partition key the message is
+    * put with.
+    */
+  sealed trait PartitionKeyType { def wireName: String }
+  case object SchemaTable extends PartitionKeyType {
+    val wireName = "schema-table"
+  }
+  case object TransactionId extends PartitionKeyType {
+    val wireName = "transaction-id"
+  }
+
+  /** The partition key a message is put with under `keyType`.
+    * transaction-id keying falls back to the schema-table key when
+    * the record carries no transaction (control events, full load) —
+    * a message must never be put with a null key.
+    */
+  def partitionKey(
+      keyType: PartitionKeyType,
+      schemaName: Column,
+      tableName: Column,
+      txnId: Column): Column = keyType match {
+    case SchemaTable => concat(schemaName, lit("."), tableName)
+    case TransactionId =>
+      coalesce(txnId.cast("string"),
+        concat(schemaName, lit("."), tableName))
+  }
+
   def metadataSchema: StructType = StructType(Seq(
     StructField("timestamp", StringType),
     StructField("record-type", StringType),
@@ -56,7 +88,8 @@ object Envelope {
       schemaName: Column,
       tableName: Column,
       ts: Column,
-      txnId: Column): Column = {
+      txnId: Column,
+      keyType: PartitionKeyType = SchemaTable): Column = {
     val recordType =
       when(op.isin("insert", "update", "delete", "load"), RecordTypeData)
         .otherwise(RecordTypeControl)
@@ -68,7 +101,7 @@ object Envelope {
         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
       recordType.as("record-type"),
       op.as("operation"),
-      lit("schema-table").as("partition-key-type"),
+      lit(keyType.wireName).as("partition-key-type"),
       schemaName.as("schema-name"),
       tableName.as("table-name"),
       txnId.as("transaction-id"))
@@ -88,15 +121,16 @@ object Envelope {
       ts: Column,
       txnId: Column,
       dataCols: Seq[String],
-      beforeCols: Seq[Column] = Nil): DataFrame = {
+      beforeCols: Seq[Column] = Nil,
+      keyType: PartitionKeyType = SchemaTable): DataFrame = {
     val data = struct(dataCols.map(col): _*)
     val msg = if (beforeCols.nonEmpty) {
       struct(data.as("data"),
-        metadata(op, schemaName, tableName, ts, txnId).as("metadata"),
+        metadata(op, schemaName, tableName, ts, txnId, keyType).as("metadata"),
         struct(beforeCols: _*).as("before-image"))
     } else {
       struct(data.as("data"),
-        metadata(op, schemaName, tableName, ts, txnId).as("metadata"))
+        metadata(op, schemaName, tableName, ts, txnId, keyType).as("metadata"))
     }
     // include_null_and_empty (stack.py:196-211): null columns must
     // appear in the message as explicit JSON nulls, so the consumer
@@ -104,7 +138,8 @@ object Envelope {
     // default to_json drops them.
     df.withColumn("message",
         to_json(msg, Map("ignoreNullFields" -> "false")))
-      .withColumn("partition_key", concat(schemaName, lit("."), tableName))
+      .withColumn("partition_key",
+        partitionKey(keyType, schemaName, tableName, txnId))
   }
 
   /** Parse envelope messages back into typed columns. */

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
 object TableStatistics {
 
   def compute(changes: DataFrame): DataFrame =
+    perTable(changes).orderBy(col("schema_name"), col("table_name"))
+
+  /** The unordered per-(schema, table) statistic relation shared by
+    * [[compute]] and [[taskStatistics]].
+    */
+  private def perTable(changes: DataFrame): DataFrame =
     changes.groupBy(col("schema_name"), col("table_name"))
       .agg(
         sum(when(col("op") === "insert", 1L).otherwise(0L)).as("inserts"),
@@ -23,7 +29,41 @@ object TableStatistics {
           .otherwise(0L)).as("ddls"),
         sum(when(col("op") === "load", 1L).otherwise(0L)).as("full_load_rows"),
         count(lit(1)).as("total"))
-      .orderBy(col("schema_name"), col("table_name"))
+
+  /** Per-TASK table statistics (reference: run.py:202-209
+    * `describe_table_statistics(task_arn)`, called for BOTH tasks at
+    * run.py:262-265 and 317-321): DMS scopes the statistics API to a
+    * replication task — a selection-rule set over the shared stream —
+    * and reports every table the task's rules SELECT, including
+    * tables with no delivered changes yet (all-zero counts; the
+    * reference's `novels` table shows 0s until its first write).
+    *
+    * A task's row set = its rules evaluated over the source catalog
+    * (driver-side, same `selectTables` path full-load planning uses);
+    * counts come from ONE shared per-table aggregate of the feed —
+    * the feed is scanned once no matter how many tasks watch it, and
+    * each task's rows are a broadcast join of its tiny
+    * (task × selected-tables) relation against the |tables|-row
+    * aggregate. Selection is table-granular, so the per-table counts
+    * are exact per task without re-filtering the stream.
+    */
+  def taskStatistics(
+      changes: DataFrame,
+      tasks: Seq[(String, TableMapping.Mapping)],
+      catalog: Seq[(String, String)]): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val taskTables = tasks.flatMap { case (taskId, m) =>
+      m.selectTables(catalog).map { case (sch, t) => (taskId, sch, t) }
+    }.toDF("task_id", "schema_name", "table_name")
+    val counts = Seq("inserts", "updates", "deletes", "ddls",
+      "full_load_rows", "total")
+    taskTables.join(perTable(changes),
+        Seq("schema_name", "table_name"), "left")
+      .select(col("task_id") +: col("schema_name") +: col("table_name") +:
+        counts.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy(col("task_id"), col("schema_name"), col("table_name"))
+  }
 
   /** Limited-LOB-mode truncation audit. The reference replicates a
     * BLOB column (accounts.profile_picture, lib/query.py:11) under

@@ -80,6 +80,28 @@ object EnvelopeSource {
         min(col("event_ts")).as("first_ts"),
         max(col("event_ts")).as("last_ts"))
 
+  /** Record-level consumer view (run.py:194-199): the reference's
+    * consumer prints each kept record's PAYLOAD merged with its
+    * partition key — the row-by-row debugging view an operator reads
+    * next to [[consumeSummary]]'s per-shard rollup when a feed looks
+    * wrong. Same threshold filter as the summary (drop records whose
+    * envelope timestamp predates the consumer's start), then one
+    * row per message: routing fields (partition key, envelope
+    * timestamp, operation, table) plus the data payload flattened
+    * beside them.
+    *
+    * Scale shape: a pure filter + projection on the parsed feed — no
+    * shuffle at all; the threshold predicate pushes to the scan when
+    * the feed comes off the partitioned sink layout. `feed` needs
+    * partition_key, event_ts, operation, table_name and the typed
+    * `data` struct ([[changeFeed]]'s shape).
+    */
+  def consumeRecords(feed: DataFrame, thresholdTs: String): DataFrame =
+    feed.filter(col("event_ts") >= thresholdTs)
+      .select(col("partition_key"), col("event_ts"), col("operation"),
+        col("table_name"), col("data.event_id").as("event_id"),
+        col("data.user_id").as("user_id"), col("data.value").as("value"))
+
   /** Bounded-paging consumption (run.py:182-192): the reference's
     * consumer reads a shard in get_records pages of `pageSize` (=50),
     * keeps records past the arrival threshold, and STOPS after the

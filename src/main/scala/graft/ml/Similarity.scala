@@ -1316,9 +1316,13 @@ object Similarity {
     * Scale shape: every candidate relation reuses the family's own
     * bounded construction (broadcast probes, bucket/cell equi-joins,
     * materialized walk snapshots) — nothing new shuffles; the
-    * corpus-sized scored relations (exact, PQ) are deliberately NOT
-    * cached — each is consumed by one count and one rank pass over
-    * the already-cached quantized relation rather than pinning
+    * corpus-sized scored relations (hamming, PQ) are deliberately NOT
+    * cached — each is consumed by one WindowGroupLimit-pruned top-k
+    * pass (the rk <= TopK filter sits AT the window, so ≤k rows per
+    * (probe, input partition) cross the exchange — no probe's
+    * corpus-sized candidate set ever lands on one task) and one
+    * windowless map-side count, both recomputed from the
+    * already-cached quantized relation rather than pinning
     * probes×corpus rows in memory. The frontier itself is a ≤7-row
     * relation; its dominance join is trivial.
     */
@@ -1330,20 +1334,35 @@ object Similarity {
     val hitK = broadcast(exactK.withColumn("hit", lit(1L)))
     val nExact = exactK.agg(count(lit(1)).as("n_exact"))
 
-    // ONE pass per geometry: every scored candidate row carries its
-    // in-config rank; rows inside the top-k that hit the exact set
-    // count toward recall, every row counts toward cost.
-    def row(method: String, param: Long, ranked: DataFrame): DataFrame =
-      ranked
-        .join(hitK, Seq("probe_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("hit").isNotNull && col("rk") <= TopK, 1L)
-            .otherwise(0L)), lit(0L)).as("n_matched"))
+    // TWO bounded passes per geometry (was: ONE unfiltered rank —
+    // the r10 watch-item: with no filter on rk, no WindowGroupLimit
+    // fires and every probe's corpus-sized candidate relation funnels
+    // through one task's window sort). The recall pass filters
+    // rk <= TopK AT the window, so Catalyst plants a PARTIAL
+    // WindowGroupLimit before the exchange — ≤k rows per (probe,
+    // input partition) ever cross it, and the final per-probe sort
+    // sees ≤ partitions·k rows. The cost pass is a plain map-side-
+    // combined count with no window at all. Both recompute the scored
+    // relation from the CACHED inputs rather than pinning
+    // probes×corpus rows in memory: at scale two map-local scans beat
+    // one full shuffle-sort of the scored relation.
+    def row(method: String, param: Long, scored: DataFrame,
+        order: Seq[Column]): DataFrame = {
+      val topk = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(order: _*)))
+        .filter(col("rk") <= TopK)
+      topk.join(hitK, Seq("probe_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_matched"))
+        .crossJoin(scored.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(nExact)
         .select(lit(method).as("method"), lit(param).as("param"),
           col("n_matched"), col("n_exact"), col("n_candidates"))
+    }
 
-    def cosRanked(cands: DataFrame): DataFrame = cands
+    val cosOrder = Seq(col("cos_sim").desc, col("neighbor_id"))
+    def cosScored(cands: DataFrame): DataFrame = cands
       .join(corpusSide(qv), "vec_id")
       .join(broadcast(probeSide(qv)), "probe_id")
       .withColumn("cos_sim",
@@ -1351,9 +1370,6 @@ object Similarity {
           col("n2_p"), col("n2")))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("cos_sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
 
     // exact: matched = exact by construction; the scan size has the
     // closed form |probes with direction| · (|corpus with direction|
@@ -1377,7 +1393,7 @@ object Similarity {
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    val eLsh = row("lsh", 0L, cosRanked(lshCands))
+    val eLsh = row("lsh", 0L, cosScored(lshCands), cosOrder)
 
     // multi-probe LSH: the Hamming-1 variant fan-out rides the same
     // broadcast probe relation; candidates a strict superset of lsh's
@@ -1388,7 +1404,7 @@ object Similarity {
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    val eMp = row("lsh_multiprobe", 0L, cosRanked(mpCands))
+    val eMp = row("lsh_multiprobe", 0L, cosScored(mpCands), cosOrder)
 
     // binary Hamming: the full popcount scan — exact's candidate
     // count at 1-bit precision, the ladder's cheapest scorer
@@ -1397,16 +1413,14 @@ object Similarity {
     val hProbes = broadcast(hSigs.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("lo").as("lo_p"),
         col("hi").as("hi_p")))
-    val hRanked = hSigs.join(hProbes, col("vec_id") =!= col("probe_id"))
+    val hScored = hSigs.join(hProbes, col("vec_id") =!= col("probe_id"))
       .withColumn("hamming",
         (bit_count(col("lo").bitwiseXOR(col("lo_p"))) +
           bit_count(col("hi").bitwiseXOR(col("hi_p")))).cast("long"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("hamming"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("hamming"), col("neighbor_id"))))
-    val eHam = row("hamming", 0L, hRanked)
+    val eHam = row("hamming", 0L, hScored,
+      Seq(col("hamming"), col("neighbor_id")))
 
     // IVF: rank the cells ONCE, cut per nProbe of the curve
     val cellRanks = materialize(ivfCellRanks(qv, lab))
@@ -1415,7 +1429,7 @@ object Similarity {
         .join(lab.toDF("vec_id", "label"), "label")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"))
-      row("ivf", np.toLong, cosRanked(cands))
+      row("ivf", np.toLong, cosScored(cands), cosOrder)
     }
 
     // PQ-ADC full code scan (topKAnnPq's scored relation)
@@ -1426,14 +1440,12 @@ object Similarity {
     val lut = pflat.join(broadcast(compN), Seq("sub", "il"))
       .groupBy(col("probe_id"), col("sub"), col("code"))
       .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
-    val pqRanked = codes.join(broadcast(lut), Seq("sub", "code"))
+    val pqScored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("approx_d2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("approx_d2"), col("neighbor_id"))))
-    val ePq = row("pq", 0L, pqRanked)
+    val ePq = row("pq", 0L, pqScored,
+      Seq(col("approx_d2"), col("neighbor_id")))
 
     // graph at every walk length of the curve: recall from that
     // hop's beam, cost from the visited-so-far set (entry vertices +

@@ -19,6 +19,33 @@ object SparkTestSession {
   }
   val sf = "/root/testdata/sf0.001"
 
+  /** The two state-store backends the streaming suite must be green
+    * under: the default HDFS-backed store (what local specs exercise
+    * for free) and RocksDB — SURVEY §4's 1000-executor recipe, where
+    * state no longer fits executor heaps. Each entry is
+    * (label, providerClass).
+    */
+  val stateStoreProviders: Seq[(String, String)] = Seq(
+    "hdfs" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"),
+    "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"))
+
+  /** Run `body` with the session's streaming state store swapped to
+    * `providerClass` (restored after — the conf is read at query
+    * start, so only queries started inside `body` are affected).
+    */
+  def withStateStoreProvider[T](providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Shared driver-side union-find: the connected-components ground
     * truth both MlSpec and GraphProps compare against.
     */

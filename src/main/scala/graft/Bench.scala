@@ -286,11 +286,25 @@ object Bench {
             "emitting the 2-decimal variant as the final line")
         println(headline2)
       } else {
+        // Last tier: the named map cannot fit at any precision, but
+        // the driver's artifact must still carry per-query numbers —
+        // emit integer-millisecond values as a positional array in
+        // LEXICOGRAPHIC query-name order ("qorder":"name"). The name
+        // list is recoverable from SparkEntry.queries (sorted), so a
+        // reader rebuilds the map without BENCH_LOCAL.json; at ~5
+        // chars per query the array holds ~300 queries inside the
+        // retained-tail window where the named map burst it.
         Console.err.println(
           s"[bench] headline is ${headline.length} chars (>1800 budget); " +
-            "emitting a total-only final line so truncation cannot split it")
+            "emitting the positional integer-ms variant as the final line")
         println(headline)
-        println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+        val qms = results.toSeq.sortBy(_._1)
+          .map { case (_, v) => math.round(v * 1000).toString }
+          .mkString("[", ",", "]")
+        val headline3 =
+          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qms":$qms,"sf":"$sfDir"}"""
+        if (headline3.length <= 1900) println(headline3)
+        else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
       }
     }
     spark.stop()

@@ -39,14 +39,15 @@ object ScaleUp {
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val plantSkew = if (args.length > 3) args(3).toInt else 0
+    val plantHub = if (args.length > 4) args(4).toInt else 0
     val spark = Sessions.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-scaleup")
-    generate(spark, src, dst, factor, plantSkew)
+    generate(spark, src, dst, factor, plantSkew, plantHub)
     spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int,
-      plantSkew: Int = 0): Unit = {
+      plantSkew: Int = 0, plantHub: Int = 0): Unit = {
     // fail BEFORE any table is written — a partial dst (fixed dims
     // only) looks like a valid dataset to a later consumer
     require(factor >= 1, s"factor must be >= 1, got $factor")
@@ -155,9 +156,32 @@ object ScaleUp {
             lit(boiler.length.toLong).as("n_chars")))
       }
     write(withSkew, "documents")
-    write(copies("embeddings") { (d, k) =>
+    val scaledEmb = copies("embeddings") { (d, k) =>
       shift(d, k, "vec_id")
         .withColumn("label", (col("label") + lit(k * 1000)).cast("int"))
-    }, "embeddings")
+    }
+    // --plant-hub N (args(4)): append N IDENTICAL embedding vectors —
+    // the celebrity-node shape for the graph family. Every clone
+    // shares every SRP band bucket, so candidate generation gets an
+    // N²-pair hot bucket AND, after top-k (ties break toward low
+    // vec_id), the k lowest-id clones absorb ~N incoming edges each:
+    // undirected degree ~N hubs. Triangles' low→high degree
+    // orientation claims Σoutdeg² stays bounded under exactly this
+    // shape — the sf1 rehearsal measures it (BASELINE.md) instead of
+    // leaving the hub story to the Scaladoc. vec_ids sit above every
+    // copy's shifted range; the fresh label marks them for
+    // inspection and keeps real label blocks untouched.
+    val withHub =
+      if (plantHub <= 0) scaledEmb
+      else {
+        val hubVec = array((0 until 64).map(i =>
+          lit((((i % 13) - 6) * 0.125).toFloat)): _*)
+        scaledEmb.unionByName(
+          spark.range(plantHub.toLong).select(
+            (col("id") + lit(factor.toLong * KeyOffset)).as("vec_id"),
+            hubVec.as("embedding"),
+            lit(999999).cast("int").as("label")))
+      }
+    write(withHub, "embeddings")
   }
 }

@@ -787,6 +787,22 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))),
 
+    // Code-switching / concatenation-artifact detector: language-ID
+    // the whole doc AND each half of its token stream; halves that
+    // disagree with evidence ('mixed') are the docs every
+    // per-language consumer mis-scores.
+    "text_lang_consistency" -> ((s, dir) =>
+      TextAnalysis.langConsistency(Tables.load(s, dir, "documents"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
+    // DSIR-style targeted selection: hashed-unigram importance
+    // weights (target = src0's distribution vs the raw pool),
+    // exact-integer log-ratio, top-20% rank cut; per-source census.
+    "corpus_dsir_select" -> ((s, dir) =>
+      Corpus.dsirSelect(Tables.load(s, dir, "documents"), col("text"),
+        targetSource = "src0")),
+
     // Lexical retrieval baseline: cosine top-k over feature-hashed
     // integer TF-IDF vectors (no embeddings involved).
     "text_tfidf_topk" -> ((s, dir) =>
@@ -2066,9 +2082,15 @@ object SparkEntry {
   private val normT = Portable.duckNormText("text")
   private val toksT = TextAnalysis.duckTokens("text")
 
-  private def markerCountSql(words: Seq[String]): String = {
+  private def markerCountSql(words: Seq[String]): String =
+    markerCountSqlOn(toksT, words)
+
+  /** [[markerCountSql]] over an arbitrary token-list SQL expression —
+    * lang-consistency scores SLICES of one doc's token stream.
+    */
+  private def markerCountSqlOn(listExpr: String, words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
-    s"CAST(len(list_filter($toksT, x -> x IN ($set))) AS BIGINT)"
+    s"CAST(len(list_filter($listExpr, x -> x IN ($set))) AS BIGINT)"
   }
 
   /** IVF recall@k oracle SQL, parametrized by nProbe (shared by
@@ -2131,14 +2153,21 @@ object SparkEntry {
     * strictly-greater / first-alphabetical semantics as
     * TextAnalysis.langId's fold.
     */
-  private val langPredSql: String = {
+  private val langPredSql: String = langPredSqlOn("score")
+
+  /** [[langPredSql]] over a caller-chosen score-column prefix —
+    * lang-consistency evaluates the argmax on three score families
+    * (full / h1 / h2) in one SELECT.
+    */
+  private def langPredSqlOn(prefix: String): String = {
     val l0 = TextAnalysis.markers.head._1
-    val argmax = TextAnalysis.markers.tail.foldLeft((s"'$l0'", s"score_$l0")) {
+    val argmax = TextAnalysis.markers.tail.foldLeft(
+      (s"'$l0'", s"${prefix}_$l0")) {
       case ((bl, bs), (l, _)) =>
-        (s"CASE WHEN score_$l > ($bs) THEN '$l' ELSE ($bl) END",
-          s"CASE WHEN score_$l > ($bs) THEN score_$l ELSE ($bs) END")
+        (s"CASE WHEN ${prefix}_$l > ($bs) THEN '$l' ELSE ($bl) END",
+          s"CASE WHEN ${prefix}_$l > ($bs) THEN ${prefix}_$l ELSE ($bs) END")
     }._1
-    val total = TextAnalysis.markers.map { case (l, _) => s"score_$l" }
+    val total = TextAnalysis.markers.map { case (l, _) => s"${prefix}_$l" }
       .mkString(" + ")
     s"CASE WHEN ($total) = 0 THEN 'und' ELSE ($argmax) END"
   }
@@ -5625,6 +5654,70 @@ object SparkEntry {
          |  count(*) AS term_freq
          |FROM toks GROUP BY 1
          |ORDER BY doc_freq DESC, term_freq DESC, tok""".stripMargin,
+
+    "text_lang_consistency" -> {
+      val scores = TextAnalysis.markers.map { case (l, ws) =>
+        s"${markerCountSqlOn("t", ws)} AS sf_$l,\n  " +
+          s"${markerCountSqlOn("h1", ws)} AS s1_$l,\n  " +
+          s"${markerCountSqlOn("h2", ws)} AS s2_$l"
+      }.mkString(",\n  ")
+      s"""WITH tk AS (SELECT doc_id, lang, $toksT AS t FROM documents),
+         |hs AS (SELECT doc_id, lang, t,
+         |    t[1:(len(t) // 2)] AS h1,
+         |    t[(len(t) // 2 + 1):len(t)] AS h2
+         |  FROM tk),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM hs),
+         |p AS (SELECT doc_id, lang,
+         |    ${langPredSqlOn("sf")} AS pred_full,
+         |    ${langPredSqlOn("s1")} AS pred_h1,
+         |    ${langPredSqlOn("s2")} AS pred_h2
+         |  FROM sc)
+         |SELECT doc_id, lang, pred_full, pred_h1, pred_h2,
+         |  CASE WHEN pred_h1 <> 'und' AND pred_h2 <> 'und'
+         |      AND pred_h1 <> pred_h2 THEN 'mixed'
+         |    WHEN pred_full <> 'und'
+         |      AND (pred_h1 = 'und' OR pred_h2 = 'und') THEN 'thin'
+         |    ELSE 'consistent' END AS verdict
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_dsir_select" -> {
+      val cut = "(grp_total * 20 + 99) // 100"
+      s"""WITH toks AS (SELECT doc_id, source, unnest($toksT) AS tok
+         |  FROM documents),
+         |b AS (SELECT doc_id, source,
+         |    ${Portable.duckHash("tok")} % 256 AS bucket FROM toks),
+         |ct AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ct_t,
+         |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ct_r
+         |  FROM b GROUP BY 1),
+         |sc AS (SELECT doc_id, source, count(*) AS n_tokens,
+         |    CAST(sum((length(bin(ct_t + 1)) - 1)
+         |      - (length(bin(ct_r + 1)) - 1)) AS BIGINT) AS logw_int
+         |  FROM b JOIN ct USING (bucket)
+         |  WHERE source <> 'src0' GROUP BY 1, 2),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (ORDER BY
+         |      CAST(logw_int AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC,
+         |      doc_id) AS BIGINT) AS rank,
+         |    count(*) OVER () AS grp_total
+         |  FROM sc)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE rank <= $cut) AS BIGINT)
+         |    AS n_selected,
+         |  CAST(coalesce(sum(n_tokens) FILTER (WHERE rank <= $cut), 0)
+         |    AS BIGINT) AS selected_tokens,
+         |  CAST(sum(logw_int) AS BIGINT) AS sum_logw_int,
+         |  CAST(coalesce(sum(logw_int) FILTER (WHERE rank <= $cut), 0)
+         |    AS BIGINT) AS selected_logw_int,
+         |  CAST(count(*) FILTER (WHERE rank <= $cut) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS selected_share
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "text_topk_terms" ->
       s"""WITH toks AS (SELECT source AS group_key, unnest($toksT) AS tok

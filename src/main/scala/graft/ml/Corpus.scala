@@ -953,4 +953,72 @@ object Corpus {
         col("top_token"), col("top_share_gap"))
       .orderBy(col("source"))
   }
+
+  /** DSIR-style importance selection (the hashed-n-gram importance
+    * resampling recipe of Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how much more likely its hashed-unigram features
+    * are under the TARGET distribution (the high-quality corpus the
+    * training mix should resemble — here one source) than under the
+    * raw pool's own, and keep the top `selPct` percent by that
+    * importance weight. This is the targeted sibling of the
+    * untargeted gates (`corpus_quality_filter` scores docs
+    * absolutely; DSIR scores them RELATIVE to what the mix is
+    * missing).
+    *
+    * Portability: the per-feature log-ratio is the exact-integer
+    * self-information difference ⌊log2(ct_target(b)+1)⌋ −
+    * ⌊log2(ct_raw(b)+1)⌋ (the [[TextAnalysis.unigramLm]] bin-length
+    * trick — a float Σ log p is not reproducible across engines),
+    * summed per doc as an int64; the only double is the final
+    * per-token average, and the selection is a pure rank cut over
+    * (avg_logw desc, doc_id) — no float threshold anywhere.
+    *
+    * Scale shape: features hash into `buckets` cells, so the
+    * distribution relation is bounded at |buckets| rows — it
+    * BROADCASTS back onto the token stream no matter how large the
+    * corpus (the whole point of hashed DSIR: the importance model's
+    * size is fixed while the corpus grows); one (doc) shuffle for
+    * the per-doc sum; the global rank is the two-phase
+    * [[graft.functions.Ranks.grouped]] (no single-task window);
+    * output is a |sources|-row selection census.
+    */
+  def dsirSelect(docs: DataFrame, text: Column, targetSource: String,
+      buckets: Int = 256, selPct: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(text)).as("tok"))
+      .withColumn("bucket", Portable.pHash(col("tok")) % buckets)
+    val ct = toks.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct_t"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("ct_r"))
+    def li(c: Column): Column = (length(bin(c + 1)) - 1).cast("long")
+    val scored = toks.filter(col("source") =!= targetSource)
+      .join(broadcast(ct), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(li(col("ct_t")) - li(col("ct_r"))).as("logw_int"))
+      .withColumn("avg_logw",
+        col("logw_int").cast("double") / col("n_tokens").cast("double"))
+    // tokenless raw docs never reach the explode: they carry no
+    // evidence either way, so the census counts SCOREABLE docs
+    val ranked = graft.functions.Ranks.grouped(
+      scored.withColumn("neg_w", -col("avg_logw")),
+      Nil, Seq("neg_w", "doc_id"))
+    ranked
+      .withColumn("kept",
+        col("rank") <= expr(s"(grp_total * $selPct + 99) DIV 100"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("selected_tokens"),
+        sum(col("logw_int")).as("sum_logw_int"),
+        sum(when(col("kept"), col("logw_int")).otherwise(0L))
+          .as("selected_logw_int"))
+      .withColumn("selected_share",
+        col("n_selected").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
 }

@@ -160,18 +160,78 @@ object TextAnalysis {
     val scored = markers.foldLeft(df) { case (d, (lang, words)) =>
       d.withColumn(s"score_$lang", markerCount(t, words))
     }
-    // argmax with first-alphabetical winner on ties
+    scored.withColumn("pred_lang",
+      predFromScores(l => col(s"score_$l")))
+  }
+
+  /** The [[langId]] argmax (first-alphabetical winner on ties,
+    * 'und' abstention on zero total) as a pure expression over the
+    * per-language score columns — shared with [[langConsistency]],
+    * which evaluates it on several token slices of one document.
+    */
+  private def predFromScores(score: String => Column): Column = {
     val pred = markers.tail.foldLeft(
-      (lit(markers.head._1), col(s"score_${markers.head._1}"))) {
+      (lit(markers.head._1), score(markers.head._1))) {
       case ((bestLang, bestScore), (lang, _)) =>
-        val s = col(s"score_$lang")
+        val s = score(lang)
         (when(s > bestScore, lit(lang)).otherwise(bestLang),
           when(s > bestScore, s).otherwise(bestScore))
     }
-    val total = markers.map { case (lang, _) => col(s"score_$lang") }
+    val total = markers.map { case (lang, _) => score(lang) }
       .reduce(_ + _)
-    scored.withColumn("pred_lang",
-      when(total === 0, lit("und")).otherwise(pred._1))
+    when(total === 0, lit("und")).otherwise(pred._1)
+  }
+
+  /** Code-switching / concatenation-artifact detector: language-ID
+    * the FULL document and each HALF of its token stream
+    * independently, and flag docs whose halves disagree. A scraped
+    * page that glues an English navigation chrome onto a German
+    * article (or a crawl record that concatenated two documents)
+    * language-IDs cleanly as a whole — its halves don't. The routing
+    * consumers (`corpus_ccnet_buckets`' per-language LM, the
+    * per-language quality gates) silently mis-score exactly these
+    * docs, so a curation pipeline quarantines them rather than
+    * trusting the whole-doc label.
+    *
+    * Halves split the TOKEN stream at ⌊n/2⌋ (a char split could cut
+    * a word in two and hand the engines different token sets); a
+    * half with no marker hits abstains with 'und', and 'und' halves
+    * count as disagreement only against a CONTRARY label ('und' vs
+    * 'en' means "no evidence", not "other language" — the verdict
+    * is 'mixed' only when both halves carry evidence and disagree,
+    * 'thin' when either half abstains but the doc as a whole has a
+    * label, 'consistent' otherwise).
+    *
+    * Scale shape: map-only — tokens, two slices, three argmax
+    * expressions, all inside one codegen'd projection; zero
+    * shuffles before the presentation sort. Output one row per doc.
+    */
+  def langConsistency(docs: DataFrame, text: Column): DataFrame = {
+    val t = tokens(text)
+    val n = size(t)
+    // Column./ is DOUBLE division — ⌊n/2⌋ must be an explicit floor,
+    // or h2's length (n − n/2) truncates 2.5 → 2 and odd-length docs
+    // silently lose their last token
+    val k = floor(n / 2).cast("int")
+    val h1 = slice(t, lit(1), k)
+    val h2 = slice(t, k + 1, n - k)
+    val base = markers.foldLeft(docs) { case (d, (lang, words)) =>
+      d.withColumn(s"s_full_$lang", markerCount(t, words))
+        .withColumn(s"s_h1_$lang", markerCount(h1, words))
+        .withColumn(s"s_h2_$lang", markerCount(h2, words))
+    }
+    base
+      .withColumn("pred_full", predFromScores(l => col(s"s_full_$l")))
+      .withColumn("pred_h1", predFromScores(l => col(s"s_h1_$l")))
+      .withColumn("pred_h2", predFromScores(l => col(s"s_h2_$l")))
+      .withColumn("verdict",
+        when(col("pred_h1") =!= "und" && col("pred_h2") =!= "und" &&
+          col("pred_h1") =!= col("pred_h2"), "mixed")
+          .when(col("pred_full") =!= "und" &&
+            (col("pred_h1") === "und" || col("pred_h2") === "und"), "thin")
+          .otherwise("consistent"))
+      .select(col("doc_id"), col("lang"), col("pred_full"),
+        col("pred_h1"), col("pred_h2"), col("verdict"))
   }
 
   /** Language-router confidence census — the margin audit behind

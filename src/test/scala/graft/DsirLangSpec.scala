@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Corpus, TextAnalysis}
+
+/** Round-11 LLM-pipeline additions: DSIR-style targeted selection
+  * (hashed-unigram importance weights, exact-integer log-ratio,
+  * pure rank cut) and the code-switching detector (per-half
+  * language-ID disagreement).
+  */
+class DsirLangSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dsir: raw docs resembling the target outrank the rest; cut is exact") {
+    import spark.implicits._
+    // target speaks "alpha beta"; raw pool has 2 target-like docs and
+    // 8 unrelated ones — the 20% cut must select exactly the 2 lookalikes
+    val target = (0 until 10).map(i => (i.toLong, "tgt", "alpha beta alpha beta"))
+    val like = (10 until 12).map(i => (i.toLong, s"raw${i % 4}", "alpha beta gamma"))
+    val other = (12 until 20).map(i => (i.toLong, s"raw${i % 4}", "zzz yyy xxx www"))
+    val docs = (target ++ like ++ other).toDF("doc_id", "source", "text")
+    val out = Corpus.dsirSelect(docs, col("text"), "tgt", selPct = 20).collect()
+    // the target source never appears in the census
+    assert(!out.exists(_.getString(0) == "tgt"))
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nSel = out.map(_.getAs[Long]("n_selected")).sum
+    assert(nDocs === 10L)
+    assert(nSel === 2L) // ceil(10 * 20 / 100)
+    // the selected mass sits in the sources holding the lookalikes
+    val selBySource = out.map(r =>
+      r.getString(0) -> r.getAs[Long]("n_selected")).toMap
+    assert(selBySource("raw2") === 1L && selBySource("raw3") === 1L)
+    // lookalike tokens hit target-heavy buckets: their weight sums
+    // must exceed every unrelated doc's (which only hit raw buckets)
+    val likeSources = Set("raw2", "raw3")
+    out.filter(r => likeSources(r.getString(0))).foreach { r =>
+      assert(r.getAs[Long]("selected_logw_int") > 0L)
+    }
+  }
+
+  test("dsir: weights are anti-symmetric in the distributions they compare") {
+    import spark.implicits._
+    // one raw doc made ONLY of target-exclusive tokens vs one made
+    // ONLY of raw-exclusive tokens: the first must rank above
+    val docs = Seq(
+      (0L, "tgt", "qq rr qq rr qq rr"),
+      (1L, "raw", "qq rr"),
+      (2L, "raw", "ss tt ss tt ss tt ss tt")).toDF("doc_id", "source", "text")
+    val out = Corpus.dsirSelect(docs, col("text"), "tgt", selPct = 50)
+      .collect()
+    val raw = out.find(_.getString(0) == "raw").get
+    assert(raw.getAs[Long]("n_docs") === 2L)
+    assert(raw.getAs[Long]("n_selected") === 1L)
+    // doc 1 (target-like) is the selected one: its logw (positive)
+    // is the selected mass, doc 2's (negative) is excluded
+    assert(raw.getAs[Long]("selected_logw_int") > 0L)
+    assert(raw.getAs[Long]("sum_logw_int") <
+      raw.getAs[Long]("selected_logw_int"))
+  }
+
+  test("lang consistency: mixed, thin, and consistent verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean English both halves
+      (0L, "en", "the cat is of the house and the dog is a friend"),
+      // English first half, German second half -> mixed
+      (1L, "xx", "the cat is of the house der hund ist und das der die"),
+      // markers only in the first half -> thin
+      (2L, "en", "the of and is a zz yy xx ww vv uu"),
+      // no markers anywhere -> consistent (und everywhere)
+      (3L, "und", "zz yy xx"),
+      // empty text -> consistent
+      (4L, "und", "")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langConsistency(docs, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out(0L)._4 === "consistent" && out(0L)._1 === "en")
+    assert(out(1L)._4 === "mixed")
+    assert(out(1L)._2 === "en" && out(1L)._3 === "de")
+    assert(out(2L)._4 === "thin" && out(2L)._2 === "en" &&
+      out(2L)._3 === "und")
+    assert(out(3L) === (("und", "und", "und", "consistent")))
+    assert(out(4L) === (("und", "und", "und", "consistent")))
+  }
+
+  test("lang consistency: halves partition the token stream exactly (odd lengths)") {
+    import spark.implicits._
+    // 5 tokens: h1 = first 2, h2 = last 3 — the German evidence sits
+    // in token 5, which a truncating half-split would drop
+    val docs = Seq((0L, "xx", "the the zz der und"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langConsistency(docs, col("text")).collect()(0)
+    assert(r.getString(3) === "en")
+    assert(r.getString(4) === "de")
+    assert(r.getString(5) === "mixed")
+  }
+}

@@ -1872,6 +1872,13 @@ object SparkEntry {
     "multimodal_phash" -> ((s, dir) =>
       Binary.phashClusters(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
 
+    // The transitive hull of the phash near-pairs: connected
+    // components over the hamming<=2 graph of DISTINCT hashes (the
+    // drift chains a template family forms) — per family the hash
+    // count, collapsible image mass, canonical doc.
+    "multimodal_phash_families" -> ((s, dir) =>
+      Binary.phashFamilies(Binary.mediaPayload(Tables.load(s, dir, "documents")))),
+
     // Per-source Spearman agreement between the heuristic quality
     // score and the LM familiarity signal — exact integer rank
     // statistic, both windows on one source exchange.
@@ -7869,6 +7876,51 @@ object SparkEntry {
          |  COALESCE(n.n_near_images, 0) AS n_near_images
          |FROM grp g2 LEFT JOIN near n ON n.phash = g2.phash
          |ORDER BY 1""".stripMargin,
+
+    // Same synthetic-image + hash CTE chain as multimodal_phash; the
+    // components close transitively via the recursive min-label CTE
+    // (the dedup_clusters oracle scheme). The oracle joins ALL
+    // distinct-hash pairs; banding is the Spark-side scale path and
+    // hamming<=2 survives it by pigeonhole, so both sides agree.
+    "multimodal_phash_families" ->
+      s"""WITH RECURSIVE im AS (SELECT doc_id,
+         |    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |b AS (SELECT doc_id, w, h,
+         |    unnest(range(0, w * h * 3)) AS k FROM im),
+         |v AS (SELECT doc_id,
+         |    ((k // (w * 3)) * 4) // h AS gr,
+         |    (((k % (w * 3)) // 3) * 4) // w AS gc,
+         |    (doc_id * 31 + k) % 256 AS byte FROM b),
+         |cell AS (SELECT doc_id, gr, gc,
+         |    CAST(sum(byte) AS BIGINT) AS cs, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2, 3),
+         |g AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS ts,
+         |    count(*) AS tc FROM v GROUP BY 1),
+         |ph AS (SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN c.cs * g.tc > g.ts * c.cnt
+         |      THEN CAST(1 AS BIGINT) << (c.gr * 4 + c.gc)
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM cell c JOIN g ON g.doc_id = c.doc_id
+         |  GROUP BY 1),
+         |grp AS (SELECT phash, count(*) AS n_images,
+         |    min(doc_id) AS min_doc FROM ph GROUP BY 1),
+         |pairs AS (SELECT a.phash AS pa, b.phash AS pb
+         |  FROM grp a JOIN grp b ON a.phash < b.phash
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2),
+         |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+         |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+         |reach AS (SELECT src AS v, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS v, r.label AS label
+         |  FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(label) AS label FROM reach GROUP BY v)
+         |SELECT COALESCE(lab.label, grp.phash) AS family_id,
+         |  count(*) AS n_hashes,
+         |  CAST(sum(grp.n_images) AS BIGINT) AS n_images,
+         |  min(grp.min_doc) AS min_doc
+         |FROM grp LEFT JOIN lab ON lab.v = grp.phash
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Spearman between the heuristic quality gate and the LM
     // familiarity gate: both ranks (score, doc_id)-tie-broken, sum of

@@ -1019,14 +1019,7 @@ object Binary {
     * phash + the bounded band join.
     */
   def phashClusters(df: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashes = df.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) => parsePhash(id, p) })
-      .toDF("doc_id", "phash")
-    val groups = hashes.groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+    val groups = phashGroups(df)
     val bands = groups.select(col("phash"), col("n_images"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("shiftright(phash, band * 4) & 15L"))
@@ -1045,5 +1038,65 @@ object Binary {
         coalesce(col("n_near_hashes"), lit(0L)).as("n_near_hashes"),
         coalesce(col("n_near_images"), lit(0L)).as("n_near_images"))
       .orderBy(col("phash"))
+  }
+
+  /** The exact-dup reduce shared by [[phashClusters]] and
+    * [[phashFamilies]]: one identity shuffle on the 16-bit hash,
+    * output bounded by the 2¹⁶ hash space regardless of corpus size.
+    */
+  private def phashGroups(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parsePhash(id, p) })
+      .toDF("doc_id", "phash")
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Image near-duplicate FAMILIES: where [[phashClusters]] reports
+    * each hash's immediate hamming-≤2 neighborhood, this closes the
+    * TRANSITIVE hull — connected components over the near-pair graph
+    * (A≈B and B≈C put A and C in one family even at hamming 4, the
+    * drift chain a template family actually forms) — and reports per
+    * family the hash count, the total image mass a family-level
+    * image-dedup pass would collapse, and the canonical (minimum)
+    * doc. The image twin of `dedup_clusters`' text components.
+    *
+    * Scale design: the component graph's VERTICES are the distinct
+    * hashes (≤ 2¹⁶, corpus-size-bounded — clustering identical
+    * hashes first is what keeps the pair relation from going
+    * quadratic in a self-similar corpus); edges come from the same
+    * 4-bit band equi-join as the census (pigeonhole-complete for
+    * hamming ≤ 2), and the contraction is Dedup.clusterLabels —
+    * the checkpoint-truncated min-label machinery already proven on
+    * text components. Singleton hashes (no near pair) keep their own
+    * hash as family id via the left join.
+    */
+  def phashFamilies(df: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val groups = graft.CacheScope.materialize(phashGroups(df))
+    val bands = groups.select(col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, band * 4) & 15L"))
+    val pairs = graft.CacheScope.materialize(
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+        .filter(expr(s"bit_count(pa ^ pb) <= $maxHamming")))
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val labels = graft.ml.Dedup.clusterLabels(edges,
+      knownEdgeCount = Some(2L * pairs.count()))
+    groups.join(labels, groups("phash") === labels("v"), "left")
+      .select(coalesce(col("label"), col("phash")).as("family_id"),
+        col("n_images"), col("min_doc"))
+      .groupBy(col("family_id"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(col("n_images")).as("n_images"),
+        min(col("min_doc")).as("min_doc"))
+      .orderBy(col("family_id"))
   }
 }

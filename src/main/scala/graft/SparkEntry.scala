@@ -1231,6 +1231,14 @@ object SparkEntry {
           col("source") === "src0")
         .orderBy(col("doc_id"))),
 
+    // Contamination-sensitivity curve: the overlap gate swept across
+    // n-gram widths {3, 8, 13} (13 = the GPT-3 decontamination
+    // width) — the table a pipeline reads to pick its gate; the
+    // corpus tokenizes once, each width slices the cached arrays.
+    "corpus_contamination_curve" -> ((s, dir) =>
+      Corpus.contaminationCurve(Tables.load(s, dir, "documents"),
+        col("source") === "src0")),
+
     // Greedy contiguous token-budget packing: the batch-manifest step
     // between cleaned documents and training batches.
     "corpus_pack" -> ((s, dir) =>
@@ -7876,6 +7884,37 @@ object SparkEntry {
          |  COALESCE(n.n_near_images, 0) AS n_near_images
          |FROM grp g2 LEFT JOIN near n ON n.phash = g2.phash
          |ORDER BY 1""".stripMargin,
+
+    // One CTE family per width over the same tokenizer; the Spark
+    // side slices one cached token relation, the oracle re-derives
+    // each width's shingles — same row sets by the NULL-lead window.
+    "corpus_contamination_curve" -> {
+      val ns = Seq(3, 8, 13)
+      val ctes = ns.map { n =>
+        s"""sh$n AS (${Dedup.duckShinglesN(n)}),
+           |e$n AS (SELECT DISTINCT s.shingle FROM sh$n s
+           |  JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+           |p$n AS (SELECT s.doc_id, count(e.shingle) AS n_overlap
+           |  FROM (SELECT DISTINCT s0.doc_id, s0.shingle FROM sh$n s0
+           |    JOIN documents d USING (doc_id) WHERE d.source <> 'src0') s
+           |  LEFT JOIN e$n e ON e.shingle = s.shingle GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = ns.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS ngram_n,
+           |  CAST((SELECT count(*) FROM e$n) AS BIGINT) AS n_eval_ngrams,
+           |  CAST((SELECT count(*) FROM documents WHERE source <> 'src0')
+           |    AS BIGINT) AS n_docs,
+           |  CAST((SELECT coalesce(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0
+           |    END), 0) FROM p$n) AS BIGINT) AS n_contaminated,
+           |  CAST((SELECT coalesce(sum(n_overlap), 0) FROM p$n) AS BIGINT)
+           |    AS sum_overlap,
+           |  CAST((SELECT coalesce(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0
+           |      END), 0) FROM p$n) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM documents WHERE source <> 'src0')
+           |      AS DOUBLE) AS contaminated_share""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\nSELECT * FROM (\n$rows\n) ORDER BY ngram_n"
+    },
 
     // Same synthetic-image + hash CTE chain as multimodal_phash; the
     // components close transitively via the recursive min-label CTE

@@ -240,6 +240,53 @@ object Corpus {
           col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
   }
 
+  /** Contamination-sensitivity curve: [[decontaminationScores]]'
+    * overlap gate swept across n-gram widths. The gate's width IS
+    * its precision/recall dial — 3-grams over-flag (common phrases
+    * read as leakage), 13-grams (the GPT-3 decontamination width)
+    * under-flag paraphrased leakage — and this curve is the table a
+    * pipeline reads to pick the width: per n, the eval inventory
+    * size, how many raw docs carry ≥1 overlapping n-gram, the total
+    * overlap instance mass, and the contaminated share of the corpus
+    * (double division of exact integers; the doc denominator is
+    * fixed across widths so the rows compare).
+    *
+    * Scale shape: the corpus tokenizes ONCE (materialized token
+    * arrays); each width slices the same cached relation — per n one
+    * distinct (doc, shingle) shuffle and an eval-inventory join
+    * (eval sets are small next to the corpus → broadcastable), never
+    * doc×doc. Output |ns| rows.
+    */
+  def contaminationCurve(docs: DataFrame, isEval: Column,
+      ns: Seq[Int] = Seq(3, 8, 13)): DataFrame = {
+    val toks = graft.CacheScope.materialize(
+      docs.select(col("doc_id"), isEval.as("is_eval"),
+        graft.ml.TextAnalysis.tokens(col("text")).as("toks")))
+    val nRaw = toks.filter(!col("is_eval")).agg(count(lit(1)).as("n_docs"))
+    ns.map { n =>
+      val sh = toks.select(col("doc_id"), col("is_eval"),
+        explode(Dedup.shingleArrayN(col("toks"), n)).as("shingle"))
+      val evalInv = sh.filter(col("is_eval"))
+        .select(col("shingle")).distinct()
+        .withColumn("hit", lit(1))
+      val perDoc = sh.filter(!col("is_eval"))
+        .select(col("doc_id"), col("shingle")).distinct()
+        .join(evalInv, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("hit")).as("n_overlap"))
+      perDoc.agg(
+          coalesce(sum(when(col("n_overlap") > 0, 1L).otherwise(0L)),
+            lit(0L)).as("n_contaminated"),
+          coalesce(sum(col("n_overlap")), lit(0L)).as("sum_overlap"))
+        .crossJoin(evalInv.agg(count(lit(1)).as("n_eval_ngrams")))
+        .crossJoin(nRaw)
+        .select(lit(n.toLong).as("ngram_n"), col("n_eval_ngrams"),
+          col("n_docs"), col("n_contaminated"), col("sum_overlap"),
+          (col("n_contaminated").cast("double") /
+            col("n_docs").cast("double")).as("contaminated_share"))
+    }.reduce(_ unionByName _).orderBy(col("ngram_n"))
+  }
+
   /** Cross-document duplicated n-gram inventory per source: of each
     * source's distinct (doc, 3-gram) instances, how many use a 3-gram
     * that also appears in at least one OTHER document corpus-wide.

@@ -110,22 +110,37 @@ object Dedup {
     * guard: docs with < ShingleN tokens would get a DESCENDING
     * sequence (negative stop), not an empty one.
     */
-  def shingleArray(toks: Column): Column =
-    when(size(toks) >= ShingleN,
-      transform(sequence(lit(0), size(toks) - ShingleN), i =>
+  def shingleArray(toks: Column): Column = shingleArrayN(toks, ShingleN)
+
+  /** [[shingleArray]] at an arbitrary width — the contamination
+    * curve sweeps the gate's n-gram size over one tokenized corpus.
+    */
+  def shingleArrayN(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ",
-          (0 until ShingleN).map(j => element_at(toks, i + j + 1)): _*)))
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array())
 
   /** DuckDB twin of `shingles` as a CTE body over `documents`. */
-  def duckShingles: String =
+  def duckShingles: String = duckShinglesN(ShingleN)
+
+  /** DuckDB twin of width-`n` shingling (string concat with a NULL
+    * lead is NULL, so the trailing incomplete windows drop in the
+    * WHERE — same row set as [[shingleArrayN]]'s size guard).
+    */
+  def duckShinglesN(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "tok" else s"lead(tok, $j) OVER w")
+      .mkString(" || ' ' || ")
     s"""SELECT doc_id, shingle FROM (
-       |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+       |  SELECT doc_id, $parts AS shingle
        |  FROM (
        |    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
        |    FROM (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS l FROM documents))
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i))
        |WHERE shingle IS NOT NULL""".stripMargin
+  }
 
   /** MinHash signatures: per doc, min over its shingles of the
     * Kirsch-Mitzenmacher family h_i = h1 + i·h2, where (h1, h2) come

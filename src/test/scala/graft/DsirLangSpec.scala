@@ -86,6 +86,26 @@ class DsirLangSpec extends AnyFunSuite {
     assert(out(4L) === (("und", "und", "und", "consistent")))
   }
 
+  test("contamination curve: wider n-grams flag strictly less; planted leaks land per width") {
+    import spark.implicits._
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14"
+    val docs = Seq(
+      (0L, "eval", evalText),
+      // shares an 8-token run with eval -> flagged at 3 and 8, not 13
+      (1L, "raw", "x1 x2 e1 e2 e3 e4 e5 e6 e7 e8 y1 y2"),
+      // shares only a 3-token run -> flagged at 3 only
+      (2L, "raw", "z1 e1 e2 e3 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+      // shares nothing -> never flagged
+      (3L, "raw", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.contaminationCurve(docs, col("source") === "eval")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(out(3L) === ((3L, 2L)))
+    assert(out(8L) === ((3L, 1L)))
+    assert(out(13L) === ((3L, 0L)))
+  }
+
   test("lang consistency: halves partition the token stream exactly (odd lengths)") {
     import spark.implicits._
     // 5 tokens: h1 = first 2, h2 = last 3 — the German evidence sits

@@ -1231,6 +1231,13 @@ object SparkEntry {
           col("source") === "src0")
         .orderBy(col("doc_id"))),
 
+    // Gopher hard-rule census (Rae et al. 2021 §A1.1 subset): per
+    // source which rule rejects how many docs, and the all-rules
+    // survivor count — the per-rule view a pipeline reads before
+    // adopting the published gate.
+    "corpus_gopher_rules" -> ((s, dir) =>
+      Corpus.gopherRules(Tables.load(s, dir, "documents"), col("text"))),
+
     // Contamination-sensitivity curve: the overlap gate swept across
     // n-gram widths {3, 8, 13} (13 = the GPT-3 decontamination
     // width) — the table a pipeline reads to pick its gate; the
@@ -7884,6 +7891,37 @@ object SparkEntry {
          |  COALESCE(n.n_near_images, 0) AS n_near_images
          |FROM grp g2 LEFT JOIN near n ON n.phash = g2.phash
          |ORDER BY 1""".stripMargin,
+
+    "corpus_gopher_rules" ->
+      s"""WITH s AS (SELECT source,
+         |    CAST(len($toksT) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform($toksT,
+         |      x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter($toksT,
+         |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    ${markerCountSql(TextAnalysis.EnStopwords)} AS n_stop
+         |  FROM documents),
+         |r AS (SELECT source,
+         |    n BETWEEN 50 AND 100000 AS r_wc,
+         |    (3 * n <= sum_len AND sum_len <= 10 * n) AS r_mwl,
+         |    n_stop >= 2 AS r_stop,
+         |    5 * n_alpha >= 4 * n AS r_alpha
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE NOT r_wc) AS BIGINT)
+         |    AS n_fail_wordcount,
+         |  CAST(count(*) FILTER (WHERE NOT r_mwl) AS BIGINT)
+         |    AS n_fail_meanlen,
+         |  CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT)
+         |    AS n_fail_stopwords,
+         |  CAST(count(*) FILTER (WHERE NOT r_alpha) AS BIGINT)
+         |    AS n_fail_alpha,
+         |  CAST(count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
+         |    AND r_alpha) AS BIGINT) AS n_keep,
+         |  CAST(count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
+         |      AND r_alpha) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS keep_share
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // One CTE family per width over the same tokenizer; the Spark
     // side slices one cached token relation, the oracle re-derives

@@ -240,6 +240,53 @@ object Corpus {
           col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
   }
 
+  /** Gopher-style rule census (the published document-quality rule
+    * set of Rae et al. 2021 §A1.1, restricted to the signals this
+    * corpus carries): per source, how many docs each rule rejects
+    * and how many survive ALL of them —
+    *   word count ∈ [50, 100k];
+    *   mean word length ∈ [3, 10] (tested by integer
+    *     cross-multiplication 3n ≤ Σlen ≤ 10n — no division rounds);
+    *   ≥ 2 English stopword hits (the "stop word" rule, on the SAME
+    *     marker list langid and text_quality use);
+    *   ≥ 80% of words contain an alphabetic character (5·n_alpha ≥
+    *     4·n, exact).
+    * Where `corpus_quality_filter` blends signals into one score and
+    * cuts a percentile, this is the published HARD-RULE gate — the
+    * census a pipeline reads per source to see WHICH rule does the
+    * rejecting before adopting the set.
+    *
+    * Scale shape: map-only per-doc booleans (token array reused by
+    * all four rules inside one projection) + one map-side-combined
+    * per-source aggregate; output |sources| rows.
+    */
+  def gopherRules(docs: DataFrame, text: Column): DataFrame = {
+    val t = TextAnalysis.tokens(text)
+    val n = size(t).cast("long")
+    val sumLen = coalesce(
+      aggregate(transform(t, x => length(x).cast("long")), lit(0L), _ + _),
+      lit(0L))
+    val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(t,
+      x => x.isin(TextAnalysis.EnStopwords.map(lit): _*))).cast("long")
+    val flags = docs.select(col("source"),
+      (n >= 50L && n <= 100000L).as("r_wc"),
+      (lit(3L) * n <= sumLen && sumLen <= lit(10L) * n).as("r_mwl"),
+      (nStop >= 2L).as("r_stop"),
+      (lit(5L) * nAlpha >= lit(4L) * n).as("r_alpha"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("n_fail_wordcount"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("n_fail_meanlen"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("n_fail_stopwords"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("n_fail_alpha"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_stop") &&
+          col("r_alpha"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_share",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Contamination-sensitivity curve: [[decontaminationScores]]'
     * overlap gate swept across n-gram widths. The gate's width IS
     * its precision/recall dial — 3-grams over-flag (common phrases

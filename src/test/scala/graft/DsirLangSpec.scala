@@ -86,6 +86,31 @@ class DsirLangSpec extends AnyFunSuite {
     assert(out(4L) === (("und", "und", "und", "consistent")))
   }
 
+  test("gopher rules: each planted violation trips exactly its rule") {
+    import spark.implicits._
+    // 50 words, 2 stopwords, mean length ~5, all alphabetic
+    val good = "the of " + (1 to 48).map(i => "word" + i).mkString(" ")
+    val docs = Seq(
+      (0L, "s", good),
+      // 4 words with healthy mean length and 2 stopwords: only wc trips
+      (1L, "s", "the of elephants elephants"),
+      // 2 stopwords + 48 twelve-char words: only mean length trips
+      (2L, "s", "the of " + Seq.fill(48)("w" * 12).mkString(" ")),
+      // 50 alphabetic words, zero stopwords: only the stopword rule trips
+      (3L, "s", (1 to 50).map(i => "xyzzy" + i).mkString(" ")),
+      // 2 stopwords + 10 alphabetic + 38 numeric words: only alpha trips
+      (4L, "s", "the of " + (1 to 10).map(i => "word" + i).mkString(" ") +
+        " " + Seq.fill(38)("12345").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Corpus.gopherRules(docs, col("text")).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_fail_wordcount") === 1L)
+    assert(r.getAs[Long]("n_fail_meanlen") === 1L)
+    assert(r.getAs[Long]("n_fail_stopwords") === 1L)
+    assert(r.getAs[Long]("n_fail_alpha") === 1L)
+    assert(r.getAs[Long]("n_keep") === 1L)
+  }
+
   test("contamination curve: wider n-grams flag strictly less; planted leaks land per width") {
     import spark.implicits._
     val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14"

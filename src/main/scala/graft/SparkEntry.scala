@@ -840,6 +840,14 @@ object SparkEntry {
       TextAnalysis.bpeCompressionCurve(Tables.load(s, dir, "documents"),
         col("text"), 8)),
 
+    // Tokenizer fertility per predicted language: pieces per word
+    // under the corpus-trained merge table, keyed by langid — the
+    // multilingual-tax report (an English-dominant census spends its
+    // merges on English pairs; other languages pay more pieces).
+    "text_bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(Tables.load(s, dir, "documents"),
+        col("text"), 8)),
+
     // Hapax-legomena share per source (lexical health gauge).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(Tables.load(s, dir, "documents"),
@@ -5917,6 +5925,15 @@ object SparkEntry {
 
     "text_bpe_compression" ->
       TextAnalysis.duckBpeCompression("text", "documents", 8),
+
+    "text_bpe_fertility" -> {
+      val scores = TextAnalysis.markers
+        .map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n  ")
+      TextAnalysis.duckBpeFertility("text", "documents", 8,
+        s"""SELECT doc_id, $langPredSql AS pred_lang FROM (
+           |  SELECT doc_id, $scores FROM documents)""".stripMargin)
+    },
 
     "text_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksT) AS tok FROM documents),

@@ -835,6 +835,87 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer fertility per PREDICTED language — the multilingual
+    * tax gauge: pieces per word under the corpus-trained merge table,
+    * keyed by [[langId]]'s routing instead of [[bpeEncode]]'s source.
+    * A tokenizer trained on an English-dominant census spends its
+    * merges on English pairs, so other languages tokenize into more
+    * pieces per word — this table is the per-language cost report
+    * (the reason production tokenizers train on a language-balanced
+    * sample), read next to `text_bpe_compression`'s budget curve.
+    *
+    * Scale shape: identical to [[bpeEncode]] — the corpus reduces
+    * once to (lang, token) counts (vocabulary-bounded per language),
+    * the trained vocabulary joins on the token key; langId is a
+    * map-only projection on the same scan. Output ≤ |langs|+1 rows.
+    */
+  def bpeFertility(docs: DataFrame, text: Column, nMerges: Int = 8): DataFrame = {
+    val (vocab, _, _) = trainBpe(docs, text, nMerges)
+    val nSym = vocab.select(col("tok"),
+      size(split(expr("substring(w, 2, char_length(w) - 2)"), "\\)\\("))
+        .cast("long").as("n_sym"))
+    val lang = langId(docs, text).select(col("doc_id"), col("pred_lang"))
+    val tokCounts = docs
+      .select(col("doc_id"), explode(tokens(text)).as("tok"))
+      .join(lang, "doc_id")
+      .groupBy(col("pred_lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = lang.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    tokCounts.join(nSym, Seq("tok"), "left")
+      .select(col("pred_lang"), col("cnt"),
+        char_length(col("tok")).cast("long").as("n_chars"),
+        coalesce(col("n_sym"), char_length(col("tok")).cast("long"))
+          .as("pieces"))
+      .groupBy(col("pred_lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("pieces")).as("n_pieces"),
+        sum(col("cnt") * col("n_chars")).as("n_chars"))
+      .join(broadcast(nDocs), "pred_lang")
+      .select(col("pred_lang"), col("n_docs"), col("n_tokens"),
+        col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("pred_lang"))
+  }
+
+  /** Oracle twin of [[bpeFertility]]; `langCteBody` is a SELECT
+    * yielding (doc_id, pred_lang) — SparkEntry owns the langid SQL.
+    */
+  def duckBpeFertility(textExpr: String, table: String, nMerges: Int,
+      langCteBody: String): String = {
+    val sb = duckBpeChain(textExpr, table, nMerges)
+    sb.append(
+      s""",
+         |vf AS (SELECT tok,
+         |    CAST(len(string_split(substring(w, 2, length(w) - 2), ')('))
+         |      AS BIGINT) AS n_sym FROM v$nMerges),
+         |lng AS ($langCteBody),
+         |corp AS (SELECT doc_id, unnest(${duckTokens(textExpr)}) AS tok
+         |  FROM $table),
+         |tc AS (SELECT lng.pred_lang, corp.tok, count(*) AS cnt
+         |  FROM corp JOIN lng ON lng.doc_id = corp.doc_id GROUP BY 1, 2),
+         |jn AS (SELECT tc.pred_lang, tc.cnt,
+         |    CAST(length(tc.tok) AS BIGINT) AS n_chars,
+         |    coalesce(vf.n_sym, CAST(length(tc.tok) AS BIGINT)) AS pieces
+         |  FROM tc LEFT JOIN vf ON vf.tok = tc.tok),
+         |agg AS (SELECT pred_lang,
+         |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(cnt * pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(cnt * n_chars) AS BIGINT) AS n_chars
+         |  FROM jn GROUP BY 1),
+         |nd AS (SELECT pred_lang, count(*) AS n_docs FROM lng GROUP BY 1)
+         |SELECT agg.pred_lang, nd.n_docs, agg.n_tokens, agg.n_pieces,
+         |  CAST(agg.n_pieces AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+         |    AS fertility,
+         |  CAST(agg.n_chars AS DOUBLE) / CAST(agg.n_pieces AS DOUBLE)
+         |    AS chars_per_piece
+         |FROM agg JOIN nd ON nd.pred_lang = agg.pred_lang
+         |ORDER BY 1""".stripMargin)
+    sb.toString
+  }
+
   /** Merges-vs-compression knob curve — the "how many merges is
     * enough" companion of [[bpeTrain]] (the tokenizer's analogue of
     * `sim_kmeans_elbow`'s k curve): after each merge round r ∈

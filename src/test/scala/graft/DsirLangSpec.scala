@@ -86,6 +86,31 @@ class DsirLangSpec extends AnyFunSuite {
     assert(out(4L) === (("und", "und", "und", "consistent")))
   }
 
+  test("bpe fertility: per-language totals reconcile with the per-source encode") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val byLang = TextAnalysis.bpeFertility(docs, col("text")).collect()
+    val bySource = TextAnalysis.bpeEncode(docs, col("text")).collect()
+    // same corpus, same trained vocabulary -> identical piece/token mass
+    assert(byLang.map(_.getAs[Long]("n_pieces")).sum ===
+      bySource.map(_.getAs[Long]("n_pieces")).sum)
+    assert(byLang.map(_.getAs[Long]("n_tokens")).sum ===
+      bySource.map(_.getAs[Long]("n_tokens")).sum)
+    // a piece never covers more than a word: fertility >= 1 everywhere
+    byLang.foreach(r => assert(r.getAs[Double]("fertility") >= 1.0))
+    // planted multilingual tax: an en-dominant census spends merges on
+    // en pairs, so a German-heavy doc set pays MORE pieces per word
+    val planted = (
+      (0 until 40).map(i => (i.toLong, "the of and is a " * 6 + s"house$i")) ++
+      (40 until 50).map(i =>
+        (i.toLong, "der die das und ist " * 6 + s"haus$i")))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.bpeFertility(planted, col("text")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("fertility")).toMap
+    assert(f.contains("en") && f.contains("de"))
+    assert(f("de") > f("en"))
+  }
+
   test("gopher rules: each planted violation trips exactly its rule") {
     import spark.implicits._
     // 50 words, 2 stopwords, mean length ~5, all alphabetic

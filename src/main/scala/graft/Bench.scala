@@ -301,8 +301,12 @@ object Bench {
         val qms = results.toSeq.sortBy(_._1)
           .map { case (_, v) => math.round(v * 1000).toString }
           .mkString("[", ",", "]")
+        // "qn" = how many queries the array actually covers. Under
+        // --only (or any partial run) the positions do NOT align with
+        // the full sorted registry — a reader must check qn against
+        // the registry size before reconstructing names positionally.
         val headline3 =
-          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qms":$qms,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qms":$qms,"sf":"$sfDir"}"""
         if (headline3.length <= 1900) println(headline3)
         else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
       }

@@ -72,6 +72,14 @@ object SparkEntry {
     */
   private val LobBudgetBytes = 384L
 
+  /** Per-bucket candidate cap for the capped-dedup demo pair
+    * (`dedup_minhash_capped` / `dedup_cap_census`) — small enough to
+    * BITE on the testdata's band buckets (max 5 at sf0.01, 17 at
+    * sf0.1), so the oracle exercises the fair-order selection, not
+    * the no-op path.
+    */
+  private val DemoCap = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> ((s, dir) => Analytics.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Analytics.q3ShippingPriority(s, dir)),
@@ -963,6 +971,28 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    // The hot-bucket-capped candidate path at a cap (3) that BITES on
+    // this corpus (sf0.01 has band buckets up to 5, sf0.1 up to 17),
+    // so the fair-order member selection — not just the no-op case —
+    // is what the oracle checks. Production pairs this with the
+    // census below at the same cap: never cap silently.
+    "dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), DemoCap)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    // The dropped-mass report for the cap above: per band, hot
+    // buckets and the candidate-pair work a cap of 3 removes.
+    "dedup_cap_census" -> ((s, dir) =>
+      Dedup.minhashCapCensus(Tables.load(s, dir, "documents"), DemoCap)),
+
+    // Same report for the graph family's SRP buckets at the
+    // OPERATIVE cap (KnnBucketCap = 512, the knnEdges default):
+    // all-zero dropped columns here IS the evidence the cap never
+    // binds at bench scale — and prices exactly what it drops on a
+    // clone-planted corpus.
+    "sim_knn_cap_census" -> ((s, dir) =>
+      Similarity.knnCapCensus(Tables.load(s, dir, "embeddings"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"))
@@ -2278,10 +2308,31 @@ object SparkEntry {
     * every graph-family oracle so the edge construction cannot
     * drift between them. Emits ${p}cand/${p}dd/${p}sc/${p}rr and
     * the edge relation ${p}e; splice after [[embCtes]] + [[srpCtes]].
+    * ${p}kb mirrors knnEdges' per-bucket candidate cap (fair
+    * hash-order member selection at Similarity.KnnBucketCap) so the
+    * oracle stays exact even at a corpus where the cap binds.
     */
+  /** Capped SRP bucket relation — the SQL twin of
+    * Dedup.capBucketMembers at Dedup.SrpBucketCap over the `buckets`
+    * CTE (fair hash-order member selection, id tie-break); splice
+    * after [[srpCtes]]. ONE builder shared by the knn-edge chain and
+    * every embedding-pairs oracle so the capped membership cannot
+    * drift between the generators that share it in Scala.
+    */
+  private def cappedBucketsSql(name: String): String =
+    s"""$name AS (SELECT vec_id, band, bucket FROM (
+       |    SELECT vec_id, band, bucket, row_number() OVER (
+       |      PARTITION BY band, bucket
+       |      ORDER BY ${Portable.duckHash(
+                "(CAST(vec_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+                  " || ':' || CAST(bucket AS VARCHAR))")}, vec_id) AS rk
+       |    FROM buckets)
+       |  WHERE rk <= ${Dedup.SrpBucketCap})""".stripMargin
+
   private def knnEdgeCtes(k: Int, p: String = ""): String =
-    s"""${p}cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM buckets a JOIN buckets b
+    s"""${cappedBucketsSql(s"${p}kb")},
+       |${p}cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ${p}kb a JOIN ${p}kb b
        |  ON b.band = a.band AND b.bucket = a.bucket
        |    AND b.vec_id <> a.vec_id),
        |${p}dd AS (SELECT c.src, c.dst,
@@ -5557,7 +5608,10 @@ object SparkEntry {
          |u AS (
          |  SELECT 'schema-table' AS kt, partition_key AS k FROM t
          |  UNION ALL
-         |  SELECT 'transaction-id', CAST(gtxn AS VARCHAR) FROM t)
+         |  -- mirror Envelope.partitionKey's null-txn fallback to the
+         |  -- schema-table key (control/DDL rows must never key null)
+         |  SELECT 'transaction-id',
+         |    coalesce(CAST(gtxn AS VARCHAR), partition_key) FROM t)
          |SELECT ${Portable.duckHash("k")} % 8 AS shard,
          |  CAST(count(*) FILTER (WHERE kt = 'schema-table') AS BIGINT)
          |    AS n_schema_table,
@@ -6211,6 +6265,78 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin
     },
 
+    // Capped candidate path: same pipeline as dedup_minhash, with
+    // the per-bucket fair-order member selection (hash(id:band:bh),
+    // id) mirrored before the band self-join.
+    "dedup_minhash_capped" -> {
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val ord = Portable.duckHash(
+        "(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+          " || ':' || CAST(bh AS VARCHAR))")
+      s"""WITH $minhashCtes,
+         |kbands AS (SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh, row_number() OVER (
+         |      PARTITION BY band, bh ORDER BY $ord, doc_id) AS rk
+         |    FROM bands)
+         |  WHERE rk <= $DemoCap),
+         |kcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM kbands a JOIN kbands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT c.d1 AS doc_id_a, c.d2 AS doc_id_b,
+         |  CAST($nMatch AS BIGINT) AS n_match,
+         |  CAST($nMatch AS DOUBLE) / CAST(${Dedup.NumHashes} AS DOUBLE) AS est_jaccard
+         |FROM kcand c
+         |JOIN sigs sa ON sa.doc_id = c.d1
+         |JOIN sigs sb ON sb.doc_id = c.d2
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "dedup_cap_census" ->
+      s"""WITH $minhashCtes,
+         |sz AS (SELECT band, bh, count(*) AS m FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN m > $DemoCap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot_buckets,
+         |  CAST(sum(m) AS BIGINT) AS n_members,
+         |  CAST(sum(m - least(m, $DemoCap)) AS BIGINT) AS n_members_dropped,
+         |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs_uncapped,
+         |  CAST(sum(least(m, $DemoCap) * (least(m, $DemoCap) - 1) // 2)
+         |    AS BIGINT) AS n_pairs_capped,
+         |  CASE WHEN sum(m * (m - 1) // 2) > 0
+         |    THEN CAST(sum(m * (m - 1) // 2)
+         |        - sum(least(m, $DemoCap) * (least(m, $DemoCap) - 1) // 2)
+         |        AS DOUBLE)
+         |      / CAST(sum(m * (m - 1) // 2) AS DOUBLE)
+         |    ELSE 0.0 END AS dropped_pair_share
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sim_knn_cap_census" -> {
+      val cap = Similarity.KnnBucketCap
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |sz AS (SELECT band, bucket, count(*) AS m FROM buckets
+         |  GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN m > $cap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot_buckets,
+         |  CAST(sum(m) AS BIGINT) AS n_members,
+         |  CAST(sum(m - least(m, $cap)) AS BIGINT) AS n_members_dropped,
+         |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs_uncapped,
+         |  CAST(sum(least(m, $cap) * (least(m, $cap) - 1) // 2)
+         |    AS BIGINT) AS n_pairs_capped,
+         |  CASE WHEN sum(m * (m - 1) // 2) > 0
+         |    THEN CAST(sum(m * (m - 1) // 2)
+         |        - sum(least(m, $cap) * (least(m, $cap) - 1) // 2)
+         |        AS DOUBLE)
+         |      / CAST(sum(m * (m - 1) // 2) AS DOUBLE)
+         |    ELSE 0.0 END AS dropped_pair_share
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashCtes,
          |shd AS (SELECT DISTINCT doc_id, shingle FROM shf),
@@ -6268,8 +6394,9 @@ object SparkEntry {
     "dedup_embedding_curve" ->
       s"""WITH $embCtes,
          |$srpCtes,
+         |${cappedBucketsSql("skb")},
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM buckets a JOIN buckets b
+         |  FROM skb a JOIN skb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c
@@ -6295,8 +6422,9 @@ object SparkEntry {
     "dedup_embedding" ->
       s"""WITH $embCtes,
          |$srpCtes,
+         |${cappedBucketsSql("skb")},
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM buckets a JOIN buckets b
+         |  FROM skb a JOIN skb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c
@@ -7342,8 +7470,9 @@ object SparkEntry {
     "corpus_semdedup_impact" ->
       s"""WITH RECURSIVE $embCtes,
          |$srpCtes,
+         |${cappedBucketsSql("skb")},
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM buckets a JOIN buckets b
+         |  FROM skb a JOIN skb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c
@@ -7380,8 +7509,9 @@ object SparkEntry {
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embCtes,
          |$srpCtes,
+         |${cappedBucketsSql("skb")},
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM buckets a JOIN buckets b
+         |  FROM skb a JOIN skb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |d AS (SELECT c.v1, c.v2, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
          |  FROM cand c

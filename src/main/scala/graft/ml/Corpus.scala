@@ -305,10 +305,12 @@ object Corpus {
     * doc×doc. Output |ns| rows.
     */
   def contaminationCurve(docs: DataFrame, isEval: Column,
-      ns: Seq[Int] = Seq(3, 8, 13)): DataFrame = {
+      ns: Seq[Int] = Seq(3, 8, 13),
+      text: Column = col("text")): DataFrame = {
+    require(ns.nonEmpty, "contaminationCurve needs at least one n-gram width")
     val toks = graft.CacheScope.materialize(
       docs.select(col("doc_id"), isEval.as("is_eval"),
-        graft.ml.TextAnalysis.tokens(col("text")).as("toks")))
+        graft.ml.TextAnalysis.tokens(text).as("toks")))
     val nRaw = toks.filter(!col("is_eval")).agg(count(lit(1)).as("n_docs"))
     ns.map { n =>
       val sh = toks.select(col("doc_id"), col("is_eval"),

@@ -198,10 +198,11 @@ object Dedup {
     */
   private[ml] def bucketJoinPairs(
       buckets: DataFrame, idCol: String, keyCols: Seq[String],
-      outPrefix: String): DataFrame = {
-    val a = buckets.select(
+      outPrefix: String, cap: Int = NoCap): DataFrame = {
+    val kept = capBucketMembers(buckets, idCol, keyCols, cap)
+    val a = kept.select(
       keyCols.map(col) :+ col(idCol).as(s"${outPrefix}_a"): _*)
-    val b = buckets.select(
+    val b = kept.select(
       keyCols.map(c => col(c).as(s"${c}_b")) :+
         col(idCol).as(s"${outPrefix}_b"): _*)
     val cond = keyCols.map(c => col(c) === col(s"${c}_b"))
@@ -209,6 +210,93 @@ object Dedup {
     a.join(b, cond)
       .select(col(s"${outPrefix}_a"), col(s"${outPrefix}_b"))
       .distinct()
+  }
+
+  /** Sentinel: no per-bucket candidate cap. */
+  val NoCap: Int = Int.MaxValue
+
+  /** The deterministic fair order a capped bucket keeps its members
+    * in: portable hash of "id:key..." (bucket-DEPENDENT, so a member
+    * ranked out of one oversized bucket is independently re-drawn in
+    * its other bands' buckets — an id-only order would evict the same
+    * ids everywhere), id tie-break. Exposed as a function so the
+    * DuckDB oracle and specs compute the identical order.
+    */
+  private[graft] def capOrder(idCol: String, keyCols: Seq[String]): Column =
+    Portable.pHash(concat_ws(":",
+      (col(idCol) +: keyCols.map(col)).map(_.cast("string")): _*))
+
+  /** Per-bucket member cap — the guardrail on the O(bucket²) hot
+    * bucket every LSH candidate generator is exposed to (a 100 TB
+    * corpus with near-constant boilerplate makes one bucket hold a
+    * corpus-fraction of docs; AQE splits the wall-clock but the WORK
+    * stays quadratic). A bucket with m ≤ cap members is untouched; an
+    * oversized bucket keeps exactly `cap` members in the [[capOrder]]
+    * fair order. Work per bucket is then O(cap²) and total candidate
+    * work O(n·cap) — linear in the corpus.
+    *
+    * NEVER silent: pair it with [[capCensus]] (the dropped-mass
+    * report) — the census and this selection share the order and the
+    * arithmetic, so the report prices exactly what the cap drops.
+    *
+    * Scale shape: the row_number ≤ cap filter is WindowGroupLimit-
+    * prunable (map-side top-cap per bucket BEFORE the exchange), so
+    * a hot bucket is trimmed before it is ever shuffled. The trailing
+    * repartition(id) restores the id-hash partitioning the input
+    * carried out of its cached upstream — WITHOUT it the window's
+    * (bucket-key) exchange becomes the relation's partitioning, the
+    * downstream pair-distinct and per-id joins each re-shuffle the
+    * PAIR relation (corpus² mass, measured 6× on sim_knn_graph at a
+    * 20k-vector corpus: 3.3 s → 20.6 s as AQE demoted the scoring
+    * join to a 589 MiB sort-merge), while re-hashing the capped
+    * MEMBER relation costs one narrow 3-long-per-row exchange.
+    */
+  private[graft] def capBucketMembers(
+      buckets: DataFrame, idCol: String, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"a candidate cap below 2 generates no pairs: $cap")
+    if (cap == NoCap) buckets
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(capOrder(idCol, keyCols), col(idCol))
+      buckets.withColumn("cap_rk", row_number().over(w))
+        .filter(col("cap_rk") <= cap)
+        .drop("cap_rk")
+        .repartition(col(idCol))
+    }
+  }
+
+  /** Dropped-candidate census for a capped bucket join (the "no
+    * silent caps" report): per band — bucket count, over-cap (hot)
+    * buckets, member mass kept/dropped, and the candidate-pair mass
+    * before/after the cap (Σ m(m−1)/2 vs Σ min(m,cap)(min(m,cap)−1)/2,
+    * exact integers via shift). The pair columns price the JOIN WORK
+    * the generator would do, pre-distinct — the quantity the cap
+    * exists to bound. Output |bands| rows off one bucket-key
+    * aggregate; never materializes a pair.
+    */
+  def capCensus(buckets: DataFrame, idCol: String, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"a candidate cap below 2 generates no pairs: $cap")
+    val band = keyCols.head
+    val sizes = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("m"))
+    val keptM = least(col("m"), lit(cap.toLong))
+    // band → long: a stable census schema whatever integer width the
+    // generator's posexplode produced
+    sizes.groupBy(col(band).cast("long").as(band))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("m") > cap, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(col("m")).as("n_members"),
+        sum(col("m") - keptM).as("n_members_dropped"),
+        sum(shiftright(col("m") * (col("m") - 1), 1)).as("n_pairs_uncapped"),
+        sum(shiftright(keptM * (keptM - 1), 1)).as("n_pairs_capped"))
+      .withColumn("dropped_pair_share",
+        when(col("n_pairs_uncapped") > 0,
+          (col("n_pairs_uncapped") - col("n_pairs_capped")).cast("double") /
+            col("n_pairs_uncapped").cast("double")).otherwise(0.0))
+      .orderBy(col(band))
   }
 
   /** Candidate pairs: docs sharing any band bucket. The self-join is
@@ -259,17 +347,33 @@ object Dedup {
   /** MinHash near-dup pairs with estimated Jaccard = fraction of
     * agreeing minhashes (computed on candidates only).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame): DataFrame = minhashPairs(docs, NoCap)
+
+  /** [[minhashPairs]] with a per-bucket candidate cap ([[
+    * capBucketMembers]]): the production shape for a boilerplate-
+    * heavy corpus where one band bucket can hold a corpus-fraction
+    * of docs. Report the dropped mass with [[minhashCapCensus]] at
+    * the same cap — never cap silently.
+    */
+  def minhashPairs(docs: DataFrame, cap: Int): DataFrame = {
     // min-over-shingles is duplicate-insensitive, so the signatures
     // skip the distinct() shuffle the set-semantics operators pay;
     // minhashPairs does not output set sizes
     val sigs = materialize(minhashSignatures(shingles(docs)))
-    val cands = candidatePairs(bandBuckets(sigs))
+    val cands = bucketJoinPairs(bandBuckets(sigs), "doc_id",
+      Seq("band", "bh"), "doc_id", cap)
     withAgreement(cands, sigs, Nil)
       .withColumn("est_jaccard",
         col("n_match").cast("double") / lit(NumHashes.toDouble))
       .select(col("doc_id_a"), col("doc_id_b"), col("n_match"), col("est_jaccard"))
   }
+
+  /** [[capCensus]] over the minhash band buckets — what a cap of
+    * `cap` would drop from [[minhashPairs]]' candidate generation.
+    */
+  def minhashCapCensus(docs: DataFrame, cap: Int): DataFrame =
+    capCensus(bandBuckets(minhashSignatures(shingles(docs))),
+      "doc_id", Seq("band", "bh"), cap)
 
   /** Exact shingle-set intersection count per candidate pair: two
     * co-keyed joins against the DISTINCT shingle relation. Every LSH
@@ -717,33 +821,69 @@ object Dedup {
   val EmbDim = 64
   val CosineTau = 0.4
 
+  /** Default per-bucket candidate cap for every SRP-bucketed
+    * generator over embeddings ([[embeddingPairs]] and
+    * Similarity.knnEdges share it, and their oracles mirror it):
+    * an order of magnitude above any benign bucket at bench scale
+    * (sf0.1 max 68), so benign corpora are untouched, while a
+    * clone-planted hot bucket's candidate work is bounded to
+    * O(cap²). Report what a corpus would drop with
+    * Similarity.knnCapCensus — never cap silently.
+    */
+  val SrpBucketCap = 512
+
   /** Embedding near-dup pairs: SRP band buckets generate candidates
     * (equi-join, never all-pairs), exact integer-quantized cosine
     * verifies. Pairs with cosine ≥ τ survive.
     */
-  def embeddingPairs(embs: DataFrame): DataFrame = {
+  def embeddingPairs(embs: DataFrame): DataFrame =
+    embeddingPairs(embs, SrpBucketCap)
+
+  /** [[embeddingPairs]] at an explicit per-bucket candidate cap
+    * ([[capBucketMembers]] over the SRP buckets — the semantic-dedup
+    * twin of the minhash cap). Scores INSIDE the bucket join: both
+    * sides carry their quantized vectors, the cosine lands in the
+    * join's own projection, and only slim (a, b, cos) rows leave the
+    * stage — the distinct-then-rejoin alternative re-shuffles the
+    * PAIR-mass relation with the arrays aboard once the corpus side
+    * outgrows the broadcast threshold (measured 14 GiB on a planted
+    * 10%-clone corpus in the knnEdges twin of this shape). Band
+    * duplicates score identically, so the dedup is a max() aggregate
+    * after the τ filter. Zero-norm vectors are filtered AFTER the
+    * cap (the cap's fair-order selection runs over the raw bucket
+    * relation, matching the oracle), then dropped from both sides as
+    * the old inner corpus-joins did.
+    */
+  def embeddingPairs(embs: DataFrame, cap: Int): DataFrame = {
     // one small row per vector feeding three branches — persist so
     // quantization + 24 plane dot products run once per vector
     // identical plan to Similarity.topKAnnLsh's view, so whichever
     // operator runs first caches it for the other
     val qv = materialize(
       Vectors.quantizedWithBuckets(embs, EmbBands, EmbRowsPerBand, EmbDim))
-    val flat = qv.select(col("vec_id"), col("q"), col("n2"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val cands = bucketJoinPairs(flat, "vec_id", Seq("band", "bucket"), "vec_id")
-    val va = qv.select(col("vec_id").as("vec_id_a"), col("q").as("q_a"), col("n2").as("n2_a"))
-    val vb = qv.select(col("vec_id").as("vec_id_b"), col("q").as("q_b"), col("n2").as("n2_b"))
-    cands.join(va, "vec_id_a").join(vb, "vec_id_b")
+    val flatQ = capBucketMembers(
+      qv.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      "vec_id", Seq("band", "bucket"), cap)
       // zero-quantized vectors have no direction: their cosine is
       // 0/sqrt(0) = NaN, and NaN sorts ABOVE the threshold under both
       // engines' NaN-greatest semantics — without this guard a
       // sub-0.0005-magnitude embedding (all-ones SRP buckets, so it
       // collides everywhere) emits meaningless "near-dup" pairs
-      .filter(col("n2_a") > 0 && col("n2_b") > 0)
-      .withColumn("cos_sim",
-        Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
-      .filter(col("cos_sim") >= CosineTau)
-      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+      .filter(col("n2") > 0)
+    flatQ
+      .select(col("vec_id").as("vec_id_a"), col("q").as("q_a"),
+        col("n2").as("n2_a"), col("band"), col("bucket"))
+      .join(flatQ.select(col("vec_id").as("vec_id_b"), col("q").as("q_b"),
+        col("n2").as("n2_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")),
+          col("n2_a"), col("n2_b")).as("cos_dup"))
+      .filter(col("cos_dup") >= CosineTau)
+      .groupBy(col("vec_id_a"), col("vec_id_b"))
+      .agg(max(col("cos_dup")).as("cos_sim"))
   }
 
   /** Semantic duplicate clusters: connected components over the

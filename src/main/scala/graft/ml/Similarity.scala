@@ -1071,6 +1071,29 @@ object Similarity {
 
   val KnnGraphK = 3
 
+  /** Per-SRP-bucket member cap for [[knnEdges]]' candidate join —
+    * see the guardrail note there. The shared SRP default
+    * (Dedup.SrpBucketCap = 512, also embeddingPairs') sits an order
+    * of magnitude above any benign bucket at bench scale while
+    * bounding a clone-planted hot bucket's candidate work to O(cap²).
+    */
+  val KnnBucketCap: Int = Dedup.SrpBucketCap
+
+  /** Dropped-candidate census for [[knnEdges]]' capped SRP bucket
+    * join at [[KnnBucketCap]]: per band, the hot buckets and the
+    * candidate-pair mass the cap removes (Dedup.capCensus — same
+    * order, same arithmetic as the selection itself). All-zero
+    * dropped columns = the cap is a no-op at this corpus.
+    */
+  def knnCapCensus(embs: DataFrame): DataFrame = {
+    val qv = Vectors.quantizedWithBuckets(embs,
+      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim)
+    Dedup.capCensus(
+      qv.select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      "vec_id", Seq("band", "bucket"), KnnBucketCap)
+  }
+
   /** Mutual-kNN census over the LSH candidate graph: every vector's
     * top-k neighbors among its SRP-bucket candidates, and the share
     * of edges that are reciprocated. A high mutual-kNN rate means
@@ -1095,21 +1118,52 @@ object Similarity {
   def knnEdges(embs: DataFrame, k: Int = KnnGraphK): DataFrame = {
     val qv = materialize(Vectors.quantizedWithBuckets(embs,
       Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
-    val flat = qv.select(col("vec_id"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val pairs = flat.select(col("vec_id").as("src"), col("band"), col("bucket"))
-      .join(flat.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+    // Hot-bucket guardrail: a clone-heavy corpus puts a corpus-
+    // fraction of vectors into ONE SRP bucket and the candidate join
+    // goes quadratic in it (the planted-hub rehearsal measured the
+    // whole graph family paying 1.9-2.8x for a 10% clone plant). Cap
+    // each bucket at KnnBucketCap fair-ordered members — far above
+    // any benign bucket at bench scale (sf0.1 max is 68), so results
+    // are unchanged there (and the oracle mirrors the cap exactly
+    // regardless); a pathological bucket is bounded to O(cap²) work.
+    // The dropped mass is REPORTED by [[knnCapCensus]] — never
+    // capped silently.
+    // Score INSIDE the bucket join: both sides of the (band, bucket)
+    // self-join carry their quantized vectors, the cosine is computed
+    // in the join's own projection, and only slim (src, dst, cos)
+    // rows ever leave the stage. The alternative — distinct the slim
+    // pairs, then join the corpus relation back on twice to attach
+    // q_s/q_d — shuffles the PAIR-mass relation with arrays aboard
+    // whenever the corpus side outgrows the broadcast threshold
+    // (measured: a 14 GiB dst-key exchange on the 22k-vector hub
+    // corpus, 2× the whole query). Here the vectors shuffle once,
+    // keyed by bucket (linear in corpus × bands), and the pair mass
+    // only moves as 3 scalars per row. A (src, dst) seen in several
+    // bands scores identically each time (same q's), so the
+    // band-dedup is a max() aggregate instead of a pre-scoring
+    // distinct — the dot work on band-duplicate candidates (≤ bands×)
+    // is codegen'd map-side arithmetic, cheaper than a second wide
+    // exchange. Zero-norm vectors are filtered AFTER the cap so the
+    // capped membership matches the oracle's (which caps the raw
+    // bucket relation), then dropped from both sides exactly as the
+    // old corpusSide inner joins did.
+    val flatQ = Dedup.capBucketMembers(
+      qv.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      "vec_id", Seq("band", "bucket"), KnnBucketCap)
+      .filter(col("n2") > 0)
+    val scored = flatQ
+      .select(col("vec_id").as("src"), col("q").as("q_s"),
+        col("n2").as("n2_s"), col("band"), col("bucket"))
+      .join(flatQ.select(col("vec_id").as("dst"), col("q").as("q_d"),
+        col("n2").as("n2_d"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val scored = pairs
-      .join(corpusSide(qv).select(col("vec_id").as("src"),
-        col("q").as("q_s"), col("n2").as("n2_s")), "src")
-      .join(corpusSide(qv).select(col("vec_id").as("dst"),
-        col("q").as("q_d"), col("n2").as("n2_d")), "dst")
-      .withColumn("cos_sim",
+      .select(col("src"), col("dst"),
         Vectors.cosine(Vectors.dot(col("q_s"), col("q_d")),
-          col("n2_s"), col("n2_d")))
+          col("n2_s"), col("n2_d")).as("cos_dup"))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("cos_dup")).as("cos_sim"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
     materialize(scored

@@ -1019,6 +1019,11 @@ object Binary {
     * phash + the bounded band join.
     */
   def phashClusters(df: DataFrame, maxHamming: Int = 2): DataFrame = {
+    // 4 bands x 4 bits over a 16-bit hash is pigeonhole-complete only
+    // for hamming <= 3 (4+ differing bits can touch every band); fail
+    // loudly rather than silently under-report near pairs.
+    require(maxHamming <= 3,
+      s"4-band x 4-bit candidate join is complete only for maxHamming <= 3, got $maxHamming")
     val groups = phashGroups(df)
     val bands = groups.select(col("phash"), col("n_images"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -1075,6 +1080,10 @@ object Binary {
     * hash as family id via the left join.
     */
   def phashFamilies(df: DataFrame, maxHamming: Int = 2): DataFrame = {
+    // Same band-scheme completeness bound as [[phashClusters]]: an
+    // incomplete edge set would silently fragment families.
+    require(maxHamming <= 3,
+      s"4-band x 4-bit candidate join is complete only for maxHamming <= 3, got $maxHamming")
     val groups = graft.CacheScope.materialize(phashGroups(df))
     val bands = groups.select(col("phash"),
         explode(sequence(lit(0), lit(3))).as("band"))

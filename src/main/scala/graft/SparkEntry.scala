@@ -2741,7 +2741,31 @@ object SparkEntry {
          |    max(CASE WHEN rn = 1 THEN value END) AS win_value
          |  FROM w GROUP BY 1)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Force DuckDB to MATERIALIZE every CTE of a non-recursive oracle.
+    * DuckDB 1.x INLINES CTEs by default, so an oracle with unrolled
+    * iteration (k-core peeling, PageRank rounds, k-means epochs,
+    * graph-walk hops — each round referencing the previous one
+    * several times) re-expands the whole upstream pipeline
+    * EXPONENTIALLY in the round count: the sf0.1 replay measured the
+    * k-core oracle spilling >70 GB of DuckDB temp before dying,
+    * while the same query materialized runs in 7 s. The hint changes
+    * evaluation strategy only, never results; the full sf0.01 gate
+    * replays green under it. Recursive-CC oracles are left verbatim
+    * (the self-referencing CTE cannot be materialized).
+    */
+  private def materializeCtes(sql: String): String =
+    if (sql.startsWith("WITH RECURSIVE")) sql
+    else sql.replace(" AS (", " AS MATERIALIZED (")
+      // named-window definitions (WINDOW w AS (...), w2 AS (...))
+      // share the `AS (` spelling but take no materialization hint —
+      // undo by body shape: a window body opens with PARTITION BY /
+      // ORDER BY, a CTE body never does (it is a SELECT/VALUES)
+      .replaceAll("""AS MATERIALIZED \((PARTITION BY|ORDER BY)""", "AS ($1")
+
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "cdc_apply_changes" ->
       s"""$C, r AS (
          |  SELECT *, row_number() OVER (PARTITION BY user_id

@@ -19,14 +19,26 @@ import pandas as pd
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional: comma-separated query-name filter (mirrors Verify's arg 3)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 con = duckdb.connect()
+# Bound DuckDB so one pathological oracle fails alone instead of
+# taking the whole replay down: without a memory limit the OS
+# OOM-killer terminates the process silently (no summary, no
+# per-query verdicts), and without a temp cap a runaway spill fills
+# the disk. Both limits surface as catchable per-query errors.
+con.sql("PRAGMA memory_limit='24GB'")
+con.sql("PRAGMA temp_directory='/tmp/duckdb_spill'")
+con.sql("PRAGMA max_temp_directory_size='40GB'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY is not None:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 fail = 0
 for name in sorted(oracle):
     files = glob.glob(f"{OUT}/{name}/*.parquet")

@@ -986,6 +986,12 @@ object SparkEntry {
     "dedup_cap_census" -> ((s, dir) =>
       Dedup.minhashCapCensus(Tables.load(s, dir, "documents"), DemoCap)),
 
+    // The cap's RESULT cost (the census prices its WORK): per cap
+    // width, candidate and near-dup pairs surviving vs uncapped —
+    // the tuning curve that justifies a production cap choice.
+    "dedup_cap_recall_curve" -> ((s, dir) =>
+      Dedup.capRecallCurve(Tables.load(s, dir, "documents"))),
+
     // Same report for the graph family's SRP buckets at the
     // OPERATIVE cap (KnnBucketCap = 512, the knnEdges default):
     // all-zero dropped columns here IS the evidence the cap never
@@ -6336,6 +6342,48 @@ object SparkEntry {
          |      / CAST(sum(m * (m - 1) // 2) AS DOUBLE)
          |    ELSE 0.0 END AS dropped_pair_share
          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_cap_recall_curve" -> {
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val ord = Portable.duckHash(
+        "(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+          " || ':' || CAST(bh AS VARCHAR))")
+      val capsList = Dedup.CapCurveCaps.mkString(", ")
+      s"""WITH $minhashCtes,
+         |rb AS (SELECT doc_id, band, bh, row_number() OVER (
+         |    PARTITION BY band, bh ORDER BY $ord, doc_id) AS rk
+         |  FROM bands),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    min(greatest(a.rk, b.rk)) AS cap_needed
+         |  FROM rb a JOIN rb b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT p.cap_needed, CAST($nMatch AS BIGINT) AS n_match
+         |  FROM p
+         |  JOIN sigs sa ON sa.doc_id = p.d1
+         |  JOIN sigs sb ON sb.doc_id = p.d2),
+         |cw AS (SELECT unnest([$capsList]) AS cap)
+         |SELECT CAST(cw.cap AS BIGINT) AS cap,
+         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pairs_kept,
+         |  count(*) AS n_pairs_total,
+         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+         |      AND sc.n_match >= ${Dedup.NearDupMatches} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_kept,
+         |  CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_total,
+         |  CASE WHEN sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+         |      THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+         |        AND sc.n_match >= ${Dedup.NearDupMatches}
+         |        THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+         |        THEN 1 ELSE 0 END) AS DOUBLE)
+         |    ELSE 1.0 END AS neardup_recall
+         |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "sim_knn_cap_census" -> {
       val cap = Similarity.KnnBucketCap

@@ -375,6 +375,78 @@ object Dedup {
     capCensus(bandBuckets(minhashSignatures(shingles(docs))),
       "doc_id", Seq("band", "bh"), cap)
 
+  /** Cap widths swept by [[capRecallCurve]]; a real deployment sweeps
+    * up to its production cap.
+    */
+  val CapCurveCaps: Seq[Int] = Seq(2, 3, 4, 6, 8)
+
+  /** "Near-dup" for the recall curve: est_jaccard ≥ 0.5 ⇔ at least
+    * [[NearDupMatches]] of the [[NumHashes]] minhashes agree — exact
+    * integer threshold, no float compare.
+    */
+  val NearDupMatches = 4
+
+  /** Per-cap recall tuning curve — the number that JUSTIFIES a cap
+    * choice: for each cap width, how many candidate pairs and (more
+    * importantly) how many actual near-dup pairs survive, vs the
+    * uncapped generator. The census ([[capCensus]]) prices the WORK a
+    * cap drops; this prices the RESULT it drops.
+    *
+    * Mechanics: rank every bucket member in the [[capOrder]] fair
+    * order (the exact order [[capBucketMembers]] keeps), then for
+    * each uncapped candidate pair compute `cap_needed` = min over
+    * shared buckets of max(rank_a, rank_b) — the smallest cap under
+    * which the pair still survives (CapSpec pins the equivalence:
+    * survives `minhashPairs(docs, c)` ⇔ cap_needed ≤ c). One ranked
+    * self-join + one aggregate then serves every cap width.
+    *
+    * Scale note: this is the one cap query that deliberately PAYS the
+    * uncapped O(bucket²) candidate join — it exists to measure what a
+    * cap would discard, so it cannot run capped. At 100 TB it runs on
+    * a bounded sample (like dedup_lsh_calibration), not the corpus;
+    * the registry runs it at bench scale where the uncapped join is
+    * the measured-safe shape.
+    */
+  def capRecallCurve(
+      docs: DataFrame, caps: Seq[Int] = CapCurveCaps): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ >= 2),
+      s"cap widths below 2 generate no pairs: $caps")
+    val sigs = materialize(minhashSignatures(shingles(docs)))
+    val w = Window.partitionBy(col("band"), col("bh"))
+      .orderBy(capOrder("doc_id", Seq("band", "bh")), col("doc_id"))
+    val ranked = bandBuckets(sigs).withColumn("rk", row_number().over(w))
+    val pairs = ranked.select(col("band"), col("bh"),
+        col("doc_id").as("doc_id_a"), col("rk").as("rk_a"))
+      .join(ranked.select(col("band"), col("bh"),
+        col("doc_id").as("doc_id_b"), col("rk").as("rk_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        greatest(col("rk_a"), col("rk_b")).as("need"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(min(col("need")).as("cap_needed"))
+    val scored = withAgreement(pairs, sigs, Nil)
+      .select(col("cap_needed"), col("n_match"))
+    scored
+      .select(explode(array(caps.map(lit): _*)).as("cap"),
+        col("cap_needed"), col("n_match"))
+      .groupBy(col("cap"))
+      .agg(
+        sum(when(col("cap_needed") <= col("cap"), 1L).otherwise(0L))
+          .as("n_pairs_kept"),
+        count(lit(1)).as("n_pairs_total"),
+        sum(when(col("cap_needed") <= col("cap")
+            && col("n_match") >= NearDupMatches, 1L).otherwise(0L))
+          .as("n_neardup_kept"),
+        sum(when(col("n_match") >= NearDupMatches, 1L).otherwise(0L))
+          .as("n_neardup_total"))
+      .withColumn("neardup_recall",
+        when(col("n_neardup_total") > 0,
+          col("n_neardup_kept").cast("double") /
+            col("n_neardup_total").cast("double")).otherwise(1.0))
+      .orderBy(col("cap"))
+  }
+
   /** Exact shingle-set intersection count per candidate pair: two
     * co-keyed joins against the DISTINCT shingle relation. Every LSH
     * candidate shares a band ⇒ shares its argmin shingle, so the

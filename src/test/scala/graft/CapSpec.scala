@@ -148,6 +148,28 @@ class CapSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.minhashCapCensus(docs, cap = 0))
   }
 
+  test("recall curve counts equal the capped generator's actual output") {
+    // cap_needed <= c must be EXACTLY "survives minhashPairs(docs, c)"
+    // — the curve is only a tuning aid if it prices the real selection
+    val docs = plantedDocs(clones = 12, distinct = 8)
+    val curve = Dedup.capRecallCurve(docs, caps = Seq(2, 3, 4))
+      .collect().map(r => r.getAs[Long]("cap") -> r).toMap
+    val total = Dedup.minhashPairs(docs).count()
+    Seq(2, 3, 4).foreach { c =>
+      val capped = Dedup.minhashPairs(docs, c)
+      val row = curve(c.toLong)
+      assert(row.getAs[Long]("n_pairs_kept") == capped.count(),
+        s"curve pair count must equal minhashPairs(docs, $c)")
+      assert(row.getAs[Long]("n_pairs_total") == total)
+      assert(row.getAs[Long]("n_neardup_kept") ==
+        capped.filter(col("n_match") >= Dedup.NearDupMatches).count(),
+        s"curve near-dup count must equal the capped generator at $c")
+    }
+    // recall is monotone in the cap width
+    val recalls = Seq(2, 3, 4).map(c => curve(c.toLong).getAs[Double]("neardup_recall"))
+    assert(recalls == recalls.sorted)
+  }
+
   test("knnEdges' operative cap never binds on the benign testdata") {
     val embs = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val census = Similarity.knnCapCensus(embs).collect()

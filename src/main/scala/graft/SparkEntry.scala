@@ -1000,6 +1000,13 @@ object SparkEntry {
     "sim_knn_cap_census" -> ((s, dir) =>
       Similarity.knnCapCensus(Tables.load(s, dir, "embeddings"))),
 
+    // Embedding-side recall curve: small widths bite on the
+    // testdata's SRP buckets, the last row is the operative
+    // SrpBucketCap — recall 1.0 there is the "never binds on benign
+    // data" evidence as a RESULT (census above: as work).
+    "dedup_embedding_cap_curve" -> ((s, dir) =>
+      Dedup.embeddingCapRecallCurve(Tables.load(s, dir, "embeddings"))),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -6381,6 +6388,53 @@ object SparkEntry {
          |        THEN 1 ELSE 0 END) AS DOUBLE)
          |      / CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
          |        THEN 1 ELSE 0 END) AS DOUBLE)
+         |    ELSE 1.0 END AS neardup_recall
+         |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "dedup_embedding_cap_curve" -> {
+      val ord = Portable.duckHash(
+        "(CAST(vec_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+          " || ':' || CAST(bucket AS VARCHAR))")
+      val capsList = Dedup.EmbCapCurveCaps.mkString(", ")
+      val tau = s"CAST(${Dedup.CosineTau} AS DOUBLE)"
+      s"""WITH $embCtes,
+         |$srpCtes,
+         |rb AS (SELECT vec_id, band, bucket, row_number() OVER (
+         |    PARTITION BY band, bucket ORDER BY $ord, vec_id) AS rk
+         |  FROM buckets),
+         |pc AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    min(greatest(a.rk, b.rk)) AS cap_needed
+         |  FROM rb a JOIN rb b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |d AS (SELECT pc.v1, pc.v2, pc.cap_needed,
+         |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+         |  FROM pc
+         |  JOIN flat fa ON fa.vec_id = pc.v1
+         |  JOIN flat fb ON fb.vec_id = pc.v2 AND fb.i = fa.i
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT d.cap_needed, $cosSql AS cos_sim
+         |  FROM d
+         |  JOIN norms na ON na.vec_id = d.v1
+         |  JOIN norms nb ON nb.vec_id = d.v2
+         |  WHERE na.n2 > 0 AND nb.n2 > 0),
+         |cw AS (SELECT unnest([$capsList]) AS cap)
+         |SELECT CAST(cw.cap AS BIGINT) AS cap,
+         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pairs_kept,
+         |  count(*) AS n_pairs_total,
+         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+         |      AND sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_kept,
+         |  CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_total,
+         |  CASE WHEN sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+         |        AND sc.cos_sim >= $tau THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
          |    ELSE 1.0 END AS neardup_recall
          |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
     },

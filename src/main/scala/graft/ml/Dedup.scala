@@ -958,6 +958,74 @@ object Dedup {
       .agg(max(col("cos_dup")).as("cos_sim"))
   }
 
+  /** Cap widths swept by [[embeddingCapRecallCurve]]: the small
+    * widths BITE on the testdata's SRP buckets (so the oracle
+    * exercises the fair-order selection), the last is the operative
+    * [[SrpBucketCap]] — its 1.0 recall row at bench scale IS the
+    * "cap never binds on benign data" evidence as a result, next to
+    * the census's all-zero dropped mass as work.
+    */
+  val EmbCapCurveCaps: Seq[Int] = Seq(2, 4, 8, SrpBucketCap)
+
+  /** Embedding-side cap recall curve — [[capRecallCurve]]'s twin
+    * over the SRP buckets: per cap width, candidate pairs and
+    * near-dup pairs (cosine ≥ [[CosineTau]]) surviving vs the
+    * uncapped generator. Ranks run over the RAW bucket relation
+    * (zero-norm vectors occupy their slots exactly as in
+    * [[capBucketMembers]]' input, filtered only after), and the
+    * cosine lands in the ranked self-join's own projection
+    * ([[embeddingPairs]]' in-bucket-scoring shape) — the pair mass
+    * never shuffles with vectors aboard. Like the minhash curve,
+    * this deliberately PAYS the uncapped join (it measures what the
+    * cap discards) — sample-bounded at production scale.
+    */
+  def embeddingCapRecallCurve(
+      embs: DataFrame, caps: Seq[Int] = EmbCapCurveCaps): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ >= 2),
+      s"cap widths below 2 generate no pairs: $caps")
+    val qv = materialize(
+      Vectors.quantizedWithBuckets(embs, EmbBands, EmbRowsPerBand, EmbDim))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(capOrder("vec_id", Seq("band", "bucket")), col("vec_id"))
+    val ranked = qv.select(col("vec_id"), col("q"), col("n2"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .withColumn("rk", row_number().over(w))
+    val pairs = ranked.select(col("band"), col("bucket"),
+        col("vec_id").as("vec_id_a"), col("q").as("q_a"),
+        col("n2").as("n2_a"), col("rk").as("rk_a"))
+      .join(ranked.select(col("band"), col("bucket"),
+        col("vec_id").as("vec_id_b"), col("q").as("q_b"),
+        col("n2").as("n2_b"), col("rk").as("rk_b")),
+        Seq("band", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(col("n2_a") > 0 && col("n2_b") > 0)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        greatest(col("rk_a"), col("rk_b")).as("need"),
+        Vectors.cosine(Vectors.dot(col("q_a"), col("q_b")),
+          col("n2_a"), col("n2_b")).as("cos_dup"))
+      .groupBy(col("vec_id_a"), col("vec_id_b"))
+      .agg(min(col("need")).as("cap_needed"),
+        max(col("cos_dup")).as("cos_sim"))
+    pairs
+      .select(explode(array(caps.map(lit): _*)).as("cap"),
+        col("cap_needed"), col("cos_sim"))
+      .groupBy(col("cap"))
+      .agg(
+        sum(when(col("cap_needed") <= col("cap"), 1L).otherwise(0L))
+          .as("n_pairs_kept"),
+        count(lit(1)).as("n_pairs_total"),
+        sum(when(col("cap_needed") <= col("cap")
+            && col("cos_sim") >= CosineTau, 1L).otherwise(0L))
+          .as("n_neardup_kept"),
+        sum(when(col("cos_sim") >= CosineTau, 1L).otherwise(0L))
+          .as("n_neardup_total"))
+      .withColumn("neardup_recall",
+        when(col("n_neardup_total") > 0,
+          col("n_neardup_kept").cast("double") /
+            col("n_neardup_total").cast("double")).otherwise(1.0))
+      .orderBy(col("cap"))
+  }
+
   /** Semantic duplicate clusters: connected components over the
     * embedding near-dup graph ([[embeddingPairs]]) — the embedding
     * twin of [[clusters]], and the grouping step of SemDeDup-style

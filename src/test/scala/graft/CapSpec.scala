@@ -170,6 +170,21 @@ class CapSpec extends AnyFunSuite {
     assert(recalls == recalls.sorted)
   }
 
+  test("embedding curve counts equal the capped SRP generator's output") {
+    val embs = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val caps = Seq(2, 4, 8)
+    val curve = Dedup.embeddingCapRecallCurve(embs, caps)
+      .collect().map(r => r.getAs[Long]("cap") -> r).toMap
+    caps.foreach { c =>
+      assert(curve(c.toLong).getAs[Long]("n_neardup_kept") ==
+        Dedup.embeddingPairs(embs, c).count(),
+        s"curve near-dup count must equal embeddingPairs(embs, $c)")
+    }
+    // total = the uncapped generator's near-dup yield
+    assert(curve(2L).getAs[Long]("n_neardup_total") ==
+      Dedup.embeddingPairs(embs, Dedup.NoCap).count())
+  }
+
   test("knnEdges' operative cap never binds on the benign testdata") {
     val embs = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val census = Similarity.knnCapCensus(embs).collect()

@@ -1348,6 +1348,18 @@ object SparkEntry {
       Corpus.chunkDupStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // Content-defined chunking: boundaries from the trailing-window
+    // token hash, not position — the edit-robust chunk inventory.
+    "corpus_content_chunks" -> ((s, dir) =>
+      Corpus.contentChunks(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // The A/B that justifies content-defined chunking: chunk-fp
+    // survival under a one-token prefix edit, content vs fixed grid.
+    "corpus_chunk_robustness" -> ((s, dir) =>
+      Corpus.chunkRobustness(Tables.load(s, dir, "documents"))
+        .orderBy(col("method"))),
+
     // One k-means assignment step: label→nearest-centroid transition
     // matrix (broadcast integer-sum centroids, argmax via max-struct).
     "sim_kmeans_assign" -> ((s, dir) =>
@@ -1616,6 +1628,13 @@ object SparkEntry {
     "corpus_dup_ngrams" -> ((s, dir) =>
       Corpus.dupNgramStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
+
+    // ExactSubstr-style duplicate-span census per document: maximal
+    // merged spans of cross-document k-gram anchors — the regions
+    // substring dedup would cut, with exact union token coverage.
+    "corpus_dup_spans" -> ((s, dir) =>
+      Corpus.dupSpans(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
 
     // Cross-source shingle overlap: which source pairs share 3-gram
     // boilerplate, with set Jaccard (the contamination map next to
@@ -2266,6 +2285,61 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** Content-defined chunk body over an arbitrary document text
+    * expression — the boundary window hash, the strictly-prior
+    * boundary prefix sum, and the per-chunk fingerprint, mirroring
+    * Corpus.contentChunks exactly. Yields (doc_id, source, chunk_id,
+    * chunk_start, chunk_tokens, chunk_fp) rows.
+    */
+  private def duckContentChunks(textExpr: String): String = {
+    val w = Corpus.ContentWindow
+    val win = Portable.duckHash(
+      s"array_to_string(list_slice(toks, i - ${w - 1}, i), ' ')")
+    s"""SELECT doc_id, source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(min(i) AS BIGINT) AS chunk_start,
+       |    count(*) AS chunk_tokens,
+       |    ${Portable.duckHash("string_agg(tok, ' ' ORDER BY i)")} AS chunk_fp
+       |  FROM (
+       |    SELECT doc_id, source, i, tok,
+       |      COALESCE(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |    FROM (
+       |      SELECT doc_id, source, i, tok,
+       |        CASE WHEN i >= $w AND $win % ${Corpus.ContentMask} = 0
+       |          THEN 1 ELSE 0 END AS is_b
+       |      FROM (
+       |        SELECT doc_id, source, toks,
+       |          generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+       |        FROM (SELECT doc_id, source,
+       |            ${TextAnalysis.duckTokens(textExpr)} AS toks FROM documents)
+       |        )))
+       |  GROUP BY doc_id, source, chunk_id""".stripMargin
+  }
+
+  /** Distinct (doc_id, chunk_fp) pairs under either chunking method
+    * over an arbitrary text expression — the unit the robustness A/B
+    * joins on.
+    */
+  private def duckChunkFps(textExpr: String, content: Boolean): String =
+    if (content)
+      s"""SELECT DISTINCT doc_id, chunk_fp FROM (
+         |  ${duckContentChunks(textExpr)})""".stripMargin
+    else
+      s"""SELECT DISTINCT doc_id,
+         |    ${Portable.duckHash(
+                s"array_to_string(list_slice(toks, start + 1, " +
+                  s"start + ${Corpus.ChunkSize}), ' ')")} AS chunk_fp
+         |  FROM (
+         |    SELECT doc_id, toks, n_tokens,
+         |      unnest(range(0, CAST(n_tokens AS BIGINT),
+         |        ${Corpus.ChunkStride})) AS start
+         |    FROM (SELECT doc_id, toks, len(toks) AS n_tokens
+         |      FROM (SELECT doc_id,
+         |          ${TextAnalysis.duckTokens(textExpr)} AS toks FROM documents)
+         |      WHERE len(toks) > 0))
+         |  WHERE start = 0
+         |    OR start + ${Corpus.ChunkSize - Corpus.ChunkStride} < n_tokens""".stripMargin
 
   /** Shared KMV estimate projection for the sketch twins: ONE
     * definition of the (k-1)·2⁶⁰ / kth formula, so the relational
@@ -3535,6 +3609,61 @@ object SparkEntry {
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Duplicate-span oracle: positioned k-gram anchors via lead()
+    // windows, cross-doc df on the anchor hash, gaps-and-islands
+    // span merge (gap <= k), exact union coverage per doc.
+    "corpus_dup_spans" -> {
+      val k = Corpus.DupSpanK
+      val gram = (0 until k)
+        .map(j => if (j == 0) "tok" else s"lead(tok, $j) OVER w")
+        .mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    ${TextAnalysis.duckTokens("text")} AS toks FROM documents),
+         |b AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+         |    unnest(toks) AS tok FROM t),
+         |g AS (SELECT doc_id, i, $gram AS gram
+         |  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |a AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    ${Portable.duckHash("gram")} AS fp
+         |  FROM g WHERE gram IS NOT NULL),
+         |d AS (SELECT fp, doc_id FROM a GROUP BY 1, 2),
+         |dd AS (SELECT fp, doc_id,
+         |    count(*) OVER (PARTITION BY fp) AS df FROM d),
+         |dup AS (SELECT a.doc_id, a.i FROM a
+         |  JOIN dd ON dd.fp = a.fp AND dd.doc_id = a.doc_id
+         |  WHERE dd.df > 1),
+         |sp AS (SELECT doc_id, i,
+         |    CASE WHEN lag(i) OVER wd IS NULL
+         |      OR i - lag(i) OVER wd > $k THEN 1 ELSE 0 END AS ns
+         |  FROM dup WINDOW wd AS (PARTITION BY doc_id ORDER BY i)),
+         |si AS (SELECT doc_id, i, sum(ns) OVER (PARTITION BY doc_id
+         |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS span_id
+         |  FROM sp),
+         |spn AS (SELECT doc_id, span_id, count(*) AS span_anchors,
+         |    max(i) - min(i) + $k AS span_tokens
+         |  FROM si GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(span_anchors) AS BIGINT) AS n_dup_anchors,
+         |    CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+         |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM spn GROUP BY 1)
+         |SELECT b.doc_id, b.source, b.n_tokens,
+         |  greatest(b.n_tokens - ${k - 1}, 0) AS n_anchors,
+         |  COALESCE(pd.n_dup_anchors, 0) AS n_dup_anchors,
+         |  COALESCE(pd.n_spans, 0) AS n_spans,
+         |  COALESCE(pd.max_span_tokens, 0) AS max_span_tokens,
+         |  COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |    THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE)
+         |      / CAST(b.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS dup_ratio
+         |FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
     // TV-divergence oracle: the same exact-integer cross-product
     // numerator, absent-token mass in closed form, smallest-token
     // tie-break for the top contributor.
@@ -3701,6 +3830,31 @@ object SparkEntry {
          |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
          |  ${Portable.duckHash("array_to_string(chunk, ' ')")} AS chunk_fp
          |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_content_chunks" ->
+      s"""${duckContentChunks("text")}
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_chunk_robustness" -> {
+      def leg(method: String, content: Boolean): String = {
+        val o = duckChunkFps("text", content)
+        val s = duckChunkFps("('zzz ' || text)", content)
+        s"""SELECT '$method' AS method,
+           |  count(DISTINCT o.doc_id) AS n_docs,
+           |  count(*) AS n_fps,
+           |  count(s.doc_id) AS n_preserved,
+           |  CASE WHEN count(*) > 0
+           |    THEN CAST(count(s.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    ELSE 0.0 END AS preserved_ratio
+           |FROM ($o) o LEFT JOIN ($s) s
+           |ON o.doc_id = s.doc_id AND o.chunk_fp = s.chunk_fp""".stripMargin
+      }
+      s"""SELECT * FROM (
+         |${leg("content", content = true)}
+         |UNION ALL
+         |${leg("fixed", content = false)})
+         |ORDER BY method""".stripMargin
+    },
 
     "embed_centroids" ->
       s"""WITH q AS (SELECT label,

@@ -361,6 +361,77 @@ object Corpus {
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Anchor width for [[dupSpans]] — the k-gram a duplicated span is
+    * detected at. 5 tokens ≈ the smallest run that is plausibly
+    * copied text rather than coincidence on this corpus; a web-scale
+    * deployment uses the published 50-token threshold.
+    */
+  val DupSpanK = 5
+
+  /** Duplicate-substring span census (the ExactSubstr dedup view of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", at k-gram anchor granularity): for every
+    * document, the maximal spans of text whose [[DupSpanK]]-gram
+    * anchors ALL appear in at least one other document — the exact
+    * regions substring-level dedup would cut, where
+    * [[dupNgramStats]] only counts shingles and MinHash only flags
+    * whole documents. Two anchors merge into one span when their
+    * k-token windows overlap or touch (gap ≤ k), so `dup_tokens` is
+    * the EXACT union coverage of duplicated windows — never double-
+    * counted, never fragmented.
+    *
+    * Scale shape: anchor fan-out is document-bounded (one posexplode);
+    * the duplicate inventory is a distinct (fp, doc) relation with a
+    * document-frequency window on the fp key (vocabulary-bounded,
+    * same shape as [[dupNgramStats]]); the flag joins back co-keyed
+    * on (fp, doc); span merging is a per-document gaps-and-islands
+    * window (documents are bounded, perfectly parallel). Never
+    * doc×doc — the df>1 test replaces any pairwise comparison.
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val k = DupSpanK
+    val base = graft.CacheScope.materialize(
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long")))
+    val anch = base
+      .select(col("doc_id"),
+        posexplode(Dedup.shingleArrayN(col("toks"), k)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+        Portable.pHash(col("gram")).as("fp"))
+    val dupFps = anch.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") > 1)
+      .drop("df")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = anch.join(dupFps, Seq("fp", "doc_id"))
+      .withColumn("new_span",
+        when(lag(col("i"), 1).over(byDoc).isNull ||
+          col("i") - lag(col("i"), 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(count(lit(1)).as("span_anchors"),
+        (max(col("i")) - min(col("i")) + k).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_anchors")).as("n_dup_anchors"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    base.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_anchors"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   /** Token-length histogram per source in exact power-of-two buckets
     * (bucket = ⌊log2 n_tokens⌋ via the bin()-length trick — no
     * floating log, so engines bucket identically at every boundary).
@@ -540,6 +611,104 @@ object Corpus {
           .as("n_shared_chunks"))
       .withColumn("shared_ratio",
         col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Content-defined chunking boundary window (tokens hashed per
+    * boundary test) and modulus: a chunk boundary falls after token i
+    * iff the portable hash of tokens (i−2..i) ≡ 0 mod [[ContentMask]],
+    * giving an expected chunk length of ~[[ContentMask]] tokens.
+    */
+  val ContentWindow = 3
+  val ContentMask = 8
+
+  /** Content-defined chunking (the rsync/CDC-for-storage idea applied
+    * to the token stream): boundaries are a pure function of LOCAL
+    * token content — the hash of the trailing [[ContentWindow]]-token
+    * window — not of position. Where [[chunked]]'s fixed-stride grid
+    * shifts EVERY boundary when a token is inserted or removed
+    * upstream (so chunk-level dedup loses all alignment between near-
+    * identical revisions), content-defined boundaries re-synchronize
+    * one window past the edit: every chunk not containing the edit
+    * keeps its exact fingerprint. [[chunkRobustness]] measures that
+    * contrast directly.
+    *
+    * Stateless variant (no min/max chunk bound): the boundary test
+    * depends only on the local window, never on the previous
+    * boundary, so the whole chunking is expressible as one window
+    * prefix-sum — and verifiable in plain SQL — instead of a
+    * sequential per-document fold.
+    *
+    * Scale shape: one posexplode fan-out bounded by document length,
+    * one per-document window (documents are the partition unit —
+    * bounded length, perfectly parallel across the corpus), one
+    * (doc, chunk) aggregate; no join, never doc×doc. The boundary
+    * hash re-slices the carried token array per row; the array is
+    * document-bounded so the fan-out cost is O(n_tokens · window).
+    */
+  def contentChunks(docs: DataFrame): DataFrame = {
+    val w = ContentWindow
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"), col("toks"),
+        posexplode(col("toks")).as(Seq("i0", "tok")))
+      .withColumn("i", (col("i0") + 1).cast("long"))
+      .withColumn("is_b",
+        when(col("i") >= w &&
+          pmod(Portable.pHash(concat_ws(" ",
+              slice(col("toks"), (col("i") - (w - 1)).cast("int"), lit(w)))),
+            lit(ContentMask.toLong)) === 0L, 1L).otherwise(0L))
+      .drop("toks", "i0")
+    // boundary AFTER token i starts the next chunk, so a token's
+    // chunk id counts the boundaries strictly BEFORE it
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("chunk_id", coalesce(sum(col("is_b")).over(prior), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(min(col("i")).as("chunk_start"),
+        count(lit(1)).as("chunk_tokens"),
+        Portable.pHash(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_fp"))
+  }
+
+  /** The edit-robustness A/B that justifies content-defined chunking:
+    * prepend ONE token to every document (the canonical upstream edit
+    * — a new header line, a changed byline) and measure, per method,
+    * what fraction of (doc, chunk-fingerprint) pairs survive. Fixed-
+    * stride chunking loses nearly everything (every boundary shifts
+    * by one token); content-defined chunking loses only the chunks
+    * containing the edit window. This ratio is exactly the fraction
+    * of chunk-dedup work (and incremental-storage reuse) that
+    * survives a trivial revision at 100 TB.
+    *
+    * Scale shape: four chunking passes over the corpus (2 methods ×
+    * 2 variants), each map-shaped per [[chunked]]/[[contentChunks]];
+    * the preservation probe is a per-doc equi-join on
+    * (doc_id, chunk_fp) — co-keyed, never cross-document.
+    */
+  def chunkRobustness(docs: DataFrame): DataFrame = {
+    val shifted = docs.withColumn("text", concat(lit("zzz "), col("text")))
+    def fps(d: DataFrame, content: Boolean): DataFrame = {
+      val ch = if (content) contentChunks(d) else chunked(d)
+      ch.select(col("doc_id"), col("chunk_fp")).distinct()
+    }
+    val rows = Seq(("content", true), ("fixed", false)).map { case (m, c) =>
+      fps(docs, c)
+        .join(fps(shifted, c).withColumn("hit", lit(1)),
+          Seq("doc_id", "chunk_fp"), "left")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_fps"),
+          count(col("hit")).as("n_preserved"))
+        .select(lit(m).as("method"), col("n_docs"), col("n_fps"),
+          col("n_preserved"),
+          when(col("n_fps") > 0,
+            col("n_preserved").cast("double") / col("n_fps").cast("double"))
+            .otherwise(lit(0.0)).as("preserved_ratio"))
+    }
+    rows.reduce(_ union _)
   }
 
   /** Packing summary per (source, bin): the batch manifest. */

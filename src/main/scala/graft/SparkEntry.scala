@@ -1282,6 +1282,14 @@ object SparkEntry {
           col("source") === "src0")
         .orderBy(col("doc_id"))),
 
+    // NEAR-dup decontamination: the MinHash banding pipeline run
+    // ACROSS the train/eval boundary — candidates from shared band
+    // buckets, exact-Jaccard verify, explicit zeros for clean docs.
+    "corpus_fuzzy_decontaminate" -> ((s, dir) =>
+      Corpus.fuzzyDecontaminationScores(Tables.load(s, dir, "documents"),
+          col("source") === "src0")
+        .orderBy(col("doc_id"))),
+
     // Gopher hard-rule census (Rae et al. 2021 §A1.1 subset): per
     // source which rule rejects how many docs, and the all-rules
     // survivor count — the per-rule view a pipeline reads before
@@ -1588,6 +1596,11 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.load(s, dir, "documents"), col("text"))
         .orderBy(col("doc_id"))),
+
+    // Interpolated Kneser-Ney bigram census: top-20 bigrams with the
+    // discount/continuation components and the smoothed p_kn.
+    "text_bigram_kn" -> ((s, dir) =>
+      TextAnalysis.knBigrams(Tables.load(s, dir, "documents"), col("text"))),
 
     // PII scrub. The synthetic corpus carries no PII-shaped spans, so
     // the query plants doc_id-derived email/ssn/phone spans (same
@@ -3559,6 +3572,58 @@ object SparkEntry {
          |    / CAST(sc.n_shingles AS DOUBLE), 0.0) AS contamination
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin,
+
+    // Fuzzy-decontamination oracle: distinct-shingle signatures with
+    // set sizes, banding, train-bucket x eval-bucket candidates,
+    // exact-Jaccard verify (3*inter >= sa+sb), explicit zeros.
+    "corpus_fuzzy_decontaminate" -> {
+      val (h1, h2) = Portable.duckHashPair("shingle")
+      val mins = (0 until Dedup.NumHashes)
+        .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
+      val bandRows = (0 until Dedup.Bands).map { b =>
+        val cat = (0 until Dedup.RowsPerBand)
+          .map(j => s"CAST(mh${b * Dedup.RowsPerBand + j} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${Portable.duckHash(s"($cat)")} AS bh FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH shf AS (${Dedup.duckShingles}),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shf),
+         |hs AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM ds),
+         |sigs AS (SELECT doc_id, $mins, count(*) AS set_size
+         |  FROM hs GROUP BY 1),
+         |bands AS ($bandRows),
+         |fl AS (SELECT doc_id, (source = 'src0') AS is_eval FROM documents),
+         |bt AS (SELECT b.doc_id AS tid, band, bh FROM bands b
+         |  JOIN fl ON fl.doc_id = b.doc_id WHERE NOT fl.is_eval),
+         |be AS (SELECT b.doc_id AS eid, band, bh FROM bands b
+         |  JOIN fl ON fl.doc_id = b.doc_id WHERE fl.is_eval),
+         |cand AS (SELECT DISTINCT bt.tid, be.eid FROM bt
+         |  JOIN be ON bt.band = be.band AND bt.bh = be.bh),
+         |iv AS (SELECT c.tid, c.eid, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN ds a ON a.doc_id = c.tid
+         |  JOIN ds b ON b.doc_id = c.eid AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cj AS (SELECT c.tid, c.eid,
+         |    COALESCE(iv.n_inter, 0) AS n_inter,
+         |    sa.set_size AS sz_a, sb.set_size AS sz_b
+         |  FROM cand c
+         |  LEFT JOIN iv ON iv.tid = c.tid AND iv.eid = c.eid
+         |  JOIN sigs sa ON sa.doc_id = c.tid
+         |  JOIN sigs sb ON sb.doc_id = c.eid),
+         |pt AS (SELECT tid, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN 3*n_inter >= sz_a + sz_b
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         |    max(CAST(n_inter AS DOUBLE)
+         |      / CAST(sz_a + sz_b - n_inter AS DOUBLE)) AS max_jaccard
+         |  FROM cj GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pt.n_candidates, 0) AS n_candidates,
+         |  COALESCE(pt.n_matches, 0) AS n_matches,
+         |  COALESCE(pt.max_jaccard, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN pt ON pt.tid = d.doc_id
+         |WHERE d.source <> 'src0' ORDER BY 1""".stripMargin
+    },
 
     // Repetition signals recomputed relationally: per-token term
     // frequencies for top_freq, a lead() window for bigrams — same
@@ -7167,6 +7232,29 @@ object SparkEntry {
     // Bigram surprise with the same exact-integer floor-log2 of the
     // floor quotient; the w2 IS NOT NULL filter drops the doc-final
     // lead() row (Spark builds bigrams by array transform instead).
+    "text_bigram_kn" ->
+      s"""WITH t AS (SELECT doc_id, $toksT AS toks FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+         |    unnest(toks) AS tok FROM t),
+         |s AS (SELECT tok AS w1, lead(tok) OVER (
+         |    PARTITION BY doc_id ORDER BY i) AS w2 FROM u),
+         |bf AS (SELECT w1, w2, count(*) AS c_vw FROM s
+         |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c_vw) AS BIGINT) AS c_v,
+         |    count(*) AS n1p_follow FROM bf GROUP BY 1),
+         |prec AS (SELECT w2, count(*) AS n1p_prec FROM bf GROUP BY 1),
+         |tot AS (SELECT count(*) AS n1p_total FROM bf)
+         |SELECT bf.w1, bf.w2, bf.c_vw, ctx.c_v, ctx.n1p_follow,
+         |  prec.n1p_prec, tot.n1p_total,
+         |  ((CAST(bf.c_vw AS DOUBLE) - 0.75) / CAST(ctx.c_v AS DOUBLE))
+         |    + (((0.75 * CAST(ctx.n1p_follow AS DOUBLE))
+         |        / CAST(ctx.c_v AS DOUBLE))
+         |      * (CAST(prec.n1p_prec AS DOUBLE)
+         |        / CAST(tot.n1p_total AS DOUBLE))) AS p_kn
+         |FROM bf JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN tot
+         |ORDER BY bf.c_vw DESC, bf.w1, bf.w2
+         |LIMIT ${TextAnalysis.KnTopK}""".stripMargin,
+
     "text_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
          |  FROM (SELECT doc_id, $toksT AS l FROM documents)),

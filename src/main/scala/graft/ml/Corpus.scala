@@ -240,6 +240,70 @@ object Corpus {
           col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
   }
 
+  /** NEAR-duplicate decontamination: [[decontaminationScores]]'
+    * fuzzy sibling. Exact n-gram overlap misses an eval document
+    * that was lightly paraphrased or reformatted into the training
+    * corpus; this runs the full MinHash-banding near-dup pipeline
+    * ACROSS the train/eval boundary instead — per train document,
+    * the eval documents sharing an LSH band bucket (candidates), how
+    * many verify at exact Jaccard ≥ 0.5 (integer test 3·|∩| ≥
+    * |A|+|B|), and the best exact Jaccard seen. Every train doc
+    * reports a row (explicit zeros — same contract as the exact
+    * gate: unscored ≠ clean).
+    *
+    * Scale shape: the banding join is train-bucket × eval-bucket —
+    * the eval side is tiny next to the corpus in any real deployment
+    * (broadcastable), so candidate mass is bounded by eval bucket
+    * occupancy, never train×train; exact verification is
+    * candidate-bounded via co-keyed shingle joins (the
+    * [[Dedup.ngramJaccardPairs]] shape). Never all-pairs.
+    */
+  def fuzzyDecontaminationScores(docs: DataFrame, isEval: Column): DataFrame = {
+    val flags = docs.select(col("doc_id"), isEval.as("is_eval"))
+    val sh = graft.CacheScope.materialize(Dedup.shingles(docs).distinct())
+    val sigs = graft.CacheScope.materialize(Dedup.signaturesWithSize(sh))
+    val buckets = Dedup.bandBuckets(sigs).join(flags, "doc_id")
+    val bt = buckets.filter(!col("is_eval"))
+      .select(col("doc_id").as("tid"), col("band"), col("bh"))
+    val be = buckets.filter(col("is_eval"))
+      .select(col("doc_id").as("eid"), col("band"), col("bh"))
+    val cand = bt.join(be, Seq("band", "bh"))
+      .select(col("tid"), col("eid")).distinct()
+    val shT = sh.toDF("tid", "shingle")
+      .join(cand.select("tid").distinct(), Seq("tid"), "left_semi")
+    val shE = sh.toDF("eid2", "shingle_e")
+      .join(cand.select(col("eid").as("eid2")).distinct(),
+        Seq("eid2"), "left_semi")
+    val inter = cand
+      .join(shT, "tid")
+      .join(shE,
+        col("eid") === col("eid2") && col("shingle") === col("shingle_e"))
+      .groupBy(col("tid"), col("eid"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    // left join: a band-hash collision can pair docs with zero
+    // shared shingles — they are candidates with Jaccard 0, not
+    // absent rows
+    val scored = cand
+      .join(inter, Seq("tid", "eid"), "left")
+      .join(sizes.toDF("tid", "sz_a"), "tid")
+      .join(sizes.toDF("eid", "sz_b"), "eid")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+    val perTrain = scored.groupBy(col("tid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(lit(3L) * col("n_inter") >= col("sz_a") + col("sz_b"), 1L)
+          .otherwise(0L)).as("n_matches"),
+        max(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+          .as("max_jaccard"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(perTrain.withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+  }
+
   /** Gopher-style rule census (the published document-quality rule
     * set of Rae et al. 2021 §A1.1, restricted to the signals this
     * corpus carries): per source, how many docs each rule rejects

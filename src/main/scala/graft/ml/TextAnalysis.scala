@@ -515,6 +515,65 @@ object TextAnalysis {
           nullif(col("n_bigrams"), lit(0L)).cast("double"))
   }
 
+  /** Absolute discount for [[knBigrams]] — 0.75, the canonical
+    * Kneser-Ney choice (Chen & Goodman 1999's fixed-discount
+    * variant). */
+  val KnDiscount = 0.75
+
+  /** Rows the Kneser-Ney census returns. */
+  val KnTopK = 20
+
+  /** Interpolated Kneser-Ney bigram model census: the corpus's top
+    * [[KnTopK]] bigrams by raw count with every count the smoothed
+    * estimate is built from, and the estimate itself —
+    *
+    *   p_kn(w|v) = (c(vw) − D)/c(v·)
+    *             + (D·N1+(v,·)/c(v·)) · (N1+(·,w)/N1+(··))
+    *
+    * where c(v·) is the context total, N1+(v,·) the distinct
+    * followers of v, N1+(·,w) the CONTINUATION count of w (how many
+    * distinct contexts w follows — the reason "francisco" scores low
+    * even though "san francisco" is frequent), and N1+(··) the
+    * distinct bigram types. Next to [[bigramLm]]'s per-document MLE
+    * surprise, this is the smoothed-model view a corpus LM (CCNet
+    * filtering, contamination scoring) actually uses.
+    *
+    * Scale shape: ONE vocabulary-bounded bigram-count aggregate is
+    * the only corpus-sized shuffle; context/continuation/type tables
+    * are aggregates OF that table (materialized once); the total is
+    * a broadcast 1-row cross join; the top-k cut is a distributed
+    * TakeOrderedAndProject (per-partition top-k, never a full sort),
+    * totally ordered by (count desc, w1, w2).
+    */
+  def knBigrams(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(text).as("toks"))
+    val bi = toks.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))
+          .otherwise(array())).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bf = graft.CacheScope.materialize(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_vw")))
+    val ctx = bf.groupBy(col("w1"))
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n1p_follow"))
+    val prec = bf.groupBy(col("w2")).agg(count(lit(1)).as("n1p_prec"))
+    val tot = bf.agg(count(lit(1)).as("n1p_total"))
+    val d = KnDiscount
+    bf.join(ctx, "w1").join(prec, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_vw"), col("c_v"),
+        col("n1p_follow"), col("n1p_prec"), col("n1p_total"),
+        (((col("c_vw").cast("double") - lit(d)) / col("c_v").cast("double")) +
+          ((lit(d) * col("n1p_follow").cast("double") /
+            col("c_v").cast("double")) *
+            (col("n1p_prec").cast("double") / col("n1p_total").cast("double"))))
+          .as("p_kn"))
+      .orderBy(col("c_vw").desc, col("w1"), col("w2"))
+      .limit(KnTopK)
+  }
+
   /** The CCNet-style perplexity gate [[unigramLm]] exists to feed:
     * rank every doc by LM familiarity (avg_log2_tf — one double
     * division of exact integer aggregates, so the score and therefore

@@ -1297,6 +1297,13 @@ object SparkEntry {
     "corpus_gopher_rules" -> ((s, dir) =>
       Corpus.gopherRules(Tables.load(s, dir, "documents"), col("text"))),
 
+    // Reliability diagram of the soft quality score vs the Gopher
+    // hard gate: exact global score deciles (two-phase rank + exact
+    // NTILE), per-bin all-rules pass rate.
+    "corpus_quality_calibration" -> ((s, dir) =>
+      Corpus.qualityCalibration(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("bin"))),
+
     // Contamination-sensitivity curve: the overlap gate swept across
     // n-gram widths {3, 8, 13} (13 = the GPT-3 decontamination
     // width) — the table a pipeline reads to pick its gate; the
@@ -8437,6 +8444,47 @@ object SparkEntry {
          |      AND r_alpha) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS keep_share
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Calibration oracle: the same quality formula as the
+    // weighted-sample oracle, the same rule flags as the gopher
+    // oracle, native NTILE over (score, doc_id) — NTILE-parity with
+    // Ranks.ntileExpr is spec-pinned.
+    "corpus_quality_calibration" -> {
+      val nTok = "CAST(n_tokens AS DOUBLE)"
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len($toksT) AS BIGINT) AS n_tokens,
+         |    ${markerCountSql(TextAnalysis.EnStopwords)} AS stop_cnt,
+         |    CAST(coalesce(list_sum(list_transform($toksT,
+         |      x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter($toksT,
+         |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |      CAST(0.4 AS DOUBLE)
+         |        * least($nTok / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      + CAST(0.3 AS DOUBLE)
+         |        * (CAST(1 AS DOUBLE) - CAST(stop_cnt AS DOUBLE) / $nTok)
+         |      + CAST(0.3 AS DOUBLE)
+         |        * least((CAST(sum_len AS DOUBLE) / $nTok)
+         |          / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      END AS quality_score,
+         |    (n_tokens BETWEEN 50 AND 100000
+         |      AND 3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens
+         |      AND stop_cnt >= 2
+         |      AND 5 * n_alpha >= 4 * n_tokens) AS gopher_pass
+         |  FROM s),
+         |r AS (SELECT quality_score, gopher_pass,
+         |    ntile(10) OVER (ORDER BY quality_score, doc_id) AS bin
+         |  FROM q)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE gopher_pass) AS BIGINT) AS n_pass,
+         |  CAST(count(*) FILTER (WHERE gopher_pass) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS pass_rate,
+         |  min(quality_score) AS min_score,
+         |  max(quality_score) AS max_score
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // One CTE family per width over the same tokenizer; the Spark
     // side slices one cached token relation, the oracle re-derives

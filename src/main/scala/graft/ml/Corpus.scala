@@ -324,7 +324,12 @@ object Corpus {
     * all four rules inside one projection) + one map-side-combined
     * per-source aggregate; output |sources| rows.
     */
-  def gopherRules(docs: DataFrame, text: Column): DataFrame = {
+  /** The four per-document Gopher rule booleans over `text` — ONE
+    * definition shared by [[gopherRules]] and [[qualityCalibration]]
+    * (oracle parity needs the two sites bit-identical, so they must
+    * not be copies that can drift).
+    */
+  private def gopherFlags(text: Column): Seq[Column] = {
     val t = TextAnalysis.tokens(text)
     val n = size(t).cast("long")
     val sumLen = coalesce(
@@ -333,11 +338,14 @@ object Corpus {
     val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("long")
     val nStop = size(filter(t,
       x => x.isin(TextAnalysis.EnStopwords.map(lit): _*))).cast("long")
-    val flags = docs.select(col("source"),
-      (n >= 50L && n <= 100000L).as("r_wc"),
+    Seq((n >= 50L && n <= 100000L).as("r_wc"),
       (lit(3L) * n <= sumLen && sumLen <= lit(10L) * n).as("r_mwl"),
       (nStop >= 2L).as("r_stop"),
       (lit(5L) * nAlpha >= lit(4L) * n).as("r_alpha"))
+  }
+
+  def gopherRules(docs: DataFrame, text: Column): DataFrame = {
+    val flags = docs.select(col("source") +: gopherFlags(text): _*)
     flags.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("r_wc"), 1L).otherwise(0L)).as("n_fail_wordcount"),
@@ -349,6 +357,44 @@ object Corpus {
       .withColumn("keep_share",
         col("n_keep").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("source"))
+  }
+
+  /** Calibration of the SOFT quality score against the published
+    * HARD gate: rank the corpus by [[TextAnalysis.quality]] score,
+    * cut into `nBins` exact global quantile bins, and report each
+    * bin's Gopher all-rules pass rate. A calibrated score shows a
+    * monotone pass-rate ramp (low-score bins fail the hard rules,
+    * high-score bins pass); a flat ramp means the blended score adds
+    * nothing over the rules and a threshold picked on it is
+    * arbitrary. This is the reliability-diagram gauge a pipeline
+    * reads before using the soft score as its keep/drop dial.
+    *
+    * Scale shape: scoring and rule flags are map-only over one token
+    * array per doc; the global quantile cut is the two-phase
+    * [[graft.functions.Ranks.grouped]] rank (range partitioning —
+    * never a single-partition window) + the exact NTILE arithmetic;
+    * output |bins| rows.
+    */
+  def qualityCalibration(docs: DataFrame, text: Column,
+      nBins: Int = 10): DataFrame = {
+    val scored = TextAnalysis.quality(docs, text)
+      .select(col("doc_id") +: col("quality_score") +: gopherFlags(text): _*)
+      .withColumn("gopher_pass",
+        col("r_wc") && col("r_mwl") && col("r_stop") && col("r_alpha"))
+    graft.functions.Ranks
+      .grouped(scored, Nil, Seq("quality_score", "doc_id"))
+      .withColumn("bin",
+        expr(graft.functions.Ranks.ntileExpr("rank", "grp_total", nBins))
+          .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .select(col("bin"), col("n_docs"), col("n_pass"), col("pass_rate"),
+        col("min_score"), col("max_score"))
   }
 
   /** Contamination-sensitivity curve: [[decontaminationScores]]'

@@ -1649,6 +1649,13 @@ object SparkEntry {
       Corpus.dupNgramStats(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // Data-constrained epoch planner: uniform target mix under the
+    // 4-epoch repeat cap, capped shares redistributed by remaining
+    // capacity — integer-exact cross-source sums.
+    "corpus_epoch_plan" -> ((s, dir) =>
+      Corpus.epochPlan(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // ExactSubstr-style duplicate-span census per document: maximal
     // merged spans of cross-document k-gram anchors — the regions
     // substring dedup would cut, with exact union token coverage.
@@ -3680,6 +3687,41 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE) AS shared_ratio
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Epoch-plan oracle: same integer allocation arithmetic (div,
+    // least, exact sums), one double redistribution per row.
+    "corpus_epoch_plan" ->
+      s"""WITH p AS (SELECT source,
+         |    CAST(sum(len($toksT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         |    count(*) AS n_sources FROM p),
+         |b AS (SELECT p.source, p.n_tokens,
+         |    ${Corpus.EpochBudgetX} * t.corpus_tokens AS budget,
+         |    (${Corpus.EpochBudgetX} * t.corpus_tokens) // t.n_sources
+         |      AS target_tokens,
+         |    ${Corpus.EpochCap} * p.n_tokens AS capacity
+         |  FROM p, t),
+         |c AS (SELECT *, least(target_tokens, capacity) AS alloc_capped
+         |  FROM b),
+         |a AS (SELECT CAST(sum(alloc_capped) AS BIGINT) AS allocated,
+         |    CAST(sum(capacity - alloc_capped) AS BIGINT) AS spare FROM c)
+         |SELECT c.source, c.n_tokens, c.target_tokens, c.alloc_capped,
+         |  CASE WHEN a.spare > 0
+         |    THEN CAST(c.alloc_capped AS DOUBLE)
+         |      + CAST(c.budget - a.allocated AS DOUBLE)
+         |        * (CAST(c.capacity - c.alloc_capped AS DOUBLE)
+         |          / CAST(a.spare AS DOUBLE))
+         |    ELSE CAST(c.alloc_capped AS DOUBLE) END AS alloc_final,
+         |  (CASE WHEN a.spare > 0
+         |    THEN CAST(c.alloc_capped AS DOUBLE)
+         |      + CAST(c.budget - a.allocated AS DOUBLE)
+         |        * (CAST(c.capacity - c.alloc_capped AS DOUBLE)
+         |          / CAST(a.spare AS DOUBLE))
+         |    ELSE CAST(c.alloc_capped AS DOUBLE) END)
+         |    / CAST(c.n_tokens AS DOUBLE) AS epochs,
+         |  c.alloc_capped = c.capacity AS capped
+         |FROM c, a ORDER BY c.source""".stripMargin,
 
     // Duplicate-span oracle: positioned k-gram anchors via lead()
     // windows, cross-doc df on the anchor hash, gaps-and-islands

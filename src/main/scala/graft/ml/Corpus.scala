@@ -471,6 +471,70 @@ object Corpus {
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Max epochs a source may repeat in [[epochPlan]] — 4, the
+    * published point past which repeated data stops buying loss
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"). */
+  val EpochCap = 4L
+
+  /** Training-token budget as a multiple of the corpus size. 2× — a
+    * data-constrained run (the regime the epoch planner exists for).
+    */
+  val EpochBudgetX = 2L
+
+  /** Data-constrained epoch planner: given a training-token budget of
+    * [[EpochBudgetX]]× the corpus and a UNIFORM per-source target mix,
+    * allocate tokens per source under the [[EpochCap]]-epoch repeat
+    * limit — small sources hit the cap, and their unserved share is
+    * redistributed to uncapped sources in proportion to remaining
+    * capacity. The output is the per-source training manifest: target
+    * share, capped first-pass allocation, final allocation, and the
+    * implied epoch count a sampler repeats that source.
+    *
+    * Exactness: every cross-source SUM is integer (budget, targets,
+    * capacities, first-pass allocations) so the plan is independent
+    * of partitioning and accumulation order; the only doubles are
+    * one per-row redistribution fraction and the final epochs
+    * division — bit-identical in any engine.
+    *
+    * Scale shape: one map-side-combined per-source token aggregate
+    * over the corpus (the only corpus-sized work), then two 1-row
+    * broadcast totals over the |sources| relation. Output |sources|
+    * rows.
+    */
+  def epochPlan(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    val base = graft.CacheScope.materialize(
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", lit(EpochBudgetX) * col("corpus_tokens"))
+        .withColumn("target_tokens", expr("budget div n_sources"))
+        .withColumn("capacity", lit(EpochCap) * col("n_tokens"))
+        .withColumn("alloc_capped",
+          least(col("target_tokens"), col("capacity"))))
+    val agg2 = base.agg(sum(col("alloc_capped")).as("allocated"),
+      sum(col("capacity") - col("alloc_capped")).as("spare"))
+    base.crossJoin(broadcast(agg2))
+      .withColumn("leftover", col("budget") - col("allocated"))
+      .withColumn("alloc_final",
+        when(col("spare") > 0L,
+          col("alloc_capped").cast("double") +
+            col("leftover").cast("double") *
+            ((col("capacity") - col("alloc_capped")).cast("double") /
+              col("spare").cast("double")))
+          .otherwise(col("alloc_capped").cast("double")))
+      .withColumn("epochs",
+        col("alloc_final") / col("n_tokens").cast("double"))
+      .withColumn("capped", col("alloc_capped") === col("capacity"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("alloc_capped"), col("alloc_final"), col("epochs"),
+        col("capped"))
+  }
+
   /** Anchor width for [[dupSpans]] — the k-gram a duplicated span is
     * detected at. 5 tokens ≈ the smallest run that is plausibly
     * copied text rather than coincidence on this corpus; a web-scale

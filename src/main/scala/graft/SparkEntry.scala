@@ -1609,6 +1609,14 @@ object SparkEntry {
     "text_bigram_kn" -> ((s, dir) =>
       TextAnalysis.knBigrams(Tables.load(s, dir, "documents"), col("text"))),
 
+    // No-leakage LM eval: unigram model trained on the hash-gated
+    // TRAIN split only, scored on held-out val+test per source (OOV
+    // rate + exact-integer log2 surprise).
+    "text_heldout_perplexity" -> ((s, dir) =>
+      TextAnalysis.heldoutPerplexity(Tables.load(s, dir, "documents"),
+          col("text"))
+        .orderBy(col("source"))),
+
     // PII scrub. The synthetic corpus carries no PII-shaped spans, so
     // the query plants doc_id-derived email/ssn/phone spans (same
     // derivation in the oracle) and the operator must count and
@@ -7281,6 +7289,41 @@ object SparkEntry {
     // Bigram surprise with the same exact-integer floor-log2 of the
     // floor quotient; the w2 IS NOT NULL filter drops the doc-final
     // lead() row (Spark builds bigrams by array transform instead).
+    "text_heldout_perplexity" ->
+      s"""WITH h AS (SELECT doc_id, source, text,
+         |    ${Portable.duckHash(
+                "(source || '#' || CAST(doc_id AS VARCHAR) || '#split')")}
+         |      % 1000 AS hb
+         |  FROM documents),
+         |sp AS (SELECT source, text,
+         |    CASE WHEN hb IS NULL THEN NULL
+         |      WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM h),
+         |tk AS (SELECT source, split, unnest($toksT) AS tok
+         |  FROM sp WHERE split IS NOT NULL),
+         |tf AS (SELECT tok, count(*) AS tf FROM tk
+         |  WHERE split = 'train' GROUP BY 1),
+         |nt AS (SELECT CAST(COALESCE(sum(tf), 0) AS BIGINT) AS n_train
+         |  FROM tf),
+         |he AS (SELECT t.source, f.tf,
+         |    CASE WHEN f.tf IS NOT NULL
+         |      THEN CAST(length(bin(nt.n_train // f.tf)) - 1 AS BIGINT)
+         |      END AS surprise
+         |  FROM tk t LEFT JOIN tf f ON f.tok = t.tok CROSS JOIN nt
+         |  WHERE t.split <> 'train')
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(count(surprise) AS BIGINT) AS n_invocab,
+         |  CAST(count(*) FILTER (WHERE tf IS NULL) AS BIGINT) AS n_oov,
+         |  CAST(count(*) FILTER (WHERE tf IS NULL) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS oov_rate,
+         |  CAST(COALESCE(sum(surprise), 0) AS BIGINT) AS sum_surprise,
+         |  CASE WHEN count(surprise) > 0
+         |    THEN CAST(COALESCE(sum(surprise), 0) AS DOUBLE)
+         |      / CAST(count(surprise) AS DOUBLE)
+         |    ELSE 0.0 END AS avg_surprise
+         |FROM he GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_bigram_kn" ->
       s"""WITH t AS (SELECT doc_id, $toksT AS toks FROM documents),
          |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,

@@ -515,6 +515,53 @@ object TextAnalysis {
           nullif(col("n_bigrams"), lit(0L)).cast("double"))
   }
 
+  /** Held-out LM evaluation: train the corpus unigram model on the
+    * deterministic TRAIN split only ([[Corpus.splitAssigned]] — the
+    * same (source, doc_id) hash gate the rest of the library splits
+    * by) and score the held-out val+test halves per source:
+    * out-of-vocabulary rate plus the exact-integer ⌊log2(N/tf)⌋
+    * surprise of in-vocabulary tokens. [[unigramLm]] scores every
+    * document under a model trained on EVERYTHING — fine for
+    * familiarity ranking, leakage for evaluation; this is the
+    * no-leakage number a pipeline quotes as "perplexity on held-out
+    * data" when comparing corpus versions.
+    *
+    * Scale shape: the trained tf table is vocabulary-bounded (one
+    * aggregate over the train-half token stream, materialized once —
+    * it feeds the scoring join AND the 1-row total); the held-out
+    * stream left-joins it on the token key, co-partitioned with tf's
+    * own grouping; N is a 1-row broadcast; output |sources| rows.
+    */
+  def heldoutPerplexity(docs: DataFrame, text: Column): DataFrame = {
+    val sp = Corpus.splitAssigned(docs).filter(col("split").isNotNull)
+    val toks = sp.select(col("source"), col("split"),
+      explode(tokens(text)).as("tok"))
+    val tf = graft.CacheScope.materialize(
+      toks.filter(col("split") === "train")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf")))
+    val nTrain = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("n_train"))
+    val held = toks.filter(col("split") =!= "train")
+      .join(tf, Seq("tok"), "left")
+      .crossJoin(broadcast(nTrain))
+      .withColumn("surprise",
+        when(col("tf").isNotNull,
+          (length(bin(expr("n_train div tf"))) - 1).cast("long")))
+    held.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("surprise")).as("n_invocab"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(col("surprise")), lit(0L)).as("sum_surprise"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_surprise",
+        when(col("n_invocab") > 0,
+          col("sum_surprise").cast("double") /
+            col("n_invocab").cast("double")).otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("n_invocab"),
+        col("n_oov"), col("oov_rate"), col("sum_surprise"),
+        col("avg_surprise"))
+  }
+
   /** Absolute discount for [[knBigrams]] — 0.75, the canonical
     * Kneser-Ney choice (Chen & Goodman 1999's fixed-discount
     * variant). */

@@ -931,6 +931,13 @@ object SparkEntry {
       Dedup.incrementalSummary(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // Incremental NEAR-dup ingest: batch docs probe the standing band
+    // index (batch x index + within-batch, never snapshot x snapshot)
+    // with exact-integer near-dup verification per source.
+    "dedup_minhash_incremental" -> ((s, dir) =>
+      Dedup.incrementalMinhash(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // Wide-SimHash near-dup pairs: pigeonhole band candidates +
     // integer hamming verify.
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -6576,6 +6583,50 @@ object SparkEntry {
          |JOIN sigs sa ON sa.doc_id = c.d1
          |JOIN sigs sb ON sb.doc_id = c.d2
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    // Incremental-ingest oracle: batch-side band probe against the
+    // full index, agreement fold on the same signature CTEs.
+    "dedup_minhash_incremental" -> {
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |nb AS (SELECT doc_id AS a, band, bh FROM bands
+         |  WHERE doc_id % 2 = 1),
+         |ab AS (SELECT doc_id AS b, band, bh FROM bands),
+         |cd AS (SELECT DISTINCT nb.a, ab.b FROM nb
+         |  JOIN ab ON nb.band = ab.band AND nb.bh = ab.bh
+         |    AND nb.a <> ab.b),
+         |sc AS (SELECT cd.a, cd.b, (cd.b % 2 = 0) AS vs_snap,
+         |    ($nMatch) >= ${Dedup.NearDupMatches} AS neardup
+         |  FROM cd
+         |  JOIN sigs sa ON sa.doc_id = cd.a
+         |  JOIN sigs sb ON sb.doc_id = cd.b),
+         |pd AS (SELECT a,
+         |    CAST(sum(CASE WHEN vs_snap THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cand_snap,
+         |    CAST(sum(CASE WHEN NOT vs_snap THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cand_batch,
+         |    CAST(max(CASE WHEN vs_snap AND neardup THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dup_snap,
+         |    CAST(max(CASE WHEN NOT vs_snap AND neardup THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dup_batch
+         |  FROM sc GROUP BY 1)
+         |SELECT d.source, count(*) AS n_batch,
+         |  CAST(sum(COALESCE(pd.cand_snap, 0)) AS BIGINT)
+         |    AS n_cand_vs_snapshot,
+         |  CAST(sum(COALESCE(pd.cand_batch, 0)) AS BIGINT)
+         |    AS n_cand_within_batch,
+         |  CAST(sum(COALESCE(pd.dup_snap, 0)) AS BIGINT)
+         |    AS n_dup_vs_snapshot,
+         |  CAST(sum(COALESCE(pd.dup_batch, 0)) AS BIGINT)
+         |    AS n_dup_within_batch,
+         |  CAST(sum(CASE WHEN COALESCE(pd.dup_snap, 0) = 0
+         |    AND COALESCE(pd.dup_batch, 0) = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN pd ON pd.a = d.doc_id
+         |WHERE d.doc_id % 2 = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // Capped candidate path: same pipeline as dedup_minhash, with

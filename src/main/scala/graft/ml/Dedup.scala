@@ -375,6 +375,63 @@ object Dedup {
     capCensus(bandBuckets(minhashSignatures(shingles(docs))),
       "doc_id", Seq("band", "bh"), cap)
 
+  /** Incremental NEAR-dup ingest: [[incrementalSummary]]'s MinHash
+    * sibling, the production shape for a standing dedup index
+    * receiving a batch. The corpus splits into a standing snapshot
+    * (even doc_id — the indexed past) and an incoming batch (odd);
+    * ONLY batch docs probe the band index, so per-ingest candidate
+    * work is batch-bucket × index-bucket plus within-batch — never a
+    * recompute of snapshot×snapshot (the whole point: the index side
+    * is 100 TB, the batch is a day). Per source, the batch's
+    * candidate mass and verified near-dups (est-Jaccard ≥ 0.5 as the
+    * exact integer n_match ≥ [[NearDupMatches]]) split by WHERE the
+    * duplicate lives — against the snapshot (re-ingested content) vs
+    * within the batch (self-duplication) — plus the clean count an
+    * admit gate passes through.
+    *
+    * Scale shape: signatures aggregate once over the whole corpus
+    * (the standing index is amortized in production; here it prices
+    * the full rebuild honestly); the probe join is a band/bucket
+    * equi-join keyed like every other candidate generator (cap-able
+    * via [[capBucketMembers]] the same way); verification is
+    * candidate-bounded; explicit zeros for batch docs with no
+    * candidates (including too-short-to-shingle).
+    */
+  def incrementalMinhash(docs: DataFrame): DataFrame = {
+    val sigs = materialize(minhashSignatures(shingles(docs)))
+    val buckets = bandBuckets(sigs)
+    val newB = buckets.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
+    val allB = buckets
+      .select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
+    val cands = newB.join(allB, Seq("band", "bh"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+    val scored = withAgreement(cands, sigs, Nil)
+      .withColumn("vs_snap", pmod(col("doc_id_b"), lit(2)) === 0)
+      .withColumn("neardup", col("n_match") >= NearDupMatches)
+    val perDoc = scored.groupBy(col("doc_id_a"))
+      .agg(
+        sum(when(col("vs_snap"), 1L).otherwise(0L)).as("cand_snap"),
+        sum(when(!col("vs_snap"), 1L).otherwise(0L)).as("cand_batch"),
+        max(when(col("vs_snap") && col("neardup"), 1L).otherwise(0L))
+          .as("dup_snap"),
+        max(when(!col("vs_snap") && col("neardup"), 1L).otherwise(0L))
+          .as("dup_batch"))
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id").as("doc_id_a"), col("source"))
+      .join(perDoc, Seq("doc_id_a"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce(col("cand_snap"), lit(0L))).as("n_cand_vs_snapshot"),
+        sum(coalesce(col("cand_batch"), lit(0L))).as("n_cand_within_batch"),
+        sum(coalesce(col("dup_snap"), lit(0L))).as("n_dup_vs_snapshot"),
+        sum(coalesce(col("dup_batch"), lit(0L))).as("n_dup_within_batch"),
+        sum(when(coalesce(col("dup_snap"), lit(0L)) === 0L &&
+            coalesce(col("dup_batch"), lit(0L)) === 0L, 1L).otherwise(0L))
+          .as("n_clean"))
+  }
+
   /** Cap widths swept by [[capRecallCurve]]; a real deployment sweeps
     * up to its production cap.
     */

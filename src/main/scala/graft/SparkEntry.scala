@@ -1788,6 +1788,12 @@ object SparkEntry {
     "cdc_schema_timeline" -> ((s, dir) =>
       TableStatistics.schemaTimeline(ChangeFeed.fromEvents(s, dir))),
 
+    // Per-label cohesion: mean intra vs inter dot and margin, exact
+    // from vector sums (never pairwise) — the label-quality gate.
+    "embed_label_cohesion" -> ((s, dir) =>
+      Similarity.labelCohesion(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
     // Per-label centroid-distance outliers (integer d²·n > 4·Σd²
     // test) — the per-cluster encoder-drift gate.
     "embed_outliers" -> ((s, dir) =>
@@ -3984,6 +3990,45 @@ object SparkEntry {
          |${leg("fixed", content = false)})
          |ORDER BY method""".stripMargin
     },
+
+    // Cohesion oracle: the same sums identities (‖S‖²−Σ‖q‖², and
+    // S·(S_tot−S) as S·S_tot − ‖S‖²) over exploded per-dim sums.
+    "embed_label_cohesion" ->
+      s"""WITH q AS (SELECT label,
+         |    ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+         |f AS (SELECT label, generate_subscripts(q, 1) AS dim,
+         |    unnest(q) AS v FROM q),
+         |per AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s
+         |  FROM f GROUP BY 1, 2),
+         |n AS (SELECT label, count(*) AS n_vecs,
+         |    CAST(sum(list_aggregate(list_transform(q, x -> x*x), 'sum'))
+         |      AS BIGINT) AS sum_norm2
+         |  FROM q GROUP BY 1),
+         |tot AS (SELECT dim, CAST(sum(s) AS BIGINT) AS st
+         |  FROM per GROUP BY 1),
+         |ag AS (SELECT p.label,
+         |    CAST(sum(p.s * p.s) AS BIGINT) AS norm_s2,
+         |    CAST(sum(p.s * t.st) AS BIGINT) AS dot_tot
+         |  FROM per p JOIN tot t ON t.dim = p.dim GROUP BY 1),
+         |nt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM n),
+         |m AS (SELECT n.label, n.n_vecs,
+         |    ag.norm_s2 - n.sum_norm2 AS intra_num,
+         |    n.n_vecs * (n.n_vecs - 1) AS intra_pairs,
+         |    ag.dot_tot - ag.norm_s2 AS inter_num,
+         |    n.n_vecs * (nt.n_total - n.n_vecs) AS inter_pairs
+         |  FROM n JOIN ag ON ag.label = n.label CROSS JOIN nt),
+         |d AS (SELECT *,
+         |    CASE WHEN intra_pairs > 0
+         |      THEN CAST(intra_num AS DOUBLE) / CAST(intra_pairs AS DOUBLE)
+         |      ELSE 0.0 END AS mean_intra,
+         |    CASE WHEN inter_pairs > 0
+         |      THEN CAST(inter_num AS DOUBLE) / CAST(inter_pairs AS DOUBLE)
+         |      ELSE 0.0 END AS mean_inter
+         |  FROM m)
+         |SELECT label, n_vecs, intra_num, intra_pairs, inter_num,
+         |  inter_pairs, mean_intra, mean_inter,
+         |  mean_intra - mean_inter AS margin
+         |FROM d ORDER BY label""".stripMargin,
 
     "embed_centroids" ->
       s"""WITH q AS (SELECT label,

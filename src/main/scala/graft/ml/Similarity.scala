@@ -603,6 +603,55 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** Per-label embedding cohesion — the silhouette-style readout
+    * (how tight is each label vs how close it sits to the rest)
+    * EXACTLY from per-label vector sums, never a pairwise join:
+    *
+    *   Σ_{i≠j∈l} q_i·q_j  = ‖S_l‖² − Σ_{i∈l}‖q_i‖²   (ordered pairs)
+    *   Σ_{i∈l, j∉l} q_i·q_j = S_l·(S_total − S_l)
+    *
+    * so mean intra-label and inter-label dot products (unnormalized —
+    * the standard sums trick; per-pair cosine would need the pair)
+    * and their margin cost ONE vec_sum pass (|labels|·dim longs of
+    * partials). A positive margin says the label is more similar to
+    * itself than to the rest — the label-quality gate an embedding
+    * pipeline reads before trusting labels for hard-negative mining.
+    *
+    * Exactness/bounds: components ≤ n_l·Scale so ‖S_l‖² ≤
+    * d·(n_l·Scale)² — int64-exact up to ~3·10⁶ vectors per label at
+    * d=64; beyond that, shard labels before summing. Output |labels|
+    * rows.
+    */
+  def labelCohesion(embs: DataFrame): DataFrame = {
+    val q = Vectors.spread(embs)
+      .select(col("label"), Vectors.quantize(col("embedding")).as("q"))
+    val per = graft.CacheScope.materialize(
+      q.groupBy(col("label"))
+        .agg(graft.functions.VecSum.vecSum(col("q")).as("s"),
+          count(lit(1)).as("n_vecs"),
+          sum(Vectors.norm2(col("q"))).as("sum_norm2")))
+    val tot = per.agg(graft.functions.VecSum.vecSum(col("s")).as("s_tot"),
+      sum(col("n_vecs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("intra_num", Vectors.dot(col("s"), col("s")) - col("sum_norm2"))
+      .withColumn("intra_pairs", col("n_vecs") * (col("n_vecs") - 1L))
+      .withColumn("inter_num",
+        Vectors.dot(col("s"), col("s_tot")) - Vectors.dot(col("s"), col("s")))
+      .withColumn("inter_pairs", col("n_vecs") * (col("n_total") - col("n_vecs")))
+      .withColumn("mean_intra",
+        when(col("intra_pairs") > 0L,
+          col("intra_num").cast("double") / col("intra_pairs").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_inter",
+        when(col("inter_pairs") > 0L,
+          col("inter_num").cast("double") / col("inter_pairs").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("margin", col("mean_intra") - col("mean_inter"))
+      .select(col("label"), col("n_vecs"), col("intra_num"),
+        col("intra_pairs"), col("inter_num"), col("inter_pairs"),
+        col("mean_intra"), col("mean_inter"), col("margin"))
+  }
+
   /** Shared E-step core: (qv, perVec) where qv = (vec_id, label, q)
     * and perVec = (vec_id, label, assigned_cell, q) — the per-vector
     * best-cell assignment against the rounded-mean integer cells.

@@ -68,7 +68,8 @@ class EpochPlanSpec extends AnyFunSuite {
     val target = budget / sizes.size
     val cap = sizes.view.mapValues(_ * Corpus.EpochCap).toMap
     val a1 = sizes.map { case (s, _) => s -> math.min(target, cap(s)) }
-    val spare = sizes.keys.map(s => cap(s) - a1(s)).sum
+    // toSeq: mapping over a key Set would dedupe equal spare terms
+    val spare = sizes.keys.toSeq.map(s => cap(s) - a1(s)).sum
     val leftover = budget - a1.values.sum
     for (s <- sizes.keys) {
       val fin = a1(s).toDouble +

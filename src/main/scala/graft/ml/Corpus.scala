@@ -527,8 +527,14 @@ object Corpus {
             ((col("capacity") - col("alloc_capped")).cast("double") /
               col("spare").cast("double")))
           .otherwise(col("alloc_capped").cast("double")))
+      // a source whose docs tokenize to zero tokens would read
+      // 0.0/0.0 = NaN here, and Spark/DuckDB parity would then hang
+      // on DuckDB's ieee_floating_point_ops setting — explicit 0.0,
+      // consistent with the dup_ratio/oov_rate guards elsewhere
       .withColumn("epochs",
-        col("alloc_final") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0L,
+          col("alloc_final") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("capped", col("alloc_capped") === col("capacity"))
       .select(col("source"), col("n_tokens"), col("target_tokens"),
         col("alloc_capped"), col("alloc_final"), col("epochs"),
@@ -816,8 +822,11 @@ object Corpus {
     * one per-document window (documents are the partition unit —
     * bounded length, perfectly parallel across the corpus), one
     * (doc, chunk) aggregate; no join, never doc×doc. The boundary
-    * hash re-slices the carried token array per row; the array is
-    * document-bounded so the fan-out cost is O(n_tokens · window).
+    * test is evaluated INSIDE one array transform BEFORE the
+    * explode, so exploded rows carry only (token, flag) — never the
+    * whole document array (carrying `toks` through the explode and
+    * slicing per row would make the explode's input O(n_tokens²)
+    * bytes per document); the fan-out cost is O(n_tokens · window).
     */
   def contentChunks(docs: DataFrame): DataFrame = {
     val w = ContentWindow
@@ -825,15 +834,17 @@ object Corpus {
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("source"), col("toks"),
-        posexplode(col("toks")).as(Seq("i0", "tok")))
-      .withColumn("i", (col("i0") + 1).cast("long"))
-      .withColumn("is_b",
-        when(col("i") >= w &&
-          pmod(Portable.pHash(concat_ws(" ",
-              slice(col("toks"), (col("i") - (w - 1)).cast("int"), lit(w)))),
-            lit(ContentMask.toLong)) === 0L, 1L).otherwise(0L))
-      .drop("toks", "i0")
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(col("toks"), (t, i0) =>
+          struct(t.as("tok"),
+            when(i0 >= w - 1 &&
+              pmod(Portable.pHash(concat_ws(" ",
+                  slice(col("toks"), (i0 - (w - 2)).cast("int"), lit(w)))),
+                lit(ContentMask.toLong)) === 0L, 1L).otherwise(0L)
+              .as("is_b")))).as(Seq("i0", "tb")))
+      .select(col("doc_id"), col("source"),
+        (col("i0") + 1).cast("long").as("i"),
+        col("tb.tok").as("tok"), col("tb.is_b").as("is_b"))
     // boundary AFTER token i starts the next chunk, so a token's
     // chunk id counts the boundaries strictly BEFORE it
     val prior = Window.partitionBy(col("doc_id")).orderBy(col("i"))

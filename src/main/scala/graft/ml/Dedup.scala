@@ -128,8 +128,10 @@ object Dedup {
   /** DuckDB twin of width-`n` shingling (string concat with a NULL
     * lead is NULL, so the trailing incomplete windows drop in the
     * WHERE — same row set as [[shingleArrayN]]'s size guard).
+    * `rel` names the document relation — "documents" normally, a
+    * hash-gated CTE for the sample-bounded curve oracles.
     */
-  def duckShinglesN(n: Int): String = {
+  def duckShinglesN(n: Int, rel: String = "documents"): String = {
     val parts = (0 until n)
       .map(j => if (j == 0) "tok" else s"lead(tok, $j) OVER w")
       .mkString(" || ' ' || ")
@@ -137,7 +139,7 @@ object Dedup {
        |  SELECT doc_id, $parts AS shingle
        |  FROM (
        |    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
-       |    FROM (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS l FROM documents))
+       |    FROM (SELECT doc_id, ${TextAnalysis.duckTokens("text")} AS l FROM $rel))
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i))
        |WHERE shingle IS NOT NULL""".stripMargin
   }
@@ -250,6 +252,24 @@ object Dedup {
     * 20k-vector corpus: 3.3 s → 20.6 s as AQE demoted the scoring
     * join to a 589 MiB sort-merge), while re-hashing the capped
     * MEMBER relation costs one narrow 3-long-per-row exchange.
+    *
+    * BENIGN-DATA FAST PATH: before building the window, one map-side-
+    * combined bucket-size aggregate (capCensus's first half — slim
+    * (key, count) rows, LIMIT-1 after the over-cap filter) asks
+    * whether ANY bucket exceeds the cap. If none does, the window
+    * would keep every row — so it, its bucket-key exchange, and the
+    * restore-repartition are SKIPPED and the input relation passes
+    * through untouched (result-identical; the uncapped cap==NoCap
+    * path already hands downstream consumers this same partitioning).
+    * The minhash-skew A/B had priced the always-on window at ~0.5 s
+    * FIXED overhead per capped generator on data the cap never
+    * bites; the pre-census replaces that with one cheap aggregate.
+    * On HOT data the census is pure overhead, but it is one linear
+    * slim aggregate against the quadratic candidate join the cap is
+    * about to bound — noise at the scales where the cap matters.
+    * Callers materialize the bucket relation's upstream (signatures
+    * / quantized vectors), so the census does not recompute the
+    * expensive pipeline, only the bucket projection.
     */
   private[graft] def capBucketMembers(
       buckets: DataFrame, idCol: String, keyCols: Seq[String],
@@ -257,12 +277,19 @@ object Dedup {
     require(cap >= 2, s"a candidate cap below 2 generates no pairs: $cap")
     if (cap == NoCap) buckets
     else {
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(capOrder(idCol, keyCols), col(idCol))
-      buckets.withColumn("cap_rk", row_number().over(w))
-        .filter(col("cap_rk") <= cap)
-        .drop("cap_rk")
-        .repartition(col(idCol))
+      val anyHot = !buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") > cap)
+        .isEmpty
+      if (!anyHot) buckets
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(capOrder(idCol, keyCols), col(idCol))
+        buckets.withColumn("cap_rk", row_number().over(w))
+          .filter(col("cap_rk") <= cap)
+          .drop("cap_rk")
+          .repartition(col(idCol))
+      }
     }
   }
 
@@ -460,15 +487,36 @@ object Dedup {
     * Scale note: this is the one cap query that deliberately PAYS the
     * uncapped O(bucket²) candidate join — it exists to measure what a
     * cap would discard, so it cannot run capped. At 100 TB it runs on
-    * a bounded sample (like dedup_lsh_calibration), not the corpus;
-    * the registry runs it at bench scale where the uncapped join is
-    * the measured-safe shape.
+    * a bounded sample, not the corpus: `samplePerMille` gates the
+    * DOCUMENT set through the same deterministic (source, doc_id)
+    * portable-hash gate as Corpus.sampled / corpus_sample BEFORE any
+    * signature work, so the uncapped join's pair mass shrinks
+    * quadratically in the rate (a planted hub of h clones contributes
+    * ~(rate/1000)²·h²/2 pairs instead of h²/2) while the curve stays
+    * the exact curve OF the sampled sub-corpus — identical to running
+    * the full pipeline on the pre-filtered documents, so the full-
+    * corpus oracle semantics carry over verbatim. The registry runs
+    * the full-corpus variant at bench scale where the uncapped join
+    * is the measured-safe shape, plus a sampled variant as the
+    * production shape.
     */
+  /** Registry rate for the sample-bounded curve variants: 500‰ —
+    * low enough that the deterministic gate visibly thins the
+    * testdata corpus (the oracle exercises the gate), high enough
+    * that the small cap widths still bite on what remains. */
+  val CurveSamplePerMille = 500
+
   def capRecallCurve(
-      docs: DataFrame, caps: Seq[Int] = CapCurveCaps): DataFrame = {
+      docs: DataFrame, caps: Seq[Int] = CapCurveCaps,
+      samplePerMille: Int = 1000): DataFrame = {
     require(caps.nonEmpty && caps.forall(_ >= 2),
       s"cap widths below 2 generate no pairs: $caps")
-    val sigs = materialize(minhashSignatures(shingles(docs)))
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille out of (0, 1000]: $samplePerMille")
+    val base =
+      if (samplePerMille >= 1000) docs
+      else Corpus.sampled(docs, Map.empty, samplePerMille)
+    val sigs = materialize(minhashSignatures(shingles(base)))
     val w = Window.partitionBy(col("band"), col("bh"))
       .orderBy(capOrder("doc_id", Seq("band", "bh")), col("doc_id"))
     val ranked = bandBuckets(sigs).withColumn("rk", row_number().over(w))
@@ -1034,14 +1082,27 @@ object Dedup {
     * ([[embeddingPairs]]' in-bucket-scoring shape) — the pair mass
     * never shuffles with vectors aboard. Like the minhash curve,
     * this deliberately PAYS the uncapped join (it measures what the
-    * cap discards) — sample-bounded at production scale.
+    * cap discards) — sample-bounded at production scale via
+    * `samplePerMille`: a deterministic vec_id portable-hash gate
+    * (the per-mille idiom of Corpus.sampled) thins the VECTOR set
+    * before quantization, shrinking the uncapped pair mass
+    * quadratically in the rate while the curve stays the exact curve
+    * of the sampled sub-corpus.
     */
   def embeddingCapRecallCurve(
-      embs: DataFrame, caps: Seq[Int] = EmbCapCurveCaps): DataFrame = {
+      embs: DataFrame, caps: Seq[Int] = EmbCapCurveCaps,
+      samplePerMille: Int = 1000): DataFrame = {
     require(caps.nonEmpty && caps.forall(_ >= 2),
       s"cap widths below 2 generate no pairs: $caps")
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille out of (0, 1000]: $samplePerMille")
+    val base =
+      if (samplePerMille >= 1000) embs
+      else embs.filter(
+        pmod(Portable.pHash(col("vec_id").cast("string")),
+          lit(1000L)) < samplePerMille)
     val qv = materialize(
-      Vectors.quantizedWithBuckets(embs, EmbBands, EmbRowsPerBand, EmbDim))
+      Vectors.quantizedWithBuckets(base, EmbBands, EmbRowsPerBand, EmbDim))
     val w = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(capOrder("vec_id", Seq("band", "bucket")), col("vec_id"))
     val ranked = qv.select(col("vec_id"), col("q"), col("n2"),

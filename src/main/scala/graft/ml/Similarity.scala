@@ -617,10 +617,15 @@ object Similarity {
     * itself than to the rest — the label-quality gate an embedding
     * pipeline reads before trusting labels for hard-negative mining.
     *
-    * Exactness/bounds: components ≤ n_l·Scale so ‖S_l‖² ≤
-    * d·(n_l·Scale)² — int64-exact up to ~3·10⁶ vectors per label at
-    * d=64; beyond that, shard labels before summing. Output |labels|
-    * rows.
+    * Exactness/bounds: components ≤ n_l·Scale, so every sums-trick
+    * term is bounded by d·Scale²·n_l·max(n_l, N−n_l) ≤ d·Scale²·n_l·N
+    * — int64-exact while n_l·N ≤ 2⁶³/(d·Scale²) (~1.4·10¹¹ at d=64,
+    * Scale=1000; one label holding the whole corpus is exact to
+    * ~3.8·10⁵ vectors); beyond that, shard labels before summing.
+    * The bound is ENFORCED in-plan (a raise_error branch on the
+    * intra numerator), not just documented: past it the dot products
+    * would wrap silently and the intra/inter sums would be wrong
+    * with no error. Output |labels| rows.
     */
   def labelCohesion(embs: DataFrame): DataFrame = {
     val q = Vectors.spread(embs)
@@ -632,8 +637,26 @@ object Similarity {
           sum(Vectors.norm2(col("q"))).as("sum_norm2")))
     val tot = per.agg(graft.functions.VecSum.vecSum(col("s")).as("s_tot"),
       sum(col("n_vecs")).as("n_total"))
+    // in-plan exactness gate: the double-compare has orders-of-
+    // magnitude headroom as a GUARD (the bound is enforced with ~2⁻⁵³
+    // relative slack, the overflow it prevents needs 1×), and the
+    // branch lives on an output column so column pruning cannot
+    // drop it
+    val exactBound = lit(Long.MaxValue.toDouble) /
+      (size(col("s")).cast("double") *
+        lit(Vectors.Scale.toDouble * Vectors.Scale))
+    val intraNum = when(
+      col("n_vecs").cast("double") * col("n_total").cast("double") > exactBound,
+      raise_error(concat(
+        lit("labelCohesion: label "), col("label").cast("string"),
+        lit(" holds "), col("n_vecs").cast("string"),
+        lit(" of "), col("n_total").cast("string"),
+        lit(" vectors — past the int64-exact sums bound "),
+        lit("n_l*N <= 2^63/(d*Scale^2); shard labels before summing")))
+        .cast("long"))
+      .otherwise(Vectors.dot(col("s"), col("s")) - col("sum_norm2"))
     per.crossJoin(broadcast(tot))
-      .withColumn("intra_num", Vectors.dot(col("s"), col("s")) - col("sum_norm2"))
+      .withColumn("intra_num", intraNum)
       .withColumn("intra_pairs", col("n_vecs") * (col("n_vecs") - 1L))
       .withColumn("inter_num",
         Vectors.dot(col("s"), col("s_tot")) - Vectors.dot(col("s"), col("s")))

@@ -530,7 +530,13 @@ object TextAnalysis {
     * aggregate over the train-half token stream, materialized once —
     * it feeds the scoring join AND the 1-row total); the held-out
     * stream left-joins it on the token key, co-partitioned with tf's
-    * own grouping; N is a 1-row broadcast; output |sources| rows.
+    * own grouping; N is a 1-row broadcast; output |sources| rows —
+    * EXPLICITLY: the per-source aggregate is left-joined back onto
+    * the distinct source list, so a source whose documents all hash
+    * into the train split (or whose held-out docs have zero tokens)
+    * still reports a zero row instead of vanishing — "not evaluated"
+    * and "evaluated, zero held-out tokens" must stay distinguishable
+    * (the explicit-zeros contract of fuzzyDecontaminationScores).
     */
   def heldoutPerplexity(docs: DataFrame, text: Column): DataFrame = {
     val sp = Corpus.splitAssigned(docs).filter(col("split").isNotNull)
@@ -546,13 +552,22 @@ object TextAnalysis {
       .withColumn("surprise",
         when(col("tf").isNotNull,
           (length(bin(expr("n_train div tf"))) - 1).cast("long")))
-    held.groupBy(col("source"))
+    val per = held.groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         count(col("surprise")).as("n_invocab"),
         sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"),
         coalesce(sum(col("surprise")), lit(0L)).as("sum_surprise"))
+    docs.select(col("source")).distinct()
+      .join(per, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_surprise"), lit(0L)).as("sum_surprise"))
       .withColumn("oov_rate",
-        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("avg_surprise",
         when(col("n_invocab") > 0,
           col("sum_surprise").cast("double") /

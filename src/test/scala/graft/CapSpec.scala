@@ -185,6 +185,86 @@ class CapSpec extends AnyFunSuite {
       Dedup.embeddingPairs(embs, Dedup.NoCap).count())
   }
 
+  test("benign data skips the cap window entirely (r13 skip law)") {
+    // the pre-census fast path: when NO bucket exceeds the cap, the
+    // rank window would keep every row — so capBucketMembers must
+    // return the input RELATION (no Window node, no repartition) and
+    // stay bit-exact; when a bucket IS hot, the window must appear
+    val benign = buckets(plantedDocs(clones = 2, distinct = 6))
+    val keptBenign = Dedup.capBucketMembers(
+      benign, "doc_id", Seq("band", "bh"), cap = 16)
+    assert(!keptBenign.queryExecution.optimizedPlan.toString
+      .contains("row_number"),
+      "no bucket over the cap => the rank window must be skipped")
+    assert(keptBenign.orderBy("doc_id", "band").collect().toSeq ==
+      benign.orderBy("doc_id", "band").collect().toSeq,
+      "the skip path must be bit-exact pass-through")
+    val hot = buckets(plantedDocs(clones = 9, distinct = 0))
+    val keptHot = Dedup.capBucketMembers(
+      hot, "doc_id", Seq("band", "bh"), cap = 4)
+    assert(keptHot.queryExecution.optimizedPlan.toString
+      .contains("row_number"),
+      "a hot bucket must still route through the rank window")
+  }
+
+  /** The corpus_sample per-mille gate, replicated for the sampled-
+    * curve laws (hash of source#doc_id — Corpus.sampled's exact
+    * expression). */
+  private def docGate(rate: Int) =
+    pmod(graft.functions.Portable.pHash(
+      concat(col("source"), lit("#"), col("doc_id"))), lit(1000L)) < rate
+
+  test("sampled curve == full curve of the pre-filtered corpus (r13)") {
+    val rate = Dedup.CurveSamplePerMille
+    val docs = plantedDocs(clones = 12, distinct = 8)
+      .withColumn("source", lit("s0"))
+    val sampled = Dedup.capRecallCurve(docs, caps = Seq(2, 3, 4),
+      samplePerMille = rate).orderBy("cap").collect().toSeq
+    val prefiltered = Dedup.capRecallCurve(docs.filter(docGate(rate)),
+      caps = Seq(2, 3, 4)).orderBy("cap").collect().toSeq
+    assert(sampled == prefiltered,
+      "samplePerMille must BE the hash gate — nothing else may differ")
+    // and the embedding twin, over its vec_id gate
+    val embs = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val eGate = pmod(graft.functions.Portable.pHash(
+      col("vec_id").cast("string")), lit(1000L)) < rate
+    val eSampled = Dedup.embeddingCapRecallCurve(embs, Seq(2, 4),
+      samplePerMille = rate).orderBy("cap").collect().toSeq
+    val ePre = Dedup.embeddingCapRecallCurve(embs.filter(eGate), Seq(2, 4))
+      .orderBy("cap").collect().toSeq
+    assert(eSampled == ePre)
+  }
+
+  test("sampled curve stays bounded on a planted hub (r13 probe)") {
+    // h clones make the uncapped join pay ~C(h,2) hub pairs; the
+    // per-mille gate keeps k <= h of them, so the sampled curve's
+    // TOTAL pair mass must collapse to exactly C(k,2) hub pairs plus
+    // sub-linear background — the quadratic shrink that makes the
+    // sample-bounded variant the production shape
+    val rate = Dedup.CurveSamplePerMille
+    val h = 24
+    val docs = plantedDocs(clones = h, distinct = 10)
+      .withColumn("source", lit("hub"))
+    val keptClones = docs.filter(docGate(rate))
+      .filter(col("doc_id") < h).count().toInt
+    assert(keptClones < h, "gate must thin the hub at 500 per-mille")
+    val full = Dedup.capRecallCurve(docs, caps = Seq(2))
+      .collect().head.getAs[Long]("n_pairs_total")
+    val sampled = Dedup.capRecallCurve(docs, caps = Seq(2),
+      samplePerMille = rate)
+      .collect().head.getAs[Long]("n_pairs_total")
+    assert(full >= h.toLong * (h - 1) / 2,
+      "uncapped full curve must pay the whole hub join")
+    assert(sampled <= full)
+    assert(sampled >= keptClones.toLong * (keptClones - 1) / 2,
+      "the surviving clones still pair with each other")
+    // bounded: kept-hub pairs + a background allowance strictly
+    // below the dropped hub mass
+    assert(sampled < full - (h.toLong * (h - 1) / 2 -
+      keptClones.toLong * (keptClones - 1) / 2) + 50,
+      "sampled pair mass must track the quadratic hub shrink")
+  }
+
   test("knnEdges' operative cap never binds on the benign testdata") {
     val embs = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val census = Similarity.knnCapCensus(embs).collect()

@@ -79,4 +79,24 @@ class EpochPlanSpec extends AnyFunSuite {
       assert(got(s)._3 === target, s"$s target")
     }
   }
+
+  test("a zero-token source reports epochs 0.0, never NaN") {
+    import spark.implicits._
+    // "void" docs tokenize to nothing: n_tokens = 0, capacity = 0,
+    // alloc 0 — the epochs division is 0.0/0.0, which must be the
+    // explicit 0.0 (engine-independent), not NaN (whose SQL parity
+    // hangs on DuckDB's ieee_floating_point_ops setting)
+    val docs = (
+      (0L until 6L).map(id => (id, s"some real tokens here $id", "real")) ++
+        (10L until 13L).map(id => (id, "", "void"))
+    ).toDF("doc_id", "text", "source")
+    val rows = Corpus.epochPlan(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet === Set("real", "void"))
+    val v = rows("void")
+    assert(v.getAs[Long]("n_tokens") === 0L)
+    assert(v.getAs[Double]("epochs") === 0.0)
+    assert(!v.getAs[Double]("epochs").isNaN)
+    assert(rows("real").getAs[Double]("epochs") > 0.0)
+  }
 }

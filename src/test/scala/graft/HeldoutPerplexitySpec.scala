@@ -80,4 +80,27 @@ class HeldoutPerplexitySpec extends AnyFunSuite {
     assert(planted >= 1, "corpus must plant at least one OOV doc")
     assert(got.map(_._4).sum >= planted.toLong, "planted OOVs all surface")
   }
+
+  test("a source with no scorable held-out tokens reports an explicit zero row") {
+    // "emp" docs are all EMPTY TEXT: whatever split they hash into,
+    // they contribute zero held-out tokens — pre-r13 the source
+    // silently vanished from the report ("not evaluated" and
+    // "evaluated, zero tokens" were indistinguishable); the
+    // |sources|-row contract demands an explicit zero row
+    val docs = (
+      (0L until 12L).map(id => (id, s"alpha beta gamma token$id", "norm")) ++
+        (100L until 110L).map(id => (id, "", "emp"))
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.heldoutPerplexity(docs, col("text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet === Set("norm", "emp"),
+      "output must carry one row per distinct source")
+    val z = got("emp")
+    assert(z.getAs[Long]("n_tokens") === 0L)
+    assert(z.getAs[Long]("n_invocab") === 0L)
+    assert(z.getAs[Long]("n_oov") === 0L)
+    assert(z.getAs[Double]("oov_rate") === 0.0)
+    assert(z.getAs[Long]("sum_surprise") === 0L)
+    assert(z.getAs[Double]("avg_surprise") === 0.0)
+  }
 }

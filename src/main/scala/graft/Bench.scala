@@ -32,6 +32,15 @@ import org.apache.spark.sql.SparkSession
   *    "_sentinel" baseline row), "thermal_invalid":true marks the
   *    whole session: the flags then measure machine heat, not code
   *    — BENCH_r06's wrong verdict, now machine-detected.
+  *  - MID-PASS CONTENTION PROBES (r13): a quarter-length 32-wide spin
+  *    every [[Bench.ProbeEvery]] queries timestamps the contention
+  *    regime ACROSS each pass (the pass-start sentinels miss
+  *    seconds-scale host bursts — the r12 false-flag mechanism). A
+  *    flagged query whose reps ALL ran inside elevated probe windows
+  *    (>1.5× the run's own probe floor) is published under
+  *    "flagged_env": machine-attributed, with the probe series in
+  *    the detail line as evidence. Cost ≈ 0.12 s × ~13 probes × 3
+  *    passes ≈ 5 s per suite.
   *  - Modes: `--sentinel` prints three sentinel timings and exits
   *    (cold-machine calibration); `--only a,b,c` times a subset.
   *  - The headline number is the minimum across passes (the first
@@ -70,6 +79,40 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     if (x == 42L) Console.err.println("sentinel fixpoint") // keep x live
     dt
+  }
+
+  /** Queries between mid-pass contention probes ([[probeSecs]]). */
+  val ProbeEvery = 25
+
+  /** A quarter-length 32-wide spin (~0.12 s quiet): the MID-PASS
+    * contention probe. The per-pass sentinels sample only pass
+    * STARTS, so a seconds-scale host burst (co-tenant steal — the
+    * round-12/13 finding) can contaminate every rep of a query while
+    * the formal thermal gate stays green. Probes every [[ProbeEvery]]
+    * queries timestamp the contention regime ACROSS the pass; a
+    * flagged query whose slow reps all sit next to elevated probes is
+    * machine-attributed ("flagged_env"), not a regression candidate.
+    * Self-calibrating: a probe is "elevated" relative to the RUN's
+    * own minimum probe (>1.5×), so no new baseline row is needed and
+    * clock-speed differences between machines cancel.
+    */
+  private def probeSecs(): Double = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { seed =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + seed
+        var i = 0
+        while (i < 50000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) Console.err.println("sentinel fixpoint")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** The same spin on 32 concurrent threads (the local[32] width),
@@ -150,12 +193,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sentinels = Vector.newBuilder[Double]
     val parSentinels = Vector.newBuilder[Double]
+    // mid-pass contention probes: (run-offset sec, probe sec) — plus
+    // each rep's run-offset, so a flagged query's reps can be matched
+    // to the contention regime they actually ran under
+    val probes = Vector.newBuilder[(Double, Double)]
+    val repAt = scala.collection.mutable.LinkedHashMap(
+      qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val runT0 = System.nanoTime()
+    def offset(): Double = (System.nanoTime() - runT0) / 1e9
     for (_ <- 1 to Reps) {
       sentinels += sentinelSecs()
       parSentinels += parSentinelSecs()
-      qs.foreach { case (name, fn) =>
+      qs.zipWithIndex.foreach { case ((name, fn), qi) =>
+        if (qi % ProbeEvery == 0) probes += (offset() -> probeSecs())
         CacheScope.releaseAll()
         spark.catalog.clearCache()
+        repAt(name) = repAt(name) :+ offset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -164,6 +217,7 @@ object Bench {
         }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
+      probes += (offset() -> probeSecs()) // pass-end bracket
     }
     CacheScope.releaseAll()
     val results = times.map { case (k, ts) => k -> ts.min }
@@ -184,6 +238,26 @@ object Bench {
       case (n, ts) if baseline.contains(n) && ts.nonEmpty &&
         ts.forall(_ > baseline(n) * 1.5) =>
         n -> ts.min / baseline(n)
+    }
+    // env attribution: a rep is CONTENDED when a bracketing mid-pass
+    // probe (last at-or-before its start, first at-or-after its end)
+    // read >1.5x the run's own minimum probe — a flagged query whose
+    // reps were ALL contended is machine-attributed, not a plan
+    // regression candidate (the r12 flags' signature, adjudicated by
+    // hand in BASELINE.md "Round-13"; this makes the artifact carry
+    // its own adjudication)
+    val probeObs = probes.result()
+    val probeFloor =
+      if (probeObs.isEmpty) 0.0 else probeObs.map(_._2).min
+    def contended(start: Double, end: Double): Boolean = {
+      val before = probeObs.filter(_._1 <= start).lastOption
+      val after = probeObs.find(_._1 >= end)
+      (before.toSeq ++ after.toSeq).exists(_._2 > probeFloor * 1.5)
+    }
+    val flaggedEnv = flagged.filter { case (n, _) =>
+      val starts = repAt(n)
+      val durs = times(n)
+      starts.indices.forall(i => contended(starts(i), starts(i) + durs(i)))
     }
     // thermal validity: if the pure-CPU sentinel itself runs >1.25x
     // its cold-machine calibration ("_sentinel" baseline row), the
@@ -225,8 +299,14 @@ object Bench {
     // back to appending a total-only line that is guaranteed to fit.
     val headline =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}"""
+    val probesJson = probeObs.map { case (o, s) =>
+      s"[${fmt(o)},${fmt(s)}]"
+    }.mkString("[", ",", "]")
+    val flaggedEnvJson = flaggedEnv.map { case (k, r) =>
+      s"\"" + k + "\":" + fmt(r)
+    }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"flagged_env":$flaggedEnvJson,"probes":$probesJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(detailLine)
     if (errors.nonEmpty)
       Console.err.println(
@@ -259,12 +339,17 @@ object Bench {
             "single spin = clock speed, 32-wide spin = effective cores) — " +
             "flags measure the machine, re-run cooled before reading them " +
             "as regressions"
+        else if (flaggedEnv.size == flagged.size)
+          "every flagged query's reps all ran inside elevated mid-pass " +
+            "probe windows (flagged_env) — machine bursts, not plans"
         else "sentinels steady — these are regression candidates, profile them"
       Console.err.println(
-        s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline: " +
+        s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline" +
+          s" (${flaggedEnv.size} env-attributed by mid-pass probes): " +
           flagged.map { case (k, r) =>
             s"$k (" + String.format(java.util.Locale.ROOT, "%.2f",
-              Double.box(r)) + "x)"
+              Double.box(r)) + (if (flaggedEnv.contains(k)) "x, env" else "x") +
+              ")"
           }.mkString(", ") +
           s"; sentinel ${sentinelObs.map(fmt).mkString("->")}" +
           s"; sentinel_par ${parSentinelObs.map(fmt).mkString("->")}; $verdict")
@@ -325,7 +410,7 @@ object Bench {
           val fl = flaggedDesc.take(nFlags).map { case (k, r) =>
             s"\"" + k + "\":" + fmt2(r)
           }.mkString("{", ",", "}")
-          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qsha":"$qsha","flagged_n":${flagged.size},"flagged_top":$fl,"qms":$qms,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qsha":"$qsha","flagged_n":${flagged.size},"flagged_env_n":${flaggedEnv.size},"flagged_top":$fl,"qms":$qms,"sf":"$sfDir"}"""
         }
         val headline3 = (flaggedDesc.size to 0 by -1)
           .map(tier3).find(_.length <= 1850)

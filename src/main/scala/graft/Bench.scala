@@ -81,8 +81,13 @@ object Bench {
     dt
   }
 
-  /** Queries between mid-pass contention probes ([[probeSecs]]). */
-  val ProbeEvery = 25
+  /** Queries between mid-pass contention probes ([[probeSecs]]) —
+    * 10 ⇒ a probe every ~7 s at sf0.1, close enough that a flagged
+    * rep's bracketing probes actually sample the regime it ran under
+    * (at 25 the brackets sat ~20 s away and the r13 canonical run
+    * attributed 0 of 15 machine flags). ~11 s per 3-pass suite.
+    */
+  val ProbeEvery = 10
 
   /** A quarter-length 32-wide spin (~0.12 s quiet): the MID-PASS
     * contention probe. The per-pass sentinels sample only pass
@@ -259,6 +264,15 @@ object Bench {
       val durs = times(n)
       starts.indices.forall(i => contended(starts(i), starts(i) + durs(i)))
     }
+    // weak attribution: a genuine plan regression is UNIFORMLY slow
+    // (every rep pays the same plan), so a flagged query whose reps
+    // spread ≥2x across passes was hit by something that varies run
+    // to run — published separately so the reader weighs it, never
+    // auto-dismissed
+    val flaggedUnstable = flagged.filter { case (n, _) =>
+      val ts = times(n)
+      !flaggedEnv.contains(n) && ts.nonEmpty && ts.max / ts.min >= 2.0
+    }
     // thermal validity: if the pure-CPU sentinel itself runs >1.25x
     // its cold-machine calibration ("_sentinel" baseline row), the
     // machine is clocked down and per-query ratios measure HEAT, not
@@ -305,8 +319,11 @@ object Bench {
     val flaggedEnvJson = flaggedEnv.map { case (k, r) =>
       s"\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
+    val flaggedUnstableJson = flaggedUnstable.map { case (k, r) =>
+      s"\"" + k + "\":" + fmt(r)
+    }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"flagged_env":$flaggedEnvJson,"probes":$probesJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"flagged_env":$flaggedEnvJson,"flagged_unstable":$flaggedUnstableJson,"probes":$probesJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(detailLine)
     if (errors.nonEmpty)
       Console.err.println(
@@ -345,7 +362,8 @@ object Bench {
         else "sentinels steady — these are regression candidates, profile them"
       Console.err.println(
         s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline" +
-          s" (${flaggedEnv.size} env-attributed by mid-pass probes): " +
+          s" (${flaggedEnv.size} env-attributed by mid-pass probes, " +
+          s"${flaggedUnstable.size} unstable across passes): " +
           flagged.map { case (k, r) =>
             s"$k (" + String.format(java.util.Locale.ROOT, "%.2f",
               Double.box(r)) + (if (flaggedEnv.contains(k)) "x, env" else "x") +

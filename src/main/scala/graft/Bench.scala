@@ -39,8 +39,9 @@ import org.apache.spark.sql.SparkSession
   *    flagged query whose reps ALL ran inside elevated probe windows
   *    (>1.5× the run's own probe floor) is published under
   *    "flagged_env": machine-attributed, with the probe series in
-  *    the detail line as evidence. Cost ≈ 0.12 s × ~13 probes × 3
-  *    passes ≈ 5 s per suite.
+  *    the detail line as evidence. Cost ≈ 0.12 s × ~31 probes × 3
+  *    passes ≈ 11 s per suite (at [[ProbeEvery]] = 10 over ~300
+  *    queries).
   *  - Modes: `--sentinel` prints three sentinel timings and exits
   *    (cold-machine calibration); `--only a,b,c` times a subset.
   *  - The headline number is the minimum across passes (the first
@@ -244,20 +245,26 @@ object Bench {
         ts.forall(_ > baseline(n) * 1.5) =>
         n -> ts.min / baseline(n)
     }
-    // env attribution: a rep is CONTENDED when a bracketing mid-pass
-    // probe (last at-or-before its start, first at-or-after its end)
-    // read >1.5x the run's own minimum probe — a flagged query whose
-    // reps were ALL contended is machine-attributed, not a plan
+    // env attribution: a rep is CONTENDED when any probe OVERLAPPING
+    // its window — the last at-or-before its start, every interior
+    // probe (a long rep spans several), and the first at-or-after its
+    // end — read >1.5x the run's own minimum probe. A flagged query
+    // whose reps were ALL contended is machine-attributed, not a plan
     // regression candidate (the r12 flags' signature, adjudicated by
     // hand in BASELINE.md "Round-13"; this makes the artifact carry
-    // its own adjudication)
+    // its own adjudication). One elevated overlapping probe suffices
+    // by design — a burst need only intersect the window to inflate
+    // the rep — so env attribution is a CONSISTENCY statement, not
+    // proof; the stderr verdict is worded accordingly.
     val probeObs = probes.result()
     val probeFloor =
       if (probeObs.isEmpty) 0.0 else probeObs.map(_._2).min
     def contended(start: Double, end: Double): Boolean = {
       val before = probeObs.filter(_._1 <= start).lastOption
+      val interior = probeObs.filter(p => p._1 > start && p._1 < end)
       val after = probeObs.find(_._1 >= end)
-      (before.toSeq ++ after.toSeq).exists(_._2 > probeFloor * 1.5)
+      (before.toSeq ++ interior ++ after.toSeq)
+        .exists(_._2 > probeFloor * 1.5)
     }
     val flaggedEnv = flagged.filter { case (n, _) =>
       val starts = repAt(n)
@@ -358,7 +365,10 @@ object Bench {
             "as regressions"
         else if (flaggedEnv.size == flagged.size)
           "every flagged query's reps all ran inside elevated mid-pass " +
-            "probe windows (flagged_env) — machine bursts, not plans"
+            "probe windows (flagged_env) — consistent with machine " +
+            "bursts; a uniform regression on a noisy host would look " +
+            "the same, so confirm with a quiet-window re-run before " +
+            "dismissing"
         else "sentinels steady — these are regression candidates, profile them"
       Console.err.println(
         s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline" +
@@ -415,10 +425,28 @@ object Bench {
         val qms = results.toSeq.sortBy(_._1)
           .map { case (_, v) => math.round(v * 1000).toString }
           .mkString("[", ",", "]")
+        val sortedNames = results.toSeq.sortBy(_._1).map(_._1)
         val qsha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(results.toSeq.sortBy(_._1).map(_._1)
-            .mkString("\n").getBytes("UTF-8"))
+          .digest(sortedNames.mkString("\n").getBytes("UTF-8"))
           .take(8).map(b => f"$b%02x").mkString
+        // Persist the digest→name-list table the positional qms needs
+        // for decoding: the ~2000-char retained tail can never carry
+        // 300 names (sorted list ~5.6 KB raw, ~2.7 KB deflated+b64 —
+        // measured r14), so the list is versioned in the repo keyed by
+        // the qsha the tail DOES carry. tools/bench_names.py resolves
+        // names from this table — any checkout that has the table
+        // decodes any artifact, current or historical, without a JVM.
+        // Full runs only (a subset's positions are not the registry).
+        if (only.isEmpty) {
+          try {
+            val dir = java.nio.file.Paths.get("tools", "qnames")
+            java.nio.file.Files.createDirectories(dir)
+            val f = dir.resolve(s"$qsha.txt")
+            if (!java.nio.file.Files.exists(f))
+              java.nio.file.Files.write(
+                f, (sortedNames.mkString("\n") + "\n").getBytes("UTF-8"))
+          } catch { case _: Throwable => () } // read-only CWD: tail still decodable at the benched checkout
+        }
         val flaggedDesc = flagged.toSeq.sortBy(-_._2)
         // "qn" = how many queries the array actually covers. Under
         // --only (or any partial run) the positions do NOT align with

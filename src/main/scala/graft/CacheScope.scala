@@ -34,7 +34,12 @@ object CacheScope {
   }
 
   /** Unpersist (non-blocking) everything registered since the last
-    * release. Safe to call when nothing is registered.
+    * release. Safe to call when nothing is registered. Also clears
+    * [[memoize]]'s table: a memoized verdict is derived from a
+    * persisted upstream, so its lifetime is exactly the persistence
+    * scope — after release the upstream may be recomputed (or, in a
+    * user session, point at changed data), so the verdict must be
+    * re-derived too.
     */
   def releaseAll(): Unit = synchronized {
     active.foreach { ds =>
@@ -42,7 +47,28 @@ object CacheScope {
       catch { case _: Throwable => () }
     }
     active.clear()
+    memoTable.clear()
   }
+
+  private val memoTable =
+    new java.util.concurrent.ConcurrentHashMap[Any, Any]()
+
+  /** Query-scoped memo for small plan-derived verdicts (e.g. the
+    * capBucketMembers benign/hot pre-census): `compute` runs at most
+    * once per distinct `key` between [[releaseAll]] calls, so a
+    * builder invoked repeatedly over the same materialized relation
+    * (several capped generators sharing one bucket relation, or a
+    * plan-audit loop re-building a query) pays its eager Spark job
+    * once instead of per call. Keys should embed a CANONICALIZED
+    * logical plan plus the scalar parameters so structurally equal
+    * inputs share an entry. Cleared by [[releaseAll]] — the same
+    * boundary that releases the persisted upstream the verdict was
+    * measured against, which also bounds staleness: within one query
+    * scope inputs are immutable snapshots, so a frozen verdict is the
+    * correct verdict.
+    */
+  def memoize[V](key: Any)(compute: => V): V =
+    memoTable.computeIfAbsent(key, _ => compute).asInstanceOf[V]
 
   /** Number of currently registered (unreleased) handles. */
   def activeCount: Int = synchronized(active.size)

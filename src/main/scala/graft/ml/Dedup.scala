@@ -270,6 +270,24 @@ object Dedup {
     * Callers materialize the bucket relation's upstream (signatures
     * / quantized vectors), so the census does not recompute the
     * expensive pipeline, only the bucket projection.
+    *
+    * EAGER-COMPOSITION CONTRACT (documented, deliberate): this is a
+    * plan BUILDER that runs one Spark job (the pre-census) at
+    * construction time, and the plan it returns is therefore
+    * data-dependent at build time — a plan-only flow (`df.explain`,
+    * ExplainAudit) executes the census even if the returned frame is
+    * never acted on, and the benign/hot decision is FROZEN into the
+    * returned plan. Both properties are the point: the decision must
+    * precede planning to delete the window + two exchanges, and the
+    * inputs are immutable snapshots within a query scope. The verdict
+    * is memoized via [[graft.CacheScope.memoize]] keyed on the
+    * CANONICALIZED bucket plan + keys + cap, so every capped
+    * generator over the same bucket relation (and every re-build of
+    * the same query in one scope) pays the census job once;
+    * [[graft.CacheScope.releaseAll]] — the same boundary that
+    * releases the materialized upstream — drops the memo, so a
+    * handle re-used across scopes over CHANGED underlying data
+    * re-derives rather than keeping a stale cap path.
     */
   private[graft] def capBucketMembers(
       buckets: DataFrame, idCol: String, keyCols: Seq[String],
@@ -277,10 +295,14 @@ object Dedup {
     require(cap >= 2, s"a candidate cap below 2 generates no pairs: $cap")
     if (cap == NoCap) buckets
     else {
-      val anyHot = !buckets.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") > cap)
-        .isEmpty
+      val anyHot = graft.CacheScope.memoize(
+        ("capBucketMembers.anyHot",
+          buckets.queryExecution.analyzed.canonicalized, keyCols, cap)) {
+        !buckets.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("m"))
+          .filter(col("m") > cap)
+          .isEmpty
+      }
       if (!anyHot) buckets
       else {
         val w = Window.partitionBy(keyCols.map(col): _*)
@@ -470,6 +492,12 @@ object Dedup {
     */
   val NearDupMatches = 4
 
+  /** Registry rate for the sample-bounded curve variants: 500‰ —
+    * low enough that the deterministic gate visibly thins the
+    * testdata corpus (the oracle exercises the gate), high enough
+    * that the small cap widths still bite on what remains. */
+  val CurveSamplePerMille = 500
+
   /** Per-cap recall tuning curve — the number that JUSTIFIES a cap
     * choice: for each cap width, how many candidate pairs and (more
     * importantly) how many actual near-dup pairs survive, vs the
@@ -497,15 +525,9 @@ object Dedup {
     * the full pipeline on the pre-filtered documents, so the full-
     * corpus oracle semantics carry over verbatim. The registry runs
     * the full-corpus variant at bench scale where the uncapped join
-    * is the measured-safe shape, plus a sampled variant as the
-    * production shape.
+    * is the measured-safe shape, plus a sampled variant
+    * ([[CurveSamplePerMille]]) as the production shape.
     */
-  /** Registry rate for the sample-bounded curve variants: 500‰ —
-    * low enough that the deterministic gate visibly thins the
-    * testdata corpus (the oracle exercises the gate), high enough
-    * that the small cap widths still bite on what remains. */
-  val CurveSamplePerMille = 500
-
   def capRecallCurve(
       docs: DataFrame, caps: Seq[Int] = CapCurveCaps,
       samplePerMille: Int = 1000): DataFrame = {

@@ -207,6 +207,46 @@ class CapSpec extends AnyFunSuite {
       "a hot bucket must still route through the rank window")
   }
 
+  test("pre-census memoizes: one job per bucket relation per scope (r14)") {
+    // the de-eager contract: capBucketMembers' benign/hot pre-census
+    // is one Spark job per (canonical bucket plan, keys, cap) between
+    // releaseAll calls — a second capped build over the same relation
+    // must not re-run it, and a fresh scope must
+    CacheScope.releaseAll()
+    val b = buckets(plantedDocs(clones = 2, distinct = 6))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.capBucketMembers(b, "doc_id", Seq("band", "bh"), 16)
+      Thread.sleep(500) // listener bus drains asynchronously
+      val first = jobs.get
+      assert(first >= 1, "first capped build must run the census job")
+      Dedup.capBucketMembers(b, "doc_id", Seq("band", "bh"), 16)
+      // a STRUCTURALLY equal relation built independently must hit the
+      // same memo entry (the key is the canonicalized plan, not the
+      // object) — this is what lets several capped generators share
+      // one materialized bucket relation's verdict
+      Dedup.capBucketMembers(
+        buckets(plantedDocs(clones = 2, distinct = 6)),
+        "doc_id", Seq("band", "bh"), 16)
+      Thread.sleep(500)
+      assert(jobs.get == first,
+        "re-building over the same bucket relation re-ran the census")
+      CacheScope.releaseAll()
+      Dedup.capBucketMembers(b, "doc_id", Seq("band", "bh"), 16)
+      Thread.sleep(500)
+      assert(jobs.get > first,
+        "a new scope must re-derive the verdict (staleness bound)")
+    } finally spark.sparkContext.removeSparkListener(l)
+    CacheScope.releaseAll()
+  }
+
   /** The corpus_sample per-mille gate, replicated for the sampled-
     * curve laws (hash of source#doc_id — Corpus.sampled's exact
     * expression). */

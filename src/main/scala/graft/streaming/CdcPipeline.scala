@@ -299,11 +299,11 @@ object CdcPipeline {
     * version, bit-comparable to the batch history minus its open
     * rows. */
   def scd2Roundtrip(spark: SparkSession, dir: String): DataFrame =
-    // 8 state partitions: per-user state is CPU-bound in the one
+    // floor 8, size-derived (statePartsFor): per-user state is CPU-bound in the one
     // data batch, but the sink-side sort below reads the full closed
     // history, so the width trades batch parallelism against the
     // per-batch store-commit barrier (r14 width sweep)
-    withStateParts(spark, 8) {
+    withStateParts(spark, statePartsFor(dir, 8)) {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = graft.Tables.withEventTime(
       spark.readStream.schema(rawSchema)
@@ -338,6 +338,33 @@ object CdcPipeline {
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Size-derived state width for the DATA-HEAVY stateful roundtrips
+    * (per-user / per-event state): `floor` at bench scale, growing
+    * one partition per 8 MB of parquet feed (≈64 MB decompressed
+    * state at the feed's measured ~8× compression) so the single
+    * data batch keeps its parallelism when the feed outgrows the
+    * floor — the "a 100 TB stream raises it back" contract as code,
+    * not prose. At the test scales the floor always binds (sf1's
+    * events.parquet is 15.7 MB), verified by an interleaved sf1 A/B
+    * reading identical widths both sides; the growth arm is pinned
+    * arithmetically by StatePartsSpec. Key-bounded state (the
+    * 8-shard frontier) and group-bounded state (the windowed
+    * aggregate) do NOT use this — width past the key count is
+    * store-commits for provably empty stores at any feed size.
+    */
+  private[graft] def statePartsFor(dir: String, floor: Int): Int = {
+    val bytes =
+      try java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      catch { case _: Throwable => 0L }
+    statePartsForBytes(bytes, floor)
+  }
+
+  /** The pure sizing law behind [[statePartsFor]], separated so the
+    * growth arm is unit-testable at byte counts no testdata reaches. */
+  private[graft] def statePartsForBytes(bytes: Long, floor: Int): Int =
+    math.max(floor, math.min(32, (bytes / (8L << 20)).toInt))
 
   /** Run a streaming relation to completion into a transient memory
     * sink and copy the result out as a LOCAL DataFrame (the bench
@@ -931,11 +958,11 @@ object CdcPipeline {
     * exists over plain dropDuplicates.
     */
   def dedupRoundtrip(spark: SparkSession, dir: String): DataFrame =
-    // 8 state partitions: dedup state is one row per event_id — the
+    // floor 8, size-derived: dedup state is one row per event_id — the
     // largest state in the suite — but the replay is 2 barriers and
     // the store-commit overhead at 32 dominated the extra scan
     // parallelism (r14 width sweep)
-    withStateParts(spark, 8) {
+    withStateParts(spark, statePartsFor(dir, 8)) {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = graft.Tables.withEventTime(
       spark.readStream.schema(rawSchema)
@@ -1020,11 +1047,11 @@ object CdcPipeline {
     * rollup.
     */
   def sessionRoundtrip(spark: SparkSession, dir: String): DataFrame =
-    // 8 state partitions: session-window state is per-user (CPU-heavy
+    // floor 8, size-derived: session-window state is per-user (CPU-heavy
     // merge in the data batch) but the replay runs 3 barriers (two
     // files + the watermark flush), each committing one store per
     // partition (r14 width sweep)
-    withStateParts(spark, 8) {
+    withStateParts(spark, statePartsFor(dir, 8)) {
     val gap = "30 minutes"
     val delay = "1 hour"
     val stage = stageWithSentinel(spark, dir, marginSeconds = 3 * 3600L)
@@ -1072,11 +1099,11 @@ object CdcPipeline {
       dir: String,
       lookback: String = "7 days",
       delay: String = "1 hour"): DataFrame =
-    // 4 state partitions, the OUTER variant's measured sizing (32 → 4
+    // floor 4, size-derived — the OUTER variant's measured sizing (32 → 4
     // = 12.3 s → 7.6 s there): an interval join commits 4 state
     // stores per partition per micro-batch, the dominant fixed cost
     // of this query's ~4 barriers (r14 width sweep)
-    withStateParts(spark, 4) {
+    withStateParts(spark, statePartsFor(dir, 4)) {
     val stage = stageWithSentinel(spark, dir, marginSeconds = 9 * 24 * 3600L)
     try {
       val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -1130,7 +1157,8 @@ object CdcPipeline {
     * Batch oracle: the LEFT interval join over the same feed,
     * unattributed rows under the '(none)' touch type.
     *
-    * State-partition sizing: 4 ([[withStateParts]]) — an outer
+    * State-partition sizing: floor 4, size-derived
+    * ([[withStateParts]]/statePartsFor) — an outer
     * interval join commits 4 state stores per partition per
     * micro-batch AND runs an extra no-data batch to flush null rows
     * after the watermark moves, so partition count multiplies a
@@ -1142,7 +1170,7 @@ object CdcPipeline {
       dir: String,
       lookback: String = "7 days",
       delay: String = "1 hour"): DataFrame =
-    withStateParts(spark, 4) {
+    withStateParts(spark, statePartsFor(dir, 4)) {
     val stage = stageWithSentinel(spark, dir, marginSeconds = 9 * 24 * 3600L,
       sentinelTypes = Seq("sentinel", "purchase"))
     try {
@@ -1207,10 +1235,10 @@ object CdcPipeline {
       dir: String,
       quietMinutes: Int = 30,
       delay: String = "1 hour"): DataFrame =
-    // 8 state partitions: one small state row per user, 3 barriers
+    // floor 8, size-derived: one small state row per user, 3 barriers
     // (data, sentinel, timeout flush) — same trade as the session
     // roundtrip (r14 width sweep)
-    withStateParts(spark, 8) {
+    withStateParts(spark, statePartsFor(dir, 8)) {
     import spark.implicits._
     val quietMicros = quietMinutes * 60L * 1000000L
     val stage = stageWithSentinel(spark, dir, marginSeconds = 3 * 3600L)

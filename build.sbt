@@ -39,3 +39,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=50",
 )
+
+// ScalaCheck default minSuccessful is 100; every property here runs
+// Spark jobs against an independent plain-Scala reference, so 100
+// random cases per law cost ~45 min of the test wall clock while the
+// marginal cases past ~16 re-explore the same small generator
+// domains. 16 keeps the shrink-on-failure diagnostics and the
+// independent-reference discipline at a quarter of the wall time;
+// suites that need a SPECIFIC budget (streaming roundtrips at 8,
+// BPE at 12) still set it via overrideParameters, which composes on
+// top of (and overrides) this base.
+Test / testOptions += Tests.Argument(
+  TestFrameworks.ScalaCheck, "-minSuccessfulTests", "16")

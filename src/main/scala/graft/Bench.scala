@@ -438,14 +438,44 @@ object Bench {
         // decodes any artifact, current or historical, without a JVM.
         // Full runs only (a subset's positions are not the registry).
         if (only.isEmpty) {
-          try {
-            val dir = java.nio.file.Paths.get("tools", "qnames")
-            java.nio.file.Files.createDirectories(dir)
-            val f = dir.resolve(s"$qsha.txt")
-            if (!java.nio.file.Files.exists(f))
-              java.nio.file.Files.write(
-                f, (sortedNames.mkString("\n") + "\n").getBytes("UTF-8"))
-          } catch { case _: Throwable => () } // read-only CWD: tail still decodable at the benched checkout
+          // Resolve the repo root EXPLICITLY (-Dgraft.repo.root, else
+          // walk up from the compiled-classes location to the first
+          // ancestor holding tools/, else a CWD that holds tools/) —
+          // a bench launched from outside the repo root used to
+          // silently drop the digest→names table into a stray
+          // ./tools, defeating artifact decoding with no signal
+          // (r14 advice). Failures print ONE stderr line.
+          val root = sys.props.get("graft.repo.root")
+            .map(java.nio.file.Paths.get(_))
+            .orElse {
+              try {
+                val loc = java.nio.file.Paths.get(Bench.getClass
+                  .getProtectionDomain.getCodeSource.getLocation.toURI)
+                Iterator.iterate(loc)(_.getParent).takeWhile(_ != null)
+                  .take(8)
+                  .find(p => java.nio.file.Files.isDirectory(p.resolve("tools")))
+              } catch { case _: Throwable => None }
+            }
+            .orElse(Some(java.nio.file.Paths.get("."))
+              .filter(p => java.nio.file.Files.isDirectory(p.resolve("tools"))))
+          root match {
+            case Some(r) =>
+              try {
+                val dir = r.resolve("tools").resolve("qnames")
+                java.nio.file.Files.createDirectories(dir)
+                val f = dir.resolve(s"$qsha.txt")
+                if (!java.nio.file.Files.exists(f))
+                  java.nio.file.Files.write(
+                    f, (sortedNames.mkString("\n") + "\n").getBytes("UTF-8"))
+              } catch {
+                case e: Throwable => Console.err.println(
+                  s"[bench] qnames table write skipped (${e.getClass.getSimpleName}: " +
+                    s"${e.getMessage}); decoding $qsha needs the benched checkout")
+              }
+            case None => Console.err.println(
+              s"[bench] no repo root found (set -Dgraft.repo.root); qnames " +
+                s"table for $qsha not written — decoding needs the benched checkout")
+          }
         }
         val flaggedDesc = flagged.toSeq.sortBy(-_._2)
         // "qn" = how many queries the array actually covers. Under

@@ -47,11 +47,18 @@ object CacheScope {
       catch { case _: Throwable => () }
     }
     active.clear()
+    // the epoch bump is what invalidates memo entries (see memoize:
+    // an in-flight compute can still insert AFTER this clear, but it
+    // carries its compute-start epoch and is ignored on read); the
+    // clear itself just frees the memory eagerly
+    memoEpoch.incrementAndGet()
     memoTable.clear()
   }
 
+  private val memoEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private final case class MemoEntry(epoch: Long, value: Any)
   private val memoTable =
-    new java.util.concurrent.ConcurrentHashMap[Any, Any]()
+    new java.util.concurrent.ConcurrentHashMap[Any, MemoEntry]()
 
   /** Query-scoped memo for small plan-derived verdicts (e.g. the
     * capBucketMembers benign/hot pre-census): `compute` runs at most
@@ -66,9 +73,28 @@ object CacheScope {
     * measured against, which also bounds staleness: within one query
     * scope inputs are immutable snapshots, so a frozen verdict is the
     * correct verdict.
+    *
+    * Concurrency: entries are stamped with the epoch current when
+    * their compute STARTED and ignored on read if the epoch has since
+    * moved — so a compute in flight across a [[releaseAll]] cannot
+    * leak a stale verdict into the next scope (it inserts, but with
+    * the old stamp, and the next reader recomputes over it). The
+    * compute runs OUTSIDE the map (plain get/put, not
+    * computeIfAbsent), so a full Spark job never holds a hash-bin
+    * lock and a nested memoize inside `compute` is legal; the cost is
+    * that two racing callers may both compute — benign, the verdicts
+    * are idempotent.
     */
-  def memoize[V](key: Any)(compute: => V): V =
-    memoTable.computeIfAbsent(key, _ => compute).asInstanceOf[V]
+  def memoize[V](key: Any)(compute: => V): V = {
+    val e = memoEpoch.get()
+    memoTable.get(key) match {
+      case MemoEntry(`e`, v) => v.asInstanceOf[V]
+      case _ =>
+        val v = compute
+        memoTable.put(key, MemoEntry(e, v))
+        v
+    }
+  }
 
   /** Number of currently registered (unreleased) handles. */
   def activeCount: Int = synchronized(active.size)

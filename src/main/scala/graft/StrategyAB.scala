@@ -44,8 +44,16 @@ object StrategyAB {
 
   private def fingerprint(df: DataFrame): (Long, java.math.BigDecimal, String) = {
     val h = xxhash64(df.columns.toSeq.map(col): _*).cast("decimal(38,0)")
-    val r = df.agg(count(lit(1)), sum(h)).head()
-    val sig = joins(df.queryExecution.executedPlan)
+    // the signature must come from the query that RAN: the base df's
+    // own QueryExecution never executes here, so its AQE tree stays
+    // the static initial plan and runtime re-planning (an SMJ→BHJ
+    // demotion when actual sizes come in small) would be invisible —
+    // exactly the vacuous-A/B blindness the signature exists to
+    // expose. Reading the agg's executedPlan AFTER head() sees the
+    // final adaptive plan (r14 advice).
+    val agg = df.agg(count(lit(1)), sum(h))
+    val r = agg.head()
+    val sig = joins(agg.queryExecution.executedPlan)
       .toSeq.sorted.map { case (k, n) => s"${n}x$k" }.mkString("+")
     (r.getLong(0),
       Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO), sig)

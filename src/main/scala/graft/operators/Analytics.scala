@@ -627,24 +627,28 @@ object Analytics {
   }
 
   /** TPC-H Q15-style top supplier: supplier(s) whose quarter revenue
-    * equals the maximum. The max rides a global window over the
-    * ALREADY-AGGREGATED per-supplier relation — dimension-sized, so
-    * the single window partition holds |suppliers| rows, not the
-    * fact table — which keeps the plan to ONE lineitem scan (the
-    * 1-row-aggregate-join alternative made Spark recompute the whole
-    * aggregate, scanning the fact twice). Equality on exact decimals
-    * keeps the tie set engine-identical.
+    * equals the maximum. The per-supplier aggregate is PERSISTED
+    * (CacheScope, released by the harness after materialization), the
+    * global max is a plain 1-row aggregate over it, and the 1-row max
+    * broadcasts back as an equi-join — so the plan has ONE lineitem
+    * scan (the cache stops Spark recomputing the aggregate for the
+    * max branch) and NO partition-less window: |suppliers| grows
+    * linearly with scale, and at 100 TB geometry a singleton window
+    * would funnel ~10⁹ slim rows through one task. The broadcast
+    * subtree runs as its own job first and populates the cache, so
+    * lazyPersist suffices (no up-front count barrier). Equality on
+    * exact decimals keeps the tie set engine-identical.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val supp = Tables.load(spark, dir, "supplier")
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1996-04-01"))
-    val rev = li.groupBy(col("l_suppkey"))
+    val rev = graft.CacheScope.lazyPersist(li.groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .as("total_rev_d"))
-    rev.withColumn("max_rev_d", max(col("total_rev_d")).over(Window.partitionBy()))
-      .filter(col("total_rev_d") === col("max_rev_d"))
+        .as("total_rev_d")))
+    val maxRev = rev.agg(max(col("total_rev_d")).as("max_rev_d"))
+    rev.join(broadcast(maxRev), col("total_rev_d") === col("max_rev_d"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev_d").cast("double").as("total_revenue"))

@@ -353,18 +353,48 @@ object CdcPipeline {
     * aggregate) do NOT use this — width past the key count is
     * store-commits for provably empty stores at any feed size.
     */
-  private[graft] def statePartsFor(dir: String, floor: Int): Int = {
-    val bytes =
-      try java.nio.file.Files.size(
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      catch { case _: Throwable => 0L }
-    statePartsForBytes(bytes, floor)
+  private[graft] def statePartsFor(dir: String, floor: Int): Int =
+    statePartsForBytes(feedBytes(s"$dir/events.parquet"), floor,
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.numShufflePartitions)
+
+  /** Content bytes of a feed path: a plain file's length, or the sum
+    * of regular-file sizes under a DIRECTORY parquet. The directory
+    * walk matters precisely at scale: `Files.size` on a directory
+    * returns the directory-entry size (~4 KB), which would silently
+    * pin every multi-file feed — i.e. exactly the at-scale feeds the
+    * growth arm exists for — to the floor. An unreadable feed logs
+    * once and degrades to 0 bytes (the floor binds) rather than
+    * failing the build, but never SILENTLY: a mis-pathed deployment
+    * should see why its state width stayed small.
+    */
+  private[graft] def feedBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } else java.nio.file.Files.size(p)
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[graft] statePartsFor: feed $path unreadable (${e.getClass.getSimpleName}); " +
+            "state width stays at the floor")
+        0L
+    }
   }
 
   /** The pure sizing law behind [[statePartsFor]], separated so the
-    * growth arm is unit-testable at byte counts no testdata reaches. */
-  private[graft] def statePartsForBytes(bytes: Long, floor: Int): Int =
-    math.max(floor, math.min(32, (bytes / (8L << 20)).toInt))
+    * growth arm is unit-testable at byte counts no testdata reaches.
+    * The cap is the session's shuffle width (same rule as
+    * Dedup.clusterLabels): on the local[32] harness that is 32, on a
+    * real cluster the configured width — so the law genuinely IS the
+    * 100 TB contract, instead of a harness constant pretending to be.
+    */
+  private[graft] def statePartsForBytes(bytes: Long, floor: Int, cap: Int): Int =
+    math.max(floor, math.min(cap, (bytes / (8L << 20)).toInt))
 
   /** Run a streaming relation to completion into a transient memory
     * sink and copy the result out as a LOCAL DataFrame (the bench

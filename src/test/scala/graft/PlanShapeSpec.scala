@@ -161,17 +161,101 @@ class PlanShapeSpec extends AnyFunSuite {
       "events_asof_join no longer plans the custom co-partitioned merge")
   }
 
-  test("registry sweep: no CartesianProduct; BNLJ sides aggregate-bounded") {
-    // static scan of every registry plan (the streaming drains return
-    // local relations — excluded, see class doc)
+  /** Is this subtree's row count bounded BY CONSTRUCTION — i.e. does
+    * every path from here down to a file scan pass through a node
+    * that caps cardinality independent of input size? Accepted caps:
+    * an aggregate (output = its group domain; the per-site name
+    * lists certify the domain is constant, this predicate certifies
+    * the aggregate is actually there), a limit / top-k, a
+    * driver-built local relation (RDDScan/LocalTableScan — iteration
+    * results sized to a label domain), or a filter whose condition
+    * carries a literal key gate (`vec_id < 8`-style probe selection,
+    * also visible in the scan's pushed dataFilters). A subtree that
+    * reaches a FileSourceScan through none of these grows with the
+    * data and fails — which is exactly the q15-shaped regression
+    * (global window / nested loop over a scale-growing relation)
+    * this predicate exists to catch.
+    */
+  private def boundedByConstruction(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def literalKeyGate(cond: Expression): Boolean = {
+      def flat(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => flat(l) ++ flat(r)
+        case other => Seq(other)
+      }
+      flat(cond).exists {
+        case LessThan(_: AttributeReference, Literal(_, _)) => true
+        case LessThanOrEqual(_: AttributeReference, Literal(_, _)) => true
+        case GreaterThan(Literal(_, _), _: AttributeReference) => true
+        case GreaterThanOrEqual(Literal(_, _), _: AttributeReference) => true
+        case EqualTo(_: AttributeReference, Literal(_, _)) => true
+        case EqualTo(Literal(_, _), _: AttributeReference) => true
+        case In(_: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) => true
+        case _: InSet => true
+        case _ => false
+      }
+    }
+    p match {
+      case a: AdaptiveSparkPlanExec => boundedByConstruction(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        boundedByConstruction(q.plan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        boundedByConstruction(s.relation.cachedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        boundedByConstruction(r.child)
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case f: org.apache.spark.sql.execution.FilterExec if literalKeyGate(f.condition) => true
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.dataFilters.nonEmpty && f.dataFilters.exists(literalKeyGate)
+      case other => other.children.nonEmpty &&
+        other.children.forall(boundedByConstruction)
+    }
+  }
+
+  test("registry sweep: no cartesian; BNLJ + global-window sites bounded") {
+    // ONE static pass over every registry plan (the streaming drains
+    // return local relations — excluded, see class doc) collecting
+    // all three shape classes, so the sweep's cost stays flat as
+    // assertions accrue.
     val bnlj = scala.collection.mutable.Set.empty[String]
+    val gwin = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!streamingDrains(name)) {
         val all = nodesWithSubqueries(planOf(fn(spark, sf)))
         assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
           s"$name plans a CartesianProduct")
-        if (all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
-          bnlj += name
+        all.foreach {
+          case j: BroadcastNestedLoopJoinExec =>
+            bnlj += name
+            val side = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case _ => j.right
+            }
+            // names say WHICH sites are allowed; this says WHY each
+            // is safe — the broadcast side must carry a cardinality
+            // cap in its own plan, so an unbounded side can't hide
+            // behind a listed name (r14 verdict item 7)
+            assert(boundedByConstruction(side),
+              s"$name plans a BroadcastNestedLoopJoin whose broadcast side " +
+                "has no aggregate/limit/local-relation/literal-key-gate — " +
+                "unbounded at scale")
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            gwin += name
+            // a partition-less window funnels its WHOLE input through
+            // one task; only constant-bounded inputs may pay that
+            assert(boundedByConstruction(w.child),
+              s"$name plans a partition-less WindowExec over an input " +
+                "with no cardinality cap — the q15 anti-shape")
+          case _ => ()
+        }
         CacheScope.releaseAll()
         spark.catalog.clearCache()
       }
@@ -187,6 +271,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj == declared,
       s"BNLJ site drift — new: ${(bnlj -- declared).toSeq.sorted}; " +
         s"gone: ${(declared -- bnlj).toSeq.sorted}")
+    // same exact-in-both-directions discipline for partition-less
+    // windows: the shape predicate above proves each site is
+    // post-aggregate/limit/local, the audited list pins WHICH sites
+    // may exist (their group domains are constant — hour×type cells,
+    // |tables|, calibration buckets — not scale-growing keys).
+    // q15_top_supplier is deliberately ABSENT: its per-supplier
+    // aggregate grows with scale, so it takes the persist +
+    // 1-row-max + broadcast-back shape instead (round 15); this set
+    // regressing to include it fails here.
+    val declaredW = PlanShapeSpec.GlobalWindowBoundedSites
+    assert(gwin == declaredW,
+      s"partition-less window site drift — new: ${(gwin -- declaredW).toSeq.sorted}; " +
+        s"gone: ${(declaredW -- gwin).toSeq.sorted}")
+  }
+
+  test("q15: persist + 1-row-max broadcast-back, no partition-less window") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    val all = nodes(planOf(df))
+    assert(!all.exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }, "q15 regressed to a partition-less window over the per-supplier agg")
+    // both the max branch and the filter branch must read ONE shared
+    // cached relation (that sharing is what keeps the plan at one
+    // lineitem scan); reference-distinct InMemoryTableScan relations > 1
+    // would mean two independent caches, i.e. two aggregations
+    val cached = all.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cacheBuilder.cachedPlan
+    }
+    assert(cached.size >= 2,
+      s"expected both q15 branches to read the cache, saw ${cached.size} scans")
+    assert(cached.foldLeft(List.empty[SparkPlan]) { (acc, p) =>
+      if (acc.exists(_ eq p)) acc else p :: acc
+    }.size == 1, "q15's branches read different caches — the shared persist is gone")
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q15's 1-row max must come back as a broadcast equi-join")
+    CacheScope.releaseAll()
+    spark.catalog.clearCache()
   }
 }
 
@@ -218,4 +341,27 @@ object PlanShapeSpec {
     "sim_knn_kcore", "sim_topk_bruteforce", "text_bigram_kn",
     "text_heldout_perplexity", "text_keyphrase_bigrams", "text_keywords",
     "text_term_drift", "text_tfidf_topk")
+
+  /** The audited partition-less WindowExec sites. Every input is a
+    * POST-AGGREGATE (or driver-built local relation) whose
+    * cardinality is a constant domain, not a scale-growing key:
+    * hour×type cells (events_seasonality), |types|² transition
+    * matrices (events_markov, events_markov_stationary's π RDD,
+    * sim_pagerank's iterate), |tables| rows (cdc_lag_monitor),
+    * range/bucket/epoch/width grids (cdc_backfill_plan,
+    * cdc_full_load_ranges, corpus_quality_calibration,
+    * corpus_token_budget, corpus_vocab_growth, events_countmin,
+    * events_funnel_windowed, events_conversion_lag, q_skyline), and
+    * bounded vocab/ppl rollups (text_vocab_coverage,
+    * text_perplexity_filter, corpus_dsir_select, corpus_shuffle).
+    * Audited r14 (judge window-site sweep) + r15; exact in both
+    * directions, and `boundedByConstruction` backs each site's shape.
+    */
+  val GlobalWindowBoundedSites: Set[String] = Set(
+    "cdc_backfill_plan", "cdc_full_load_ranges", "cdc_lag_monitor",
+    "corpus_dsir_select", "corpus_quality_calibration", "corpus_shuffle",
+    "corpus_token_budget", "corpus_vocab_growth", "events_conversion_lag",
+    "events_countmin", "events_funnel_windowed", "events_markov",
+    "events_markov_stationary", "events_seasonality", "q_skyline",
+    "sim_pagerank", "text_perplexity_filter", "text_vocab_coverage")
 }

@@ -8,32 +8,70 @@ import graft.streaming.CdcPipeline
   * roundtrips size their shuffle partitions with. At every testdata
   * scale the FLOOR binds (sf1's events.parquet is ~16 MB), so the
   * growth arm — the part that matters at deployment scale — can only
-  * be pinned arithmetically.
+  * be pinned arithmetically. The cap is the session shuffle width
+  * passed in by `statePartsFor` (32 on the harness, the configured
+  * width on a cluster), so the pure law takes it explicitly here.
   */
 class StatePartsSpec extends AnyFunSuite {
 
   test("floor binds below one growth step") {
-    assert(CdcPipeline.statePartsForBytes(0L, 4) == 4)
-    assert(CdcPipeline.statePartsForBytes(16L << 20, 4) == 4)
-    assert(CdcPipeline.statePartsForBytes(16L << 20, 8) == 8)
+    assert(CdcPipeline.statePartsForBytes(0L, 4, 32) == 4)
+    assert(CdcPipeline.statePartsForBytes(16L << 20, 4, 32) == 4)
+    assert(CdcPipeline.statePartsForBytes(16L << 20, 8, 32) == 8)
   }
 
   test("one partition per 8 MB of feed once past the floor") {
-    assert(CdcPipeline.statePartsForBytes(80L << 20, 4) == 10)
-    assert(CdcPipeline.statePartsForBytes(128L << 20, 8) == 16)
+    assert(CdcPipeline.statePartsForBytes(80L << 20, 4, 32) == 10)
+    assert(CdcPipeline.statePartsForBytes(128L << 20, 8, 32) == 16)
   }
 
-  test("capped at the session width (32)") {
-    assert(CdcPipeline.statePartsForBytes(10L << 30, 4) == 32)
+  test("capped at the session width, not a harness constant") {
+    assert(CdcPipeline.statePartsForBytes(10L << 30, 4, 32) == 32)
+    // a cluster-width session lets the same feed fan out past 32 —
+    // the 100 TB arm the old hardcoded cap silently amputated
+    assert(CdcPipeline.statePartsForBytes(10L << 30, 4, 2000) == 1280)
+    assert(CdcPipeline.statePartsForBytes(100L << 30, 4, 2000) == 2000)
+  }
+
+  test("feedBytes sums a multi-file directory feed, not its dirent size") {
+    // Files.size on a DIRECTORY returns the ~4 KB entry size; the law
+    // must see the content bytes or every at-scale multi-file feed
+    // silently pins to the floor (r14 advice, medium)
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("events.parquet"))
+    java.nio.file.Files.write(sub.resolve("part-0.parquet"),
+      Array.fill[Byte](9 << 20)(1))
+    java.nio.file.Files.write(sub.resolve("part-1.parquet"),
+      Array.fill[Byte](8 << 20)(1))
+    try {
+      val bytes = CdcPipeline.feedBytes(sub.toString)
+      assert(bytes == (17L << 20), s"expected 17 MB of content, got $bytes")
+      // two 8 MB steps past a floor of 1
+      assert(CdcPipeline.statePartsForBytes(bytes, 1, 32) == 2)
+    } finally {
+      java.nio.file.Files.delete(sub.resolve("part-0.parquet"))
+      java.nio.file.Files.delete(sub.resolve("part-1.parquet"))
+      java.nio.file.Files.delete(sub)
+      java.nio.file.Files.delete(dir)
+    }
   }
 
   test("unreadable feed degrades to the floor, never to zero") {
-    assert(CdcPipeline.statePartsFor("/nonexistent", 8) == 8)
+    assert(CdcPipeline.feedBytes("/nonexistent/events.parquet") == 0L)
+    assert(CdcPipeline.statePartsForBytes(0L, 8, 32) == 8)
   }
 
   test("the real testdata feeds all sit at the floor") {
     // the documented reason the width A/Bs read identical sides: the
-    // sizing law is inert at test scale by construction
-    assert(CdcPipeline.statePartsFor("/root/testdata/sf0.1", 4) == 4)
+    // sizing law is inert at test scale by construction. Guard on the
+    // feed actually existing — feedBytes degrades unreadable paths to
+    // the floor, so without the guard this would pass vacuously on a
+    // machine with no testdata (r14 advice)
+    val feed = java.nio.file.Paths.get("/root/testdata/sf0.1/events.parquet")
+    assume(java.nio.file.Files.exists(feed), s"$feed missing — cannot measure")
+    assert(CdcPipeline.feedBytes(feed.toString) > 0L,
+      "feed exists but measured 0 bytes — the assertion below would be vacuous")
+    assert(CdcPipeline.statePartsForBytes(
+      CdcPipeline.feedBytes(feed.toString), 4, 32) == 4)
   }
 }

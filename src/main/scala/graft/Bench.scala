@@ -167,6 +167,26 @@ object Bench {
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
+  /** Per-row calibration regime from the same table: `"_regime:NAME":
+    * "deep-quiet"` rows (string-valued, so the float reader above
+    * skips them). Unmarked rows were calibrated in an ordinary
+    * certified-quiet window. "deep-quiet" marks floors recorded in a
+    * regime the host rarely offers (the 05:53-class windows) — a
+    * 1.5-2x reading against one on a measurably-degraded day is the
+    * calibration gap, not a regression (the r14 bpe-family false
+    * alarm). "half-quiet" marks floors recorded under mild
+    * contention, at-or-above the true floor — flags against them are
+    * genuine, but the floor itself is conservative.
+    */
+  private def readRegimes(path: String): Map[String, String] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8")
+      val re = """"_regime:([A-Za-z0-9_]+)"\s*:\s*"([a-z-]+)"""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     // --sentinel: print three sentinel timings and exit — calibrates
     // the "_sentinel" row of BASELINE_QUERIES.json on a cold machine
@@ -240,6 +260,9 @@ object Bench {
     val baseline =
       if (sfName == "sf0.1") readBaseline("BASELINE_QUERIES.json")
       else Map.empty[String, Double]
+    val regimes =
+      if (sfName == "sf0.1") readRegimes("BASELINE_QUERIES.json")
+      else Map.empty[String, String]
     val flagged = times.collect {
       case (n, ts) if baseline.contains(n) && ts.nonEmpty &&
         ts.forall(_ > baseline(n) * 1.5) =>
@@ -296,6 +319,21 @@ object Bench {
         sentinelObs.nonEmpty && sentinelObs.min > cold * 1.25) ||
       baseline.get("_sentinel_par").exists(cold =>
         parSentinelObs.nonEmpty && parSentinelObs.min > cold * 1.25)
+    // regime attribution: a flagged row calibrated in a DEEP-quiet
+    // window, read on a run whose own 32-wide sentinel shows the host
+    // is not deep-quiet NOW (>1.1x the cold calibration — milder than
+    // the 1.25x thermal gate, because deep-quiet is a stricter regime
+    // than ordinary quiet), is comparing a degraded reading against a
+    // floor today's host can't reach — the r14 bpe-family false
+    // alarm, self-adjudicated instead of hand-A/B'd. Disjoint from
+    // flagged_env (probe-attributed flags stay there).
+    val hostNotDeepQuiet =
+      baseline.get("_sentinel_par").exists(cold =>
+        parSentinelObs.nonEmpty && parSentinelObs.min > cold * 1.1)
+    val flaggedRegime = flagged.filter { case (n, _) =>
+      !flaggedEnv.contains(n) && hostNotDeepQuiet &&
+        regimes.get(n).contains("deep-quiet")
+    }
     val qsJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail = times.map { case (k, ts) =>
@@ -329,8 +367,11 @@ object Bench {
     val flaggedUnstableJson = flaggedUnstable.map { case (k, r) =>
       s"\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
+    val flaggedRegimeJson = flaggedRegime.map { case (k, r) =>
+      s"\"" + k + "\":" + fmt(r)
+    }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"flagged_env":$flaggedEnvJson,"flagged_unstable":$flaggedUnstableJson,"probes":$probesJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","runs":$detail,"reps":$Reps,"order":"pass-major","sentinel":$sentinelJson,"sentinel_par":$parSentinelJson,"thermal_invalid":$thermalInvalid,"flagged":$flaggedJson,"flagged_env":$flaggedEnvJson,"flagged_unstable":$flaggedUnstableJson,"flagged_regime":$flaggedRegimeJson,"host_deep_quiet":${!hostNotDeepQuiet},"statestore":"${if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb"))) "rocksdb" else "hdfs"}","probes":$probesJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(detailLine)
     if (errors.nonEmpty)
       Console.err.println(
@@ -346,10 +387,16 @@ object Bench {
     // and other SF dirs get their own file, so a subset probe or an
     // sf1 rehearsal can never clobber the numbers BASELINE.md points
     // readers at (it happened: commit 6386864 shipped a 2-query file).
+    // A non-default state store gets its own artifact family: the
+    // RocksDB pricing twin must never overwrite the HDFS-provider
+    // canonical that BASELINE.md's calibration rows were read from.
+    val storeSuffix =
+      if (sys.env.get("SPARK_GRAFT_STATESTORE")
+        .exists(_.equalsIgnoreCase("rocksdb"))) "_rocksdb" else ""
     val artifact =
       if (only.nonEmpty) None
-      else if (sfName == "sf0.1") Some("BENCH_LOCAL.json")
-      else Some(s"BENCH_LOCAL_$sfName.json")
+      else if (sfName == "sf0.1") Some(s"BENCH_LOCAL$storeSuffix.json")
+      else Some(s"BENCH_LOCAL_$sfName$storeSuffix.json")
     artifact.foreach { path =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
@@ -369,15 +416,25 @@ object Bench {
             "bursts; a uniform regression on a noisy host would look " +
             "the same, so confirm with a quiet-window re-run before " +
             "dismissing"
+        else if (flaggedRegime.size == flagged.size)
+          "every remaining flag is a deep-quiet-calibrated row read on " +
+            "a host that is measurably not deep-quiet right now " +
+            "(flagged_regime) — the reading should be compared against " +
+            "a deep-quiet window, not today's; re-run in one before " +
+            "reading these as regressions"
         else "sentinels steady — these are regression candidates, profile them"
       Console.err.println(
         s"[bench] GATE: ${flagged.size} queries with ALL reps > 1.5x baseline" +
           s" (${flaggedEnv.size} env-attributed by mid-pass probes, " +
+          s"${flaggedRegime.size} deep-quiet-calibration-attributed, " +
           s"${flaggedUnstable.size} unstable across passes): " +
           flagged.map { case (k, r) =>
+            val tag =
+              if (flaggedEnv.contains(k)) "x, env"
+              else if (flaggedRegime.contains(k)) "x, deep-quiet row"
+              else regimes.get(k).fold("x")(g => s"x, $g row")
             s"$k (" + String.format(java.util.Locale.ROOT, "%.2f",
-              Double.box(r)) + (if (flaggedEnv.contains(k)) "x, env" else "x") +
-              ")"
+              Double.box(r)) + tag + ")"
           }.mkString(", ") +
           s"; sentinel ${sentinelObs.map(fmt).mkString("->")}" +
           s"; sentinel_par ${parSentinelObs.map(fmt).mkString("->")}; $verdict")

@@ -9,8 +9,26 @@ import org.apache.spark.sql.SparkSession
   * validates.
   */
 object Sessions {
+  /** `SPARK_GRAFT_STATESTORE=rocksdb` swaps the streaming state-store
+    * provider for the whole session — the deployment-representative
+    * twin (SURVEY §4: state that outgrows executor heaps lives in
+    * RocksDB). An env switch here rather than a per-main flag so
+    * Verify, Bench, and the A/B tools all price/validate the SAME
+    * session recipe under either provider; Bench suffixes its
+    * artifact (`BENCH_LOCAL_rocksdb.json`) so a RocksDB pricing run
+    * can never clobber the HDFS-provider canonical.
+    */
+  private def stateStoreConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some(s) if s.equalsIgnoreCase("rocksdb") =>
+        Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))
+      case _ => Seq.empty
+    }
+
   def build(cpus: String, appName: String = "graft"): SparkSession = {
-    val spark = Tables.sessionConf.foldLeft(SparkSession.builder()
+    val spark = (Tables.sessionConf ++ stateStoreConf).foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cpus)

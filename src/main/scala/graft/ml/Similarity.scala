@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -261,9 +262,15 @@ object Similarity {
   def hybridRrf(embs: DataFrame, docs: DataFrame): DataFrame = {
     def contrib(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       coalesce(lit(1.0) / (lit(RrfK) + rank), lit(0.0))
-    val vec = topKBruteForce(embs)
+    // the dense and lexical rankers touch disjoint tables (embeddings
+    // vs documents) and each runs its own eager materialization —
+    // overlap the two builds (guide §2.6); the fusion below is lazy
+    val (vecRank, lexRank) = Par.run2(
+      () => topKBruteForce(embs),
+      () => TextAnalysis.tfidfTopK(docs))
+    val vec = vecRank
       .select(col("probe_id"), col("neighbor_id"), col("rk").as("vec_rk"))
-    val lex = TextAnalysis.tfidfTopK(docs)
+    val lex = lexRank
       .select(col("probe_id"), col("neighbor_id"), col("rk").as("lex_rk"))
     val fused = vec.join(lex, Seq("probe_id", "neighbor_id"), "full_outer")
       .withColumn("rrf_score",
@@ -915,7 +922,13 @@ object Similarity {
   def kmeansElbow(embs: DataFrame): DataFrame = {
     val spread = materialize(Vectors.spread(embs)
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("q")))
-    ElbowKs.map { k =>
+    // The 4 k-trainings are data-independent chains over ONE cached
+    // relation, but each chain runs ElbowIters eager materializations
+    // — serially that is 8 barrier jobs in a row. Overlapping the
+    // chains (guide §2.6, graft.Par) makes the sweep's wall the
+    // LONGEST chain instead of the sum; per-chain math (and thus the
+    // result) is unchanged (before/after numbers: OPTIMIZATION_r15.md).
+    Par.run[DataFrame](ElbowKs.map { k => () =>
       var asg = spread
         .withColumn("cell", col("vec_id") % k)
         .select(col("vec_id"), col("cell"), col("q"))
@@ -935,7 +948,7 @@ object Similarity {
           countDistinct(col("cell")).as("n_live_cells"),
           sum(col("dt")).as("total_dot"),
           (sum(col("dt")).cast("double") / count(lit(1))).as("avg_dot"))
-    }.reduce(_ unionByName _).orderBy(col("k"))
+    }).reduce(_ unionByName _).orderBy(col("k"))
   }
 
   /** IVF recall with the TRAINED coarse quantizer: the same
@@ -946,9 +959,13 @@ object Similarity {
     * training buys the index on this corpus.
     */
   def ivfTrainedRecall(embs: DataFrame, nProbe: Int = IvfNProbe): DataFrame = {
-    val qv = materialize(Vectors.quantized(embs))
-    recallAtK(topKOn(qv),
-      topKAnnIvfOn(qv, kmeansTrainedCells(embs), nProbe))
+    // the quantized-relation build and the k-means training loop (a
+    // 4-job materialize chain over its own spread relation) share no
+    // data dependency — overlap them (guide §2.6)
+    val (qv, trained) = Par.run2(
+      () => materialize(Vectors.quantized(embs)),
+      () => kmeansTrainedCells(embs))
+    recallAtK(topKOn(qv), topKAnnIvfOn(qv, trained, nProbe))
       .orderBy(col("probe_id"))
   }
 
@@ -1327,12 +1344,17 @@ object Similarity {
       embs: DataFrame, beam: Int, hops: Int): GraphWalk = {
     import org.apache.spark.sql.graft.ExpressionBridge.checkpointTruncated
     val qv = materialize(Vectors.quantized(embs))
-    val edges = knnEdges(embs, GraphSearchDegree)
-    val pcos = materialize(corpusSide(qv)
-      .join(broadcast(probeSide(qv)), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos_sim",
-        Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
-      .select(col("probe_id"), col("vec_id").as("node"), col("cos_sim")))
+    // the graph build (bucketed self-join + per-src top-k) and the
+    // probe-cosine scan share no data dependency — overlap their
+    // eager materializations (guide §2.6) instead of paying the two
+    // barrier chains back to back
+    val (edges, pcos) = Par.run2(
+      () => knnEdges(embs, GraphSearchDegree),
+      () => materialize(corpusSide(qv)
+        .join(broadcast(probeSide(qv)), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_sim",
+          Vectors.cosine(Vectors.dot(col("q_p"), col("q")), col("n2_p"), col("n2")))
+        .select(col("probe_id"), col("vec_id").as("node"), col("cos_sim"))))
     val entries = corpusSide(qv).filter(col("vec_id") >= NumProbes)
       .join(embs.select(col("vec_id"), col("label")), "vec_id")
       .groupBy(col("label")).agg(min(col("vec_id")).as("node"))
@@ -1454,9 +1476,32 @@ object Similarity {
     */
   def annFrontier(embs: DataFrame): DataFrame = {
     val lab = embs.select(col("vec_id"), col("label"))
-    val qv = materialize(Vectors.quantized(embs))
-    val exactK = materialize(
-      topKOn(qv).select(col("probe_id"), col("neighbor_id")))
+    // Phase 1 (guide §2.6): the three base relations every geometry
+    // hangs off — plain quantized, SRP-bucketed, PQ-normalized — are
+    // data-independent scans of the same parquet; materialize them
+    // concurrently instead of as three back-to-back barrier jobs.
+    val phase1 = Par.run[Any](Seq(
+      () => materialize(Vectors.quantized(embs)),
+      () => materialize(Vectors.quantizedWithBuckets(embs,
+        Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim)),
+      () => pqParts(embs, normalized = true)))
+    val qv = phase1(0).asInstanceOf[DataFrame]
+    val qvB = phase1(1).asInstanceOf[DataFrame]
+    val (flatN, compN, chosen) =
+      phase1(2).asInstanceOf[(DataFrame, DataFrame, DataFrame)]
+    // Phase 2: the per-geometry eager builds that consume phase 1's
+    // caches but not each other — the exact ranking, the IVF cell
+    // ranking, and the graph walk (its knnEdges/pcos builds reuse the
+    // cached qv/qvB plans) — again overlapped; each chain's own math
+    // is sequential and unchanged, so results are bit-identical.
+    val phase2 = Par.run[Any](Seq(
+      () => materialize(
+        topKOn(qv).select(col("probe_id"), col("neighbor_id"))),
+      () => materialize(ivfCellRanks(qv, lab)),
+      () => walkFrontiers(embs, GraphSearchBeam, GraphCurveHops.max)))
+    val exactK = phase2(0).asInstanceOf[DataFrame]
+    val cellRanks = phase2(1).asInstanceOf[DataFrame]
+    val walk = phase2(2).asInstanceOf[GraphWalk]
     val hitK = broadcast(exactK.withColumn("hit", lit(1L)))
     val nExact = exactK.agg(count(lit(1)).as("n_exact"))
 
@@ -1508,8 +1553,7 @@ object Similarity {
         (col("np") * (col("nc") - 1)).as("n_candidates"))
 
     // SRP-LSH: distinct bucket-mates (topKAnnLsh's candidate set)
-    val qvB = materialize(Vectors.quantizedWithBuckets(embs,
-      Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim))
+    // over the phase-1 bucketed relation
     val flatB = qvB.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val probeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
@@ -1548,8 +1592,7 @@ object Similarity {
     val eHam = row("hamming", 0L, hScored,
       Seq(col("hamming"), col("neighbor_id")))
 
-    // IVF: rank the cells ONCE, cut per nProbe of the curve
-    val cellRanks = materialize(ivfCellRanks(qv, lab))
+    // IVF: the cells were ranked ONCE in phase 2, cut per nProbe
     val ivfEntries = IvfCurveProbes.map { np =>
       val cands = cellRanks.filter(col("crk") <= np)
         .join(lab.toDF("vec_id", "label"), "label")
@@ -1558,8 +1601,8 @@ object Similarity {
       row("ivf", np.toLong, cosScored(cands), cosOrder)
     }
 
-    // PQ-ADC full code scan (topKAnnPq's scored relation)
-    val (flatN, compN, chosen) = pqParts(embs, normalized = true)
+    // PQ-ADC full code scan (topKAnnPq's scored relation, built in
+    // phase 1)
     val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
     val pflat = flatN.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
@@ -1577,9 +1620,8 @@ object Similarity {
     // hop's beam, cost from the visited-so-far set (entry vertices +
     // every frontier expansion through hop h that reached the cosine
     // relation) — the walk snapshots are already materialized, so
-    // the sweep reads prefixes of ONE traversal, mirroring the IVF
-    // nProbe sweep.
-    val walk = walkFrontiers(embs, GraphSearchBeam, GraphCurveHops.max)
+    // the sweep reads prefixes of ONE traversal (phase 2's walk),
+    // mirroring the IVF nProbe sweep.
     val pcKeys = walk.pcos.select(col("probe_id"), col("node"))
     // visited-so-far accumulates ONCE across hops (each prefix
     // extends the previous union — the graph twin of "rank the

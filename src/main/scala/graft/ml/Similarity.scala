@@ -1532,16 +1532,6 @@ object Similarity {
           col("n_matched"), col("n_exact"), col("n_candidates"))
     }
 
-    val cosOrder = Seq(col("cos_sim").desc, col("neighbor_id"))
-    def cosScored(cands: DataFrame): DataFrame = cands
-      .join(corpusSide(qv), "vec_id")
-      .join(broadcast(probeSide(qv)), "probe_id")
-      .withColumn("cos_sim",
-        Vectors.cosine(Vectors.dot(col("q_p"), col("q")),
-          col("n2_p"), col("n2")))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("cos_sim"))
-
     // exact: matched = exact by construction; the scan size has the
     // closed form |probes with direction| · (|corpus with direction|
     // − 1) — no second probes×corpus pass just to count it
@@ -1563,7 +1553,6 @@ object Similarity {
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    val eLsh = row("lsh", 0L, cosScored(lshCands), cosOrder)
 
     // multi-probe LSH: the Hamming-1 variant fan-out rides the same
     // broadcast probe relation; candidates a strict superset of lsh's
@@ -1574,7 +1563,6 @@ object Similarity {
         col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    val eMp = row("lsh_multiprobe", 0L, cosScored(mpCands), cosOrder)
 
     // binary Hamming: the full popcount scan — exact's candidate
     // count at 1-bit precision, the ladder's cheapest scorer
@@ -1592,14 +1580,66 @@ object Similarity {
     val eHam = row("hamming", 0L, hScored,
       Seq(col("hamming"), col("neighbor_id")))
 
-    // IVF: the cells were ranked ONCE in phase 2, cut per nProbe
-    val ivfEntries = IvfCurveProbes.map { np =>
-      val cands = cellRanks.filter(col("crk") <= np)
-        .join(lab.toDF("vec_id", "label"), "label")
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"))
-      row("ivf", np.toLong, cosScored(cands), cosOrder)
-    }
+    // IVF candidates: the cells were ranked ONCE in phase 2, cut per
+    // nProbe of the curve
+    def ivfCands(np: Int): DataFrame = cellRanks.filter(col("crk") <= np)
+      .join(lab.toDF("vec_id", "label"), "label")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+
+    // ONE cosine-scored pass for every candidate-set geometry (lsh,
+    // multiprobe, the IVF nProbe sweep): the six branches used to run
+    // six separate scan→join→window→aggregate pipelines over the same
+    // cached relations — six windows, six probe-side broadcasts, six
+    // 1-row count subtrees (~8 AQE stage-jobs each). Tagging each
+    // candidate set with its (method, param) and running ONE
+    // join+window+aggregate keyed by (method, param, probe_id) shares
+    // the exchange across geometries (guide §2.4) — per-geometry rows
+    // are identical because method/param ride every key. The rk <=
+    // TopK filter still sits AT the window, so the partial
+    // WindowGroupLimit prunes below the exchange exactly as before.
+    // The left join from the literal (method, param) frame preserves
+    // the old per-branch aggregate semantics for an empty geometry
+    // (n_matched = n_candidates = 0) instead of dropping its row.
+    def tagged(m: String, p: Long, cands: DataFrame): DataFrame =
+      cands.select(lit(m).as("method"), lit(p).as("param"),
+        col("probe_id"), col("vec_id"))
+    val cosCands =
+      (Seq(tagged("lsh", 0L, lshCands),
+        tagged("lsh_multiprobe", 0L, mpCands)) ++
+        IvfCurveProbes.map(np => tagged("ivf", np.toLong, ivfCands(np))))
+        .reduce(_ unionByName _)
+    val cosScoredAll = cosCands
+      .join(corpusSide(qv), "vec_id")
+      .join(broadcast(probeSide(qv)), "probe_id")
+      .withColumn("cos_sim",
+        Vectors.cosine(Vectors.dot(col("q_p"), col("q")),
+          col("n2_p"), col("n2")))
+      .select(col("method"), col("param"), col("probe_id"),
+        col("vec_id").as("neighbor_id"), col("cos_sim"))
+    val cosTop = cosScoredAll
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("method"), col("param"), col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= TopK)
+    val cosMatched = cosTop
+      .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("param"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nm"))
+    val cosCounts = cosScoredAll.groupBy(col("method"), col("param"))
+      .agg(count(lit(1)).as("ncand"))
+    val spark0 = embs.sparkSession
+    import spark0.implicits._
+    val cosFrame = (Seq(("lsh", 0L), ("lsh_multiprobe", 0L)) ++
+      IvfCurveProbes.map(np => ("ivf", np.toLong)))
+      .toDF("method", "param")
+    val cosRows = cosFrame
+      .join(cosMatched, Seq("method", "param"), "left")
+      .join(cosCounts, Seq("method", "param"), "left")
+      .crossJoin(nExact)
+      .select(col("method"), col("param"),
+        coalesce(col("nm"), lit(0L)).as("n_matched"), col("n_exact"),
+        coalesce(col("ncand"), lit(0L)).as("n_candidates"))
 
     // PQ-ADC full code scan (topKAnnPq's scored relation, built in
     // phase 1)
@@ -1635,23 +1675,36 @@ object Similarity {
           .select(col("probe_id"), col("dst").as("node")))
           .union(prev)
       }
-    def gVisited(hops: Int): DataFrame =
-      visitedAt(hops).distinct().join(pcKeys, Seq("probe_id", "node"))
-    val graphEntries = GraphCurveHops.map { h =>
-      walk.snapshots(h)
-        .select(col("probe_id"), col("node").as("neighbor_id"))
-        .join(hitK, Seq("probe_id", "neighbor_id"), "left")
-        .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
-          lit(0L)).as("n_matched"))
-        .crossJoin(gVisited(h).agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(nExact)
-        .select(lit("graph").as("method"), lit(h.toLong).as("param"),
-          col("n_matched"), col("n_exact"), col("n_candidates"))
-    }
+    // the three hop points merge into ONE tagged recall pass and ONE
+    // tagged visited-count pass (same §2.4 shared-exchange move as the
+    // cosine geometries; the per-hop distinct stays per-hop because
+    // `param` rides the distinct key)
+    val hopTagged = GraphCurveHops.map { h =>
+      walk.snapshots(h).select(lit(h.toLong).as("param"),
+        col("probe_id"), col("node").as("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val gMatched = hopTagged
+      .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("param"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nm"))
+    val visTagged = GraphCurveHops.map { h =>
+      visitedAt(h).select(lit(h.toLong).as("param"),
+        col("probe_id"), col("node"))
+    }.reduce(_ unionByName _)
+    val gCounts = visTagged.distinct()
+      .join(pcKeys, Seq("probe_id", "node"))
+      .groupBy(col("param")).agg(count(lit(1)).as("ncand"))
+    val gFrame = GraphCurveHops.map(_.toLong).toDF("param")
+    val graphRows = gFrame
+      .join(gMatched, Seq("param"), "left")
+      .join(gCounts, Seq("param"), "left")
+      .crossJoin(nExact)
+      .select(lit("graph").as("method"), col("param"),
+        coalesce(col("nm"), lit(0L)).as("n_matched"), col("n_exact"),
+        coalesce(col("ncand"), lit(0L)).as("n_candidates"))
 
     val allC = materialize(
-      (Seq(eExact, eLsh, eMp) ++ ivfEntries ++ Seq(ePq, eHam) ++
-        graphEntries)
+      Seq(eExact, cosRows, ePq, eHam, graphRows)
         .reduce(_ unionByName _))
     val others = allC.select(col("method").as("m2"), col("param").as("p2"),
       col("n_matched").as("nm2"), col("n_candidates").as("nc2"))

@@ -43,7 +43,14 @@ object Tables {
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
-    "spark.sql.files.maxPartitionBytes" -> String.valueOf(16 << 20))
+    "spark.sql.files.maxPartitionBytes" -> String.valueOf(16 << 20)) ++
+    // A/B switch (optimization-guide §3.1/§9): preferSortMergeJoin
+    // false lets the planner pick shuffled-hash join when its size
+    // conditions hold (skips both sort passes; build side must fit a
+    // partition's execution memory). Off by default pending the
+    // measured verdict — see OPTIMIZATION_r15.md.
+    sys.env.get("SPARK_GRAFT_PREFER_SHJ").filter(_ == "1")
+      .map(_ => "spark.sql.join.preferSortMergeJoin" -> "false").toMap
 
   /** Normalize the events `ts` column — parquet TIMESTAMP(NANOS) —
     * to a session-zoned TimestampType, whatever shape the runtime's

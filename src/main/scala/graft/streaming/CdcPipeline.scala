@@ -281,17 +281,19 @@ object CdcPipeline {
       .select(col("shard"), col("ts"), col("event_id"))
       .as[(Long, Timestamp, Long)]
     val states = frontierStream(sharded)
-    val sink = drainToLocal(spark, states, OutputMode.Update)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("n_records").desc)
-    sink.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-      .select(col("shard"), col("n_records"), col("n_acked"),
-        col("frontier_seq"), col("frontier_ts"), col("frontier_event_id"),
-        col("first_gap_seq"),
-        (col("n_acked") - col("frontier_seq")).as("n_beyond_frontier"),
-        (col("n_records") - col("frontier_seq")).as("n_redelivered"))
-      .orderBy(col("shard"))
+    drainToLocal(spark, states, OutputMode.Update) { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("n_records").desc)
+      sink.withColumn("_rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .select(col("shard"), col("n_records"), col("n_acked"),
+          col("frontier_seq"), col("frontier_ts"), col("frontier_event_id"),
+          col("first_gap_seq"),
+          (col("n_acked") - col("frontier_seq")).as("n_beyond_frontier"),
+          (col("n_records") - col("frontier_seq")).as("n_redelivered"))
+        .orderBy(col("shard"))
+    }
   }
 
   /** Driver-checked roundtrip for [[scd2Stream]]: file-stream source
@@ -310,8 +312,8 @@ object CdcPipeline {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     val versions = scd2Stream(annotate(raw.filter(col("ts").isNotNull)))
-    drainToLocal(spark, versions, OutputMode.Append)
-      .orderBy(col("user_id"), col("version"))
+    drainFilesSummarized(spark, versions)(
+      _.orderBy(col("user_id"), col("version")))
   }
 
   /** Run `body` with spark.sql.shuffle.partitions transiently set to
@@ -397,25 +399,73 @@ object CdcPipeline {
     math.max(floor, math.min(cap, (bytes / (8L << 20)).toInt))
 
   /** Run a streaming relation to completion into a transient memory
-    * sink and copy the result out as a LOCAL DataFrame (the bench
-    * drops caches between queries, which would empty the sink view
-    * under a later consumer). Shared by the windowed/session/SCD2
-    * roundtrips.
+    * sink, apply `summarize` to the sink table ENGINE-SIDE, and copy
+    * only ITS rows out as a LOCAL DataFrame (the bench drops caches
+    * between queries, which would empty the sink view under a later
+    * consumer). Shared by the windowed/session/SCD2 roundtrips.
+    *
+    * The summarize-before-collect order is the scale contract
+    * (guide §5 "the driver should do almost no data work"): the raw
+    * drained relation grows with the feed (an sf10 rehearsal's
+    * interval-join pairs serialized past spark.driver.maxResultSize
+    * and killed the query), while every caller's summary is bounded
+    * (|groups| / |users| / the declared result). Collecting the
+    * summary instead of the raw sink computes the identical rows —
+    * the summary ran in Spark either way, only the collect boundary
+    * moves below it.
     */
   private def drainToLocal(
       spark: SparkSession,
       ds: org.apache.spark.sql.Dataset[_],
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode)(
+      summarize: DataFrame => DataFrame = identity): DataFrame = {
     val name = s"graft_sink_${System.nanoTime}"
     val q = ds.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    val t = spark.table(name)
+    val t = summarize(spark.table(name))
     val rows = t.collect()
     val out = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), t.schema)
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /** Append-mode drain for streams whose RAW output grows with the
+    * feed (interval-join pairs, per-session rows): the memory sink is
+    * unusable there — it collects every micro-batch to the DRIVER, so
+    * the sf10 rehearsal's attribution pairs (>1 GiB serialized) blew
+    * spark.driver.maxResultSize before any summary ran. Stream to a
+    * transient PARQUET sink instead (guide §5 "don't collect; write
+    * out and read back"), summarize the read-back relation
+    * engine-side, and collect only the bounded summary. Same rows:
+    * the file sink's _spark_metadata commits exactly the epochs the
+    * memory sink would have held. Memory-sink drain stays for
+    * Update/Complete streams (file sinks are append-only), whose
+    * relations are state-bounded aggregates, not feed-sized.
+    */
+  private def drainFilesSummarized(
+      spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[_])(
+      summarize: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain")
+    val out = dir.resolve("out").toString
+    val chk = dir.resolve("chk").toString
+    try {
+      val q = ds.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      // explicit schema: a zero-row drain leaves no data file to
+      // infer from, and the summary must still type-check.
+      // localCheckpoint (not collect + local relation): the summary
+      // materializes into EXECUTOR blocks, so a data-sized summary
+      // (the SCD2 closed history IS the declared result) never
+      // crosses the driver, while staying independent of the temp
+      // dir (deleted below) and of the bench's cache clears.
+      val t = summarize(spark.read.schema(ds.toDF().schema).parquet(out))
+      t.localCheckpoint()
+    } finally removeRecursively(dir)
   }
 
   /** Watermark delay derived from the ordering audit
@@ -1043,8 +1093,8 @@ object CdcPipeline {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     val agg = windowedStatsStream(annotate(raw))
-    drainToLocal(spark, agg, OutputMode.Complete)
-      .orderBy(col("window_start"), col("op"))
+    drainToLocal(spark, agg, OutputMode.Complete)(
+      _.orderBy(col("window_start"), col("op")))
   }
 
   /** Session-window aggregation THROUGH the streaming engine, over
@@ -1093,13 +1143,13 @@ object CdcPipeline {
           .parquet(stage.toString))
       val sessions = sessionizeStream(
         annotate(raw.filter(col("ts").isNotNull)), gap, delay)
-      drainToLocal(spark, sessions, OutputMode.Append)
-        .filter(col("user_id") =!= SentinelUser)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"),
-          max(col("n_events")).as("max_session_events"))
-        .orderBy(col("user_id"))
+      drainFilesSummarized(spark, sessions)(
+        _.filter(col("user_id") =!= SentinelUser)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy(col("user_id")))
     } finally removeRecursively(stage)
   }
 
@@ -1154,13 +1204,13 @@ object CdcPipeline {
         col("user_id") === col("p_user") &&
           col("touch_ts") >= col("purchase_ts") - expr(s"interval $lookback") &&
           col("touch_ts") < col("purchase_ts"))
-      drainToLocal(spark, joined, OutputMode.Append)
-        .filter(col("user_id") =!= SentinelUser)
-        .groupBy(col("touch_type"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("purchase_id")).as("n_purchases"),
-          countDistinct(col("touch_id")).as("n_touches"))
-        .orderBy(col("touch_type"))
+      drainFilesSummarized(spark, joined)(
+        _.filter(col("user_id") =!= SentinelUser)
+          .groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("purchase_id")).as("n_purchases"),
+            countDistinct(col("touch_id")).as("n_touches"))
+          .orderBy(col("touch_type")))
     } finally removeRecursively(stage)
   }
 
@@ -1223,13 +1273,13 @@ object CdcPipeline {
           col("touch_ts") >= col("purchase_ts") - expr(s"interval $lookback") &&
           col("touch_ts") < col("purchase_ts"),
         "leftOuter")
-      drainToLocal(spark, joined, OutputMode.Append)
-        .filter(col("p_user") =!= SentinelUser)
-        .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("purchase_id")).as("n_purchases"),
-          countDistinct(col("touch_id")).as("n_touches"))
-        .orderBy(col("touch_type"))
+      drainFilesSummarized(spark, joined)(
+        _.filter(col("p_user") =!= SentinelUser)
+          .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("purchase_id")).as("n_purchases"),
+            countDistinct(col("touch_id")).as("n_touches"))
+          .orderBy(col("touch_type")))
     } finally removeRecursively(stage)
   }
 
@@ -1286,9 +1336,9 @@ object CdcPipeline {
         .flatMapGroupsWithState(
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
           quietUpdate(quietMicros))
-      drainToLocal(spark, verdicts, OutputMode.Append)
-        .filter(col("user_id") =!= SentinelUser)
-        .orderBy(col("user_id"))
+      drainFilesSummarized(spark, verdicts)(
+        _.filter(col("user_id") =!= SentinelUser)
+          .orderBy(col("user_id")))
     } finally removeRecursively(stage)
   }
 

@@ -1053,24 +1053,16 @@ object CdcPipeline {
       .withWatermark("ts", "35 days")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("table_name"), col("event_id"), col("value"))
-    val name = s"graft_dedup_${System.nanoTime}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
-    // reduce INSIDE the sink view, then copy only the |tables|-row
-    // aggregate out of it (the transient view dies with the session
-    // cache; collecting the raw deduped feed would drag the whole
-    // stream through the driver)
-    val agg = spark.table(name)
-      .groupBy(col("table_name"))
-      .agg(count(lit(1)).as("n_unique"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("sum_value"))
-    val rows = agg.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), agg.schema)
-    spark.catalog.dropTempView(name)
-    out.orderBy(col("table_name"))
+    // file-sink drain: the deduped relation is the whole feed — a
+    // memory sink would collect it to the driver batch by batch (the
+    // sf10 rehearsal's scale wall); the parquet drain keeps it on
+    // executors and only the |tables|-row aggregate comes back
+    drainFilesSummarized(spark, deduped)(
+      _.groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("table_name")))
   }
 
   /** Driver-checkable run of [[windowedStatsStream]] over the real

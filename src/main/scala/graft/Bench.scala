@@ -348,16 +348,86 @@ object Bench {
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Two lines: full per-rep detail first, then the compact headline
-    // line LAST. The harness that collects this output keeps only the
-    // final ~2000 characters, so the headline line is kept short
-    // (3-decimal values, no per-rep detail) and printed last so it
-    // survives truncation intact and machine-parseable. If the query
-    // surface ever grows the headline past the safety budget (the
-    // window also has to fit sbt's trailing "[success]" line), fall
-    // back to appending a total-only line that is guaranteed to fit.
-    val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}"""
+    // FINAL LINE (r16 reporting fix — measurement bug, not a number
+    // change): rounds 6–15 tiered the final line down to a positional
+    // integer-ms array ("queries":{} + qms) whenever the named map
+    // outgrew a ~1800-char budget sized for the artifact's retained
+    // 2000-char stdout tail. But the driver parses the FINAL LINE for
+    // its per-query round-over-round comparison, so PERF came back
+    // per_query:{} / geomean:null two rounds running — the tail budget
+    // matters only for a human reading the stored tail, never for the
+    // parser. The final line now ALWAYS carries the full named seconds
+    // map (the documented contract: "queries":{"name": sec}) plus the
+    // self-describing fields the tiered variant proved out:
+    //  - "qsha" pins WHICH registry the run covered;
+    //  - "qms" keeps the positional integer-ms array (full runs only),
+    //    so a qsha-matched comparison against the r14/r15 positional
+    //    artifacts stays possible without this checkout;
+    //  - "flagged_n"/"flagged_env_n"/"flagged_top" keep the gate
+    //    verdict machine-readable even if stderr is truncated.
+    // "queries" and "sf" stay the LAST keys so the stored 2000-char
+    // tail still ends with named per-query data a human can read.
+    val sortedResults = results.toSeq.sortBy(_._1)
+    val qsha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sortedResults.map(_._1).mkString("\n").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    // Persist the digest→name-list table that decodes the r14/r15
+    // POSITIONAL artifacts (and this line's qms): the list is
+    // versioned in the repo keyed by qsha; tools/bench_names.py
+    // resolves names from it without a JVM. Full runs only (a
+    // subset's positions are not the registry). Repo root resolved
+    // explicitly (-Dgraft.repo.root, else walk up from the compiled
+    // classes to the first ancestor holding tools/, else a CWD that
+    // holds tools/) — r14 advice; failures print ONE stderr line.
+    if (only.isEmpty) {
+      val root = sys.props.get("graft.repo.root")
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          try {
+            val loc = java.nio.file.Paths.get(Bench.getClass
+              .getProtectionDomain.getCodeSource.getLocation.toURI)
+            Iterator.iterate(loc)(_.getParent).takeWhile(_ != null)
+              .take(8)
+              .find(p => java.nio.file.Files.isDirectory(p.resolve("tools")))
+          } catch { case _: Throwable => None }
+        }
+        .orElse(Some(java.nio.file.Paths.get("."))
+          .filter(p => java.nio.file.Files.isDirectory(p.resolve("tools"))))
+      root match {
+        case Some(r) =>
+          try {
+            val dir = r.resolve("tools").resolve("qnames")
+            java.nio.file.Files.createDirectories(dir)
+            val f = dir.resolve(s"$qsha.txt")
+            if (!java.nio.file.Files.exists(f))
+              java.nio.file.Files.write(
+                f, (sortedResults.map(_._1).mkString("\n") + "\n")
+                  .getBytes("UTF-8"))
+          } catch {
+            case e: Throwable => Console.err.println(
+              s"[bench] qnames table write skipped (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}); decoding $qsha needs the benched checkout")
+          }
+        case None => Console.err.println(
+          s"[bench] no repo root found (set -Dgraft.repo.root); qnames " +
+            s"table for $qsha not written — decoding needs the benched checkout")
+      }
+    }
+    def fmt2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // worst gate hits BY NAME, bounded so the field stays tail-sized
+    val flaggedTopJson = flagged.toSeq.sortBy(-_._2).take(14)
+      .map { case (k, r) => s"\"" + k + "\":" + fmt2(r) }
+      .mkString("{", ",", "}")
+    // "qn" = how many queries qms covers; under --only the positions
+    // do NOT align with the full sorted registry, so qms is omitted.
+    val qmsJson =
+      if (only.isEmpty)
+        sortedResults.map { case (_, v) => math.round(v * 1000).toString }
+          .mkString("[", ",", "]")
+      else "[]"
+    val finalLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qorder":"name","qn":${results.size},"qsha":"$qsha","flagged_n":${flagged.size},"flagged_env_n":${flaggedEnv.size},"flagged_top":$flaggedTopJson,"qms":$qmsJson,"queries":$qsJson,"sf":"$sfDir"}"""
     val probesJson = probeObs.map { case (o, s) =>
       s"[${fmt(o)},${fmt(s)}]"
     }.mkString("[", ",", "]")
@@ -378,10 +448,9 @@ object Bench {
         s"[bench] ERRORS: ${errors.size} queries THREW (their times are " +
           "setup cost, not execution — the run is not comparable): " +
           errors.map { case (k, m) => s"$k ($m)" }.mkString("; "))
-    // The retained-stdout tail (~2000 chars) can no longer hold a
-    // 100+-query headline at ANY precision, so the full per-query
-    // numbers are also persisted as a repo artifact — stdout
-    // truncation can cost the per-query map but never the data.
+    // The full per-rep detail + final line are also persisted as a
+    // repo artifact — stdout truncation can cost the stored tail a
+    // human reads but never the data.
     // BENCH_LOCAL.json is the CANONICAL artifact (full surface at the
     // driver's sf0.1); --only probes persist nothing (stdout has it)
     // and other SF dirs get their own file, so a subset probe or an
@@ -400,7 +469,7 @@ object Bench {
     artifact.foreach { path =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
-        (detailLine + "\n" + headline + "\n").getBytes("UTF-8"))
+        (detailLine + "\n" + finalLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // read-only CWD: stdout still has it
     }
     if (flagged.nonEmpty) {
@@ -439,121 +508,7 @@ object Bench {
           s"; sentinel ${sentinelObs.map(fmt).mkString("->")}" +
           s"; sentinel_par ${parSentinelObs.map(fmt).mkString("->")}; $verdict")
     }
-    if (headline.length <= 1800) println(headline)
-    else {
-      // Middle tier before surrendering the per-query map: 2-decimal
-      // values shave ~1 char/query, usually enough to refit the
-      // growing surface inside the retained-tail window.
-      def fmt2(d: Double): String =
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-      val qs2 = results.map { case (k, v) => s"\"" + k + "\":" + fmt2(v) }
-        .mkString("{", ",", "}")
-      val headline2 =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}"""
-      if (headline2.length <= 1900) {
-        Console.err.println(
-          s"[bench] headline is ${headline.length} chars (>1800 budget); " +
-            "emitting the 2-decimal variant as the final line")
-        println(headline2)
-      } else {
-        // Last tier: the named map cannot fit at any precision, but
-        // the driver's artifact must still carry per-query numbers —
-        // emit integer-millisecond values as a positional array in
-        // LEXICOGRAPHIC query-name order ("qorder":"name"). The name
-        // list is recoverable from SparkEntry.queries (sorted), so a
-        // reader rebuilds the map without BENCH_LOCAL.json; at ~5
-        // chars per query the array holds ~300 queries inside the
-        // retained-tail window where the named map burst it.
-        // Self-description inside the ~2000-char retained tail (the
-        // full 300-name list is ~6000 chars — it can never fit, so):
-        //  - "qsha": first 8 bytes of sha256 over the sorted name
-        //    list joined by '\n' — pins WHICH registry the positions
-        //    map to, so a reader aligning qms against a repo checkout
-        //    can verify the alignment instead of assuming it
-        //    (tools/bench_names.py recomputes it);
-        //  - "flagged_n" + "flagged_top": the worst >1.5x gate hits
-        //    BY NAME, as many as fit the budget — the per-query fact
-        //    a judge actually needs from the tail survives even if
-        //    the stderr gate line is truncated away.
-        Console.err.println(
-          s"[bench] headline is ${headline.length} chars (>1800 budget); " +
-            "emitting the positional integer-ms variant as the final line")
-        println(headline)
-        val qms = results.toSeq.sortBy(_._1)
-          .map { case (_, v) => math.round(v * 1000).toString }
-          .mkString("[", ",", "]")
-        val sortedNames = results.toSeq.sortBy(_._1).map(_._1)
-        val qsha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(sortedNames.mkString("\n").getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
-        // Persist the digest→name-list table the positional qms needs
-        // for decoding: the ~2000-char retained tail can never carry
-        // 300 names (sorted list ~5.6 KB raw, ~2.7 KB deflated+b64 —
-        // measured r14), so the list is versioned in the repo keyed by
-        // the qsha the tail DOES carry. tools/bench_names.py resolves
-        // names from this table — any checkout that has the table
-        // decodes any artifact, current or historical, without a JVM.
-        // Full runs only (a subset's positions are not the registry).
-        if (only.isEmpty) {
-          // Resolve the repo root EXPLICITLY (-Dgraft.repo.root, else
-          // walk up from the compiled-classes location to the first
-          // ancestor holding tools/, else a CWD that holds tools/) —
-          // a bench launched from outside the repo root used to
-          // silently drop the digest→names table into a stray
-          // ./tools, defeating artifact decoding with no signal
-          // (r14 advice). Failures print ONE stderr line.
-          val root = sys.props.get("graft.repo.root")
-            .map(java.nio.file.Paths.get(_))
-            .orElse {
-              try {
-                val loc = java.nio.file.Paths.get(Bench.getClass
-                  .getProtectionDomain.getCodeSource.getLocation.toURI)
-                Iterator.iterate(loc)(_.getParent).takeWhile(_ != null)
-                  .take(8)
-                  .find(p => java.nio.file.Files.isDirectory(p.resolve("tools")))
-              } catch { case _: Throwable => None }
-            }
-            .orElse(Some(java.nio.file.Paths.get("."))
-              .filter(p => java.nio.file.Files.isDirectory(p.resolve("tools"))))
-          root match {
-            case Some(r) =>
-              try {
-                val dir = r.resolve("tools").resolve("qnames")
-                java.nio.file.Files.createDirectories(dir)
-                val f = dir.resolve(s"$qsha.txt")
-                if (!java.nio.file.Files.exists(f))
-                  java.nio.file.Files.write(
-                    f, (sortedNames.mkString("\n") + "\n").getBytes("UTF-8"))
-              } catch {
-                case e: Throwable => Console.err.println(
-                  s"[bench] qnames table write skipped (${e.getClass.getSimpleName}: " +
-                    s"${e.getMessage}); decoding $qsha needs the benched checkout")
-              }
-            case None => Console.err.println(
-              s"[bench] no repo root found (set -Dgraft.repo.root); qnames " +
-                s"table for $qsha not written — decoding needs the benched checkout")
-          }
-        }
-        val flaggedDesc = flagged.toSeq.sortBy(-_._2)
-        // "qn" = how many queries the array actually covers. Under
-        // --only (or any partial run) the positions do NOT align with
-        // the full sorted registry — a reader must check qn against
-        // the registry size before reconstructing names positionally.
-        def tier3(nFlags: Int): String = {
-          val fl = flaggedDesc.take(nFlags).map { case (k, r) =>
-            s"\"" + k + "\":" + fmt2(r)
-          }.mkString("{", ",", "}")
-          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qorder":"name","qn":${results.size},"qsha":"$qsha","flagged_n":${flagged.size},"flagged_env_n":${flaggedEnv.size},"flagged_top":$fl,"qms":$qms,"sf":"$sfDir"}"""
-        }
-        val headline3 = (flaggedDesc.size to 0 by -1)
-          .map(tier3).find(_.length <= 1850)
-        headline3 match {
-          case Some(h3) => println(h3)
-          case None => println(
-            s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"qsha":"$qsha","sf":"$sfDir"}""")
-        }
-      }
-    }
+    println(finalLine)
     spark.stop()
   }
 }

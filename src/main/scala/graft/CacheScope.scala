@@ -33,6 +33,23 @@ object CacheScope {
     ds
   }
 
+  private val releaseHooks =
+    scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register an arbitrary cleanup to run at the next [[releaseAll]]
+    * — for storage `Dataset.unpersist` cannot free (a localCheckpoint-
+    * backed result's executor blocks, which otherwise linger until the
+    * RDD is GC'd and the ContextCleaner runs). Hooks run AFTER the
+    * registered datasets unpersist; a hook that kills its relation
+    * outright (checkpoint blocks are unrecomputable — the lineage was
+    * truncated) is safe here because releaseAll is the query-over
+    * boundary: the harness has fully consumed the result by contract.
+    */
+  def registerReleaseHook(h: () => Unit): Unit = synchronized {
+    releaseHooks += h
+    ()
+  }
+
   /** Unpersist (non-blocking) everything registered since the last
     * release. Safe to call when nothing is registered. Also clears
     * [[memoize]]'s table: a memoized verdict is derived from a
@@ -47,6 +64,10 @@ object CacheScope {
       catch { case _: Throwable => () }
     }
     active.clear()
+    releaseHooks.foreach { h =>
+      try h() catch { case _: Throwable => () }
+    }
+    releaseHooks.clear()
     // the epoch bump is what invalidates memo entries (see memoize:
     // an in-flight compute can still insert AFTER this clear, but it
     // carries its compute-start epoch and is ignored on read); the

@@ -20,10 +20,24 @@ object JobAudit {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-jobaudit")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // count jobs BY JOB GROUP, not by a raw global counter: the
+    // listener bus posts asynchronously, so a fixed post-count sleep
+    // only bounds the lag heuristically and a saturated bus could
+    // attribute a job to the wrong query. Each query runs under its
+    // own group id (inherited by Par threads — they are spawned after
+    // setJobGroup from the tagged thread), and the count is read
+    // after it goes STABLE rather than after a fixed delay.
+    val jobs = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val g = Option(s.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        g.foreach(id => jobs
+          .computeIfAbsent(id,
+            _ => new java.util.concurrent.atomic.AtomicInteger(0))
+          .incrementAndGet())
+        ()
       }
     })
     // warm-up (session/codegen), mirroring Bench
@@ -31,15 +45,20 @@ object JobAudit {
     names.foreach { n =>
       CacheScope.releaseAll()
       spark.catalog.clearCache()
-      jobs.set(0)
+      val group = s"jobaudit-$n"
+      spark.sparkContext.setJobGroup(group, n)
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).count()
+      try SparkEntry.queries(n)(spark, dir).count()
+      finally spark.sparkContext.clearJobGroup()
       val ms = (System.nanoTime() - t0) / 1e6
-      // listener events are async; give the bus a moment to drain
-      // (job STARTS for jobs belonging to this query have all fired
-      // by the time count() returns; 50 ms bounds the posting lag)
-      Thread.sleep(50)
-      println(f"JOBAUDIT $n%-40s ${ms}%9.1f ms ${jobs.get()}%4d jobs")
+      def cnt(): Int =
+        Option(jobs.get(group)).map(_.get()).getOrElse(0)
+      var last = -1
+      var waited = 0
+      while (cnt() != last && waited < 1000) {
+        last = cnt(); Thread.sleep(20); waited += 20
+      }
+      println(f"JOBAUDIT $n%-40s ${ms}%9.1f ms ${cnt()}%4d jobs")
     }
     spark.stop()
   }

@@ -28,6 +28,19 @@ package graft
   *  - A fresh pool per call (sized to the thunk count, which callers
   *    keep small and bounded) cannot deadlock on nested [[run]] the
   *    way a shared bounded pool could.
+  *  - Thunks MUST NOT mutate session-level SQL conf (e.g. the
+  *    transient shuffle-partitions pattern some streaming setup code
+  *    uses): the session is shared, so a conf write in one thunk
+  *    races every sibling's planning. Pass per-relation sizing
+  *    through the plan (repartition/hints), never through the conf,
+  *    inside a thunk.
+  *  - Job-scoped properties (setJobDescription/setJobGroup) are
+  *    InheritableThreadLocals captured when the pool thread is
+  *    CREATED. Pool threads here are spawned at submit time from the
+  *    calling thread, so they inherit its properties; a pool that
+  *    pre-warmed or reused threads across calls would break that
+  *    assumption (labels would leak between callers) — keep the
+  *    pool-per-call design.
   *
   * Failures: the FIRST failing thunk's cause is rethrown unchanged
   * (unwrapped from ExecutionException) after every thunk settles, so

@@ -1465,11 +1465,11 @@ object Similarity {
     * bounded construction (broadcast probes, bucket/cell equi-joins,
     * materialized walk snapshots) — nothing new shuffles; the
     * corpus-sized scored relations (hamming, PQ) are deliberately NOT
-    * cached — each is consumed by one WindowGroupLimit-pruned top-k
+    * cached — each feeds the ONE shared WindowGroupLimit-pruned top-k
     * pass (the rk <= TopK filter sits AT the window, so ≤k rows per
-    * (probe, input partition) cross the exchange — no probe's
-    * corpus-sized candidate set ever lands on one task) and one
-    * windowless map-side count, both recomputed from the
+    * ((method, param, probe), input partition) cross the exchange —
+    * no probe's corpus-sized candidate set ever lands on one task)
+    * and the ONE shared map-side count, both recomputed from the
     * already-cached quantized relation rather than pinning
     * probes×corpus rows in memory. The frontier itself is a ≤7-row
     * relation; its dominance join is trivial.
@@ -1484,16 +1484,25 @@ object Similarity {
       () => materialize(Vectors.quantized(embs)),
       () => materialize(Vectors.quantizedWithBuckets(embs,
         Dedup.EmbBands, Dedup.EmbRowsPerBand, Dedup.EmbDim)),
-      () => pqParts(embs, normalized = true)))
+      () => pqParts(embs, normalized = true, withProbeLut = true)))
     val qv = phase1(0).asInstanceOf[DataFrame]
     val qvB = phase1(1).asInstanceOf[DataFrame]
-    val (flatN, compN, chosen) =
-      phase1(2).asInstanceOf[(DataFrame, DataFrame, DataFrame)]
-    // Phase 2: the per-geometry eager builds that consume phase 1's
-    // caches but not each other — the exact ranking, the IVF cell
-    // ranking, and the graph walk (its knnEdges/pcos builds reuse the
-    // cached qv/qvB plans) — again overlapped; each chain's own math
-    // is sequential and unchanged, so results are bit-identical.
+    val (_, _, chosen, pqLutOpt) = phase1(2)
+      .asInstanceOf[(DataFrame, DataFrame, DataFrame, Option[DataFrame])]
+    val spark0 = embs.sparkSession
+    import spark0.implicits._
+
+    // Phase 2 (unchanged from r15): the per-geometry eager builds
+    // that consume phase 1's caches but not each other — the exact
+    // ranking, the IVF cell ranking, and the graph walk — overlap
+    // (§2.6). An r16 experiment additionally materialized the whole
+    // tagged scoring pass inside this group (off the walk's path);
+    // MEASURED WORSE and reverted: the scoring pass was never
+    // actually waiting on the walk — AQE materializes the final
+    // action's independent stages concurrently — so the extra
+    // barrier only added jobs (JobAudit 153 → 176; the r15 kcore
+    // lesson again: a cache handoff on the critical path loses to
+    // recompute-inside-one-job whose stages run in parallel).
     val phase2 = Par.run[Any](Seq(
       () => materialize(
         topKOn(qv).select(col("probe_id"), col("neighbor_id"))),
@@ -1505,156 +1514,145 @@ object Similarity {
     val hitK = broadcast(exactK.withColumn("hit", lit(1L)))
     val nExact = exactK.agg(count(lit(1)).as("n_exact"))
 
-    // TWO bounded passes per geometry (was: ONE unfiltered rank —
-    // the r10 watch-item: with no filter on rk, no WindowGroupLimit
-    // fires and every probe's corpus-sized candidate relation funnels
-    // through one task's window sort). The recall pass filters
-    // rk <= TopK AT the window, so Catalyst plants a PARTIAL
-    // WindowGroupLimit before the exchange — ≤k rows per (probe,
-    // input partition) ever cross it, and the final per-probe sort
-    // sees ≤ partitions·k rows. The cost pass is a plain map-side-
-    // combined count with no window at all. Both recompute the scored
-    // relation from the CACHED inputs rather than pinning
-    // probes×corpus rows in memory: at scale two map-local scans beat
-    // one full shuffle-sort of the scored relation.
-    def row(method: String, param: Long, scored: DataFrame,
-        order: Seq[Column]): DataFrame = {
-      val topk = scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("probe_id")).orderBy(order: _*)))
-        .filter(col("rk") <= TopK)
-      topk.join(hitK, Seq("probe_id", "neighbor_id"), "left")
-        .agg(coalesce(sum(when(col("hit").isNotNull, 1L).otherwise(0L)),
-          lit(0L)).as("n_matched"))
-        .crossJoin(scored.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(nExact)
-        .select(lit(method).as("method"), lit(param).as("param"),
-          col("n_matched"), col("n_exact"), col("n_candidates"))
-    }
+        // exact: matched = exact by construction; the scan size has
+        // the closed form |probes with direction| · (|corpus with
+        // direction| − 1) — no second probes×corpus pass to count it
+        val eExact = nExact
+          .crossJoin(probeSide(qv).agg(count(lit(1)).as("np")))
+          .crossJoin(corpusSide(qv).agg(count(lit(1)).as("nc")))
+          .select(lit("exact").as("method"), lit(0L).as("param"),
+            col("n_exact").as("n_matched"), col("n_exact"),
+            (col("np") * (col("nc") - 1)).as("n_candidates"))
 
-    // exact: matched = exact by construction; the scan size has the
-    // closed form |probes with direction| · (|corpus with direction|
-    // − 1) — no second probes×corpus pass just to count it
-    val eExact = nExact
-      .crossJoin(probeSide(qv).agg(count(lit(1)).as("np")))
-      .crossJoin(corpusSide(qv).agg(count(lit(1)).as("nc")))
-      .select(lit("exact").as("method"), lit(0L).as("param"),
-        col("n_exact").as("n_matched"), col("n_exact"),
-        (col("np") * (col("nc") - 1)).as("n_candidates"))
+        // SRP-LSH + multi-probe in ONE bucket join (r16, §2.4): the
+        // multiprobe variant list CONTAINS the original bucket, so an
+        // exact-bucket match is both an lsh and a multiprobe candidate
+        // while a variant-only match is multiprobe-only — tag each
+        // matched row with the method(s) it belongs to and distinct
+        // ONCE over (method, probe, vec), instead of two joins + two
+        // distincts over the same flattened relation. Sets identical:
+        // lsh = pairs with ≥1 exact-bucket match, multiprobe = pairs
+        // with ≥1 variant match, exactly as the two private branches
+        // computed them.
+        val flatB = qvB.select(col("vec_id"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
+        val mpProbeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
+            col("bucket").as("bucket0"),
+            explode(multiprobeVariants(col("bucket"))).as("bucket_p")))
+        val lshTagged = flatB.join(mpProbeFlat,
+            col("band") === col("band_p") &&
+              col("bucket") === col("bucket_p") &&
+              col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            explode(when(col("bucket_p") === col("bucket0"),
+              array(lit("lsh"), lit("lsh_multiprobe")))
+              .otherwise(array(lit("lsh_multiprobe")))).as("method"))
+          .select(col("method"), lit(0L).as("param"), col("probe_id"),
+            col("vec_id"))
+          .distinct()
 
-    // SRP-LSH: distinct bucket-mates (topKAnnLsh's candidate set)
-    // over the phase-1 bucketed relation
-    val flatB = qvB.select(col("vec_id"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val probeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
-        col("bucket").as("bucket_p")))
-    val lshCands = flatB.join(probeFlat,
-        col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
-          col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id")).distinct()
+        // IVF candidates (r16, §2.4): cell membership is a PREFIX
+        // property (a candidate at rank crk belongs to every curve
+        // point np ≥ crk), so ONE join at the maximum nProbe carries
+        // crk and explodes to its curve points — replaces
+        // |IvfCurveProbes| separate joins of the same two relations.
+        // Per-np sets identical: param = np emitted iff crk <= np.
+        val ivfTagged = cellRanks
+          .filter(col("crk") <= IvfCurveProbes.max)
+          .join(lab.toDF("vec_id", "label"), "label")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(lit("ivf").as("method"),
+            explode(filter(
+              typedlit(IvfCurveProbes.map(_.toLong)),
+              np => np >= col("crk").cast("long"))).as("param"),
+            col("probe_id"), col("vec_id"))
 
-    // multi-probe LSH: the Hamming-1 variant fan-out rides the same
-    // broadcast probe relation; candidates a strict superset of lsh's
-    val mpProbeFlat = broadcast(flatB.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("band").as("band_p"),
-        explode(multiprobeVariants(col("bucket"))).as("bucket_p")))
-    val mpCands = flatB.join(mpProbeFlat,
-        col("band") === col("band_p") && col("bucket") === col("bucket_p") &&
-          col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id")).distinct()
+        // ONE scored pass for EVERY non-graph geometry. r15 merged
+        // the six cosine-scored branches (lsh, multiprobe, the IVF
+        // nProbe sweep) into one tagged join+window+aggregate keyed
+        // by (method, param, probe_id) — guide §2.4, share the
+        // exchange. r16 folds the two remaining private pipelines —
+        // the binary-Hamming popcount scan and the PQ-ADC code scan
+        // — into the SAME tagged pass: each scored relation is
+        // reduced to (method, param, probe_id, neighbor_id, skey)
+        // where skey is that geometry's ranking key mapped to one
+        // ascending double. The mapping preserves each geometry's
+        // exact order: hamming (0..64) and approx_d2 (bounded by the
+        // per-vector quantization scale, « 2^53) are exact in a
+        // double; cosine negates (IEEE negation is exact, both sides
+        // filter n2 > 0 so no NaN, and a -0.0/0.0 collision is
+        // order-equalized by Spark's normalization with the
+        // neighbor_id tie-break deciding — as it already did). The
+        // rk <= TopK filter still sits AT the window, so the partial
+        // WindowGroupLimit prunes below the single exchange for all
+        // geometries at once. The literal (method, param) frame
+        // left-join preserves the old per-branch aggregate semantics
+        // for an empty geometry (n_matched = n_candidates = 0).
+        val cosCands = lshTagged.unionByName(ivfTagged)
+        val cosScored = cosCands
+          .join(corpusSide(qv), "vec_id")
+          .join(broadcast(probeSide(qv)), "probe_id")
+          .withColumn("skey",
+            -Vectors.cosine(Vectors.dot(col("q_p"), col("q")),
+              col("n2_p"), col("n2")))
+          .select(col("method"), col("param"), col("probe_id"),
+            col("vec_id").as("neighbor_id"), col("skey"))
 
-    // binary Hamming: the full popcount scan — exact's candidate
-    // count at 1-bit precision, the ladder's cheapest scorer
-    val hSigs = qv.filter(col("n2") > 0).select(col("vec_id"),
-      binaryHalf(col("q"), 0).as("lo"), binaryHalf(col("q"), 32).as("hi"))
-    val hProbes = broadcast(hSigs.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("lo").as("lo_p"),
-        col("hi").as("hi_p")))
-    val hScored = hSigs.join(hProbes, col("vec_id") =!= col("probe_id"))
-      .withColumn("hamming",
-        (bit_count(col("lo").bitwiseXOR(col("lo_p"))) +
-          bit_count(col("hi").bitwiseXOR(col("hi_p")))).cast("long"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("hamming"))
-    val eHam = row("hamming", 0L, hScored,
-      Seq(col("hamming"), col("neighbor_id")))
+        // binary Hamming: the full popcount scan — exact's candidate
+        // count at 1-bit precision, the ladder's cheapest scorer
+        val hSigs = qv.filter(col("n2") > 0).select(col("vec_id"),
+          binaryHalf(col("q"), 0).as("lo"), binaryHalf(col("q"), 32).as("hi"))
+        val hProbes = broadcast(hSigs.filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("probe_id"), col("lo").as("lo_p"),
+            col("hi").as("hi_p")))
+        val hamScored = hSigs
+          .join(hProbes, col("vec_id") =!= col("probe_id"))
+          .select(lit("hamming").as("method"), lit(0L).as("param"),
+            col("probe_id"), col("vec_id").as("neighbor_id"),
+            (bit_count(col("lo").bitwiseXOR(col("lo_p"))) +
+              bit_count(col("hi").bitwiseXOR(col("hi_p"))))
+              .cast("double").as("skey"))
 
-    // IVF candidates: the cells were ranked ONCE in phase 2, cut per
-    // nProbe of the curve
-    def ivfCands(np: Int): DataFrame = cellRanks.filter(col("crk") <= np)
-      .join(lab.toDF("vec_id", "label"), "label")
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+        // PQ-ADC full code scan (topKAnnPq's scored relation; model
+        // AND probe LUT built in phase 1, the LUT overlapped with the
+        // chosen barrier inside pqParts)
+        val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
+        val pqScored = codes.join(broadcast(pqLutOpt.get), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum(col("pd2")).as("approx_d2"))
+          .select(lit("pq").as("method"), lit(0L).as("param"),
+            col("probe_id"), col("neighbor_id"),
+            col("approx_d2").cast("double").as("skey"))
 
-    // ONE cosine-scored pass for every candidate-set geometry (lsh,
-    // multiprobe, the IVF nProbe sweep): the six branches used to run
-    // six separate scan→join→window→aggregate pipelines over the same
-    // cached relations — six windows, six probe-side broadcasts, six
-    // 1-row count subtrees (~8 AQE stage-jobs each). Tagging each
-    // candidate set with its (method, param) and running ONE
-    // join+window+aggregate keyed by (method, param, probe_id) shares
-    // the exchange across geometries (guide §2.4) — per-geometry rows
-    // are identical because method/param ride every key. The rk <=
-    // TopK filter still sits AT the window, so the partial
-    // WindowGroupLimit prunes below the exchange exactly as before.
-    // The left join from the literal (method, param) frame preserves
-    // the old per-branch aggregate semantics for an empty geometry
-    // (n_matched = n_candidates = 0) instead of dropping its row.
-    def tagged(m: String, p: Long, cands: DataFrame): DataFrame =
-      cands.select(lit(m).as("method"), lit(p).as("param"),
-        col("probe_id"), col("vec_id"))
-    val cosCands =
-      (Seq(tagged("lsh", 0L, lshCands),
-        tagged("lsh_multiprobe", 0L, mpCands)) ++
-        IvfCurveProbes.map(np => tagged("ivf", np.toLong, ivfCands(np))))
-        .reduce(_ unionByName _)
-    val cosScoredAll = cosCands
-      .join(corpusSide(qv), "vec_id")
-      .join(broadcast(probeSide(qv)), "probe_id")
-      .withColumn("cos_sim",
-        Vectors.cosine(Vectors.dot(col("q_p"), col("q")),
-          col("n2_p"), col("n2")))
-      .select(col("method"), col("param"), col("probe_id"),
-        col("vec_id").as("neighbor_id"), col("cos_sim"))
-    val cosTop = cosScoredAll
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("method"), col("param"), col("probe_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= TopK)
-    val cosMatched = cosTop
-      .join(hitK, Seq("probe_id", "neighbor_id"), "left")
-      .groupBy(col("method"), col("param"))
-      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nm"))
-    val cosCounts = cosScoredAll.groupBy(col("method"), col("param"))
-      .agg(count(lit(1)).as("ncand"))
-    val spark0 = embs.sparkSession
-    import spark0.implicits._
-    val cosFrame = (Seq(("lsh", 0L), ("lsh_multiprobe", 0L)) ++
-      IvfCurveProbes.map(np => ("ivf", np.toLong)))
-      .toDF("method", "param")
-    val cosRows = cosFrame
-      .join(cosMatched, Seq("method", "param"), "left")
-      .join(cosCounts, Seq("method", "param"), "left")
-      .crossJoin(nExact)
-      .select(col("method"), col("param"),
-        coalesce(col("nm"), lit(0L)).as("n_matched"), col("n_exact"),
-        coalesce(col("ncand"), lit(0L)).as("n_candidates"))
-
-    // PQ-ADC full code scan (topKAnnPq's scored relation, built in
-    // phase 1)
-    val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
-    val pflat = flatN.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
-    val lut = pflat.join(broadcast(compN), Seq("sub", "il"))
-      .groupBy(col("probe_id"), col("sub"), col("code"))
-      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
-    val pqScored = codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("pd2")).as("approx_d2"))
-    val ePq = row("pq", 0L, pqScored,
-      Seq(col("approx_d2"), col("neighbor_id")))
+        val scoredAll = Seq(cosScored, hamScored, pqScored)
+          .reduce(_ unionByName _)
+        val top = scoredAll
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("method"), col("param"), col("probe_id"))
+              .orderBy(col("skey"), col("neighbor_id"))))
+          .filter(col("rk") <= TopK)
+        val matched = top
+          .join(hitK, Seq("probe_id", "neighbor_id"), "left")
+          .groupBy(col("method"), col("param"))
+          .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nm"))
+        val counts = scoredAll.groupBy(col("method"), col("param"))
+          .agg(count(lit(1)).as("ncand"))
+        val frame = (Seq(("lsh", 0L), ("lsh_multiprobe", 0L),
+          ("hamming", 0L), ("pq", 0L)) ++
+          IvfCurveProbes.map(np => ("ivf", np.toLong)))
+          .toDF("method", "param")
+        // LAZY by design: the summary computes inside the final
+        // action, whose independent stages AQE materializes
+        // concurrently with the graph branch — no extra barrier
+        val ngRows = eExact.unionByName(frame
+          .join(matched, Seq("method", "param"), "left")
+          .join(counts, Seq("method", "param"), "left")
+          .crossJoin(nExact)
+          .select(col("method"), col("param"),
+            coalesce(col("nm"), lit(0L)).as("n_matched"), col("n_exact"),
+            coalesce(col("ncand"), lit(0L)).as("n_candidates")))
 
     // graph at every walk length of the curve: recall from that
     // hop's beam, cost from the visited-so-far set (entry vertices +
@@ -1703,9 +1701,7 @@ object Similarity {
         coalesce(col("nm"), lit(0L)).as("n_matched"), col("n_exact"),
         coalesce(col("ncand"), lit(0L)).as("n_candidates"))
 
-    val allC = materialize(
-      Seq(eExact, cosRows, ePq, eHam, graphRows)
-        .reduce(_ unionByName _))
+    val allC = materialize(ngRows.unionByName(graphRows))
     val others = allC.select(col("method").as("m2"), col("param").as("p2"),
       col("n_matched").as("nm2"), col("n_candidates").as("nc2"))
     allC.join(others,
@@ -2128,7 +2124,7 @@ object Similarity {
     * is bounded at PqSub·2^PqBits rows.
     */
   def pqReport(embs: DataFrame): DataFrame = {
-    val (_, _, chosen) = pqParts(embs)
+    val (_, _, chosen, _) = pqParts(embs)
     chosen
       .groupBy(col("sub").cast("long").as("subspace"), col("code"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -2138,14 +2134,26 @@ object Similarity {
   }
 
   /** Shared PQ model builder: (flat sub-components, codebook,
-    * chosen assignment). `flat` is (vec_id, sub, il, v); `comp` the
-    * rounded-mean codebook (sub, code, il, m), ≤ PqSub·2^PqBits·
-    * PqWidth rows; `chosen` the refined per-(vec, sub) assignment
-    * with its reconstruction d². comp and chosen are materialized —
-    * [[pqReport]] reads chosen once, [[topKAnnPq]] reads all three.
+    * chosen assignment, optional probe LUT). `flat` is (vec_id, sub,
+    * il, v); `comp` the rounded-mean codebook (sub, code, il, m),
+    * ≤ PqSub·2^PqBits·PqWidth rows; `chosen` the refined per-(vec,
+    * sub) assignment with its reconstruction d². comp and chosen are
+    * materialized — [[pqReport]] reads chosen once, [[topKAnnPq]]
+    * reads all three.
+    *
+    * `withProbeLut = true` additionally builds the probes'
+    * asymmetric-distance lookup table (probe_id, sub, code, pd2) the
+    * ADC rankers share, and — since the LUT depends only on flat+comp
+    * while `chosen` pays its own window barrier on the corpus — the
+    * two materialize CONCURRENTLY (guide §2.6): the LUT build rides
+    * the chosen barrier instead of serializing after it on the
+    * consumer's critical path (it used to build lazily inside the
+    * consumer's final action, gating the broadcast every ADC scan
+    * waits on).
     */
   private def pqParts(embs: DataFrame,
-      normalized: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      normalized: Boolean = false, withProbeLut: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     // materialized: the 16 sign-bit dots + the flatten each reference
     // `q`, and CollapseProject would otherwise inline the (for the
     // normalized path, sqrt-per-element) quantize transform into
@@ -2182,10 +2190,21 @@ object Similarity {
       .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d2"))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("code"))
-    val chosen = materialize(d2.withColumn("rk", row_number().over(w))
+    val chosenDf = d2.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("code"), col("d2")))
-    (flat, comp, chosen)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+    if (!withProbeLut) (flat, comp, materialize(chosenDf), None)
+    else {
+      val lutDf = flat.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("sub"), col("il"),
+          col("v"))
+        .join(broadcast(comp), Seq("sub", "il"))
+        .groupBy(col("probe_id"), col("sub"), col("code"))
+        .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+      val (chosen, lut) = Par.run2(
+        () => materialize(chosenDf), () => materialize(lutDf))
+      (flat, comp, chosen, Some(lut))
+    }
   }
 
   /** PQ-ADC approximate top-k: the payoff of [[pqReport]]'s codebook.
@@ -2207,13 +2226,13 @@ object Similarity {
     * compression still loses.
     */
   def topKAnnPq(embs: DataFrame): DataFrame = {
-    val (flat, comp, chosen) = pqParts(embs, normalized = true)
+    // the probe LUT materializes concurrently with `chosen` inside
+    // pqParts (§2.6) instead of building lazily under this ranking's
+    // final action, where its broadcast gated the code scan
+    val (_, _, chosen, lutOpt) =
+      pqParts(embs, normalized = true, withProbeLut = true)
     val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
-    val pflat = flat.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
-    val lut = pflat.join(broadcast(comp), Seq("sub", "il"))
-      .groupBy(col("probe_id"), col("sub"), col("code"))
-      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+    val lut = lutOpt.get
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
@@ -2246,19 +2265,22 @@ object Similarity {
     */
   def topKAnnIvfPq(embs: DataFrame, nProbe: Int = IvfNProbe): DataFrame = {
     val lab = embs.select(col("vec_id"), col("label"))
-    val topCells = ivfTopCells(
-      materialize(Vectors.quantized(embs)), lab, nProbe)
+    // the coarse quantizer's relation and the PQ model share no data
+    // dependency until the scored join — materialize them
+    // concurrently (§2.6) instead of paying the coarse barrier, then
+    // the model's three barriers, back to back; the probe LUT rides
+    // the model's chosen barrier inside pqParts
+    val (coarseQv, pqm) = Par.run2(
+      () => materialize(Vectors.quantized(embs)),
+      () => pqParts(embs, normalized = true, withProbeLut = true))
+    val topCells = ivfTopCells(coarseQv, lab, nProbe)
     val cands = topCells
       .join(lab.toDF("vec_id", "label"), "label")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-    val (flatN, compN, chosen) = pqParts(embs, normalized = true)
+    val (_, _, chosen, lutOpt) = pqm
     val codes = chosen.select(col("vec_id"), col("sub"), col("code"))
-    val pflat = flatN.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("sub"), col("il"), col("v"))
-    val lut = pflat.join(broadcast(compN), Seq("sub", "il"))
-      .groupBy(col("probe_id"), col("sub"), col("code"))
-      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("pd2"))
+    val lut = lutOpt.get
     val scored = cands
       .join(codes, "vec_id")
       .join(broadcast(lut), Seq("probe_id", "sub", "code"))

@@ -464,7 +464,16 @@ object CdcPipeline {
       // crosses the driver, while staying independent of the temp
       // dir (deleted below) and of the bench's cache clears.
       val t = summarize(spark.read.schema(ds.toDF().schema).parquet(out))
-      t.localCheckpoint()
+      val cp = t.localCheckpoint()
+      // the checkpoint's executor blocks outlive Dataset.unpersist
+      // (it only clears CacheManager entries) — register an explicit
+      // RDD unpersist so the harness's releaseAll frees them instead
+      // of waiting on GC + ContextCleaner, which at sf10 lets a
+      // data-sized drain (the SCD2 full history) overlap the next
+      // query's memory window
+      graft.CacheScope.registerReleaseHook(() =>
+        org.apache.spark.sql.graft.ExpressionBridge.unpersistCheckpoint(cp))
+      cp
     } finally removeRecursively(dir)
   }
 

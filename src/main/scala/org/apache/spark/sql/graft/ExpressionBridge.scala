@@ -48,6 +48,23 @@ object ExpressionBridge {
     }
   }
 
+  /** Unpersist the executor block-manager storage behind a
+    * localCheckpoint-backed DataFrame. `Dataset.unpersist` only
+    * removes CacheManager entries, so a checkpointed relation's
+    * blocks otherwise linger until the RDD is GC'd and the
+    * ContextCleaner runs — a data-sized checkpoint (a streaming
+    * drain's summary) can overlap the next query's memory window.
+    * After this call the DataFrame is DEAD (the lineage was truncated
+    * at checkpoint, so the blocks cannot be recomputed) — callers
+    * must have fully consumed the result.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Apply an extensions object's injected functions to a live
     * session's registry (`registerFunctions` is private[sql];
     * `spark.sql.extensions` is a static conf, so the config path

@@ -226,6 +226,32 @@ class MlSpec extends AnyFunSuite {
       "impact removals must equal the cluster gauge's non-canonical mass")
   }
 
+  test("annFrontier merged tagged pass: per-geometry matches equal the standalone rankers'") {
+    // r16 folds lsh/multiprobe/ivf/hamming/pq through ONE tagged
+    // window (each geometry's ranking key mapped to one ascending
+    // skey: hamming/approx_d2 as-is, cosine negated). This pins that
+    // the merge changed the PLAN, not any geometry's ranking: every
+    // folded method's n_matched equals the intersection of its
+    // STANDALONE ranker's top-k with the exact set.
+    val rows = Similarity.annFrontier(embs).collect()
+    val byKey = rows.map(r =>
+      (r.getAs[String]("method"), r.getAs[Long]("param")) -> r).toMap
+    val exact = Similarity.topKBruteForce(embs).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def nMatched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("probe_id", "neighbor_id").collect()
+        .count(r => exact.contains((r.getLong(0), r.getLong(1)))).toLong
+    assert(byKey(("lsh", 0L)).getAs[Long]("n_matched") ===
+      nMatched(Similarity.topKAnnLsh(embs)))
+    assert(byKey(("lsh_multiprobe", 0L)).getAs[Long]("n_matched") ===
+      nMatched(Similarity.topKAnnMultiprobe(embs)))
+    assert(byKey(("hamming", 0L)).getAs[Long]("n_matched") ===
+      nMatched(Similarity.topKAnnHamming(embs)))
+    assert(byKey(("pq", 0L)).getAs[Long]("n_matched") ===
+      nMatched(Similarity.topKAnnPq(embs)))
+  }
+
   test("annFrontier: shared exact denominator, nested-IVF monotonicity, dominance verdicts") {
     val rows = Similarity.annFrontier(embs).collect()
     // exact, lsh, lsh_multiprobe, pq, hamming + the two knob sweeps

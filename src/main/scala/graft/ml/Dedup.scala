@@ -1288,7 +1288,13 @@ object Dedup {
     * |sources|²-bounded rollup.
     */
   def minhashSurvivorship(docs: DataFrame): DataFrame = {
-    val lab = materialize(minhashComponentLabels(docs))
+    // lazyPersist, not materialize (r16): the winners and losers
+    // branches both consume lab inside the ONE final rollup job, so
+    // the eager count bought nothing but a barrier — worst case the
+    // branches race-recompute a cheap groupBy over the contraction's
+    // checkpointed stars (§2.6 discipline: no cache handoff on the
+    // critical path)
+    val lab = graft.CacheScope.lazyPersist(minhashComponentLabels(docs))
     val labeled = docs.select(col("doc_id"), col("source"), col("n_chars"))
       .join(lab.select(col("v").as("doc_id"), col("label")), "doc_id")
     val winners = labeled.filter(col("doc_id") === col("label"))

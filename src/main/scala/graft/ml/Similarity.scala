@@ -1882,6 +1882,13 @@ object Similarity {
       .distinct())
     var alive = checkpointTruncated(sym.select(col("src").as("v")).distinct())
     val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // NOT persisted, deliberately (r15 sf0.1 A/B: 1.3–1.7× slower
+    // persisted; r16 sf1 A/B: 9.6–11.1 s unpersisted vs 11.5–12.4 s
+    // persisted, control stable): the census and next-round-peel
+    // consumers of aliveE recompute inside jobs whose branches run as
+    // parallel stages ≈ free on idle cores, while a persist puts the
+    // cache write on the critical path. Re-examine only on a real
+    // cluster where cores stop being idle.
     for (r <- 0 to rounds) {
       val aliveE = sym
         .join(alive.select(col("v").as("src")), "src")
